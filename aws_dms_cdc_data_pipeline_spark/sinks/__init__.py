@@ -1,0 +1,3 @@
+"""Sinks: upsertable current-state store, raw archive, DLQ."""
+
+from aws_dms_cdc_data_pipeline_spark.sinks.state_store import StateStore  # noqa: F401

@@ -1,0 +1,73 @@
+"""S2/S3/S4 — the CDC change-record stream source.
+
+In the reference the stream is DMS tailing the MySQL binlog
+(dms_aurora_mysql_to_kinesis.py:50-59,145) into Kinesis
+(kds.py:23-27), consumed by Firehose (firehose.py:159-163). In our
+engine both hops collapse into one ``readStream`` of one-line JSON
+envelopes. Tests use the file source (deterministic, replayable —
+the 24 h Kinesis retention analog is simply the files still being
+there); production swaps in the Kinesis/Kafka connector with the
+same downstream plan:
+
+    spark.readStream.format("kafka")  # or kinesis connector
+         .option(...)
+         .load()
+         .select(col("value").cast("string"))
+         → parse_envelopes(...)
+
+The wire format carries ``doc_id`` (shard-sequence-number analog,
+reference README.md:457) alongside the envelope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_dms_cdc_data_pipeline_spark import schema as S
+
+# one-line JSON on the wire → parse keeps the raw line for DLQ routing
+_TS_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"}
+
+
+def _parse(lines: DataFrame) -> DataFrame:
+    """Wire lines → (data, metadata, doc_id, _raw, _corrupt).
+
+    PERMISSIVE parse: a malformed line yields NULL structs and is
+    flagged ``_corrupt`` for the DLQ (S7) instead of failing the
+    stream.
+    """
+    parsed = lines.withColumn(
+        "_env", F.from_json(F.col("value"), S.KEYED_ENVELOPE_SCHEMA, _TS_OPTS)
+    )
+    return parsed.select(
+        F.col("_env.data").alias("data"),
+        F.col("_env.metadata").alias("metadata"),
+        F.col("_env.doc_id").alias("doc_id"),
+        F.col("value").alias("_raw"),
+        (
+            F.col("_env").isNull()
+            | F.col("_env.metadata").isNull()
+            | F.col("_env.data").isNull()
+            | F.col("_env.doc_id").isNull()
+        ).alias("_corrupt"),
+    )
+
+
+def read_envelope_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming source of keyed envelopes from JSONL files.
+
+    ``maxFilesPerTrigger`` is the per-trigger size cap — the analog of
+    Firehose's 1 MB buffering hint (firehose.py:139-142).
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _parse(reader.load(path))
+
+
+def read_envelope_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Batch read of the same wire files (backfill / full-load path, T5)."""
+    return _parse(spark.read.format("text").load(path))

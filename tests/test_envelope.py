@@ -1,0 +1,97 @@
+"""Envelope operators: P1 selection, P2 mapping, P3 serde, P4 metadata.
+
+Golden contract: the literal document at reference README.md:454-492.
+"""
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from aws_dms_cdc_data_pipeline_spark import schema as S
+from aws_dms_cdc_data_pipeline_spark.generator import GeneratorConfig, envelopes_df
+from aws_dms_cdc_data_pipeline_spark.operators.envelope import (
+    parse_envelopes,
+    serialize_envelopes,
+    to_envelope,
+)
+from aws_dms_cdc_data_pipeline_spark.operators.selection import select_table
+
+# the README.md:454-492 example, minus the OpenSearch wrapper
+GOLDEN_LINE = json.dumps(
+    {
+        "data": {
+            "trans_id": 6,
+            "customer_id": "387378799012",
+            "event": "list",
+            "sku": "AI6161BEFX",
+            "amount": 1,
+            "device": "pc",
+            "trans_datetime": "2022-03-14T14:17:40Z",
+        },
+        "metadata": {
+            "timestamp": "2022-03-14T14:18:11.104009Z",
+            "record-type": "data",
+            "operation": "insert",
+            "partition-key-type": "primary-key",
+            "schema-name": "testdb",
+            "table-name": "retail_trans",
+            "transaction-id": 8590392498,
+        },
+    }
+)
+
+
+def test_parse_golden_envelope(spark):
+    raw = spark.createDataFrame([(GOLDEN_LINE,)], "value string")
+    env = parse_envelopes(raw)
+    row = env.collect()[0]
+    assert row.data.trans_id == 6
+    assert row.data.customer_id == "387378799012"
+    assert row.data.amount == 1
+    assert row.data.trans_datetime == dt.datetime(2022, 3, 14, 14, 17, 40)
+    assert row.metadata["operation"] == "insert"
+    assert row.metadata["transaction-id"] == 8590392498
+    # µs precision on the event-time axis (README.md:471)
+    assert row.metadata["timestamp"] == dt.datetime(2022, 3, 14, 14, 18, 11, 104009)
+
+
+def test_serde_roundtrip(spark):
+    cfg = GeneratorConfig(n_rows=25, update_fraction=0.2, delete_fraction=0.1)
+    env = envelopes_df(spark, cfg).drop("doc_id")
+    back = parse_envelopes(serialize_envelopes(env))
+    a = sorted(map(str, env.collect()))
+    b = sorted(map(str, back.collect()))
+    assert a == b
+
+
+def test_selection_filter_drops_foreign_tables(spark):
+    cfg = GeneratorConfig(
+        n_rows=40, update_fraction=0.0, delete_fraction=0.0, foreign_fraction=0.25
+    )
+    env = envelopes_df(spark, cfg)
+    total = env.count()
+    kept = select_table(env).count()
+    assert kept == 40  # only the retail_trans inserts survive
+    assert total > kept
+    assert (
+        select_table(env)
+        .filter(F.col(S.meta("table-name")) != S.DEFAULT_TABLE_NAME)
+        .count()
+        == 0
+    )
+
+
+def test_to_envelope_wraps_bare_rows(spark):
+    rows = spark.createDataFrame(
+        [(1, "c1", "visit", "SKU1", 1, "pc", dt.datetime(2022, 3, 14, 12, 0, 0))],
+        S.DATA_SCHEMA,
+    )
+    env = to_envelope(rows, operation=S.OP_LOAD)
+    r = env.collect()[0]
+    assert r.data.trans_id == 1
+    assert r.metadata["operation"] == "load"
+    assert r.metadata["record-type"] == "data"
+    assert r.metadata["partition-key-type"] == "primary-key"
+    assert r.metadata["schema-name"] == "testdb"
+    assert r.metadata["table-name"] == "retail_trans"
