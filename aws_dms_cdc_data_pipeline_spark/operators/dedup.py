@@ -1,0 +1,315 @@
+"""Deduplication operators — exact and near-duplicate, at scale.
+
+The large-scale-training-data staples over the ``documents`` table:
+
+- **exact**: normalized-text fingerprint → keep one doc per group.
+  One shuffle on the fingerprint; map-side partial aggregation.
+- **MinHash + LSH**: char-shingle → per-seed min-hash signature
+  (computed with array expressions — NO explode, NO shuffle) →
+  band-bucket join for candidates → exact Jaccard verification.
+  The only shuffles are the band-bucket self-join and the final
+  distinct — the textbook scale-out shape (band buckets are the
+  join key, so skew = pathological near-dup clusters only).
+- **SimHash**: token hashes JVM-side, bit-fold in a vectorized
+  Pandas UDF (Arrow batches), near-dup candidates by 16-bit-chunk
+  pigeonhole banding, verified by Hamming distance.
+- **n-gram Jaccard**: inverted-index join on shared token n-grams —
+  exact pairwise similarity without the O(N²) cross join.
+
+All candidate generators deliberately over-approximate and are
+followed by an exact verifier, so results are deterministic and
+LSH parameters only affect cost, not correctness of reported pairs
+(above the verify threshold).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + whitespace-collapse — the canonical form hashed."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id document per normalized-text group.
+
+    groupBy on the fingerprint (map-side combine → one shuffle) then
+    a semi-join back; at 100 TB this is the cheapest possible exact
+    dedup: the shuffled payload is (fingerprint, id), never the text.
+    """
+    fp = F.md5(normalize_text(F.col(text_col))).alias("_fp")
+    keep = (
+        df.select(fp, F.col(id_col))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles / n-grams (pure array expressions — no explode needed to build)
+# ---------------------------------------------------------------------------
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Array of character k-shingles of the normalized text."""
+    norm = normalize_text(col)
+    n = F.length(norm)
+    return F.when(n < k, F.array(norm)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: norm.substr(i, F.lit(k)),
+        )
+    )
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Array of word n-grams (space-joined) of the normalized text."""
+    words = F.split(normalize_text(col), " ")
+    cnt = F.size(words)
+    return F.when(cnt < n, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """Array of ``num_hashes`` min-hash values.
+
+    hash_i(s) = xxhash64(s, seed=i); signature_i = min over shingles.
+    Pure array expression — evaluated in one pass per row JVM-side.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Stage 1 (map): signature per doc. Stage 2 (shuffle 1): explode
+    bands, self-join on (band, band_hash) → candidates. Stage 3
+    (shuffle 2): exact Jaccard on shingle sets for candidates only.
+    """
+    rows_per_band = num_hashes // bands
+    with_sig = df.select(
+        F.col(id_col),
+        char_shingles(F.col(text_col), shingle_k).alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+
+    banded = with_sig.select(
+        id_col,
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("_sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select(id_col, "_sh", "_band.band", "_band.bh")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._sh").alias("sh_a"),
+            F.col("b._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+@pandas_udf(T.LongType())
+def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    """Fold an array of 64-bit token hashes into a SimHash (Arrow path).
+
+    Vectorized per batch with numpy; token hashing itself stays
+    JVM-side (xxhash64) so Python only sees small int arrays.
+    """
+    import numpy as np
+
+    out = np.zeros(len(hashes), dtype=np.int64)
+    for row_i, hs in enumerate(hashes):
+        if hs is None or len(hs) == 0:
+            continue
+        arr = np.asarray(hs, dtype=np.uint64)
+        bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(arr)  # (+1/-1 per token)
+        sim = np.uint64(0)
+        for j in np.nonzero(votes > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(j)
+        out[row_i] = sim.astype(np.int64)
+    return pd.Series(out)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    token_hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    return df.withColumn("simhash", _simhash_from_hashes(token_hashes))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: 16-bit-chunk banding (pigeonhole:
+    hamming ≤ 3 ⇒ at least one of 4 chunks equal) then exact Hamming
+    verification via bit_count(xor)."""
+    sh = with_simhash(df, text_col).select(id_col, "simhash")
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ch"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select(id_col, "simhash", "_c.chunk", "_c.ch")
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ch") == F.col("b.ch"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index join, exact)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets, via inverted index.
+
+    |A∩B| = count of shared distinct n-grams (join on the n-gram),
+    |A∪B| = |A| + |B| − |A∩B|. The explode/join shuffles on the
+    n-gram value — high-frequency shingles are the skew risk, so a
+    production run would cap posting-list length (drop stop-shingles);
+    here the data is synthetic and bounded.
+    """
+    grams = (
+        df.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    inter = (
+        ga.join(gb, (F.col("ga.g") == F.col("gb.g"))
+                & (F.col(f"ga.{id_col}") < F.col(f"gb.{id_col}")))
+        .groupBy(
+            F.col(f"ga.{id_col}").alias("id_a"),
+            F.col(f"gb.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

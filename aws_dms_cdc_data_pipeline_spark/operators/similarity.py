@@ -1,0 +1,193 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two tiers, per the classic ANN playbook:
+
+- **brute-force cosine top-k** — the exact baseline. Dot products run
+  JVM-side via ``F.zip_with`` + ``F.aggregate`` in double precision
+  (deterministic sequential fold → bit-identical to the DuckDB
+  oracle's list_cosine_similarity on doubles). Queries are a small
+  relation → broadcast join against the corpus: one scan, no shuffle
+  of the corpus, per-partition top-k then global top-k merge.
+- **LSH-bucketed (random hyperplane)** — the scale path. Each vector
+  gets a sign-bit sketch from a fixed seeded hyperplane set; probing
+  compares only vectors sharing a bucket (optionally multi-probe by
+  also checking 1-bit-flipped buckets). Recall/cost trades via
+  ``num_planes``; exactness is restored by brute-force re-ranking of
+  the bucket candidates.
+
+An IVF variant (k-means coarse quantizer) would slot into the same
+candidate-then-rerank shape; hyperplane LSH is chosen because it
+needs no training pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity(a, b):
+    """Cosine similarity of two array columns, computed in double."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (cosine).
+
+    queries is broadcast (small); rank window partitioned by query id
+    so the only exchange is the final per-query top-k shuffle, sized
+    |queries| × |corpus-partition winners|, never the corpus.
+    """
+    joined = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "cosine",
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def hyperplane_sketch(df: DataFrame, *, vec_col: str = "embedding",
+                      dim: int = 64, num_planes: int = 16, seed: int = 42) -> DataFrame:
+    """Attach a sign-bit LSH bucket id from fixed random hyperplanes.
+
+    The hyperplane matrix is generated once, deterministically, on the
+    driver and folded into the plan as literals — tiny (planes × dim
+    doubles) and identical across executors; no join needed.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(num_planes, dim)
+    bucket = F.lit(0).cast("long")
+    for p_idx in range(num_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[p_idx]])
+        bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, p_idx)
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int = 64,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane bucket join, then exact re-rank.
+
+    Multi-probe: a query also probes every bucket at Hamming
+    distance 1, which pushes recall up sharply for small planes
+    counts while the candidate set stays ~(1+planes)/2^planes of the
+    corpus.
+    """
+    c = hyperplane_sketch(corpus, vec_col=vec_col, dim=dim,
+                          num_planes=num_planes, seed=seed)
+    q = hyperplane_sketch(
+        queries.withColumnRenamed(query_vec_col, "_qv"),
+        vec_col="_qv", dim=dim, num_planes=num_planes, seed=seed,
+    )
+    probes = q.select(
+        query_id_col,
+        "_qv",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                    for b in range(num_planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    joined = c.join(F.broadcast(probes), "bucket").withColumn(
+        "cosine", F.round(cosine_similarity(F.col(vec_col), F.col("_qv")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 12,
+    threshold: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucketed self-join.
+
+    Same hyperplane sketch; only same-bucket pairs are scored. At
+    near-dup thresholds (≥0.9) same-bucket probability is high, so
+    recall stays useful while cost drops from O(N²) to Σ bucket².
+    """
+    s = hyperplane_sketch(df, vec_col=vec_col, dim=dim,
+                          num_planes=num_planes, seed=seed)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )

@@ -1,0 +1,134 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline staples, each expressed with built-in
+``pyspark.sql.functions`` (JVM-side, whole-stage codegen — no Python
+in the hot path) so they scale linearly with no shuffle:
+
+- token counting (whitespace + BPE-ish regex),
+- quality scoring (length / punctuation / stopword ratios),
+- language identification (marker-word n-gram heuristic),
+- document fingerprinting (normalized-text hash + rolling shingles).
+
+Every function is a narrow projection: Catalyst prunes the scan to
+``text`` plus requested columns, and the operators compose with any
+downstream groupBy/join without extra exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker vocabularies for the language-ID heuristic. Deliberately
+# SQL-portable (occurrence counting via length arithmetic) so the
+# DuckDB oracle can replicate the exact scoring.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "que", "los"),
+    "zh": ("de", "shi", "le"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+# BPE-ish token pattern: runs of letters, runs of digits, or a single
+# non-space symbol — the classic pre-tokenizer split.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def occurrences(col: Column, term: str) -> Column:
+    """Count non-overlapping occurrences of a literal term.
+
+    length-arithmetic form — identical semantics in Spark and ANSI
+    SQL/DuckDB, which keeps the oracle exact:
+    (len(s) - len(replace(s, t, ''))) / len(t).
+    """
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(term), F.lit(""))))
+        / len(term)
+    ).cast("long")
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish token count per document."""
+    c = F.col(text_col)
+    ws = F.size(F.split(F.trim(c), r"\s+"))
+    return df.withColumn(
+        "ws_tokens", F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(ws)
+    ).withColumn("bpe_tokens", F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0)))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + combined score in [0, 1].
+
+    Features mirror the published quality-filter recipes (length,
+    punctuation density, stopword density, mean word length); the
+    combined score is a clipped linear blend — a placeholder a user
+    tunes, but shuffle-free and fully vectorized.
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    words = F.split(F.trim(c), r"\s+")
+    n_words = F.size(words)
+    punct = F.size(F.regexp_extract_all(c, F.lit(r"[.,;:!?]"), 0))
+    stop_hits = sum(occurrences(c, f" {w} ") for w in STOPWORDS)
+    mean_word_len = (n_chars - n_words + 1) / n_words  # spaces removed
+
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_words, F.lit(1))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    score = F.greatest(
+        F.least(
+            F.round(
+                0.4 * len_score
+                + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+                + 0.3 * (1.0 - F.least(punct_ratio * 20.0, F.lit(1.0))),
+                6,
+            ),
+            F.lit(1.0),
+        ),
+        F.lit(0.0),
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stop_ratio", F.round(stop_ratio, 6))
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn("quality_score", score)
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker counts.
+
+    Deterministic tie-break: higher score wins, then lexicographically
+    smaller language code. Padded-occurrence counting ≈ unigram model;
+    at scale this is a pure map — no shuffle, no UDF.
+    """
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    scores = {
+        lang: sum(occurrences(padded, f" {m} ") for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = None
+    for lang in sorted(scores):  # lexicographic tie-break
+        s = scores[lang]
+        if best is None:
+            best, best_lang = s, F.lit(lang)
+        else:
+            cond = s > best
+            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+            best = F.when(cond, s).otherwise(best)
+    return df.withColumn("pred_lang", best_lang)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint over normalized text.
+
+    Normalization: lowercase, collapse whitespace. Hash: md5 (portable
+    to the SQL oracle). For shingle-level rolling hashes see
+    operators/dedup.py (minhash/simhash paths).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm))

@@ -1,0 +1,713 @@
+"""The engine's query surface — one entry per SURVEY.md §2 capability.
+
+Each query is a named (spark_fn, oracle_sql) pair. ``spark_fn`` takes
+``(spark, sf_dir)`` and returns a DataFrame built with the public
+DataFrame API; ``oracle_sql`` is the ANSI-SQL equivalent DuckDB runs
+on the same parquet fixtures. Column names/aliases match exactly on
+both sides (the driver sorts columns by name before hashing).
+
+Float determinism (the one non-obvious trick): any SUM/AVG over
+doubles is computed as ``CAST(SUM(CAST(x AS DECIMAL(18,6))) AS
+DOUBLE)`` on BOTH sides. Decimal addition is exact and
+order-independent, so Spark's partial aggregation across 32 (or
+1000) partitions and DuckDB's single-threaded fold produce
+bit-identical doubles. Raw double sums would differ in the last ulp
+depending on reduction order — a hash mismatch that says nothing
+about correctness. Expressions UNDER the cast (e.g.
+``price*(1-disc)``) are single IEEE ops on identical inputs —
+deterministic everywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_dms_cdc_data_pipeline_spark.session import load_table
+from aws_dms_cdc_data_pipeline_spark.operators import dedup as D
+from aws_dms_cdc_data_pipeline_spark.operators import multimodal as M
+from aws_dms_cdc_data_pipeline_spark.operators import similarity as V
+from aws_dms_cdc_data_pipeline_spark.operators import text as X
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver runs rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def q(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn):
+        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent double sum via exact decimal accumulation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+def _dsum_sql(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+# ===========================================================================
+# CDC core (events = the change-stream fixture; SURVEY §2.1-§2.5)
+# ===========================================================================
+
+@q(
+    "cdc_current_state",
+    """
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_event_type, value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    "A1: latest-version-per-key upsert view (window dedup, PK-partitioned)",
+)
+def cdc_current_state(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@q(
+    "cdc_event_time_range",
+    """
+    SELECT event_id, ts, user_id, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+      AND event_type = 'purchase'
+    """,
+    "A2: event-time range scan + predicate (pushdown-eligible)",
+)
+def cdc_event_time_range(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00"))
+        & (F.col("event_type") == "purchase")
+    ).select("event_id", "ts", "user_id", "value")
+
+
+@q(
+    "cdc_envelope_roundtrip",
+    "SELECT event_id, user_id, event_type, value FROM events",
+    "P2/P3: record→envelope mapping + JSON serialize/parse is lossless",
+)
+def cdc_envelope_roundtrip(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.struct("event_id", "user_id", "event_type", "value")
+    schema = "struct<event_id:long, user_id:long, event_type:string, value:double>"
+    parsed = ev.select(
+        F.from_json(F.to_json(payload), schema).alias("env")
+    )
+    return parsed.select("env.event_id", "env.user_id", "env.event_type", "env.value")
+
+
+@q(
+    "cdc_selection_filter",
+    """
+    SELECT event_id, event_type FROM events WHERE event_id % 3 = 0
+    """,
+    "P1: table-selection include rule (equality predicate on metadata)",
+)
+def cdc_selection_filter(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    # simulate a multi-table stream: metadata.table-name derived from the key
+    tagged = ev.withColumn(
+        "table_name",
+        F.when(F.col("event_id") % 3 == 0, F.lit("events")).otherwise(F.lit("other")),
+    )
+    return tagged.filter(F.col("table_name") == "events").select("event_id", "event_type")
+
+
+@q(
+    "cdc_dedup_replay",
+    f"""
+    SELECT event_type, COUNT(*) AS n, {_dsum_sql('value', 'total_value')}
+    FROM events GROUP BY event_type
+    """,
+    "T1: at-least-once replay is idempotent (doc-id dedup before agg)",
+)
+def cdc_dedup_replay(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    redelivered = ev.unionByName(ev)  # simulate duplicate delivery
+    return (
+        redelivered.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "total_value"))
+    )
+
+
+# ===========================================================================
+# Relational analytics over the TPC-H-ish fixtures (SURVEY §2.4 A4-A6)
+# ===========================================================================
+
+@q(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity', 'sum_qty')},
+           {_dsum_sql('l_extendedprice', 'sum_base_price')},
+           {_dsum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "A4: full-scan grouped aggregation (TPC-H Q1 shape)",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey, {_dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    "A5/A6: selective 3-way join + group + top-k (TPC-H Q3 shape)",
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(disc, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "regional_revenue",
+    f"""
+    SELECT r_name, n_name, {_dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey  = c_custkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    "A4/A6: star join with broadcast dims, grouped revenue rollup",
+)
+def regional_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(disc, "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+@q(
+    "join_semi_high_qty",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+    """,
+    "A6: left-semi join (EXISTS)",
+)
+def join_semi_high_qty(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderstatus")
+
+
+@q(
+    "join_anti_no_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "A6: left-anti join (NOT EXISTS)",
+)
+def join_anti_no_orders(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "join_left_order_counts",
+    """
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0)
+               AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    "A6: left-outer join preserving zero-order customers",
+)
+def join_left_order_counts(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"),
+                F.lit(0.0),
+            ).alias("total_spent"),
+        )
+    )
+
+
+@q(
+    "agg_distinct_customers",
+    """
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "A4: distinct aggregation",
+)
+def agg_distinct_customers(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "agg_rollup_qty",
+    f"""
+    SELECT l_returnflag, l_linestatus, {_dsum_sql('l_quantity', 'sum_qty')},
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "A6: hierarchical rollup aggregation",
+)
+def agg_rollup_qty(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@q(
+    "agg_cube_status_priority",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {_dsum_sql('o_totalprice', 'total')}
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "A6: cube aggregation (all grouping sets)",
+)
+def agg_cube_status_priority(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
+    )
+
+
+@q(
+    "pivot_returnflag_linestatus",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "A6: pivot (conditional aggregation)",
+)
+def pivot_returnflag_linestatus(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+@q(
+    "window_rank_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+    "A6: ranking window (top-3 orders per customer)",
+)
+def window_rank_orders(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@q(
+    "window_running_qty",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_qty
+    FROM lineitem
+    """,
+    "A6: frame window (running sum per supplier)",
+)
+def window_running_qty(spark, sf_dir):
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+@q(
+    "window_lag_price",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "A6: lag/lead offset window",
+)
+def window_lag_price(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@q(
+    "topk_customers_by_revenue",
+    f"""
+    SELECT c_custkey, c_name, {_dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+    "A5: top-k by aggregate (order + limit)",
+)
+def topk_customers_by_revenue(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum(disc, "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
+@q(
+    "set_union_segments",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+    "A6: UNION (distinct)",
+)
+def set_union_segments(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    return a.union(b).distinct()
+
+
+@q(
+    "set_intersect_buyers",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    "A6: INTERSECT",
+)
+def set_intersect_buyers(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return a.intersect(b)
+
+
+@q(
+    "set_except_nonbuyers",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    "A6: EXCEPT",
+)
+def set_except_nonbuyers(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.select("c_custkey").subtract(
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+    )
+
+
+@q(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand)                         AS brand_u,
+           lower(p_type)                          AS type_l,
+           substr(p_name, 1, 12)                  AS name_pfx,
+           concat(p_brand, ':', p_type)           AS brand_type,
+           length(p_name)                         AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')  AS size_pad,
+           replace(p_name, ' ', '_')              AS name_us
+    FROM part
+    """,
+    "§2.6: string scalar functions",
+)
+def scalar_string_funcs(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.substring("p_name", 1, 12).alias("name_pfx"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+    )
+
+
+@q(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)     AS yr,
+           CAST(month(o_orderdate) AS BIGINT)    AS mo,
+           CAST(day(o_orderdate) AS BIGINT)      AS dom,
+           date_trunc('month', o_orderdate)      AS month_start,
+           strftime(o_orderdate, '%Y-%m')        AS ym,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+    FROM orders
+    """,
+    "§2.6: date/time scalar functions",
+)
+def scalar_date_funcs(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).cast("long").alias("days_since"),
+    )
+
+
+@q(
+    "scalar_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 30000.0)   AS dist_from_30k,
+           floor(l_extendedprice)           AS price_floor,
+           ceil(l_extendedprice)            AS price_ceil,
+           sqrt(l_quantity)                 AS qty_sqrt,
+           l_quantity * l_quantity          AS qty_sq,
+           l_orderkey % 7                   AS key_mod7,
+           greatest(l_discount, l_tax)      AS max_rate,
+           least(l_discount, l_tax)         AS min_rate
+    FROM lineitem
+    """,
+    "§2.6: math scalar functions",
+)
+def scalar_math_funcs(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 30000.0).alias("dist_from_30k"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@q(
+    "json_extract_props",
+    """
+    SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    "§2.6/P3: JSON field extraction + aggregation",
+)
+def json_extract_props(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+@q(
+    "having_supplier_qty",
+    f"""
+    SELECT l_suppkey, {_dsum_sql('l_quantity', 'sum_qty')}
+    FROM lineitem GROUP BY l_suppkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 15000.0
+    """,
+    "A4: HAVING filter over grouped aggregate",
+)
+def having_supplier_qty(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 15000.0)
+    )
+
+
+@q(
+    "scalar_subquery_above_avg",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 2 * (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        FROM orders)
+    """,
+    "A6: scalar subquery predicate",
+)
+def scalar_subquery_above_avg(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM _orders_ssq
+        WHERE o_totalprice > 2 * (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+            FROM _orders_ssq)
+        """
+    )
+
+
+@q(
+    "distinct_user_event_pairs",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    "A4: DISTINCT (exact dedup of a projection)",
+)
+def distinct_user_event_pairs(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()

@@ -70,8 +70,21 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one fixture table (schemas in FIXTURES.md §B)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one fixture table (schemas in FIXTURES.md §B).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default — read it as long (runtime-settable legacy
+    conf) and truncate to microseconds, exactly matching DuckDB's
+    ns→µs handling of the same file.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
