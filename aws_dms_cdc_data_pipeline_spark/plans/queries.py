@@ -288,13 +288,14 @@ def join_semi_high_qty(spark, sf_dir):
     "join_anti_no_orders",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
     """,
-    "A6: left-anti join (NOT EXISTS)",
+    "A6: left-anti join (NOT EXISTS); status filter keeps it non-empty",
 )
 def join_anti_no_orders(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -543,17 +544,17 @@ def set_intersect_buyers(spark, sf_dir):
 @q(
     "set_except_nonbuyers",
     """
-    SELECT c_custkey FROM customer
-    EXCEPT
     SELECT o_custkey AS c_custkey FROM orders
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     """,
-    "A6: EXCEPT",
+    "A6: EXCEPT (buyers outside the BUILDING segment; non-empty)",
 )
 def set_except_nonbuyers(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return cust.select("c_custkey").subtract(
-        orders.select(F.col("o_custkey").alias("c_custkey"))
+    return orders.select(F.col("o_custkey").alias("c_custkey")).subtract(
+        cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     )
 
 
@@ -618,8 +619,8 @@ def scalar_date_funcs(spark, sf_dir):
     """
     SELECT l_orderkey, l_linenumber,
            abs(l_extendedprice - 30000.0)   AS dist_from_30k,
-           floor(l_extendedprice)           AS price_floor,
-           ceil(l_extendedprice)            AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice)  AS BIGINT) AS price_ceil,
            sqrt(l_quantity)                 AS qty_sqrt,
            l_quantity * l_quantity          AS qty_sq,
            l_orderkey % 7                   AS key_mod7,
@@ -648,7 +649,8 @@ def scalar_math_funcs(spark, sf_dir):
 @q(
     "json_extract_props",
     """
-    SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -685,22 +687,27 @@ def having_supplier_qty(spark, sf_dir):
     "scalar_subquery_above_avg",
     """
     SELECT o_orderkey, o_totalprice FROM orders
-    WHERE o_totalprice > 2 * (
+    WHERE o_totalprice > 1.5 * (
         SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
         FROM orders)
     """,
-    "A6: scalar subquery predicate",
+    "A6: scalar subquery predicate (broadcast 1-row aggregate, no temp view)",
 )
 def scalar_subquery_above_avg(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("_orders_ssq")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_totalprice FROM _orders_ssq
-        WHERE o_totalprice > 2 * (
-            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-            FROM _orders_ssq)
-        """
+    # The scalar is a 1-row aggregate crossJoined (auto-broadcast) onto the
+    # fact — same plan a correlated scalar subquery lowers to, but with no
+    # session-global temp-view name that could collide across callers.
+    avg_df = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("_avg_price")
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("_avg_price"))
+        .select("o_orderkey", "o_totalprice")
     )
 
 
