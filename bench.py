@@ -1,0 +1,78 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries from the registry at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a full-result materialization
+(``df.write.format("noop")`` — same row volume a sink would see,
+without driver collect overhead). One warm-up run of a tiny query
+first so JVM/session startup is not attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "regional_revenue",
+    "topk_customers_by_revenue",
+    "cdc_current_state",
+    "cdc_dedup_replay",
+    "window_running_qty",
+    "window_rank_orders",
+    "join_left_order_counts",
+    "agg_cube_status_priority",
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "text_quality_scores",
+    "ann_brute_force_topk",
+)
+
+
+def main() -> None:
+    from aws_dms_cdc_data_pipeline_spark.plans.queries import REGISTRY
+    from aws_dms_cdc_data_pipeline_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+
+    # warm-up: session + parquet footer reads off the clock
+    REGISTRY["cdc_selection_filter"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in REGISTRY:
+            continue
+        t0 = time.time()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
