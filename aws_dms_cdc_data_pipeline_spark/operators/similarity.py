@@ -153,6 +153,30 @@ def lsh_topk(
     )
 
 
+def exact_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — the exact O(N²) baseline.
+
+    This is the oracle-able ground truth the LSH paths approximate;
+    at scale use :func:`embedding_near_dup_pairs` (bucketed) instead —
+    a full self-cross-join does not survive 100 TB. Useful directly
+    for bounded candidate sets (e.g. one LSH bucket, one shard).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,

@@ -718,3 +718,327 @@ def scalar_subquery_above_avg(spark, sf_dir):
 )
 def distinct_user_event_pairs(spark, sf_dir):
     return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# ===========================================================================
+# LLM-training-data pipeline operators (documents / embeddings tables)
+# ===========================================================================
+
+# DuckDB mirror of operators/dedup.normalize_text — note the 'g' flag:
+# DuckDB regexp_replace is first-match-only by default, Spark's is global.
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@q(
+    "exact_dedup_docs",
+    f"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text FROM documents
+    ),
+    keep AS (
+        SELECT min(doc_id) AS doc_id
+        FROM all_docs GROUP BY md5({_NORM_SQL})
+    )
+    SELECT doc_id FROM all_docs WHERE doc_id IN (SELECT doc_id FROM keep)
+    """,
+    "Exact dedup: normalized-md5 fingerprint groups, keep lowest id. The "
+    "input is documents ∪ re-keyed copy so the grouping actually collapses "
+    "rows (fixture has no intra-table exact dups).",
+)
+def exact_dedup_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    return D.exact_dedup(doubled, text_col="text", id_col="doc_id").select("doc_id")
+
+
+@q(
+    "minhash_lsh_pairs",
+    None,  # xxhash64-based signatures are not reproducible in DuckDB
+    "MinHash+LSH near-dup candidate pairs, exact-Jaccard verified ≥ 0.6. "
+    "Rows-only: the banding depends on xxhash64 seeds.",
+)
+def minhash_lsh_pairs_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs).orderBy("id_a", "id_b")
+
+
+@q(
+    "simhash_pairs",
+    None,  # xxhash64 token hashes not reproducible in DuckDB
+    "SimHash near-dup pairs (hamming ≤ 3) via 16-bit-chunk pigeonhole "
+    "banding. Rows-only: signature depends on xxhash64.",
+)
+def simhash_pairs_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs).orderBy("id_a", "id_b")
+
+
+@q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(ws, i, i + 2), ' ') AS g
+        FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS s(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT ga.doc_id AS id_a, gb.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM grams ga JOIN grams gb
+          ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+        GROUP BY ga.doc_id, gb.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.5
+    """,
+    "Exact word-3-gram Jaccard pairs ≥ 0.5 via inverted-index join — "
+    "full DuckDB oracle (no hashing involved).",
+)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs)
+
+
+@q(
+    "text_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+    "Token counting: whitespace tokens + BPE-ish pre-tokenizer regex.",
+)
+def text_token_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.with_token_counts(docs).select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+
+
+def _occ_sql(col: str, term: str) -> str:
+    """DuckDB mirror of operators/text.occurrences (length arithmetic)."""
+    esc = term.replace("'", "''")
+    return (
+        f"CAST((length({col}) - length(replace({col}, '{esc}', ''))) "
+        f"/ {len(term)} AS BIGINT)"
+    )
+
+
+def _quality_oracle_sql() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.text import STOPWORDS
+
+    stop_hits = " + ".join(_occ_sql("text", f" {w} ") for w in STOPWORDS)
+    return rf"""
+    WITH f AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+               len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+               ({stop_hits}) AS stop_hits
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_chars, n_words,
+               punct / greatest(n_chars, 1) AS punct_ratio,
+               stop_hits / greatest(n_words, 1) AS stop_ratio,
+               least(n_chars / 500.0, 1.0) AS len_score
+        FROM f
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stop_ratio, 6) AS stop_ratio,
+           round((n_chars - n_words + 1) / n_words, 6) AS mean_word_len,
+           greatest(least(round(0.4 * len_score
+                                + 0.3 * least(stop_ratio * 5.0, 1.0)
+                                + 0.3 * (1.0 - least(punct_ratio * 20.0, 1.0)),
+                          6), 1.0), 0.0) AS quality_score
+    FROM r
+    """
+
+
+@q(
+    "text_quality_scores",
+    _quality_oracle_sql(),
+    "Quality scoring: length/punctuation/stopword features + blended "
+    "score in [0,1]; oracle mirrors the exact arithmetic.",
+)
+def text_quality_scores(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.with_quality_score(docs).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "punct_ratio",
+        "stop_ratio",
+        "mean_word_len",
+        "quality_score",
+    )
+
+
+def _lang_id_oracle_sql() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.text import LANG_MARKERS
+
+    score_exprs = ", ".join(
+        "("
+        + " + ".join(_occ_sql("padded", f" {m} ") for m in markers)
+        + f") AS s_{lang}"
+        for lang, markers in LANG_MARKERS.items()
+    )
+    langs = sorted(LANG_MARKERS)
+    # Replicate with_lang_id's fold exactly: first lang seeds best/lang,
+    # each later lang wins only on strictly greater score.
+    best_expr, lang_expr = f"s_{langs[0]}", f"'{langs[0]}'"
+    for lang in langs[1:]:
+        lang_expr = f"CASE WHEN s_{lang} > ({best_expr}) THEN '{lang}' ELSE ({lang_expr}) END"
+        best_expr = f"CASE WHEN s_{lang} > ({best_expr}) THEN s_{lang} ELSE ({best_expr}) END"
+    return f"""
+    WITH p AS (SELECT doc_id, ' ' || text || ' ' AS padded FROM documents),
+    sc AS (SELECT doc_id, {score_exprs} FROM p)
+    SELECT doc_id, {lang_expr} AS pred_lang FROM sc
+    """
+
+
+@q(
+    "text_lang_id",
+    _lang_id_oracle_sql(),
+    "Language ID: argmax of marker-word counts, lexicographic tie-break; "
+    "oracle replicates the when-chain fold.",
+)
+def text_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.with_lang_id(docs).select("doc_id", "pred_lang")
+
+
+@q(
+    "text_fingerprints",
+    f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
+    "Document fingerprint: md5 of lowercase/whitespace-collapsed text.",
+)
+def text_fingerprints(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@q(
+    "ann_brute_force_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                   AS cosine
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+    "Exact cosine top-10 per query vector (brute force baseline); "
+    "8 fixed query vectors drawn from the corpus.",
+)
+def ann_brute_force_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = V.brute_force_topk(emb, queries_df, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@q(
+    "ann_lsh_topk",
+    None,  # bucket membership depends on driver-generated hyperplanes
+    "Approximate top-10 via hyperplane LSH with multi-probe, exact "
+    "re-rank of bucket candidates. Rows-only.",
+)
+def ann_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = V.lsh_topk(emb, queries_df, k=10, dim=64, num_planes=8)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
+@q(
+    "embedding_similarity_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    """,
+    "Exact all-pairs cosine ≥ 0.4 — ground truth for the LSH near-dup "
+    "path. O(N²): bounded inputs only; the scale path is "
+    "embedding_near_dup_lsh.",
+)
+def embedding_similarity_pairs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return V.exact_cosine_pairs(emb, threshold=0.4)
+
+
+@q(
+    "embedding_near_dup_lsh",
+    None,  # bucket membership depends on driver-generated hyperplanes
+    "LSH-bucketed near-dup pairs (cosine ≥ 0.4 within 6-plane buckets): "
+    "the Σ bucket² scale path. Rows-only.",
+)
+def embedding_near_dup_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return V.embedding_near_dup_pairs(
+        emb, dim=64, num_planes=6, threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+@q(
+    "multimodal_media_stats",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
+    FROM documents
+    """,
+    "Multimodal plumbing: binary media column through mapInPandas "
+    "feature extraction (deterministic fake decode); scalar outputs "
+    "verified against byte-length arithmetic.",
+)
+def multimodal_media_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs)
+    feats = M.extract_features(media, dim=16, fake=True)
+    return feats.select("media_id", "byte_len", "width", "height")
+
+
+@q(
+    "multimodal_features",
+    None,  # feature vector produced by the Python fake-decode path
+    "Full mapInPandas featurization including the array<float> feature "
+    "vector. Rows-only.",
+)
+def multimodal_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs)
+    return M.extract_features(media, dim=16, fake=True).orderBy("media_id")
