@@ -123,14 +123,19 @@ def minhash_lsh_pairs(
     (shuffle 2): exact Jaccard on shingle sets for candidates only.
     """
     rows_per_band = num_hashes // bands
-    with_sig = df.select(
+    shingled = df.select(
         F.col(id_col),
         char_shingles(F.col(text_col), shingle_k).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    )
+    with_sig = shingled.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
 
+    # Band rows carry ONLY (id, band, band_hash) — the shingle arrays
+    # stay out of the candidate self-join, so the bands× explode and
+    # the bucket shuffle move ~24 bytes/row no matter how large the
+    # documents are. Shingles re-enter per candidate id via a keyed
+    # join for the exact-Jaccard verify.
     banded = with_sig.select(
         id_col,
-        "_sh",
         F.explode(
             F.array(
                 *[
@@ -150,7 +155,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("_band"),
-    ).select(id_col, "_sh", "_band.band", "_band.bh")
+    ).select(id_col, "_band.band", "_band.bh")
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -164,16 +169,18 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
+    verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -187,22 +194,31 @@ def minhash_lsh_pairs(
 def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
     """Fold an array of 64-bit token hashes into a SimHash (Arrow path).
 
-    Vectorized per batch with numpy; token hashing itself stays
-    JVM-side (xxhash64) so Python only sees small int arrays.
+    Fully vectorized across the batch: all token hashes are flattened
+    into one array, per-bit votes summed per row with add.reduceat —
+    no per-row Python loop. Token hashing itself stays JVM-side
+    (xxhash64) so Python only sees small int arrays.
     """
     import numpy as np
 
     out = np.zeros(len(hashes), dtype=np.int64)
-    for row_i, hs in enumerate(hashes):
-        if hs is None or len(hs) == 0:
-            continue
-        arr = np.asarray(hs, dtype=np.uint64)
-        bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-        votes = bits.sum(axis=0) * 2 - len(arr)  # (+1/-1 per token)
-        sim = np.uint64(0)
-        for j in np.nonzero(votes > 0)[0]:
-            sim |= np.uint64(1) << np.uint64(j)
-        out[row_i] = sim.astype(np.int64)
+    lengths = np.fromiter(
+        (0 if hs is None else len(hs) for hs in hashes), dtype=np.int64, count=len(hashes)
+    )
+    live = lengths > 0
+    if not live.any():
+        return pd.Series(out)
+    flat = np.concatenate(
+        [np.asarray(hs, dtype=np.uint64) for hs in hashes[live]]
+    )
+    bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lengths[live])[:-1]))
+    ones = np.add.reduceat(bits, starts, axis=0)  # (live_rows, 64)
+    majority = ones * 2 > lengths[live, None]  # votes > 0
+    sims = (majority.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[np.nonzero(live)[0]] = sims.astype(np.int64)
     return pd.Series(out)
 
 

@@ -51,6 +51,39 @@ def cosine_similarity(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _topk_per_query(
+    scored: DataFrame, *, k: int, query_id_col: str, id_col: str
+) -> DataFrame:
+    """Two-stage top-k of (query_id, id, cosine) triples.
+
+    Stage 1 ranks within (input-partition, query) — the exchange keys
+    over num_partitions × num_queries values, so each task sees
+    |scored| / P rows, never a whole query's corpus. Stage 2 ranks the
+    ≤ P×k survivors per query — a tiny shuffle. Both stages order by
+    (cosine desc, id asc), so the result is identical to a single
+    global sort. Only the narrow triple is ever shuffled.
+    """
+    triples = scored.select(query_id_col, id_col, "cosine").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid", query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    survivors = (
+        triples.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_pid", "_lr")
+    )
+    w_global = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -63,9 +96,10 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (cosine).
 
-    queries is broadcast (small); rank window partitioned by query id
-    so the only exchange is the final per-query top-k shuffle, sized
-    |queries| × |corpus-partition winners|, never the corpus.
+    queries is broadcast (small) against the corpus scan — no corpus
+    shuffle. Ranking then runs per-partition top-k before the global
+    per-query top-k (see _topk_per_query), so no single task ever
+    materializes a full query×corpus score column at any scale.
     """
     joined = corpus.crossJoin(F.broadcast(queries)).withColumn(
         "cosine",
@@ -73,14 +107,7 @@ def brute_force_topk(
             cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6
         ),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _topk_per_query(joined, k=k, query_id_col=query_id_col, id_col=id_col)
 
 
 def hyperplane_sketch(df: DataFrame, *, vec_col: str = "embedding",
@@ -143,14 +170,7 @@ def lsh_topk(
     joined = c.join(F.broadcast(probes), "bucket").withColumn(
         "cosine", F.round(cosine_similarity(F.col(vec_col), F.col("_qv")), 6)
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _topk_per_query(joined, k=k, query_id_col=query_id_col, id_col=id_col)
 
 
 def exact_cosine_pairs(
