@@ -4,24 +4,36 @@ The reference bulk-indexes every envelope into a fixed OpenSearch
 index with doc-id = shard sequence number (firehose.py:114-155,
 README.md:457); the queryable "table" is the latest version per
 primary key. Our store keeps that semantic with plain Parquet +
-an atomically-swapped version pointer — a compacted changelog:
+an atomically-swapped JSON manifest — a compacted, **key-bucketed**
+changelog:
 
-  state/v=N/   latest *envelope* per key (incl. delete tombstones)
-  state/_VERSION  text file naming the live version
+  state/b=<B>/v=<N>/   latest envelope per key for bucket B
+  state/_MANIFEST      {"generation": G, "buckets": {"B": N, ...}}
 
-Merge of a new micro-batch = current_state(old ∪ batch) keyed by PK —
-pure window dedup, one shuffle on the key, size bounded by #live keys
-(not log length), so each merge is O(state + batch) and embarrassingly
-parallel. Replayed batches are idempotent because re-delivered
-records carry the same doc_id and per-key ranking is deterministic
-(T1). On a real deployment this class is replaced 1:1 by a Delta/
-Iceberg ``MERGE INTO`` (same logical plan, transactional commit);
-the pointer-swap is the minimal standalone equivalent.
+Keys hash into ``num_buckets`` buckets (pmod(hash(key), B) — the same
+function on every merge, so a key's bucket never moves). A micro-batch
+merge touches ONLY the buckets its keys hash into: merge I/O is
+O(state/num_buckets × touched_buckets + batch), not O(state) — at
+100 TB state with a 60 s trigger this is the difference between a
+perpetual full-table rewrite and a bounded incremental one. Untouched
+buckets keep their current version directory byte-for-byte.
+
+Each touched bucket's previous version directory is kept for one
+generation (in-flight readers) and garbage-collected after that, so
+disk stays ~2× live state instead of growing per trigger.
+
+Replayed batches are idempotent because re-delivered records carry
+the same doc_id and per-key ranking is deterministic (T1). On a real
+deployment this class is replaced 1:1 by a Delta/Iceberg ``MERGE
+INTO`` (same logical plan, transactional commit); the manifest swap
+is the minimal standalone equivalent.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,34 +43,55 @@ from aws_dms_cdc_data_pipeline_spark.operators.upsert import current_state
 
 
 class StateStore:
-    def __init__(self, spark: SparkSession, path: str, key: str = "data.trans_id"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str = "data.trans_id",
+        num_buckets: int = 16,
+    ):
         self.spark = spark
         self.path = path
         self.key = key
+        self.num_buckets = num_buckets
         os.makedirs(path, exist_ok=True)
 
-    # -- version pointer ---------------------------------------------------
+    # -- manifest ----------------------------------------------------------
     @property
-    def _version_file(self) -> str:
-        return os.path.join(self.path, "_VERSION")
+    def _manifest_file(self) -> str:
+        return os.path.join(self.path, "_MANIFEST")
+
+    def _manifest(self) -> dict:
+        try:
+            with open(self._manifest_file) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"generation": -1, "buckets": {}}
+
+    def _write_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_file)  # atomic pointer swap
 
     def version(self) -> int:
-        try:
-            with open(self._version_file) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return -1
+        """Monotonic store generation (bumped once per merge)."""
+        return self._manifest()["generation"]
 
-    def _vdir(self, v: int) -> str:
-        return os.path.join(self.path, f"v={v}")
+    def _bdir(self, b: int, v: int) -> str:
+        return os.path.join(self.path, f"b={b}", f"v={v}")
+
+    def _bucket_expr(self):
+        return F.expr(f"pmod(hash({self.key}), {self.num_buckets})")
 
     # -- read --------------------------------------------------------------
     def envelopes(self) -> DataFrame | None:
         """Latest envelope per key, including delete tombstones."""
-        v = self.version()
-        if v < 0:
+        manifest = self._manifest()
+        if manifest["generation"] < 0:
             return None
-        return self.spark.read.parquet(self._vdir(v))
+        dirs = [self._bdir(int(b), v) for b, v in manifest["buckets"].items()]
+        return self.spark.read.parquet(*dirs)
 
     def table(self) -> DataFrame:
         """The analyst-facing current-state table (live rows only)."""
@@ -71,21 +104,84 @@ class StateStore:
 
     # -- write -------------------------------------------------------------
     def merge(self, batch_envelopes: DataFrame) -> int:
-        """Upsert one micro-batch of keyed envelopes; returns new version."""
-        old = self.envelopes()
+        """Upsert one micro-batch of keyed envelopes; returns new generation.
+
+        Only buckets whose keys appear in the batch are read, merged,
+        and rewritten; everything else is untouched metadata-only.
+        """
         cols = ["data", "metadata", "doc_id"]
-        merged_src = batch_envelopes.select(*cols)
-        if old is not None:
-            merged_src = old.select(*cols).unionByName(merged_src)
+        batch = batch_envelopes.select(*cols).withColumn("_b", self._bucket_expr())
+        # Affected-bucket ids: a <= num_buckets-element driver list, not data.
+        touched = sorted(
+            r["_b"] for r in batch.select("_b").distinct().collect()
+        )
+        manifest = self._manifest()
+        new_gen = manifest["generation"] + 1
+        if not touched:  # empty batch — bump generation only
+            manifest["generation"] = new_gen
+            self._write_manifest(manifest)
+            return new_gen
+
+        old_dirs = [
+            self._bdir(b, manifest["buckets"][str(b)])
+            for b in touched
+            if str(b) in manifest["buckets"]
+        ]
+        merged_src = batch
+        if old_dirs:
+            old = (
+                self.spark.read.parquet(*old_dirs)
+                .select(*cols)
+                .withColumn("_b", self._bucket_expr())
+            )
+            merged_src = old.unionByName(batch)
         # keep tombstones so a late pre-delete change can't resurrect the row
         latest = _latest_envelope(merged_src, self.key)
-        new_v = self.version() + 1
-        latest.write.mode("overwrite").parquet(self._vdir(new_v))
-        tmp = self._version_file + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(new_v))
-        os.replace(tmp, self._version_file)  # atomic pointer swap
-        return new_v
+
+        # One job writes every touched bucket; per-bucket dirs then move
+        # into their versioned slots before the single manifest swap.
+        staging = os.path.join(self.path, f"_staging-{new_gen}")
+        latest.write.mode("overwrite").partitionBy("_b").parquet(staging)
+        gc_dirs: list[str] = []
+        for b in touched:
+            src = os.path.join(staging, f"_b={b}")
+            dst = self._bdir(b, new_gen)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)  # crashed earlier attempt of same gen
+            if os.path.exists(src):
+                os.rename(src, dst)
+            else:  # every key of the bucket vanished (not expected: dedup keeps one row per key)
+                os.makedirs(dst, exist_ok=True)
+            prev = manifest["buckets"].get(str(b))
+            if prev is not None:
+                gc_dirs.extend(
+                    self._bdir(b, v)
+                    for v in _versions_below(os.path.join(self.path, f"b={b}"), prev)
+                )
+            manifest["buckets"][str(b)] = new_gen
+        shutil.rmtree(staging, ignore_errors=True)
+        manifest["generation"] = new_gen
+        self._write_manifest(manifest)
+        # GC: drop versions older than the just-superseded one (which is
+        # kept one more generation for in-flight readers).
+        for d in gc_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return new_gen
+
+
+def _versions_below(bucket_root: str, keep_floor: int) -> list[int]:
+    try:
+        entries = os.listdir(bucket_root)
+    except FileNotFoundError:
+        return []
+    out = []
+    for e in entries:
+        if e.startswith("v="):
+            v = int(e.removeprefix("v="))
+            if v < keep_floor:
+                out.append(v)
+    return out
 
 
 def _latest_envelope(envelopes: DataFrame, key: str) -> DataFrame:

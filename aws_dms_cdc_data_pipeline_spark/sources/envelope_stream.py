@@ -26,19 +26,24 @@ from pyspark.sql import functions as F
 
 from aws_dms_cdc_data_pipeline_spark import schema as S
 
-# one-line JSON on the wire → parse keeps the raw line for DLQ routing
-_TS_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"}
+# Primary-key field inside data — a record without it cannot be keyed
+# (it would silently collapse into the NULL-key group in the state
+# store), so it is dead-lettered like any other malformed line.
+_PK_FIELD = "trans_id"
 
 
-def _parse(lines: DataFrame) -> DataFrame:
+def _parse(lines: DataFrame, *, pk_field: str = _PK_FIELD) -> DataFrame:
     """Wire lines → (data, metadata, doc_id, _raw, _corrupt).
 
     PERMISSIVE parse: a malformed line yields NULL structs and is
     flagged ``_corrupt`` for the DLQ (S7) instead of failing the
-    stream.
+    stream. Timestamps use Spark's default lenient ISO-8601 parsing,
+    which accepts both 'Z' and numeric offsets ('+00:00'), with or
+    without fractional seconds — an explicit pattern would null out
+    legal producer variants.
     """
     parsed = lines.withColumn(
-        "_env", F.from_json(F.col("value"), S.KEYED_ENVELOPE_SCHEMA, _TS_OPTS)
+        "_env", F.from_json(F.col("value"), S.KEYED_ENVELOPE_SCHEMA)
     )
     return parsed.select(
         F.col("_env.data").alias("data"),
@@ -50,6 +55,7 @@ def _parse(lines: DataFrame) -> DataFrame:
             | F.col("_env.metadata").isNull()
             | F.col("_env.data").isNull()
             | F.col("_env.doc_id").isNull()
+            | F.col(f"_env.data.{pk_field}").isNull()
         ).alias("_corrupt"),
     )
 

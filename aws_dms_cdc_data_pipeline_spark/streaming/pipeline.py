@@ -21,6 +21,7 @@ a user adds streaming event-time aggregations on top.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from dataclasses import dataclass
 
@@ -128,7 +129,10 @@ def start_cdc_stream(spark: SparkSession, cfg: CdcStreamConfig) -> StreamingQuer
 
 def run_cdc_backfill(spark: SparkSession, cfg: CdcStreamConfig) -> None:
     """T5 — process everything currently in the source, then stop
-    (full-load-and-cdc's snapshot+tail collapses to availableNow)."""
-    cfg.trigger_seconds = None
-    q = start_cdc_stream(spark, cfg)
+    (full-load-and-cdc's snapshot+tail collapses to availableNow).
+
+    The caller's config is not mutated — reusing it afterwards to
+    start a live stream keeps its original trigger cadence.
+    """
+    q = start_cdc_stream(spark, dataclasses.replace(cfg, trigger_seconds=None))
     q.awaitTermination()

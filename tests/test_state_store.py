@@ -1,0 +1,108 @@
+"""Bucketed state store: merge locality, version GC, null-PK DLQ."""
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from aws_dms_cdc_data_pipeline_spark.generator import (
+    GeneratorConfig,
+    envelopes_df,
+    write_envelope_jsonl,
+)
+from aws_dms_cdc_data_pipeline_spark.sinks.state_store import StateStore
+from aws_dms_cdc_data_pipeline_spark.streaming.pipeline import (
+    CdcStreamConfig,
+    run_cdc_backfill,
+)
+
+
+def test_merge_touches_only_batch_buckets(spark, tmp_path):
+    store = StateStore(spark, str(tmp_path / "state"), num_buckets=8)
+    env = envelopes_df(spark, GeneratorConfig(n_rows=64, update_fraction=0.0,
+                                              delete_fraction=0.0))
+    store.merge(env)
+    m1 = json.load(open(store._manifest_file))
+    assert m1["generation"] == 0
+
+    # second batch: a single key → exactly one bucket version moves
+    one = env.orderBy("data.trans_id").limit(1)
+    store.merge(one)
+    m2 = json.load(open(store._manifest_file))
+    assert m2["generation"] == 1
+    moved = [b for b in m1["buckets"] if m1["buckets"][b] != m2["buckets"][b]]
+    assert len(moved) == 1
+    # untouched bucket directories are byte-identical (same version dir)
+    untouched = [b for b in m1["buckets"] if b not in moved]
+    assert untouched and all(m2["buckets"][b] == m1["buckets"][b] for b in untouched)
+    # state content is still the full key set
+    assert store.table().count() == 64
+
+
+def test_version_gc_bounds_disk(spark, tmp_path):
+    store = StateStore(spark, str(tmp_path / "state"), num_buckets=2)
+    for i in range(4):
+        env = envelopes_df(spark, GeneratorConfig(n_rows=8, seed=i,
+                                                  update_fraction=0.0,
+                                                  delete_fraction=0.0))
+        store.merge(env)
+    # every bucket keeps at most current + one superseded version
+    for broot in glob.glob(os.path.join(store.path, "b=*")):
+        versions = [e for e in os.listdir(broot) if e.startswith("v=")]
+        assert len(versions) <= 2, f"{broot} has {versions}"
+    assert store.version() == 3
+
+
+def test_merge_is_idempotent_per_batch(spark, tmp_path):
+    store = StateStore(spark, str(tmp_path / "state"), num_buckets=4)
+    env = envelopes_df(spark, GeneratorConfig(n_rows=30))
+    store.merge(env)
+    before = sorted(map(str, store.table().collect()))
+    store.merge(env)  # replayed delivery (same doc_ids)
+    after = sorted(map(str, store.table().collect()))
+    assert before == after
+
+
+def test_null_pk_records_dead_letter(spark, tmp_path):
+    src = str(tmp_path / "wire")
+    sink = str(tmp_path / "sink")
+    write_envelope_jsonl(
+        GeneratorConfig(n_rows=10, update_fraction=0.0, delete_fraction=0.0),
+        src,
+        files=1,
+    )
+    # parses fine but has no primary key → must NOT reach the state
+    # store's NULL-key group; the DLQ is the advertised safety net
+    with open(os.path.join(src, "nullpk.jsonl"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "data": {"customer_id": "C-1", "event": "visit"},
+                    "metadata": {
+                        "timestamp": "2024-01-01T00:00:00.000000Z",
+                        "record-type": "data",
+                        "operation": "insert",
+                        "partition-key-type": "primary-key",
+                        "schema-name": "testdb",
+                        "table-name": "retail_trans",
+                        "transaction-id": 1,
+                    },
+                    "doc_id": "seq-nullpk",
+                }
+            )
+            + "\n"
+        )
+
+    cfg = CdcStreamConfig(source_path=src, sink_root=sink, trigger_seconds=None)
+    run_cdc_backfill(spark, cfg)
+
+    dead = [
+        json.loads(line)
+        for p in glob.glob(os.path.join(cfg.error_path, "batch_id=*", "*.json"))
+        for line in open(p)
+    ]
+    assert any("seq-nullpk" in d["raw"] for d in dead)
+    table = StateStore(spark, cfg.state_path).table()
+    assert table.count() == 10
+    assert table.filter(F.col("trans_id").isNull()).count() == 0
