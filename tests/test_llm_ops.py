@@ -1,0 +1,211 @@
+"""Planted-fixture tests for the LLM-data-pipeline operators
+(dedup / similarity / text / multimodal).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from aws_dms_cdc_data_pipeline_spark.operators import dedup as D
+from aws_dms_cdc_data_pipeline_spark.operators import multimodal as M
+from aws_dms_cdc_data_pipeline_spark.operators import similarity as V
+from aws_dms_cdc_data_pipeline_spark.operators import text as X
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_collapses_normalized_variants(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "The quick   brown fox"),
+            (2, "the quick brown fox"),      # same after normalization
+            (3, "  THE QUICK BROWN FOX  "),  # same after normalization
+            (4, "a different document"),
+        ],
+    )
+    kept = sorted(r.doc_id for r in D.exact_dedup(df).collect())
+    assert kept == [1, 4]  # lowest id survives per group
+
+
+# ---------------------------------------------------------------------------
+# jaccard family — planted pairs with hand-computable similarity
+# ---------------------------------------------------------------------------
+
+NEAR_A = "the cat sat on the mat and looked at the bird outside the window today"
+NEAR_B = "the cat sat on the mat and looked at the bird outside the window now"
+FAR = "completely unrelated text about spark physical plans and shuffles"
+
+
+def test_ngram_jaccard_planted_pair(spark):
+    df = _docs(spark, [(1, NEAR_A), (2, NEAR_B), (3, FAR)])
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in D.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert set(pairs) == {(1, 2)}
+    # 14-word docs, 12 shared 3-grams of 12 each → J = 11/13
+    a, b = NEAR_A.split(), NEAR_B.split()
+    ga = {" ".join(a[i:i + 3]) for i in range(len(a) - 2)}
+    gb = {" ".join(b[i:i + 3]) for i in range(len(b) - 2)}
+    expected = len(ga & gb) / len(ga | gb)
+    assert pairs[(1, 2)] == pytest.approx(expected, abs=1e-6)
+
+
+def test_minhash_lsh_finds_planted_near_dup_not_far_pair(spark):
+    df = _docs(spark, [(1, NEAR_A), (2, NEAR_B), (3, FAR)])
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in D.minhash_lsh_pairs(df, jaccard_threshold=0.6).collect()}
+    assert (1, 2) in pairs            # char-5-shingle Jaccard is high
+    assert all(3 not in p for p in pairs)
+    # reported jaccard is the EXACT verify value on distinct shingle sets
+    def shingles(t):
+        t = " ".join(t.lower().split())
+        return {t[i:i + 5] for i in range(len(t) - 4)}
+    expected = len(shingles(NEAR_A) & shingles(NEAR_B)) / len(
+        shingles(NEAR_A) | shingles(NEAR_B)
+    )
+    assert pairs[(1, 2)] == pytest.approx(expected, abs=1e-6)
+
+
+def test_simhash_identical_and_near_docs(spark):
+    df = _docs(spark, [(1, NEAR_A), (2, NEAR_A), (3, NEAR_B), (4, FAR)])
+    got = {(r.id_a, r.id_b): r.hamming for r in D.simhash_pairs(df).collect()}
+    assert got[(1, 2)] == 0           # identical text → identical signature
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_token_counts_planted(spark):
+    df = _docs(spark, [(1, "Hello, world! 42 times"), (2, "   "), (3, "one")])
+    rows = {r.doc_id: r for r in X.with_token_counts(df).collect()}
+    assert rows[1].ws_tokens == 4
+    # Hello , world ! 42 times → 6 BPE-ish tokens
+    assert rows[1].bpe_tokens == 6
+    assert rows[2].ws_tokens == 0
+    assert rows[3].ws_tokens == 1 and rows[3].bpe_tokens == 1
+
+
+def test_lang_id_marker_docs(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze und der vogel"),
+            (3, "le chat et les chiens et le chien"),
+            (4, "el gato que vive con los perros"),
+        ],
+    )
+    got = {r.doc_id: r.pred_lang for r in X.with_lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es"}
+
+
+def test_quality_score_orders_quality(spark):
+    good = ("this is a long and well formed paragraph with the usual flow of "
+            "words and a reasonable amount of structure to it in the end. " * 3)
+    bad = "!!! ??? ,,, ;;; !!!"
+    df = _docs(spark, [(1, good), (2, bad)])
+    rows = {r.doc_id: r for r in X.with_quality_score(df).collect()}
+    assert 0.0 <= rows[2].quality_score < rows[1].quality_score <= 1.0
+    assert rows[2].punct_ratio > rows[1].punct_ratio
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = _docs(spark, [(1, "Some  Text"), (2, "some text"), (3, "other")])
+    rows = {r.doc_id: r.fingerprint for r in X.with_fingerprint(df).collect()}
+    assert rows[1] == rows[2] != rows[3]
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _emb(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.session import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_brute_force_topk_matches_single_window_reference(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    fast = V.brute_force_topk(emb, queries, k=5)
+    # reference: the plain one-window formulation (pre-optimization path)
+    joined = emb.crossJoin(F.broadcast(queries)).withColumn(
+        "cosine", F.round(V.cosine_similarity(F.col("embedding"), F.col("query_vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    ref = (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+    assert sorted(map(str, fast.collect())) == sorted(map(str, ref.collect()))
+
+
+def test_lsh_topk_recall_against_brute_force(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.vec_id)
+             for r in V.brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in V.lsh_topk(emb, queries, k=5, dim=64, num_planes=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    # random vectors are LSH's worst case (neighbors barely beat noise);
+    # 6-plane multi-probe still must land far above the 1% random baseline
+    assert recall >= 0.3
+    # every query still gets k results (bucket fallback covered them)
+    assert len(approx) == len(exact)
+
+
+def test_exact_cosine_pairs_planted(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),   # cos ≈ 0.9939
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in V.exact_cosine_pairs(df, threshold=0.9).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_fake_media_features_deterministic(spark):
+    df = _docs(spark, [(1, "abc"), (2, "some longer payload here")])
+    media = M.documents_as_media(df)
+    out = {r.media_id: r for r in
+           M.extract_features(media, dim=4, fake=True).collect()}
+    assert out[1].byte_len == 3
+    assert out[1].width == 4 and out[1].height == 4      # (3 % 640)+1
+    # feature fold: bytes of "abc" = 97,98,99 into 4 buckets
+    assert out[1].features == pytest.approx(
+        [97 / 255, 98 / 255, 99 / 255, 0.0], abs=1e-6
+    )
+    again = {r.media_id: r.features for r in
+             M.extract_features(media, dim=4, fake=True).collect()}
+    assert again[2] == out[2].features
+
+
+def test_real_decode_is_explicit_stub(spark):
+    df = _docs(spark, [(1, "x")])
+    media = M.documents_as_media(df)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        M.extract_features(media, fake=False).collect()
