@@ -4,3 +4,7 @@ from aws_dms_cdc_data_pipeline_spark.sources.envelope_stream import (  # noqa: F
     read_envelope_stream,
     read_envelope_batch,
 )
+from aws_dms_cdc_data_pipeline_spark.sources.full_load import (  # noqa: F401
+    full_load_jdbc,
+    full_load_snapshot,
+)

@@ -4,3 +4,7 @@ from aws_dms_cdc_data_pipeline_spark.streaming.pipeline import (  # noqa: F401
     CdcStreamConfig,
     start_cdc_stream,
 )
+from aws_dms_cdc_data_pipeline_spark.streaming.metrics import (  # noqa: F401
+    JsonlMetricsListener,
+    attach_metrics_listener,
+)
