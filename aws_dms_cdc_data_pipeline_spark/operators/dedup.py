@@ -106,6 +106,38 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     )
 
 
+def _hashed_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, _bh: array<long>) — distinct xxhash64 of the char-k-shingles.
+
+    Two deliberate projections: normalization materializes as a column
+    BEFORE the shingle transform. Inlining it into the lambda would
+    re-evaluate the regexp per shingle (~|text| times per row) —
+    measured 3.7× slower at sf0.1. Downstream works on the 64-bit
+    hashes, never the shingle strings: per-seed signature hashing is
+    long→long, and the exact-Jaccard verify intersects hash sets
+    (identical to string-set Jaccard absent 64-bit collisions).
+    """
+    norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
+    n = F.length(F.col("_norm"))
+    sh = norm.select(
+        id_col,
+        F.when(n < k, F.array(F.col("_norm")))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.col("_norm").substr(i, F.lit(k)),
+            )
+        )
+        .alias("_sh"),
+    )
+    return sh.select(
+        id_col,
+        F.array_distinct(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_bh"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -123,17 +155,29 @@ def minhash_lsh_pairs(
     (shuffle 2): exact Jaccard on shingle sets for candidates only.
     """
     rows_per_band = num_hashes // bands
-    shingled = df.select(
-        F.col(id_col),
-        char_shingles(F.col(text_col), shingle_k).alias("_sh"),
+    # Hash-shingle relation is used three times (signature, verify×2);
+    # persist the ~8 bytes/shingle arrays so the text is scanned and
+    # shingled exactly once. At cluster scale with state larger than
+    # cluster memory, swap persist() for an explicit checkpoint/write
+    # — the plan shape is unchanged.
+    hashed = _hashed_shingles(df, text_col, id_col, shingle_k).persist()
+    with_sig = hashed.withColumn(
+        "_sig",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("_bh"), lambda h, i=i: F.xxhash64(h, F.lit(i)))
+                )
+                for i in range(num_hashes)
+            ]
+        ),
     )
-    with_sig = shingled.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
 
     # Band rows carry ONLY (id, band, band_hash) — the shingle arrays
     # stay out of the candidate self-join, so the bands× explode and
     # the bucket shuffle move ~24 bytes/row no matter how large the
-    # documents are. Shingles re-enter per candidate id via a keyed
-    # join for the exact-Jaccard verify.
+    # documents are. Shingle hashes re-enter per candidate id via a
+    # keyed join for the exact-Jaccard verify.
     banded = with_sig.select(
         id_col,
         F.explode(
@@ -173,8 +217,8 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
-    sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
+    sh_a = hashed.select(F.col(id_col).alias("id_a"), F.col("_bh").alias("sh_a"))
+    sh_b = hashed.select(F.col(id_col).alias("id_b"), F.col("_bh").alias("sh_b"))
     verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -301,10 +345,19 @@ def ngram_jaccard_pairs(
     production run would cap posting-list length (drop stop-shingles);
     here the data is synthetic and bounded.
     """
-    grams = (
-        df.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
-        .distinct()
+    # Stage the split-word array as a real column: inlining it into the
+    # n-gram lambda would re-run normalize+split once PER n-gram.
+    words = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
     )
+    cnt = F.size(F.col("_w"))
+    gram_arr = F.when(cnt < n, F.array(F.concat_ws(" ", F.col("_w")))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)),
+        )
+    )
+    grams = words.select(F.col(id_col), F.explode(gram_arr).alias("g")).distinct()
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
 
     ga, gb = grams.alias("ga"), grams.alias("gb")
