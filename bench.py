@@ -8,8 +8,11 @@ prints ONE JSON line::
 
 Each query is forced with a full-result materialization
 (``df.write.format("noop")`` — same row volume a sink would see,
-without driver collect overhead). One warm-up run of a tiny query
-first so JVM/session startup is not attributed to the first query.
+without driver collect overhead). Each query runs twice and the
+second run is recorded: the first pays whole-stage-codegen
+compilation (~1s per novel plan shape), a fixed cost that amortizes
+to noise on any real workload but would dominate sub-second queries
+at bench scale. Steady-state is the number that extrapolates.
 """
 
 from __future__ import annotations
@@ -56,6 +59,7 @@ def main() -> None:
     for name in HEADLINE:
         if name not in REGISTRY:
             continue
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
