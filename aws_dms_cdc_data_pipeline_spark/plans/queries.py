@@ -1042,3 +1042,153 @@ def multimodal_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = M.documents_as_media(docs)
     return M.extract_features(media, dim=16, fake=True).orderBy("media_id")
+
+
+# ===========================================================================
+# Time-series / sequence operators (as-of join, sessionization) and
+# advanced aggregates (exact percentiles, vector centroids)
+# ===========================================================================
+
+@q(
+    "asof_purchase_last_visit",
+    """
+    WITH u AS (
+        SELECT user_id, ts, 1 AS kind, event_id, value,
+               NULL::BIGINT AS v_event_id, NULL::TIMESTAMP AS v_ts
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, 0, NULL, NULL, event_id, ts
+        FROM events WHERE event_type = 'visit'
+    ),
+    m AS (
+        SELECT *,
+               last_value(v_event_id IGNORE NULLS) OVER win AS asof_event_id,
+               last_value(v_ts IGNORE NULLS) OVER win AS asof_ts
+        FROM u
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, kind, v_event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, value, asof_event_id, asof_ts
+    FROM m WHERE kind = 1
+    """,
+    "As-of join: each purchase matched to the user's latest visit at or "
+    "before it (union+window, one key shuffle — no range cross join).",
+)
+def asof_purchase_last_visit(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    visits = ev.filter(F.col("event_type") == "visit").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        visits,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_order="event_id",
+        right_payload=["event_id", "ts"],
+    )
+
+
+@q(
+    "sessionize_events",
+    """
+    WITH s AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS st
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_idx,
+           user_id || '-' || CAST(SUM(st) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
+    FROM s
+    """,
+    "Gap-based sessionization (30 min, microsecond-exact): lag flags "
+    "session starts, running sum numbers them.",
+)
+def sessionize_events(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(ev, gap_minutes=30)
+
+
+@q(
+    "percentile_order_prices",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "Exact linear-interpolated percentiles per group (Spark percentile "
+    "≡ DuckDB quantile_cont).",
+)
+def percentile_order_prices(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(
+        F.lit(0.25), F.lit(0.50), F.lit(0.75), F.lit(0.99)
+    ))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(pct.alias("_p"))
+        .select(
+            "o_orderstatus",
+            F.round(F.element_at("_p", 1), 6).alias("p25"),
+            F.round(F.element_at("_p", 2), 6).alias("p50"),
+            F.round(F.element_at("_p", 3), 6).alias("p75"),
+            F.round(F.element_at("_p", 4), 6).alias("p99"),
+        )
+    )
+
+
+@q(
+    "label_centroids",
+    """
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           CAST(SUM(CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000.0)
+                         AS BIGINT))
+                AS DOUBLE) / 1000000.0 / COUNT(*) AS centroid
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(pos)
+    GROUP BY label, pos
+    """,
+    "Per-label embedding centroid, one row per (label, dimension): "
+    "posexplode + decimal-exact mean — the scalable elementwise-mean "
+    "shape (map-side combine per dimension).",
+)
+def label_centroids(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(
+            (
+                # fixed-point micro-units: float→double widening and the
+                # *1e6 multiply are identical IEEE ops on both engines,
+                # floor makes them integers, int64 sums are exact and
+                # order-independent. (float→DECIMAL casts are NOT
+                # portable: Spark rounds the shortest string repr,
+                # DuckDB the exact binary expansion.)
+                F.sum(F.floor(F.col("val") * 1000000.0).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(1000000.0)
+                / F.count("*")
+            ).alias("centroid")
+        )
+    )

@@ -1,0 +1,79 @@
+"""Planted-fixture tests for as-of join and sessionization."""
+
+import datetime as dt
+
+from aws_dms_cdc_data_pipeline_spark.operators.asof import asof_join
+from aws_dms_cdc_data_pipeline_spark.operators.sessionize import sessionize
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 12, minute, second)
+
+
+def test_asof_join_planted(spark):
+    purchases = spark.createDataFrame(
+        [
+            (101, 1, _ts(10), 9.99),   # after visits at :05 and :08 → :08
+            (102, 1, _ts(5), 5.00),    # exactly AT a visit ts → matches it (<=)
+            (103, 2, _ts(1), 1.00),    # before any visit → NULL
+            (104, 3, _ts(30), 3.00),   # user with no visits at all → NULL
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    visits = spark.createDataFrame(
+        [
+            (201, 1, _ts(5)),
+            (202, 1, _ts(8)),
+            (203, 2, _ts(2)),
+            (204, 1, _ts(8)),  # duplicate ts — higher event_id wins
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r.event_id: (r.asof_event_id, r.asof_ts)
+        for r in asof_join(
+            purchases,
+            visits,
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            right_order="event_id",
+            right_payload=["event_id", "ts"],
+        ).collect()
+    }
+    assert out[101] == (204, _ts(8))   # latest visit, tie → max event_id
+    assert out[102] == (201, _ts(5))   # <= semantics: same-instant visit matches
+    assert out[103] == (None, None)
+    assert out[104] == (None, None)
+    assert len(out) == 4               # every left row preserved
+
+
+def test_sessionize_planted(spark):
+    events = spark.createDataFrame(
+        [
+            (1, 1, _ts(0)),
+            (2, 1, _ts(10)),          # 10 min gap → same session
+            (3, 1, _ts(50)),          # 40 min gap → new session
+            (4, 1, _ts(50)),          # duplicate ts → same session, id order
+            (5, 2, _ts(0)),           # other user → own numbering
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {r.event_id: (r.session_idx, r.session_id)
+           for r in sessionize(events, gap_minutes=30).collect()}
+    assert out[1] == (1, "1-1")
+    assert out[2] == (1, "1-1")
+    assert out[3] == (2, "1-2")
+    assert out[4] == (2, "1-2")
+    assert out[5] == (1, "2-1")
+
+
+def test_sessionize_gap_boundary_is_exclusive(spark):
+    # gap of exactly 30:00 does NOT start a new session (> not >=)
+    events = spark.createDataFrame(
+        [(1, 1, _ts(0)), (2, 1, _ts(30)), (3, 1, _ts(0, 1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {r.event_id: r.session_idx
+           for r in sessionize(events, gap_minutes=30).collect()}
+    assert out == {1: 1, 3: 1, 2: 1}
