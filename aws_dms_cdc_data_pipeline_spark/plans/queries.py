@@ -1044,6 +1044,138 @@ def multimodal_features(spark, sf_dir):
     return M.extract_features(media, dim=16, fake=True).orderBy("media_id")
 
 
+@q(
+    "scalar_conditional_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity >= 40 THEN 'bulk'
+                WHEN l_quantity >= 10 THEN 'mid'
+                ELSE 'small' END                          AS qty_band,
+           COALESCE(l_returnflag, 'N')                    AS rf,
+           NULLIF(l_linestatus, 'O')                      AS ls_closed,
+           CASE WHEN l_discount > l_tax THEN l_discount
+                ELSE l_tax END                            AS max_levy
+    FROM lineitem
+    """,
+    "§2.6: conditional scalar functions (CASE/COALESCE/NULLIF/IF)",
+)
+def scalar_conditional_funcs(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 10, "mid")
+        .otherwise("small")
+        .alias("qty_band"),
+        F.coalesce("l_returnflag", F.lit("N")).alias("rf"),
+        F.nullif("l_linestatus", F.lit("O")).alias("ls_closed"),
+        F.when(F.col("l_discount") > F.col("l_tax"), F.col("l_discount"))
+        .otherwise(F.col("l_tax"))
+        .alias("max_levy"),
+    )
+
+
+@q(
+    "regexp_part_names",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1)       AS last_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')  AS devoweled,
+           regexp_matches(p_type, 'BRUSHED|POLISHED')   AS is_finished
+    FROM part
+    """,
+    "§2.6: regexp extract/replace/match scalar functions",
+)
+def regexp_part_names(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("BRUSHED|POLISHED").alias("is_finished"),
+    )
+
+
+@q(
+    "grouping_sets_revenue",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {_dsum_sql('o_totalprice', 'total')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    "A6: explicit GROUPING SETS (DataFrame groupingSets API)",
+)
+def grouping_sets_revenue(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+    ).agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
+
+
+@q(
+    "filtered_aggregates",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity >= 25)   AS n_bulk,
+           {_dsum_sql('l_extendedprice', 'rev_all')},
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_discounted
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "A4: FILTER-clause (conditional) aggregates",
+)
+def filtered_aggregates(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_bulk"),
+        dsum("l_extendedprice", "rev_all"),
+        F.sum(
+            F.when(
+                F.col("l_discount") > 0.05,
+                F.col("l_extendedprice").cast("decimal(18,6)"),
+            )
+        )
+        .cast("double")
+        .alias("rev_discounted"),
+    )
+
+
+@q(
+    "array_agg_devices",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+               AS event_types
+    FROM events GROUP BY user_id
+    """,
+    "A4: set-valued aggregation, deterministically serialized "
+    "(collect_set → sort → join)",
+)
+def array_agg_devices(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        )
+    )
+
+
+@q(
+    "approx_distinct_users",
+    None,  # HLL estimate is engine-specific by design
+    "Approximate distinct (HyperLogLog) next to the exact count — "
+    "rows-only; the estimate's engine-specific, the shape is the point.",
+)
+def approx_distinct_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 # ===========================================================================
 # Time-series / sequence operators (as-of join, sessionization) and
 # advanced aggregates (exact percentiles, vector centroids)
