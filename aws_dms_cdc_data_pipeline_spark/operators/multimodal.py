@@ -114,3 +114,50 @@ def extract_features(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("frame_features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, *, frame_bytes: int = 64, stride: int = 2, dim: int = 8,
+    fake: bool = False
+) -> DataFrame:
+    """Frame-sample each media blob: every ``stride``-th chunk of
+    ``frame_bytes`` becomes one output row with its own feature vector.
+
+    The 1:N (video → frames) operator shape: mapInPandas yields more
+    rows than it consumes, still shuffle-free and constant-memory per
+    Arrow batch. A real decoder would seek keyframes; the fake path
+    slices the byte stream deterministically so the plumbing (schema,
+    fan-out ratio, per-frame features) is fully testable here.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame": [],
+                   "frame_features": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                if not fake:  # pragma: no cover
+                    _decode_real(bytes(content), "video/*")
+                blob = bytes(content)
+                n_frames = max(1, len(blob) // frame_bytes)
+                for idx in range(0, n_frames, stride):
+                    frame = blob[idx * frame_bytes:(idx + 1) * frame_bytes]
+                    _, _, feats = _decode_fake(frame, dim)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame"].append(frame)
+                    out["frame_features"].append(feats)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

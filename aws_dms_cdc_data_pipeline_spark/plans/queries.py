@@ -105,12 +105,18 @@ def cdc_current_state(spark, sf_dir):
     "A2: event-time range scan + predicate (pushdown-eligible)",
 )
 def cdc_event_time_range(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    return ev.filter(
-        (F.col("ts") >= F.lit("2024-01-10 00:00:00"))
-        & (F.col("ts") < F.lit("2024-01-20 00:00:00"))
+    from aws_dms_cdc_data_pipeline_spark.session import event_time_bounds_nanos
+
+    # range-filter the RAW int64 nanos so the predicate reaches the
+    # parquet scan (row-group pruning); convert to timestamp after
+    raw = load_table(spark, sf_dir, "events", raw_events=True)
+    pushed = raw.filter(
+        (F.col("ts") >= event_time_bounds_nanos("2024-01-10 00:00:00"))
+        & (F.col("ts") < event_time_bounds_nanos("2024-01-20 00:00:00"))
         & (F.col("event_type") == "purchase")
-    ).select("event_id", "ts", "user_id", "value")
+    )
+    ev = pushed.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev.select("event_id", "ts", "user_id", "value")
 
 
 @q(

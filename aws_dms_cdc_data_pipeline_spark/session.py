@@ -69,13 +69,20 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str):
+def load_table(spark: SparkSession, sf_dir: str, name: str, *, raw_events: bool = False):
     """Read one fixture table (schemas in FIXTURES.md §B).
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
     rejects by default — read it as long (runtime-settable legacy
     conf) and truncate to microseconds, exactly matching DuckDB's
     ns→µs handling of the same file.
+
+    The µs conversion is a derived expression, so time-range
+    predicates on the converted column CANNOT push to the parquet
+    scan. Callers with selective event-time ranges should pass
+    ``raw_events=True``, filter the int64 nanos directly (pushdown-
+    and row-group-stats-eligible), then convert — see
+    ``event_time_bounds_nanos``.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -83,8 +90,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(path)
+        if raw_events:
+            return df
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(path)
+
+
+def event_time_bounds_nanos(ts_utc: str) -> int:
+    """UTC wall-clock string → int64 epoch nanos (raw events.ts units)."""
+    import datetime as _dt
+
+    d = _dt.datetime.fromisoformat(ts_utc).replace(tzinfo=_dt.timezone.utc)
+    return int(d.timestamp()) * 1_000_000_000
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:

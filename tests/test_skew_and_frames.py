@@ -1,0 +1,60 @@
+"""Salted skew mitigation equals unsalted results; frame sampling fans out."""
+
+from pyspark.sql import functions as F
+
+from aws_dms_cdc_data_pipeline_spark.operators import multimodal as M
+from aws_dms_cdc_data_pipeline_spark.operators.skew import salted_join, salted_sum
+from aws_dms_cdc_data_pipeline_spark.session import load_table
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("skey"), "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("skey"), "s_name"
+    )
+    got = salted_join(li, supp, "skey", buckets=4)
+    want = li.join(supp, "skey")
+    assert sorted(map(str, got.collect())) == sorted(map(str, want.collect()))
+
+
+def test_salted_sum_matches_direct_sum(spark):
+    # one pathologically hot key: 90% of rows
+    rows = [(1 if i % 10 else 2, float(i % 97)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {r.k: r.total for r in salted_sum(df, "k", "v", buckets=8).collect()}
+    want = {
+        r.k: r.total
+        for r in df.groupBy("k")
+        .agg(F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("total"))
+        .collect()
+    }
+    assert got == want
+    # the hot key really is split across salt buckets before combining
+    from aws_dms_cdc_data_pipeline_spark.operators.skew import _row_salt
+
+    n_buckets = (
+        df.filter(F.col("k") == 1)
+        .select(_row_salt(df, 8).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1
+
+
+def test_sample_frames_fan_out(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 300), (2, "short")], ["doc_id", "text"]
+    )
+    media = M.documents_as_media(docs)
+    frames = M.sample_frames(media, frame_bytes=64, stride=2, dim=4, fake=True)
+    rows = frames.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    # 300 bytes → 4 full frames → indices 0, 2 (stride 2); 5 bytes → 1 frame
+    assert sorted(r.frame_idx for r in by_id[1]) == [0, 2]
+    assert [r.frame_idx for r in by_id[2]] == [0]
+    f0 = next(r for r in by_id[1] if r.frame_idx == 0)
+    assert len(bytes(f0.frame)) == 64 and len(f0.frame_features) == 4
