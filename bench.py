@@ -39,6 +39,9 @@ HEADLINE = (
     "minhash_lsh_pairs",
     "text_quality_scores",
     "ann_brute_force_topk",
+    "asof_purchase_last_visit",
+    "sessionize_events",
+    "label_centroids",
 )
 
 
