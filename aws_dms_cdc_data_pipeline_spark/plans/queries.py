@@ -987,6 +987,30 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 @q(
+    "ann_ivf_topk",
+    None,  # trained-quantizer cell assignment is engine-internal
+    "IVF approximate top-10: k-means coarse quantizer (trained "
+    "in-engine), n_probe nearest cells per query, exact re-rank. "
+    "Rows-only.",
+)
+def ann_ivf_topk(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.ivf import (
+        ivf_topk,
+        train_quantizer,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    centroids = train_quantizer(emb, n_lists=16, iterations=3)
+    out = ivf_topk(emb, queries_df, centroids, k=10, n_probe=4)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
+@q(
     "embedding_similarity_pairs",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1278,6 +1302,48 @@ def sessionize_events(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     return sessionize(ev, gap_minutes=30)
+
+
+@q(
+    "session_window_stats",
+    f"""
+    WITH s AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS st
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+        SELECT *, SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS idx
+        FROM s
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n, {_dsum_sql('value', 'total_value')}
+    FROM g GROUP BY user_id, idx
+    """,
+    "Built-in session_window aggregation (30 min gap); oracle derives "
+    "identical sessions from the lag/cumsum formulation (new session at "
+    "gap >= 30 min, matching session_window's half-open intervals).",
+)
+def session_window_stats(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"), dsum("value", "total_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n",
+            "total_value",
+        )
+    )
 
 
 @q(

@@ -77,3 +77,35 @@ def read_envelope_stream(
 def read_envelope_batch(spark: SparkSession, path: str) -> DataFrame:
     """Batch read of the same wire files (backfill / full-load path, T5)."""
     return _parse(spark.read.format("text").load(path))
+
+
+def read_envelope_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Production stream source: the same envelope stream off Kafka
+    (or a Kinesis connector with identical shape).
+
+    Config-only swap for :func:`read_envelope_stream` — the downstream
+    plan (parse → DLQ flag → select → triple sink) is unchanged, which
+    is the point: the engine's semantics don't depend on the transport.
+    The Kafka key carries the DMS partition key (the table PK,
+    reference dms_aurora_mysql_to_kinesis.py:121-123), so per-key
+    ordering survives the hop exactly as it does on Kinesis shards.
+    Untested in this sandbox (no broker); the wire contract is covered
+    by the file-source tests.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    lines = reader.load().select(F.col("value").cast("string").alias("value"))
+    return _parse(lines)
