@@ -1346,6 +1346,91 @@ def session_window_stats(spark, sf_dir):
     )
 
 
+_PROMOS = [
+    ("new_year", "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+    ("mid_jan", "2024-01-10 00:00:00", "2024-01-17 00:00:00"),
+    ("overlap", "2024-01-15 00:00:00", "2024-01-25 00:00:00"),
+    ("month_end", "2024-01-25 00:00:00", "2024-02-01 00:00:00"),
+]
+
+
+@q(
+    "range_join_promo_events",
+    f"""
+    WITH promos(promo, p_start, p_end) AS (VALUES
+        {", ".join(f"('{n}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for n, s, e in _PROMOS)}
+    )
+    SELECT promo, COUNT(*) AS n, {_dsum_sql('value', 'total_value')}
+    FROM events e JOIN promos p
+      ON e.ts >= p.p_start AND e.ts < p.p_end
+    GROUP BY promo
+    """,
+    "Range (interval) join via granule bucketing: interval exploded to "
+    "day granules, hash equi-join on granule, exact bound re-check — "
+    "no nested-loop join. Overlapping intervals double-count by design.",
+)
+def range_join_promo_events(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    promos = spark.createDataFrame(
+        _PROMOS, "promo string, p_start string, p_end string"
+    ).select(
+        "promo",
+        F.col("p_start").cast("timestamp").alias("p_start"),
+        F.col("p_end").cast("timestamp").alias("p_end"),
+    )
+    joined = range_join(
+        ev, promos, ts_col="ts", start_col="p_start", end_col="p_end",
+        granule="1 day",
+    )
+    return joined.groupBy("promo").agg(
+        F.count("*").alias("n"), dsum("value", "total_value")
+    )
+
+
+@q(
+    "time_rollup_events",
+    """
+    WITH h AS (
+        SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,6))) AS total
+        FROM events GROUP BY 1
+    ),
+    d AS (SELECT date_trunc('day', bucket) AS bucket, SUM(n) AS n,
+                 SUM(total) AS total FROM h GROUP BY 1),
+    m AS (SELECT date_trunc('month', bucket) AS bucket, SUM(n) AS n,
+                 SUM(total) AS total FROM d GROUP BY 1)
+    SELECT grain, bucket, CAST(n AS BIGINT) AS n,
+           CAST(total AS DOUBLE) AS total
+    FROM (SELECT 'hour' AS grain, * FROM h
+          UNION ALL SELECT 'day', * FROM d
+          UNION ALL SELECT 'month', * FROM m)
+    """,
+    "Hypertable-style continuous rollup: hour partials re-aggregate to "
+    "day to month — coarser grains never touch raw rows.",
+)
+def time_rollup_events(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.rangejoin import time_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    rolled = time_rollup(
+        ev,
+        ts_col="ts",
+        grains=("hour", "day", "month"),
+        agg_exprs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+        ],
+    )
+    return rolled.select(
+        "grain",
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("double").alias("total"),
+    )
+
+
 @q(
     "percentile_order_prices",
     """
