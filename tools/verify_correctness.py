@@ -69,7 +69,12 @@ def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
             return False, f"dtype[{c}] {ta} vs {tb}"
         if ta == "float":
             av, bv = a[c].to_numpy(float), b[c].to_numpy(float)
-            ok = np.isclose(av, bv, rtol=1e-9, atol=1e-9, equal_nan=True)
+            tol = 0.0 if os.environ.get("SPARK_GRAFT_STRICT") else 1e-9
+            ok = (
+                np.isclose(av, bv, rtol=0, atol=0, equal_nan=True)
+                if tol == 0.0
+                else np.isclose(av, bv, rtol=tol, atol=tol, equal_nan=True)
+            )
             if not ok.all():
                 i = int(np.argmin(ok))
                 return False, f"value[{c}] row {i}: {av[i]} vs {bv[i]}"
