@@ -969,11 +969,47 @@ def ann_brute_force_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _lsh_topk_oracle() -> str:
+    """Hyperplane buckets + multi-probe + per-query top-k, in SQL, with
+    the seeded plane matrix inlined as exact double literals."""
+    import numpy as np
+
+    planes = np.random.RandomState(42).randn(8, 64)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(float(x)) for x in planes[i])}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    probe_list = ", ".join(["bucket"] + [f"xor(bucket, {1 << b})" for b in range(8)])
+    return f"""
+    WITH s AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {terms} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM s WHERE vec_id < 8),
+    probes AS (
+        SELECT query_id, qv, unnest([{probe_list}]) AS bucket FROM q
+    ),
+    joined AS (
+        SELECT p.query_id, s.vec_id,
+               round(list_cosine_similarity(s.v, p.qv), 6) AS cosine
+        FROM s JOIN probes p ON s.bucket = p.bucket
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rank
+          FROM joined)
+    WHERE rank <= 10
+    """
+
+
 @q(
     "ann_lsh_topk",
-    None,  # bucket membership depends on driver-generated hyperplanes
+    _lsh_topk_oracle(),
     "Approximate top-10 via hyperplane LSH with multi-probe, exact "
-    "re-rank of bucket candidates. Rows-only.",
+    "re-rank of bucket candidates; oracle regenerates the seeded "
+    "hyperplanes and probe expansion in SQL.",
 )
 def ann_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -981,9 +1017,7 @@ def ann_lsh_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = V.lsh_topk(emb, queries_df, k=10, dim=64, num_planes=8)
-    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
-        "query_id", "rank"
-    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 @q(
@@ -1029,17 +1063,43 @@ def embedding_similarity_pairs(spark, sf_dir):
     return V.exact_cosine_pairs(emb, threshold=0.4)
 
 
+def _near_dup_lsh_oracle() -> str:
+    """Mirror hyperplane_sketch's bucket in SQL: the plane matrix is
+    regenerated from the same seed and inlined as repr'd double
+    literals (exact round-trip), so DuckDB computes the identical
+    sign bits. Sign decisions are robust — a dot would need to sit
+    within float-fold error of 0.0 to flip."""
+    import numpy as np
+
+    planes = np.random.RandomState(42).randn(6, 64)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(float(x)) for x in planes[i])}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(6)
+    )
+    return f"""
+    WITH s AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {terms} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """
+
+
 @q(
     "embedding_near_dup_lsh",
-    None,  # bucket membership depends on driver-generated hyperplanes
+    _near_dup_lsh_oracle(),
     "LSH-bucketed near-dup pairs (cosine ≥ 0.4 within 6-plane buckets): "
-    "the Σ bucket² scale path. Rows-only.",
+    "the Σ bucket² scale path; oracle regenerates the seeded "
+    "hyperplanes as SQL literals.",
 )
 def embedding_near_dup_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return V.embedding_near_dup_pairs(
-        emb, dim=64, num_planes=6, threshold=0.4
-    ).orderBy("id_a", "id_b")
+    return V.embedding_near_dup_pairs(emb, dim=64, num_planes=6, threshold=0.4)
 
 
 @q(
