@@ -90,15 +90,20 @@ def time_rollup(
     """
     agg_exprs = agg_exprs or [F.count(F.lit(1)).alias("n")]
     finest = grains[0]
+    # each level persists: the union output references every level, and
+    # without materialization Spark would recompute the finer chain
+    # once per union branch (the hour agg would run N_grains times) —
+    # defeating the whole partial-reuse point. Partials are tiny
+    # relative to the input (one row per bucket).
     level = df.groupBy(F.date_trunc(finest, F.col(ts_col)).alias("bucket")).agg(
         *agg_exprs
-    )
+    ).persist()
     value_cols = [c for c in level.columns if c != "bucket"]
     out = level.withColumn("grain", F.lit(finest))
     prev = level
     for grain in grains[1:]:
         prev = prev.groupBy(
             F.date_trunc(grain, F.col("bucket")).alias("bucket")
-        ).agg(*[F.sum(c).alias(c) for c in value_cols])
+        ).agg(*[F.sum(c).alias(c) for c in value_cols]).persist()
         out = out.unionByName(prev.withColumn("grain", F.lit(grain)))
     return out.select("grain", "bucket", *value_cols)
