@@ -1406,6 +1406,107 @@ def session_window_stats(spark, sf_dir):
     )
 
 
+@q(
+    "min_cost_supplier",
+    """
+    WITH ranked AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity)
+                   OVER (PARTITION BY l_partkey) AS mc,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY l_extendedprice / l_quantity,
+                                           l_suppkey) AS rn
+        FROM lineitem
+    ),
+    cheapest AS (
+        SELECT l_partkey AS m_partkey, l_suppkey AS m_suppkey,
+               round(mc, 6) AS ps_supplycost
+        FROM ranked WHERE rn = 1
+    )
+    SELECT p_partkey, p_name, s_name, ps_supplycost
+    FROM part JOIN cheapest ON p_partkey = m_partkey
+              JOIN supplier ON s_suppkey = m_suppkey
+    """,
+    "A6: cheapest-supplier-per-part (argmin via min_by with a "
+    "deterministic composite tie-break, TPC-H Q2 shape on the "
+    "lineitem-derived cost)",
+)
+def min_cost_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    unit_cost = F.col("l_extendedprice") / F.col("l_quantity")
+    cheapest = li.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min_by("l_suppkey", F.struct(unit_cost.alias("c"), F.col("l_suppkey")))
+        .alias("m_suppkey"),
+        F.round(F.min(unit_cost), 6).alias("ps_supplycost"),
+    )
+    return (
+        part.join(cheapest, part.p_partkey == cheapest.m_partkey)
+        .join(supp, supp.s_suppkey == cheapest.m_suppkey)
+        .select("p_partkey", "p_name", "s_name", "ps_supplycost")
+    )
+
+
+@q(
+    "promo_revenue_share",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
+               AS promo_rev,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    "A6: conditional revenue share over a fact-dim join (TPC-H Q14 "
+    "shape), month-grouped",
+)
+def promo_revenue_share(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+    )
+
+
+@q(
+    "window_distribution_funcs",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4)       OVER w AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    "A6: distribution window functions (ntile / percent_rank / cume_dist)",
+)
+def window_distribution_funcs(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 _PROMOS = [
     ("new_year", "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
     ("mid_jan", "2024-01-10 00:00:00", "2024-01-17 00:00:00"),
