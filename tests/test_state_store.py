@@ -64,6 +64,32 @@ def test_merge_is_idempotent_per_batch(spark, tmp_path):
     assert before == after
 
 
+def test_merge_recovers_from_crashed_attempt(spark, tmp_path):
+    # a crash after writing some v=N bucket dirs but before the
+    # manifest swap leaves stale next-generation dirs; the retried
+    # merge must clobber them and still produce correct state
+    store = StateStore(spark, str(tmp_path / "state"), num_buckets=4)
+    env = envelopes_df(spark, GeneratorConfig(n_rows=20, update_fraction=0.0,
+                                              delete_fraction=0.0))
+    store.merge(env)
+
+    # simulate: gen-1 dirs exist on disk, manifest still at gen 0
+    for b in range(4):
+        stale = store._bdir(b, 1)
+        os.makedirs(stale, exist_ok=True)
+        with open(os.path.join(stale, "garbage.parquet"), "w") as f:
+            f.write("not parquet")
+
+    more = envelopes_df(spark, GeneratorConfig(n_rows=10, seed=3,
+                                               update_fraction=0.0,
+                                               delete_fraction=0.0))
+    store.merge(more)  # retried delivery at generation 1
+    assert store.version() == 1
+    # stale garbage was clobbered, state is readable and complete
+    keys = {r.trans_id for r in store.table().select("trans_id").collect()}
+    assert len(keys) == 20  # ids 1..20; 1..10 re-merged idempotently
+
+
 def test_null_pk_records_dead_letter(spark, tmp_path):
     src = str(tmp_path / "wire")
     sink = str(tmp_path / "sink")
