@@ -89,6 +89,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, *, raw_events: bool 
     and row-group-stats-eligible), then convert — see
     ``event_time_bounds_nanos``.
     """
+    # The driver may hand us a session built with defaults; every
+    # timestamp comparison against the (naive-UTC) DuckDB oracle
+    # assumes UTC session time, and both confs are runtime-settable —
+    # so the loader defends itself instead of trusting the builder.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
