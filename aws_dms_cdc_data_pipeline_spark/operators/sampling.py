@@ -1,0 +1,59 @@
+"""Deterministic hash sampling and dataset splits.
+
+``df.sample()`` is seeded per-partition, so results change with the
+partitioning — useless for reproducible training corpora. These
+operators derive membership from a content hash of the id alone:
+stable across runs, engines, partitionings, and cluster sizes, and
+exactly mirrorable in the SQL oracle (md5 is md5 everywhere).
+
+Membership compares the md5 hex PREFIX as text against a threshold
+string derived from the requested fraction — no float RNG, no hex→int
+conversion, identical ASCII comparison in any engine. 4 hex chars →
+65,536 strata (rate resolution ~0.0015%).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_STRATA = 16**4  # 4-hex-char prefix
+
+
+def _hex4(id_col: Column) -> Column:
+    return F.md5(id_col.cast("string")).substr(1, 4)
+
+
+def hex_threshold(fraction: float) -> str:
+    """Fraction → 4-char lowercase hex bound ('0.25' → '4000')."""
+    return format(min(int(fraction * _STRATA), _STRATA - 1), "04x")
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, membership decided only by the id."""
+    return df.filter(_hex4(F.col(id_col)) < F.lit(hex_threshold(fraction)))
+
+
+def with_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+) -> DataFrame:
+    """Attach a deterministic train/val/test ``split`` column.
+
+    Boundaries partition the hash space: [0, val) → val,
+    [val, val+test) → test, rest → train. A document's split never
+    changes as the corpus grows — the property that keeps eval sets
+    uncontaminated across dataset versions.
+    """
+    h = _hex4(F.col(id_col))
+    val_hi = hex_threshold(val_fraction)
+    test_hi = hex_threshold(val_fraction + test_fraction)
+    return df.withColumn(
+        "split",
+        F.when(h < val_hi, "val").when(h < test_hi, "test").otherwise("train"),
+    )

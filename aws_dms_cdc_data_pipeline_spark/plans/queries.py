@@ -1269,6 +1269,44 @@ def salted_supplier_qty(spark, sf_dir):
 
 
 @q(
+    "dataset_split_assignment",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+                     THEN 'val'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+                     THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+    "Deterministic train/val/test assignment from the id's md5 hex "
+    "prefix — reproducible across engines, partitionings, and corpus "
+    "versions (thresholds = hex_threshold(0.1), hex_threshold(0.2)).",
+)
+def dataset_split_assignment(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import with_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return with_split(docs, val_fraction=0.1, test_fraction=0.1)
+
+
+@q(
+    "hash_sample_quarter",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+    """,
+    "Deterministic ~25% hash sample (membership from id hash alone; "
+    "df.sample would churn with partitioning).",
+)
+def hash_sample_quarter(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return hash_sample(docs, 0.25)
+
+
+@q(
     "approx_distinct_users",
     None,  # HLL estimate is engine-specific by design
     "Approximate distinct (HyperLogLog) next to the exact count — "
