@@ -138,6 +138,10 @@ def _hashed_shingles(
     )
 
 
+# last persisted (id, shingle-hash) intermediate — see minhash_lsh_pairs
+_last_hashed: DataFrame | None = None
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -159,8 +163,14 @@ def minhash_lsh_pairs(
     # persist the ~8 bytes/shingle arrays so the text is scanned and
     # shingled exactly once. At cluster scale with state larger than
     # cluster memory, swap persist() for an explicit checkpoint/write
-    # — the plan shape is unchanged.
+    # — the plan shape is unchanged. Repeated invocations (bench loops)
+    # would otherwise stack cached copies until LRU eviction, so each
+    # call releases the previous call's intermediate.
+    global _last_hashed
+    if _last_hashed is not None:
+        _last_hashed.unpersist(blocking=False)
     hashed = _hashed_shingles(df, text_col, id_col, shingle_k).persist()
+    _last_hashed = hashed
     with_sig = hashed.withColumn(
         "_sig",
         F.array(

@@ -68,14 +68,20 @@ def _decode_real(content: bytes, mime: str):
 
 def _decode_fake(content: bytes, dim: int) -> tuple[int, int, list[float]]:
     """Deterministic fake decode: pseudo width/height + a feature
-    vector from byte statistics. Stable across runs and machines."""
+    vector from byte statistics. Stable across runs and machines.
+
+    Each feature slot accumulates an INTEGER byte sum (exact in any
+    order) and divides once at the end — a single IEEE op per slot, so
+    the values are bit-reproducible by any engine that can sum bytes
+    (the DuckDB oracle mirrors this from hex(blob)).
+    """
     n = len(content)
     width = (n % 640) + 1
     height = (n % 480) + 1
-    feats = [0.0] * dim
+    sums = [0] * dim
     for i, byte in enumerate(content):
-        feats[i % dim] += byte / 255.0
-    return width, height, [round(v, 6) for v in feats]
+        sums[i % dim] += byte
+    return width, height, [s / 255.0 for s in sums]
 
 
 def extract_features(

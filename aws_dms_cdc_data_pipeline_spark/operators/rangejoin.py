@@ -34,9 +34,23 @@ def range_join(
     """Join point rows to every interval containing them.
 
     ``[start, end)`` semantics. ``granule`` is any Spark window
-    duration string; it only affects cost, never the result (exact
-    bounds are re-applied after the bucket join).
+    duration string; it only affects cost, never the result: the exact
+    bounds live INSIDE the join condition (not a post-filter), so
+    granule-overlap false positives are non-matches for every join
+    type — a left-joined point whose granule collides but whose ts
+    misses the bounds correctly comes back NULL-extended.
+
+    ``how`` is restricted to point-side-preserving types (inner /
+    left / left_semi / left_anti): right/full would emit the exploded
+    interval side's unmatched rows once per granule, which is not a
+    meaningful relation.
     """
+    how_norm = how.replace("_", "").lower()
+    if how_norm not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+        raise ValueError(
+            f"range_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "right/full would duplicate unmatched intervals per granule"
+        )
     g = F.lit(_granule_seconds(granule))
     iv = intervals.withColumn(
         "_g",
@@ -46,13 +60,22 @@ def range_join(
                 ((F.unix_timestamp(end_col) - F.lit(0.001)) / g).cast("long"),
             )
         ),
+    ).alias("_iv")
+    pts = points.withColumn(
+        "_g", (F.unix_timestamp(ts_col) / g).cast("long")
+    ).alias("_pts")
+    # granule equality drives the hash join; exact bounds ride along in
+    # the same condition (a point hits ≤1 granule row per interval, so
+    # no dedup is needed for any supported join type)
+    cond = (
+        (F.col("_pts._g") == F.col("_iv._g"))
+        & (F.col(f"_pts.{ts_col}") >= F.col(f"_iv.{start_col}"))
+        & (F.col(f"_pts.{ts_col}") < F.col(f"_iv.{end_col}"))
     )
-    pts = points.withColumn("_g", (F.unix_timestamp(ts_col) / g).cast("long"))
-    joined = pts.join(iv, "_g", how)
-    exact = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
-    if how == "inner":
-        return joined.filter(exact).drop("_g")
-    return joined.drop("_g")
+    joined = pts.join(iv, cond, how)
+    if how_norm in {"leftsemi", "leftanti"}:
+        return joined.drop("_g")
+    return joined.drop(F.col("_pts._g")).drop(F.col("_iv._g"))
 
 
 def _granule_seconds(granule: str) -> int:

@@ -179,6 +179,7 @@ def exact_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — the exact O(N²) baseline.
 
@@ -186,7 +187,19 @@ def exact_cosine_pairs(
     at scale use :func:`embedding_near_dup_pairs` (bucketed) instead —
     a full self-cross-join does not survive 100 TB. Useful directly
     for bounded candidate sets (e.g. one LSH bucket, one shard).
+
+    The O(N²) cost is enforced, not just documented: the corpus is
+    counted up front (parquet metadata — cheap) and anything above
+    ``max_rows`` raises rather than planning an unbounded self-join.
+    Pass a larger bound explicitly to opt in with eyes open.
     """
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"exact_cosine_pairs is the bounded O(N²) baseline: corpus has "
+            f"{n} rows > max_rows={max_rows}. Use embedding_near_dup_pairs "
+            f"(LSH-bucketed) at scale, or raise max_rows explicitly."
+        )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (

@@ -1055,8 +1055,9 @@ def ann_ivf_topk(spark, sf_dir):
                                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
     """,
     "Exact all-pairs cosine ≥ 0.4 — ground truth for the LSH near-dup "
-    "path. O(N²): bounded inputs only; the scale path is "
-    "embedding_near_dup_lsh.",
+    "path. O(N²) with an enforced corpus-size precondition "
+    "(exact_cosine_pairs raises above max_rows); the unbounded-scale "
+    "path is embedding_near_dup_lsh.",
 )
 def embedding_similarity_pairs(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1124,14 +1125,50 @@ def multimodal_media_stats(spark, sf_dir):
 
 @q(
     "multimodal_features",
-    None,  # feature vector produced by the Python fake-decode path
-    "Full mapInPandas featurization including the array<float> feature "
-    "vector. Rows-only.",
+    # Full value oracle for the fake-decode math: DuckDB re-derives the
+    # per-slot byte sums from hex(blob) and applies the identical
+    # sum/255.0 float32 round-trip; fixed-point micro-units make the
+    # float comparison exact (see label_centroids for the trick).
+    """
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE text IS NOT NULL
+    ),
+    e AS (SELECT doc_id, h, unnest(generate_series(0, n - 1)) AS i FROM b),
+    sums AS (
+        SELECT doc_id, CAST(i % 16 AS INT) AS pos,
+               SUM((strpos('0123456789ABCDEF',
+                           substr(h, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+                 + (strpos('0123456789ABCDEF',
+                           substr(h, CAST(2 * i + 2 AS INT), 1)) - 1)) AS s
+        FROM e GROUP BY 1, 2
+    ),
+    grid0 AS (SELECT doc_id, unnest(generate_series(0, 15)) AS p FROM b),
+    grid AS (SELECT doc_id, CAST(p AS INT) AS pos FROM grid0)
+    SELECT g.doc_id AS media_id, g.pos,
+           CAST(floor(CAST(CAST(COALESCE(s.s, 0) / 255.0 AS FLOAT) AS DOUBLE)
+                      * 1000000.0) AS BIGINT) AS value_fp
+    FROM grid g LEFT JOIN sums s ON g.doc_id = s.doc_id AND g.pos = s.pos
+    """,
+    "Full mapInPandas featurization, exploded to one (media_id, pos, "
+    "value) row per feature slot so every float is value-checked; the "
+    "array<float> column itself stays the library API "
+    "(operators/multimodal.py extract_features).",
 )
 def multimodal_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = M.documents_as_media(docs)
-    return M.extract_features(media, dim=16, fake=True).orderBy("media_id")
+    feats = M.extract_features(media, dim=16, fake=True)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("pos", "value")
+    ).select(
+        "media_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.floor(F.col("value").cast("double") * 1000000.0)
+        .cast("long")
+        .alias("value_fp"),
+    )
 
 
 @q(
@@ -1570,8 +1607,21 @@ _PROMOS = [
 )
 def range_join_promo_events(spark, sf_dir):
     from aws_dms_cdc_data_pipeline_spark.operators.rangejoin import range_join
+    from aws_dms_cdc_data_pipeline_spark.session import event_time_bounds_nanos
 
-    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    # the promo intervals' envelope is known up front — filter the RAW
+    # int64 nanos before timestamp conversion so the parquet scan
+    # row-group-prunes (same trick as cdc_event_time_range); an inner
+    # range join can only match inside the envelope, so this is lossless
+    lo = min(s for _, s, _ in _PROMOS)
+    hi = max(e for _, _, e in _PROMOS)
+    raw = load_table(spark, sf_dir, "events", raw_events=True).filter(
+        (F.col("ts") >= event_time_bounds_nanos(lo))
+        & (F.col("ts") < event_time_bounds_nanos(hi))
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        "event_id", "ts", "value"
+    )
     promos = spark.createDataFrame(
         _PROMOS, "promo string, p_start string, p_end string"
     ).select(

@@ -184,6 +184,14 @@ def test_exact_cosine_pairs_planted(spark):
     assert got[(1, 2)] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
 
 
+def test_exact_cosine_pairs_enforces_corpus_bound(spark):
+    df = spark.range(10).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        V.exact_cosine_pairs(df, max_rows=5)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
