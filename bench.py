@@ -62,6 +62,13 @@ def main() -> None:
     for name in HEADLINE:
         if name not in REGISTRY:
             continue
+        # Clear caches BETWEEN query families, never between the two
+        # runs of one family: operators that persist() intermediates
+        # (e.g. minhash shingle hashes) are keyed by logical plan, so
+        # the recorded second run legitimately reuses the warm run's
+        # cache — that reuse is the steady-state shape — while stale
+        # entries from other families don't accumulate over the sweep.
+        spark.catalog.clearCache()
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

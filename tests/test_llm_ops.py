@@ -58,6 +58,37 @@ def test_ngram_jaccard_planted_pair(spark):
     assert pairs[(1, 2)] == pytest.approx(expected, abs=1e-6)
 
 
+def test_ngram_jaccard_max_df_caps_stop_shingle(spark):
+    # Plant a stop-shingle: "zz yy xx" appears in EVERY doc. Without a
+    # cap, its posting list alone contributes O(p²) candidate rows —
+    # with max_df=2 it is dropped from the index, so the two boiler-
+    # plate-only docs (5, 6) share nothing and never become a pair,
+    # while the genuinely-near pair (1, 2) still scores on its own
+    # (rare) grams.
+    boiler = "zz yy xx"
+    df = _docs(
+        spark,
+        [
+            (1, NEAR_A + " " + boiler),
+            (2, NEAR_B + " " + boiler),
+            (3, FAR + " " + boiler),
+            (5, boiler),
+            (6, boiler),
+        ],
+    )
+    pairs = {(r.id_a, r.id_b)
+             for r in D.ngram_jaccard_pairs(df, threshold=0.2, max_df=2).collect()}
+    assert (1, 2) in pairs
+    assert (5, 6) not in pairs        # stop-shingle-only overlap is capped away
+    # exactness when the cap does not trigger: max_df above corpus size
+    # reproduces the uncapped (exact) result bit-for-bit
+    exact = {(r.id_a, r.id_b, r.jaccard)
+             for r in D.ngram_jaccard_pairs(df, threshold=0.2, max_df=None).collect()}
+    high = {(r.id_a, r.id_b, r.jaccard)
+            for r in D.ngram_jaccard_pairs(df, threshold=0.2, max_df=10_000).collect()}
+    assert exact == high
+
+
 def test_minhash_lsh_finds_planted_near_dup_not_far_pair(spark):
     df = _docs(spark, [(1, NEAR_A), (2, NEAR_B), (3, FAR)])
     pairs = {(r.id_a, r.id_b): r.jaccard
