@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -39,12 +40,26 @@ def asof_join(
     ``right_order`` breaks ties among right rows sharing (key, ts) —
     pass a unique column (e.g. the event id). Payload columns come
     back as ``{prefix}{col}`` (NULL when no right row precedes).
+
+    The tie-break keeps ``right_order``'s NATIVE type (string ids sort
+    lexicographically, ints numerically); a non-orderable type (map,
+    variant) raises instead of silently degrading to nondeterministic
+    equal-timestamp matches.
     """
+    rord_type = right.schema[right_order].dataType
+    if isinstance(rord_type, T.MapType) or (
+        type(rord_type).__name__ == "VariantType"
+    ):
+        raise TypeError(
+            f"asof_join right_order={right_order!r} has non-orderable type "
+            f"{rord_type.simpleString()}; pass an orderable column (id, "
+            "timestamp, string) or hash it first (xxhash64)"
+        )
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_kind"),
-        F.lit(None).cast("long").alias("_rord"),
+        F.lit(None).cast(rord_type).alias("_rord"),
         F.struct(*left.columns).alias("_l"),
         F.lit(None)
         .cast(
@@ -61,7 +76,7 @@ def asof_join(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_kind"),
-        F.col(right_order).cast("long").alias("_rord"),
+        F.col(right_order).alias("_rord"),
         F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
         F.struct(*right_payload).alias("_r"),
     )

@@ -46,6 +46,8 @@ def range_join(
     meaningful relation.
     """
     how_norm = how.replace("_", "").lower()
+    # Spark's bare "semi"/"anti" aliases are point-side-preserving too
+    how_norm = {"semi": "leftsemi", "anti": "leftanti"}.get(how_norm, how_norm)
     if how_norm not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
         raise ValueError(
             f"range_join supports inner/left/left_semi/left_anti, got {how!r}: "

@@ -44,12 +44,24 @@ def salted_join(
     only viable when small is dimension-sized). The join key becomes
     (key, salt): a key with 80% of the data now lands on ``buckets``
     tasks instead of one.
+
+    ``how`` is restricted to big-side-preserving types (inner / left /
+    left_semi / left_anti): the small side is replicated ×buckets, so
+    right/full would emit every unmatched small-side row once per
+    bucket — not a meaningful relation.
     """
+    how_norm = how.replace("_", "").lower()
+    how_norm = {"semi": "leftsemi", "anti": "leftanti"}.get(how_norm, how_norm)
+    if how_norm not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "right/full would duplicate unmatched small-side rows per bucket"
+        )
     big_s = big.withColumn("_salt", _row_salt(big, buckets))
     small_s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(b) for b in range(buckets)]))
     )
-    out = big_s.join(small_s, [on, "_salt"], how)
+    out = big_s.join(small_s, [on, "_salt"], how_norm)
     return out.drop("_salt")
 
 

@@ -48,6 +48,38 @@ def test_asof_join_planted(spark):
     assert len(out) == 4               # every left row preserved
 
 
+def test_asof_join_string_order_deterministic(spark):
+    # string event-ids used to be cast("long") → NULL → nondeterministic
+    # equal-timestamp ties; native-type ordering keeps them lexicographic
+    purchases = spark.createDataFrame(
+        [(101, 1, _ts(10), 9.99)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    visits = spark.createDataFrame(
+        [("ev-a", 1, _ts(8)), ("ev-z", 1, _ts(8)), ("ev-m", 1, _ts(8))],
+        "event_id string, user_id long, ts timestamp",
+    )
+    for _ in range(3):  # would flap across runs under the old NULL cast
+        (row,) = asof_join(
+            purchases, visits,
+            on="user_id", left_ts="ts", right_ts="ts",
+            right_order="event_id", right_payload=["event_id"],
+        ).collect()
+        assert row.asof_event_id == "ev-z"   # lexicographic max wins ties
+
+
+def test_asof_join_rejects_non_orderable_order_col(spark):
+    import pytest
+
+    purchases = spark.createDataFrame(
+        [(1, _ts(10))], "user_id long, ts timestamp")
+    visits = spark.createDataFrame(
+        [(1, _ts(8), {"a": 1})], "user_id long, ts timestamp, meta map<string,int>")
+    with pytest.raises(TypeError, match="non-orderable"):
+        asof_join(purchases, visits, on="user_id", left_ts="ts",
+                  right_ts="ts", right_order="meta", right_payload=["ts"])
+
+
 def test_sessionize_planted(spark):
     events = spark.createDataFrame(
         [

@@ -19,6 +19,22 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert sorted(map(str, got.collect())) == sorted(map(str, want.collect()))
 
 
+def test_salted_join_left_and_how_validation(spark):
+    import pytest
+
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (9, "orphan")], "k long, v string")
+    small = spark.createDataFrame([(1, "dim1"), (2, "dim2")], "k long, d string")
+    left = salted_join(big, small, "k", buckets=4, how="left")
+    rows = {(r.k, r.v): r.d for r in left.collect()}
+    assert rows[(9, "orphan")] is None and rows[(1, "a")] == "dim1"
+    semi = salted_join(big, small, "k", buckets=4, how="semi")
+    assert sorted(r.v for r in semi.collect()) == ["a", "b", "c"]
+    for bad in ("right", "full", "right_outer", "cross"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how=bad)
+
+
 def test_salted_sum_matches_direct_sum(spark):
     # one pathologically hot key: 90% of rows
     rows = [(1 if i % 10 else 2, float(i % 97)) for i in range(5000)]
