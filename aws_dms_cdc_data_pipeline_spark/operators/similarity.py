@@ -179,7 +179,7 @@ def exact_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    max_rows: int = 100_000,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — the exact O(N²) baseline.
 
@@ -188,17 +188,21 @@ def exact_cosine_pairs(
     a full self-cross-join does not survive 100 TB. Useful directly
     for bounded candidate sets (e.g. one LSH bucket, one shard).
 
-    The O(N²) cost is enforced, not just documented: the corpus is
-    counted up front (parquet metadata — cheap) and anything above
+    The O(N²) cost is enforced, not just documented: anything above
     ``max_rows`` raises rather than planning an unbounded self-join.
-    Pass a larger bound explicitly to opt in with eyes open.
+    The guard counts ``limit(max_rows + 1)`` so it short-circuits at
+    the bound instead of executing the full upstream plan (still one
+    extra job — a plain parquet scan answers it from footer metadata,
+    a derived input re-runs its plan up to max_rows+1 rows). Callers
+    that already know their corpus is bounded pass ``max_rows=None``
+    to keep the operator fully lazy.
     """
-    n = df.count()
-    if n > max_rows:
+    if max_rows is not None and df.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
-            f"exact_cosine_pairs is the bounded O(N²) baseline: corpus has "
-            f"{n} rows > max_rows={max_rows}. Use embedding_near_dup_pairs "
-            f"(LSH-bucketed) at scale, or raise max_rows explicitly."
+            f"exact_cosine_pairs is the bounded O(N²) baseline: corpus "
+            f"exceeds max_rows={max_rows}. Use embedding_near_dup_pairs "
+            f"(LSH-bucketed) at scale, raise max_rows explicitly, or pass "
+            f"max_rows=None if the input is known-bounded."
         )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))

@@ -1613,8 +1613,15 @@ def range_join_promo_events(spark, sf_dir):
     # int64 nanos before timestamp conversion so the parquet scan
     # row-group-prunes (same trick as cdc_event_time_range); an inner
     # range join can only match inside the envelope, so this is lossless
-    lo = min(s for _, s, _ in _PROMOS)
-    hi = max(e for _, _, e in _PROMOS)
+    # parse before min/max — lexicographic order over strings only
+    # happens to agree while every entry shares one zero-padded format
+    from datetime import datetime
+
+    def _dt(s):
+        return datetime.fromisoformat(s)
+
+    lo = min((s for _, s, _ in _PROMOS), key=_dt)
+    hi = max((e for _, _, e in _PROMOS), key=_dt)
     raw = load_table(spark, sf_dir, "events", raw_events=True).filter(
         (F.col("ts") >= event_time_bounds_nanos(lo))
         & (F.col("ts") < event_time_bounds_nanos(hi))

@@ -60,6 +60,19 @@ def _parse(lines: DataFrame, *, pk_field: str = _PK_FIELD) -> DataFrame:
     )
 
 
+def parse_envelopes(lines: DataFrame, *, line_col: str = "value") -> DataFrame:
+    """Public parse entry point: a DataFrame with one wire line per row
+    (``line_col``) → keyed envelopes with the ``_corrupt`` DLQ flag.
+
+    Use cases: custom transports feeding the same delivery plan, and
+    replaying dead-lettered records (the DLQ stores the original wire
+    line under ``raw``) back through the exact production parse.
+    """
+    if line_col != "value":
+        lines = lines.select(F.col(line_col).alias("value"))
+    return _parse(lines)
+
+
 def read_envelope_stream(
     spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -108,4 +121,42 @@ def read_envelope_kafka(
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
     lines = reader.load().select(F.col("value").cast("string").alias("value"))
+    return _parse(lines)
+
+
+def read_envelope_kinesis(
+    spark: SparkSession,
+    stream_name: str,
+    region: str,
+    *,
+    starting_position: str = "TRIM_HORIZON",
+    endpoint_url: str | None = None,
+    consumer_type: str = "GetRecords",
+) -> DataFrame:
+    """Production stream source matching the reference's ACTUAL
+    transport: DMS → Kinesis Data Streams (kds.py:23-27) consumed
+    downstream (firehose.py:159-163).
+
+    Uses the open-source Amazon Kinesis connector for Spark Structured
+    Streaming (``aws-kinesis`` format, spark-streaming-sql-kinesis-
+    connector); its record schema exposes the payload as a ``data``
+    binary column, cast here to the one-line-JSON wire string. Like
+    :func:`read_envelope_kafka` this is a config-only swap for
+    :func:`read_envelope_stream` — the downstream plan is unchanged.
+    Kinesis preserves per-shard ordering and DMS partitions by table
+    PK (dms_aurora_mysql_to_kinesis.py:121-123), so per-key ordering
+    survives the hop (T2). ``consumer_type="EFO"`` selects enhanced
+    fan-out for dedicated read throughput. Untested in this sandbox
+    (no stream); the wire contract is covered by the file-source tests.
+    """
+    reader = (
+        spark.readStream.format("aws-kinesis")
+        .option("kinesis.streamName", stream_name)
+        .option("kinesis.region", region)
+        .option("kinesis.consumerType", consumer_type)
+        .option("kinesis.startingPosition", starting_position)
+    )
+    if endpoint_url:
+        reader = reader.option("kinesis.endpointUrl", endpoint_url)
+    lines = reader.load().select(F.col("data").cast("string").alias("value"))
     return _parse(lines)

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import shutil
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,6 +45,13 @@ class CdcStreamConfig:
     table_name: str = S.DEFAULT_TABLE_NAME
     trigger_seconds: int | None = 60   # None → availableNow (tests/backfill)
     max_files_per_trigger: int | None = None
+    # S7 (second half): bounded retry budget for *delivery* failures
+    # before the batch is dead-lettered and the stream moves on —
+    # mirrors the reference's 60 s RetryOptions on the Firehose →
+    # OpenSearch leg (cdk_stacks/firehose.py:150-152). Tests shrink
+    # both to keep the failure path fast.
+    delivery_retry_seconds: float = 60.0
+    delivery_retry_backoff_seconds: float = 1.0
 
     @property
     def state_path(self) -> str:
@@ -61,22 +70,54 @@ class CdcStreamConfig:
         return os.path.join(self.sink_root, "checkpoint")
 
 
+def _merge_with_retry(
+    store: StateStore,
+    selected: DataFrame,
+    budget_seconds: float,
+    backoff_seconds: float,
+) -> tuple[Exception | None, int]:
+    """Retry ``store.merge`` with exponential backoff until the budget
+    is spent; return (None, attempts) on success or (last_error,
+    attempts) once exhausted. Always attempts at least once.
+
+    Matches the reference's bounded delivery retry (firehose.py:150-152:
+    RetryOptions duration_in_seconds=60) — a poison batch must NOT
+    fail the stream forever; after the budget it is dead-lettered and
+    the stream moves on to the next trigger.
+    """
+    deadline = time.monotonic() + budget_seconds
+    attempts = 0
+    while True:
+        attempts += 1
+        try:
+            store.merge(selected)
+            return None, attempts
+        except Exception as exc:  # noqa: BLE001 — any failure is retryable
+            delay = backoff_seconds * (2 ** (attempts - 1))
+            if time.monotonic() + delay > deadline:
+                return exc, attempts
+            time.sleep(delay)
+
+
 def _deliver(cfg: CdcStreamConfig, store: StateStore):
     """Build the foreachBatch delivery function."""
 
     def deliver(batch: DataFrame, epoch_id: int) -> None:
         batch = batch.persist()
         try:
-            # S7: dead-letter malformed lines with failure metadata,
-            # keyed by batch so a replayed epoch overwrites its own
-            # previous (possibly partial) attempt instead of doubling.
+            # S7: dead-letter malformed lines with failure metadata.
+            # Layout is error/batch_id=N/<error-type>/ — the epoch key
+            # makes a replayed epoch overwrite its own previous
+            # (possibly partial) attempt instead of doubling, and the
+            # error-type subdir mirrors the reference's
+            # !{firehose:error-output-type} prefix (firehose.py:134).
             corrupt = batch.filter(F.col("_corrupt"))
             corrupt.select(
                 F.col("_raw").alias("raw"),
                 F.lit("parse-error").alias("error"),
                 F.current_timestamp().alias("dead_lettered_at"),
             ).write.mode("overwrite").json(
-                os.path.join(cfg.error_path, f"batch_id={epoch_id}")
+                os.path.join(cfg.error_path, f"batch_id={epoch_id}", "parse")
             )
 
             good = batch.filter(~F.col("_corrupt")).drop("_raw", "_corrupt")
@@ -101,8 +142,37 @@ def _deliver(cfg: CdcStreamConfig, store: StateStore):
                 .json(os.path.join(cfg.archive_path, f"batch_id={epoch_id}"))
             )
 
-            # S5: idempotent upsert into the current-state store.
-            store.merge(selected)
+            # S5: idempotent upsert into the current-state store,
+            # bounded-retry → DLQ (S7, delivery leg). A transient
+            # failure recovers within the budget; a permanent one
+            # dead-letters this batch's records with failure metadata
+            # and lets the stream continue — at-least-once is kept
+            # (the DLQ holds the records for operator-driven replay)
+            # and a poison batch can no longer livelock the stream.
+            delivery_dlq = os.path.join(
+                cfg.error_path, f"batch_id={epoch_id}", "delivery"
+            )
+            err, attempts = _merge_with_retry(
+                store,
+                selected,
+                cfg.delivery_retry_seconds,
+                cfg.delivery_retry_backoff_seconds,
+            )
+            if err is None:
+                # A crash between a failed attempt's DLQ write and the
+                # checkpoint commit can leave a stale delivery DLQ for
+                # this epoch; the successful replay clears it.
+                shutil.rmtree(delivery_dlq, ignore_errors=True)
+            else:
+                # raw = the full KEYED wire line (doc_id included) so a
+                # parked record replays through parse_envelopes intact.
+                selected.select(
+                    F.to_json(F.struct("data", "metadata", "doc_id")).alias("raw"),
+                    F.lit("delivery-error").alias("error"),
+                    F.lit(f"{type(err).__name__}: {err}"[:500]).alias("detail"),
+                    F.lit(attempts).alias("attempts"),
+                    F.current_timestamp().alias("dead_lettered_at"),
+                ).write.mode("overwrite").json(delivery_dlq)
         finally:
             batch.unpersist()
 

@@ -125,7 +125,9 @@ def test_null_pk_records_dead_letter(spark, tmp_path):
 
     dead = [
         json.loads(line)
-        for p in glob.glob(os.path.join(cfg.error_path, "batch_id=*", "*.json"))
+        for p in glob.glob(
+            os.path.join(cfg.error_path, "batch_id=*", "parse", "*.json")
+        )
         for line in open(p)
     ]
     assert any("seq-nullpk" in d["raw"] for d in dead)
