@@ -1,7 +1,7 @@
 """Sources: batch fixture readers and the CDC envelope stream."""
 
 from aws_dms_cdc_data_pipeline_spark.sources.envelope_stream import (  # noqa: F401
-    parse_envelopes,
+    parse_envelope_lines,
     read_envelope_batch,
     read_envelope_kafka,
     read_envelope_kinesis,

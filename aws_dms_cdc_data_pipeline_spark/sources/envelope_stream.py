@@ -60,7 +60,7 @@ def _parse(lines: DataFrame, *, pk_field: str = _PK_FIELD) -> DataFrame:
     )
 
 
-def parse_envelopes(lines: DataFrame, *, line_col: str = "value") -> DataFrame:
+def parse_envelope_lines(lines: DataFrame, *, line_col: str = "value") -> DataFrame:
     """Public parse entry point: a DataFrame with one wire line per row
     (``line_col``) → keyed envelopes with the ``_corrupt`` DLQ flag.
 

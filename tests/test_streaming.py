@@ -162,13 +162,13 @@ def test_delivery_permanent_failure_dead_letters_and_stream_continues(
     from pyspark.sql import functions as F
 
     from aws_dms_cdc_data_pipeline_spark.sources.envelope_stream import (
-        parse_envelopes,
+        parse_envelope_lines,
     )
 
     parked_raw = spark.read.json(
         os.path.join(cfg.error_path, "batch_id=0", "delivery")
     )
-    parked = parse_envelopes(parked_raw, line_col="raw")
+    parked = parse_envelope_lines(parked_raw, line_col="raw")
     store.merge(parked.filter(~F.col("_corrupt")).drop("_raw", "_corrupt"))
     batch = cdc_batch_pipeline(envelopes_df(spark, CFG))
     assert _rows(store.table()) == _rows(batch)
