@@ -123,6 +123,42 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", best_lang)
 
 
+# PII patterns, ordered: structured formats first (SSN before the
+# generic phone run), then address-like tokens. Kept to the regex
+# subset with identical semantics in Java regex and DuckDB/RE2 so the
+# SQL oracle replays the exact same redaction.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "[PHONE]"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace PII-shaped spans with typed placeholders + per-type counts.
+
+    Training-corpus hygiene pass: emails, SSNs, IPv4s, and phone-number
+    runs become ``[EMAIL]``/``[SSN]``/``[IP]``/``[PHONE]``; a
+    ``n_<type>`` column counts the spans BEFORE replacement so the
+    scrub is auditable. Pure sequential regexp projection — JVM-side,
+    shuffle-free, and each pattern applies to the previous pattern's
+    output (SSNs are counted before the phone pattern could swallow
+    them). Heuristic by design: a production pass would add locale
+    packs, but the plumbing (ordering, counting, placeholder scheme)
+    is the real contract.
+    """
+    out = df
+    cleaned = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(cleaned, F.lit(pat), 0)).cast("long"),
+        )
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    return out.withColumn("clean_text", cleaned)
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint over normalized text.
 

@@ -1928,6 +1928,70 @@ def near_dedup_canonical_q(spark, sf_dir):
     ).select("doc_id", "n_members")
 
 
+@q(
+    "chunk_documents",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    st AS (
+        SELECT doc_id, ws, len(ws) AS n, i
+        FROM toks, UNNEST(generate_series(1, greatest(len(ws) - 8, 1), 56)) AS s(i)
+    )
+    SELECT doc_id, CAST((i - 1) / 56 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(ws, i, i + 63), ' ') AS chunk_text,
+           CAST(least(64, n - i + 1) AS BIGINT) AS n_tokens
+    FROM st
+    """,
+    "Token-window chunking (64-token chunks, 8-token overlap): the "
+    "corpus→tokenizer step of a training pipeline, as a pure JVM "
+    "generator explode with reconstructible (doc, offset) lineage — "
+    "no shuffle, no UDF (operators/chunking.py).",
+)
+def chunk_documents_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap_tokens=8)
+
+
+def _redact_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.text import PII_PATTERNS
+
+    sql = "WITH t0 AS (SELECT doc_id, text AS s0 FROM documents)"
+    prev = "t0"
+    counts = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        lit = pat.replace("'", "''")
+        carried = ", ".join(counts) + (", " if counts else "")
+        sql += f""",
+    t{i + 1} AS (SELECT doc_id, {carried}
+              CAST(len(regexp_extract_all(s{i}, '{lit}')) AS BIGINT)
+                  AS n_{name},
+              regexp_replace(s{i}, '{lit}', '{repl}', 'g') AS s{i + 1}
+       FROM {prev})"""
+        counts.append(f"n_{name}")
+        prev = f"t{i + 1}"
+    cols = ", ".join(counts)
+    return f"{sql}\n    SELECT doc_id, {cols}, s{len(PII_PATTERNS)} AS clean_text FROM {prev}"
+
+
+@q(
+    "redact_pii_docs",
+    _redact_oracle(),
+    "Corpus-hygiene scrub: emails / SSNs / IPv4s / phone runs become "
+    "typed placeholders with auditable per-type span counts, applied "
+    "as an ordered chain of JVM regexp projections; the oracle "
+    "replays the exact same chain (operators/text.py:redact_pii).",
+)
+def redact_pii_docs_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.redact_pii(docs).select(
+        "doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone", "clean_text"
+    )
+
+
 # ===========================================================================
 # Registry ordering.
 #
@@ -1943,10 +2007,13 @@ def near_dedup_canonical_q(spark, sf_dir):
 # ===========================================================================
 
 _ROTATED_OUT = [
-    # pure per-row projections, green r02+r03; displaced so the two
-    # round-4 cluster-closure queries get their first green row
+    # pure per-row projections / already-double-covered shapes, green
+    # r02+r03; displaced so the four round-4 additions (cluster
+    # closure ×2, chunking, PII scrub) get their first green row
     "text_lang_id",
     "text_fingerprints",
+    "regexp_part_names",
+    "array_agg_devices",
     # redundant with still-windowed coverage: q1/q3/cube/grouping_sets
     # (aggregation), window_rank/window_running (windows), filtered_
     # aggregates (conditional agg), scalar coverage via regexp +
