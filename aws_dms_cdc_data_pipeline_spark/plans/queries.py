@@ -1992,6 +1992,28 @@ def redact_pii_docs_q(spark, sf_dir):
     )
 
 
+@q(
+    "pack_training_sequences",
+    None,  # FFD packing is sequential state — not relational algebra;
+    # driver records rows-only (row count = #chunks, deterministic),
+    # invariants are pytest-enforced (tests/test_packing.py)
+    "Sequence packing for pretraining: chunks → fixed-256-token "
+    "sequences via first-fit-decreasing per xxhash shard "
+    "(Arrow-batched applyInPandas; operators/packing.py).",
+)
+def pack_training_sequences_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.chunking import chunk_documents
+    from aws_dms_cdc_data_pipeline_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap_tokens=8).select(
+        "doc_id", "chunk_id", "n_tokens"
+    )
+    return pack_sequences(
+        chunks, max_tokens=256, num_shards=8
+    )
+
+
 # ===========================================================================
 # Registry ordering.
 #
@@ -2014,6 +2036,9 @@ _ROTATED_OUT = [
     "text_fingerprints",
     "regexp_part_names",
     "array_agg_devices",
+    # rows-only (no oracle) — its weak check can wait for the r5
+    # rotation; keeping the current window's 50 oracle slots intact
+    "pack_training_sequences",
     # redundant with still-windowed coverage: q1/q3/cube/grouping_sets
     # (aggregation), window_rank/window_running (windows), filtered_
     # aggregates (conditional agg), scalar coverage via regexp +
