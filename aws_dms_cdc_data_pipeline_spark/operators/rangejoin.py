@@ -69,10 +69,12 @@ def range_join(
     # granule equality drives the hash join; exact bounds ride along in
     # the same condition (a point hits ≤1 granule row per interval, so
     # no dedup is needed for any supported join type)
+    # backtick-quote user column names so dots/specials don't parse
+    # as struct access
     cond = (
         (F.col("_pts._g") == F.col("_iv._g"))
-        & (F.col(f"_pts.{ts_col}") >= F.col(f"_iv.{start_col}"))
-        & (F.col(f"_pts.{ts_col}") < F.col(f"_iv.{end_col}"))
+        & (F.col(f"_pts.`{ts_col}`") >= F.col(f"_iv.`{start_col}`"))
+        & (F.col(f"_pts.`{ts_col}`") < F.col(f"_iv.`{end_col}`"))
     )
     joined = pts.join(iv, cond, how)
     if how_norm in {"leftsemi", "leftanti"}:

@@ -159,6 +159,28 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("clean_text", cleaned)
 
 
+def vocabulary(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, n_occurrences, n_docs) over normalized whitespace terms.
+
+    The corpus-analysis staple behind vocab builds, stopword lists
+    and df-based filtering (e.g. ngram max_df tuning). Classic
+    wordcount shape: explode + groupBy(term) — map-side combine does
+    the heavy lifting, the shuffle carries one row per distinct term
+    per partition. Callers wanting top-k add orderBy+limit, which
+    compiles to TakeOrdered (no global sort).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    terms = df.select(
+        id_col, F.explode(F.split(norm, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint over normalized text.
 

@@ -1993,6 +1993,31 @@ def redact_pii_docs_q(spark, sf_dir):
 
 
 @q(
+    "vocab_top_terms",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    terms AS (
+        SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM terms WHERE term <> ''
+    GROUP BY term ORDER BY n_occurrences DESC, term LIMIT 100
+    """,
+    "Corpus vocabulary: top-100 terms by occurrence (tie-broken "
+    "lexically) with document frequency — wordcount shape, map-side "
+    "combine + TakeOrdered (operators/text.py:vocabulary).",
+)
+def vocab_top_terms_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        X.vocabulary(docs)
+        .orderBy(F.col("n_occurrences").desc(), "term")
+        .limit(100)
+    )
+
+
+@q(
     "pack_training_sequences",
     None,  # FFD packing is sequential state — not relational algebra;
     # driver records rows-only (row count = #chunks, deterministic),
@@ -2036,6 +2061,7 @@ _ROTATED_OUT = [
     "text_fingerprints",
     "regexp_part_names",
     "array_agg_devices",
+    "filtered_aggregates",
     # rows-only (no oracle) — its weak check can wait for the r5
     # rotation; keeping the current window's 50 oracle slots intact
     "pack_training_sequences",
