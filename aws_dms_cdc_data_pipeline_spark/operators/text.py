@@ -181,6 +181,61 @@ def vocabulary(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF.
+
+    score = tf · (ln((N+1)/(df+1)) + 1), rounded to 6 digits (ln is
+    transcendental — rounding absorbs cross-engine libm ulp drift the
+    way the cosine operators do). Shape: one wordcount aggregation for
+    (doc, term) tf, one for df, a broadcast of the corpus size, and a
+    per-doc rank window — WindowGroupLimit pushes the top-k cut
+    map-side, so no task materializes a document's full vocabulary
+    sorted. Ties break (score desc, term asc): total order, stable
+    cut at every k.
+    """
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    terms = df.select(
+        id_col, F.explode(F.split(norm, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # corpus size rides in the plan as a broadcast 1-row aggregate —
+    # no eager driver-side count, the operator stays fully lazy
+    n_docs = df.agg(F.countDistinct(id_col).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("_n") + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint over normalized text.
 

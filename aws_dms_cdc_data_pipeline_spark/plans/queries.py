@@ -2018,6 +2018,43 @@ def vocab_top_terms_q(spark, sf_dir):
 
 
 @q(
+    "tfidf_top_terms",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    terms AS (
+        SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM terms WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+    scored AS (
+        SELECT doc_id, tf.term, tf, df,
+               round(tf * (ln(CAST(nd + 1 AS DOUBLE)
+                              / CAST(df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+    "Top-5 characteristic terms per document by smoothed TF-IDF "
+    "(round-6 absorbs cross-libm ln ulp drift); WindowGroupLimit "
+    "pushes the per-doc cut map-side "
+    "(operators/text.py:tfidf_top_terms).",
+)
+def tfidf_top_terms_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(docs, k=5)
+
+
+@q(
     "pack_training_sequences",
     None,  # FFD packing is sequential state — not relational algebra;
     # driver records rows-only (row count = #chunks, deterministic),
@@ -2062,6 +2099,7 @@ _ROTATED_OUT = [
     "regexp_part_names",
     "array_agg_devices",
     "filtered_aggregates",
+    "scalar_subquery_above_avg",
     # rows-only (no oracle) — its weak check can wait for the r5
     # rotation; keeping the current window's 50 oracle slots intact
     "pack_training_sequences",

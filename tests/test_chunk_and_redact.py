@@ -56,6 +56,29 @@ def test_redact_pii_planted_spans(spark):
     )
 
 
+def test_tfidf_top_terms_ranks_characteristic_words(spark):
+    import math
+
+    from aws_dms_cdc_data_pipeline_spark.operators.text import tfidf_top_terms
+
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "common zebra zebra"),
+            (2, "common yak yak"),
+            (3, "common common common"),
+        ],
+    )
+    out = tfidf_top_terms(docs, k=1).collect()
+    top = {r.doc_id: r for r in out}
+    # the doc-characteristic word beats the corpus-wide one
+    assert top[1].term == "zebra" and top[2].term == "yak"
+    assert top[3].term == "common"
+    expect = round(2 * (math.log(4 / 2) + 1), 6)
+    assert abs(top[1].tfidf - expect) < 1e-9
+    assert all(r.rank == 1 for r in out)
+
+
 def test_redact_order_ssn_counted_before_phone_pattern(spark):
     # the SSN must be typed as SSN, not swallowed by the broader
     # phone-run pattern later in the chain
