@@ -2054,6 +2054,57 @@ def tfidf_top_terms_q(spark, sf_dir):
     return X.tfidf_top_terms(docs, k=5)
 
 
+# Decontamination probe suite: two 10-word spans lifted verbatim from
+# the sf0.01 corpus (hits: the source docs + any near-dups sharing the
+# span) and one out-of-vocabulary span (must hit nothing). Literal on
+# both sides so Spark and the oracle see the identical benchmark.
+_CONTAM_PROBES = [
+    (1, "key agg row scan slow fast table value part hash"),
+    (2, "batch window spark order data column agg join small line"),
+    (3, "purple elephants orchestrate midnight quantum tango beyond saturn rings"),
+]
+
+
+@q(
+    "benchmark_contamination",
+    f"""
+    WITH probes(probe_id, probe_text) AS (VALUES
+        {", ".join(f"(CAST({i} AS BIGINT), '{t}')" for i, t in _CONTAM_PROBES)}
+    ),
+    dn AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    dw AS (SELECT doc_id, string_split(t, ' ') AS ws FROM dn),
+    dg AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+        FROM dw, UNNEST(generate_series(1, len(ws) - 7)) AS s(i)
+    ),
+    pn AS (SELECT probe_id,
+                  regexp_replace(lower(trim(probe_text)), '\\s+', ' ', 'g') AS t
+           FROM probes),
+    pw AS (SELECT probe_id, string_split(t, ' ') AS ws FROM pn),
+    pg AS (
+        SELECT DISTINCT probe_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+        FROM pw, UNNEST(generate_series(1, len(ws) - 7)) AS s(i)
+    )
+    SELECT doc_id, probe_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM dg JOIN pg USING (g) GROUP BY doc_id, probe_id
+    """,
+    "Benchmark decontamination: documents sharing any word-8-gram "
+    "with a probe suite, via broadcast of the probe gram set — the "
+    "corpus side streams through a broadcast-hash join, never "
+    "shuffled (operators/contamination.py).",
+)
+def benchmark_contamination_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.contamination import (
+        flag_contaminated,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    probes = spark.createDataFrame(
+        _CONTAM_PROBES, "probe_id long, probe_text string"
+    )
+    return flag_contaminated(docs, probes, n=8)
+
+
 @q(
     "pack_training_sequences",
     None,  # FFD packing is sequential state — not relational algebra;
@@ -2100,6 +2151,7 @@ _ROTATED_OUT = [
     "array_agg_devices",
     "filtered_aggregates",
     "scalar_subquery_above_avg",
+    "agg_distinct_customers",
     # rows-only (no oracle) — its weak check can wait for the r5
     # rotation; keeping the current window's 50 oracle slots intact
     "pack_training_sequences",
