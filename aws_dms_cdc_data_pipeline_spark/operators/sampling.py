@@ -36,6 +36,36 @@ def hash_sample(
     return df.filter(_hex4(F.col(id_col)) < F.lit(hex_threshold(fraction)))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — domain mixture weighting.
+
+    The corpus-mixing step of a training pipeline ("keep 100% of
+    wiki, 30% of web, 5% of logs"): each stratum keeps ~its fraction,
+    decided by the same id-content hash as :func:`hash_sample`, so
+    membership is stable across runs/partitionings AND across
+    fraction retuning (raising a stratum's weight only ADDS docs —
+    the kept set is monotone in the fraction, so dataset versions
+    nest). Strata not listed keep ``default_fraction``. Pure
+    filter — no shuffle, no RNG; thresholds compile to a literal
+    CASE over the stratum column.
+    """
+    h = _hex4(F.col(id_col))
+    bound = F.lit(hex_threshold(default_fraction))
+    for stratum in sorted(fractions):  # deterministic plan
+        bound = F.when(
+            F.col(strata_col) == stratum,
+            F.lit(hex_threshold(fractions[stratum])),
+        ).otherwise(bound)
+    return df.filter(h < bound)
+
+
 def with_split(
     df: DataFrame,
     *,

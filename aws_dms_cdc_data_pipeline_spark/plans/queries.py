@@ -2105,6 +2105,46 @@ def benchmark_contamination_q(spark, sf_dir):
     return flag_contaminated(docs, probes, n=8)
 
 
+# Domain mixture: heavy on src0, moderate src1-3, light everything else
+_MIX_FRACTIONS = {"src0": 0.9, "src1": 0.5, "src2": 0.5, "src3": 0.5}
+_MIX_DEFAULT = 0.1
+
+
+def _mix_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import hex_threshold
+
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN '{hex_threshold(f)}'"
+        for s, f in sorted(_MIX_FRACTIONS.items())
+    )
+    return f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < (CASE {cases} ELSE '{hex_threshold(_MIX_DEFAULT)}' END)
+    """
+
+
+@q(
+    "domain_mixture_sample",
+    _mix_oracle(),
+    "Domain mixture weighting: per-source deterministic hash "
+    "sampling (keep 90% of src0, 50% of src1-3, 10% of the rest) — "
+    "membership is a pure id-hash filter, stable across runs and "
+    "monotone in the fraction so dataset versions nest "
+    "(operators/sampling.py:stratified_hash_sample).",
+)
+def domain_mixture_sample_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, _MIX_FRACTIONS, default_fraction=_MIX_DEFAULT
+    ).select("doc_id", "source")
+
+
 @q(
     "pack_training_sequences",
     None,  # FFD packing is sequential state — not relational algebra;
@@ -2152,6 +2192,7 @@ _ROTATED_OUT = [
     "filtered_aggregates",
     "scalar_subquery_above_avg",
     "agg_distinct_customers",
+    "join_semi_high_qty",
     # rows-only (no oracle) — its weak check can wait for the r5
     # rotation; keeping the current window's 50 oracle slots intact
     "pack_training_sequences",

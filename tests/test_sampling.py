@@ -30,3 +30,35 @@ def test_hash_sample_partitioning_independent(spark, sf_dir):
     assert a == b
     n = docs.count()
     assert 0.15 * n < len(a) < 0.35 * n  # ~25% with hash variance
+
+
+def test_stratified_hash_sample_weights_and_monotonicity(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    light = stratified_hash_sample(
+        docs, {"src0": 0.3}, default_fraction=0.1
+    )
+    heavy = stratified_hash_sample(
+        docs, {"src0": 0.9}, default_fraction=0.1
+    )
+    l_ids = {r.doc_id for r in light.select("doc_id").collect()}
+    h_ids = {r.doc_id for r in heavy.select("doc_id").collect()}
+    # monotone: raising src0's weight only ADDS documents
+    assert l_ids <= h_ids and len(h_ids) > len(l_ids)
+    # per-stratum rates land near their targets
+    tot = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    kept = {r.source: r["count"] for r in heavy.groupBy("source").count().collect()}
+    assert 0.7 <= kept["src0"] / tot["src0"] <= 1.0
+    others = sum(v for s, v in kept.items() if s != "src0")
+    others_tot = sum(v for s, v in tot.items() if s != "src0")
+    assert 0.03 <= others / others_tot <= 0.2
+    # determinism across invocations
+    again = {
+        r.doc_id
+        for r in stratified_hash_sample(docs, {"src0": 0.9}, default_fraction=0.1)
+        .select("doc_id").collect()
+    }
+    assert again == h_ids
