@@ -236,6 +236,58 @@ def tfidf_top_terms(
     )
 
 
+def with_repetition_scores(
+    df: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Within-document duplicate word-n-gram fractions (repetition signal).
+
+    The Gopher/RefinedWeb-style repetition filter: boilerplate and
+    looping generations repeat n-grams far above natural-text rates,
+    so ``dup_frac = 1 - distinct_ngrams / total_ngrams`` per document
+    is a cheap, effective quality gate. For each ``n`` emits
+    ``ngrams_{n}``, ``distinct_{n}`` and the fixed-point fraction
+    ``dup_fp_{n}`` = floor(dup_frac·1e6) (integer — portable across
+    engines, no float rounding hazard).
+
+    Pure array-function projection — split once, build grams with
+    ``transform`` over an index sequence, count with
+    ``array_distinct`` — all JVM-side, shuffle-free, linear in corpus
+    size. Word and gram arrays are staged as real columns so each is
+    computed once (inlining them into downstream expressions would
+    re-evaluate the transform per reference).
+    """
+    out = df.withColumn("_w", F.split(F.col(text_col), " "))
+    temps = ["_w"]
+    for n in ns:
+        # sequence(1, 0) would DESCEND in Spark — guard short docs
+        idx = F.when(
+            F.size("_w") >= n, F.sequence(F.lit(1), F.size("_w") - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        # NB: a default-arg lambda (i, n=n) would read to F.transform
+        # as the two-param (element, index) form — bind n via a factory
+        def _gram(n: int):
+            return lambda i: F.concat_ws(
+                " ", *[F.element_at("_w", i + j) for j in range(n)]
+            )
+
+        grams = F.transform(idx, _gram(n))
+        out = out.withColumn(f"_g{n}", grams)
+        temps.append(f"_g{n}")
+        ng = F.size(f"_g{n}")
+        nd = F.size(F.array_distinct(f"_g{n}"))
+        out = (
+            out.withColumn(f"ngrams_{n}", ng.cast("long"))
+            .withColumn(f"distinct_{n}", nd.cast("long"))
+            .withColumn(
+                f"dup_fp_{n}",
+                F.when(ng == 0, F.lit(0))
+                .otherwise(F.floor((1.0 - nd.cast("double") / ng) * 1e6))
+                .cast("long"),
+            )
+        )
+    return out.drop(*temps)
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint over normalized text.
 

@@ -2146,6 +2146,51 @@ def domain_mixture_sample_q(spark, sf_dir):
 
 
 @q(
+    "text_repetition_scores",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, len(w)-1),
+                       i -> array_to_string(w[i:i+1], ' ')) AS g2,
+        list_transform(generate_series(1, len(w)-2),
+                       i -> array_to_string(w[i:i+2], ' ')) AS g3
+      FROM words
+    )
+    SELECT doc_id,
+      len(g2) AS ngrams_2, len(list_distinct(g2)) AS distinct_2,
+      CASE WHEN len(g2) = 0 THEN 0 ELSE CAST(floor(
+        (1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2))*1e6) AS BIGINT)
+      END AS dup_fp_2,
+      len(g3) AS ngrams_3, len(list_distinct(g3)) AS distinct_3,
+      CASE WHEN len(g3) = 0 THEN 0 ELSE CAST(floor(
+        (1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3))*1e6) AS BIGINT)
+      END AS dup_fp_3
+    FROM g
+    """,
+    "Within-document duplicate-n-gram repetition fractions "
+    "(Gopher-style quality signal) for n=2,3 — fixed-point integers, "
+    "exact cross-engine (operators/text.py:with_repetition_scores).",
+)
+def text_repetition_scores_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.text import (
+        with_repetition_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_repetition_scores(docs).select(
+        "doc_id",
+        "ngrams_2",
+        "distinct_2",
+        "dup_fp_2",
+        "ngrams_3",
+        "distinct_3",
+        "dup_fp_3",
+    )
+
+
+@q(
     "pack_training_sequences",
     None,  # FFD packing is sequential state — not relational algebra;
     # driver records rows-only (row count = #chunks, deterministic),
@@ -2213,6 +2258,9 @@ _ROTATED_OUT = [
     "json_extract_props",
     "having_supplier_qty",
     "distinct_user_event_pairs",
+    # rank-window shape stays covered in-window by tfidf_top_terms's
+    # row_number cut; green r02+r03
+    "window_rank_orders",
 ]
 
 assert all(name in REGISTRY for name in _ROTATED_OUT), "rotation list drifted"

@@ -248,3 +248,28 @@ def test_real_decode_is_explicit_stub(spark):
     media = M.documents_as_media(df)
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         M.extract_features(media, fake=False).collect()
+
+
+def test_repetition_scores_planted(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.text import (
+        with_repetition_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # bigrams: ab ba ab ba ab -> 2/5 distinct
+            (2, "one two three four"),    # all distinct
+            (3, "x"),                     # shorter than any n: zero grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in with_repetition_scores(df).collect()
+    }
+    assert out[1].ngrams_2 == 5 and out[1].distinct_2 == 2
+    assert out[1].dup_fp_2 == int((1 - 2 / 5) * 1e6)
+    assert out[2].dup_fp_2 == 0 and out[2].dup_fp_3 == 0
+    assert out[3].ngrams_2 == 0 and out[3].dup_fp_2 == 0
+    # repeated text repeats its trigrams too
+    assert out[1].dup_fp_3 > 0
