@@ -66,6 +66,47 @@ def stratified_hash_sample(
     return df.filter(h < bound)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "",
+    num_shards: int = 16,
+) -> DataFrame:
+    """Reproducible global shuffle: (shard, pos) training order.
+
+    Training pipelines need corpus order randomized BEFORE sequence
+    packing/batching, and the order must be reproducible (resume a
+    run, re-emit an identical dataset) — ``df.orderBy(rand())``
+    fails both. This derives the order from ``md5(seed:id)``: the
+    first 4 hex chars range-bin the hash space into ``num_shards``
+    equal shards, and ``pos`` ranks the full hash within the shard.
+    Changing ``seed`` is a fresh, equally-uniform permutation.
+
+    Scale shape: no global sort — ``shard`` is a static range
+    partition of the hash space (md5 uniformity keeps shards
+    balanced), the per-shard ``row_number`` is one hash-partitioned
+    window, and a writer uses ``partitionBy("shard")`` +
+    files-sorted-by-pos to lay out the corpus. Size ``num_shards``
+    so one shard ≈ one task's worth of rows (e.g. ~10k shards at
+    100 TB), exactly like sizing shuffle partitions.
+    """
+    from pyspark.sql import Window
+
+    hkey = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    out = df.withColumn("_hkey", hkey)
+    prefix = F.conv(F.col("_hkey").substr(1, 4), 16, 10).cast("int")
+    out = out.withColumn(
+        "shard", F.floor(prefix * num_shards / _STRATA).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_hkey", id_col)
+    return out.withColumn("pos", F.row_number().over(w).cast("long")).drop(
+        "_hkey"
+    )
+
+
 def with_split(
     df: DataFrame,
     *,

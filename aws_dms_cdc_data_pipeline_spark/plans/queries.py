@@ -2191,6 +2191,39 @@ def text_repetition_scores_q(spark, sf_dir):
 
 
 @q(
+    "corpus_shuffle_order",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5('s1:' || CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents
+    ), s AS (
+      SELECT doc_id, hkey,
+             CAST(floor(CAST(CAST('0x' || substr(hkey, 1, 4) AS INTEGER)
+                             AS DOUBLE) * 16 / 65536) AS INTEGER) AS shard
+      FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY hkey, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+    "Reproducible global corpus shuffle: seeded hash → range-binned "
+    "shard + within-shard rank, no global sort "
+    "(operators/sampling.py:deterministic_shuffle).",
+)
+def corpus_shuffle_order_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, seed="s1", num_shards=16).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@q(
     "pack_training_sequences",
     None,  # FFD packing is sequential state — not relational algebra;
     # driver records rows-only (row count = #chunks, deterministic),
@@ -2261,6 +2294,9 @@ _ROTATED_OUT = [
     # rank-window shape stays covered in-window by tfidf_top_terms's
     # row_number cut; green r02+r03
     "window_rank_orders",
+    # cube shape stays covered in-window by grouping_sets_revenue
+    # (same expand operator); green r02+r03
+    "agg_cube_status_priority",
 ]
 
 assert all(name in REGISTRY for name in _ROTATED_OUT), "rotation list drifted"

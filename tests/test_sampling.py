@@ -62,3 +62,34 @@ def test_stratified_hash_sample_weights_and_monotonicity(spark, sf_dir):
         .select("doc_id").collect()
     }
     assert again == h_ids
+
+
+def test_deterministic_shuffle_is_reproducible_permutation(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    a = deterministic_shuffle(docs, seed="s1", num_shards=8)
+    rows = a.select("doc_id", "shard", "pos").collect()
+    # a permutation: every doc exactly once, (shard, pos) unique,
+    # pos contiguous 1..shard_size within each shard
+    assert len(rows) == n == len({r.doc_id for r in rows})
+    assert len({(r.shard, r.pos) for r in rows}) == n
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert 0 <= shard < 8
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # md5 uniformity keeps shards balanced (loose bound at small n)
+    sizes = [len(p) for p in by_shard.values()]
+    assert len(by_shard) == 8 and max(sizes) < 3 * min(sizes)
+    # same seed → identical order; different seed → different order
+    again = deterministic_shuffle(docs, seed="s1", num_shards=8)
+    assert sorted(map(tuple, again.select("doc_id", "shard", "pos").collect())) \
+        == sorted(map(tuple, rows))
+    other = deterministic_shuffle(docs, seed="s2", num_shards=8)
+    assert sorted(map(tuple, other.select("doc_id", "shard", "pos").collect())) \
+        != sorted(map(tuple, rows))
