@@ -252,3 +252,74 @@ def embedding_near_dup_pairs(
             "cosine",
         )
     )
+
+
+def nearest_centroid_classify(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Assign every vector to its nearest class centroid; return the
+    (true label, predicted label, count) confusion relation.
+
+    The semantic-domain-assignment staple: centroids learned from the
+    labeled corpus classify vectors by maximum mean-dot-product —
+    the single-iteration nearest-centroid cousin of the IVF
+    quantizer's Lloyd step (operators/ivf.py).
+
+    Determinism by construction: vectors quantize to integer
+    ``floor(x·1e6)`` arrays up front, centroid accumulation and the
+    dot products are pure BIGINT arithmetic, and the final
+    score = dotq / n_label division divides identical integers —
+    bit-identical across engines, no float-summation-order hazard.
+    Ties break toward the smaller centroid label. Overflow headroom:
+    |xq| ≤ 1e6·|x|, so dim·1e12·|x|²·n_label must stay < 2^63 —
+    at |x| ≤ 1, dim 1024, that allows ~9e6 vectors per label; larger
+    corpora sub-sample the centroid estimate, not the assignment.
+
+    Scale shape: the centroid relation is L rows (tiny) → broadcast
+    cross join; the integer dot is a JVM ``zip_with``/``aggregate``
+    fold per (vector, label); arg-max via ``max_by`` groupBy on the
+    vector id — one shuffle of N·L score rows, no explode of the
+    corpus in the join, corpus scanned once.
+    """
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1e6).cast("long"),
+    )
+    q = df.select(
+        F.col(id_col), F.col(label_col).alias("_true"), vq.alias("_vq")
+    )
+    cent = (
+        q.select("_true", F.posexplode("_vq").alias("_pos", "_xq"))
+        .groupBy(F.col("_true").alias("_label2"), F.col("_pos"))
+        .agg(F.sum("_xq").alias("_cq"), F.count(F.lit(1)).alias("_n"))
+        .groupBy("_label2")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_cq"))),
+                lambda s: s.getField("_cq"),
+            ).alias("_cent"),
+            F.first("_n").alias("_n"),
+        )
+    )
+    dotq = F.aggregate(
+        F.zip_with(F.col("_vq"), F.col("_cent"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_score", dotq.cast("double") / F.col("_n"))
+        .groupBy(id_col, "_true")
+        .agg(
+            F.max_by(
+                "_label2", F.struct(F.col("_score"), -F.col("_label2"))
+            ).alias("_pred")
+        )
+    )
+    return scored.groupBy(
+        F.col("_true").alias(label_col), F.col("_pred").alias("pred_label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))

@@ -2224,6 +2224,48 @@ def corpus_shuffle_order_q(spark, sf_dir):
 
 
 @q(
+    "centroid_label_confusion",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vq
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS label2, pos, SUM(vq[pos]) AS cq, COUNT(*) AS n
+      FROM q, UNNEST(generate_series(1, len(vq))) AS g(pos)
+      GROUP BY 1, 2
+    ), dots AS (
+      SELECT q.vec_id, q.label, c.label2,
+             CAST(SUM(q.vq[c.pos] * c.cq) AS DOUBLE) / MAX(c.n) AS score
+      FROM q JOIN cent c ON TRUE
+      GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT vec_id, label, label2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, label2) AS rn
+      FROM dots
+    )
+    SELECT label, label2 AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM pred WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+    "Nearest-centroid classification confusion matrix over the "
+    "labeled embedding corpus — quantized-integer dot products, "
+    "bit-exact cross-engine, broadcast centroids + max_by argmax "
+    "(operators/similarity.py:nearest_centroid_classify).",
+)
+def centroid_label_confusion_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.similarity import (
+        nearest_centroid_classify,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return nearest_centroid_classify(emb)
+
+
+@q(
     "pack_training_sequences",
     None,  # FFD packing is sequential state — not relational algebra;
     # driver records rows-only (row count = #chunks, deterministic),
@@ -2297,6 +2339,9 @@ _ROTATED_OUT = [
     # cube shape stays covered in-window by grouping_sets_revenue
     # (same expand operator); green r02+r03
     "agg_cube_status_priority",
+    # pure-projection text family stays covered in-window by
+    # text_quality_scores + text_repetition_scores; green r02+r03
+    "text_token_counts",
 ]
 
 assert all(name in REGISTRY for name in _ROTATED_OUT), "rotation list drifted"

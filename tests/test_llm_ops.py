@@ -273,3 +273,38 @@ def test_repetition_scores_planted(spark):
     assert out[3].ngrams_2 == 0 and out[3].dup_fp_2 == 0
     # repeated text repeats its trigrams too
     assert out[1].dup_fp_3 > 0
+
+
+def test_nearest_centroid_classify_planted_clusters(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.similarity import (
+        nearest_centroid_classify,
+    )
+
+    # two tight clusters on orthogonal axes + one mislabeled vector
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.95, 0.05], 0),
+        (4, [0.0, 1.0], 1), (5, [0.1, 0.9], 1), (6, [0.05, 0.95], 1),
+        (7, [0.99, 0.01], 1),  # labeled 1 but sits in cluster 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        (r.label, r.pred_label): r.n_vectors
+        for r in nearest_centroid_classify(df).collect()
+    }
+    assert out[(0, 0)] == 3          # clean cluster 0 all correct
+    assert out[(1, 0)] == 1          # the planted mislabel crosses over
+    assert out[(1, 1)] == 3
+    # exact tie between both centroids -> smaller label wins
+    tie = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1), (3, [1.0, 0.0], 0),
+         (4, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # vector [0.5, 0.5] scores identically against both centroids
+    tie = tie.union(spark.createDataFrame(
+        [(5, [0.5, 0.5], 1)], "vec_id long, embedding array<float>, label int"))
+    got = {
+        (r.label, r.pred_label): r.n_vectors
+        for r in nearest_centroid_classify(tie).collect()
+    }
+    assert got.get((1, 0)) == 1  # the tied vector went to label 0
