@@ -2265,6 +2265,62 @@ def centroid_label_confusion_q(spark, sf_dir):
     return nearest_centroid_classify(emb)
 
 
+def _curation_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import hex_threshold
+
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN '{hex_threshold(f)}'"
+        for s, f in sorted(_MIX_FRACTIONS.items())
+    )
+    val_hi = hex_threshold(0.1)
+    test_hi = hex_threshold(0.2)
+    return f"""
+    WITH qual AS ({_quality_oracle_sql()}),
+    keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM_SQL})
+    ),
+    base AS (
+      SELECT d.doc_id, d.source, q.quality_score,
+             substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS h
+      FROM documents d JOIN qual q USING (doc_id)
+      WHERE q.quality_score >= 0.55
+        AND d.doc_id IN (SELECT doc_id FROM keep)
+    )
+    SELECT doc_id, source, quality_score,
+           CASE WHEN h < '{val_hi}' THEN 'val'
+                WHEN h < '{test_hi}' THEN 'test'
+                ELSE 'train' END AS split
+    FROM base
+    WHERE h < (CASE {cases} ELSE '{hex_threshold(_MIX_DEFAULT)}' END)
+    """
+
+
+@q(
+    "curate_training_corpus",
+    _curation_oracle(),
+    "End-to-end corpus curation: quality filter (score >= 0.55) -> "
+    "exact dedup (normalized-md5, keep lowest id) -> domain mixture "
+    "sampling -> train/val/test split — the operators composed as a "
+    "user would run them; every stage stays a pushdown-friendly "
+    "filter/semi-join, no extra shuffles beyond the dedup's one.",
+)
+def curate_training_corpus_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        stratified_hash_sample,
+        with_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = X.with_quality_score(docs).filter(F.col("quality_score") >= 0.55)
+    deduped = D.exact_dedup(scored, text_col="text", id_col="doc_id")
+    mixed = stratified_hash_sample(
+        deduped, _MIX_FRACTIONS, default_fraction=_MIX_DEFAULT
+    )
+    return with_split(mixed).select(
+        "doc_id", "source", "quality_score", "split"
+    )
+
+
 @q(
     "pack_training_sequences",
     None,  # FFD packing is sequential state — not relational algebra;
@@ -2342,6 +2398,9 @@ _ROTATED_OUT = [
     # pure-projection text family stays covered in-window by
     # text_quality_scores + text_repetition_scores; green r02+r03
     "text_token_counts",
+    # dedup shape stays covered in-window inside curate_training_corpus
+    # (same md5-fingerprint + keep-min semi-join); green r02+r03
+    "exact_dedup_docs",
 ]
 
 assert all(name in REGISTRY for name in _ROTATED_OUT), "rotation list drifted"
