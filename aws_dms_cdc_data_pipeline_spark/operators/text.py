@@ -288,6 +288,60 @@ def with_repetition_scores(
     return out.drop(*temps)
 
 
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean unigram log-probability per document — a perplexity proxy.
+
+    The info-theoretic quality filter: train a unigram LM on the
+    corpus itself (term frequency / total tokens), score each
+    document by the mean log-probability of its words. Gibberish and
+    rare-token soup score low; repetitive boilerplate scores
+    suspiciously high — both tails get cut in published pipelines.
+
+    Determinism: per-term log-probs quantize to integer micro-nats
+    (``floor(ln(p)·1e6)``) BEFORE the per-document sum, so the
+    aggregation is pure BIGINT — no float-summation-order drift; the
+    final mean divides identical integers.
+
+    Scale shape: one wordcount aggregation for the vocab (map-side
+    combine), the corpus total rides as a broadcast 1-row aggregate
+    (no eager count), and the terms⋈vocab join keys on the term —
+    AQE broadcasts it when the vocabulary fits (natural-language
+    vocabularies do; the shuffle path remains correct when not).
+    Output: one row per document with ≥1 token.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    terms = df.select(
+        id_col, F.explode(F.split(norm, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("_c"))
+    total = vocab.agg(F.sum("_c").alias("_n"))
+    lp = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.floor(
+                F.log(F.col("_c").cast("double") / F.col("_n")) * 1e6
+            )
+            .cast("long")
+            .alias("_lq"),
+        )
+    )
+    return (
+        terms.join(lp, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("_lq").alias("sum_lq"),
+        )
+        .withColumn(
+            "mean_logprob",
+            F.col("sum_lq").cast("double") / 1e6 / F.col("n_terms"),
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint over normalized text.
 

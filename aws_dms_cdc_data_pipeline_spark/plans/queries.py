@@ -2322,6 +2322,40 @@ def curate_training_corpus_q(spark, sf_dir):
 
 
 @q(
+    "unigram_logprob_scores",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      FROM documents
+    ), terms AS (
+      SELECT doc_id, unnest(string_split(t, ' ')) AS term
+      FROM norm WHERE t <> ''
+    ), vocab AS (
+      SELECT term, count(*) AS c FROM terms GROUP BY 1
+    ), tot AS (
+      SELECT sum(c) AS n FROM vocab
+    ), lp AS (
+      SELECT term, CAST(floor(ln(CAST(c AS DOUBLE)/n) * 1e6) AS BIGINT) AS lq
+      FROM vocab, tot
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(SUM(lq) AS BIGINT) AS sum_lq,
+           CAST(SUM(lq) AS DOUBLE) / 1e6 / count(*) AS mean_logprob
+    FROM terms t JOIN lp USING (term)
+    GROUP BY t.doc_id
+    """,
+    "Mean unigram log-probability per document (perplexity-proxy "
+    "quality filter): corpus-trained unigram LM, integer micro-nat "
+    "quantization keeps the sum engine-exact "
+    "(operators/text.py:unigram_logprob).",
+)
+def unigram_logprob_scores_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.unigram_logprob(docs)
+
+
+@q(
     "pack_training_sequences",
     None,  # FFD packing is sequential state — not relational algebra;
     # driver records rows-only (row count = #chunks, deterministic),
@@ -2401,6 +2435,9 @@ _ROTATED_OUT = [
     # dedup shape stays covered in-window inside curate_training_corpus
     # (same md5-fingerprint + keep-min semi-join); green r02+r03
     "exact_dedup_docs",
+    # hyperplane-LSH bucket shape stays covered in-window by
+    # ann_lsh_topk (same sketch + bucket join); green r02+r03
+    "embedding_near_dup_lsh",
 ]
 
 assert all(name in REGISTRY for name in _ROTATED_OUT), "rotation list drifted"

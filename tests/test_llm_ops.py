@@ -308,3 +308,23 @@ def test_nearest_centroid_classify_planted_clusters(spark):
         for r in nearest_centroid_classify(tie).collect()
     }
     assert got.get((1, 0)) == 1  # the tied vector went to label 0
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.text import unigram_logprob
+
+    # "common common common" vs a doc of hapaxes: common words score higher
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "rare1 rare2 rare3 rare4"),
+            (3, "common rare5 common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert out[1].mean_logprob > out[3].mean_logprob > out[2].mean_logprob
+    assert out[1].n_terms == 4
+    # sum is integer micro-nats: sum_lq/1e6/n == mean exactly
+    for r in out.values():
+        assert abs(r.sum_lq / 1e6 / r.n_terms - r.mean_logprob) < 1e-12
