@@ -98,3 +98,52 @@ def to_envelope(
 def wrap_rows(rows: DataFrame, **kwargs) -> DataFrame:
     """to_envelope + serialize: bare rows → wire-format JSON lines."""
     return serialize_envelopes(to_envelope(rows, **kwargs))
+
+
+def schema_drift_report(
+    df: DataFrame,
+    expected_keys: list[str],
+    *,
+    json_col: str = "value",
+) -> DataFrame:
+    """Per-key schema-drift report over a stream of JSON payloads.
+
+    CDC pipelines break silently when the source schema evolves — an
+    added column vanishes into PERMISSIVE parsing, a dropped one
+    becomes NULLs. This audits the raw wire bytes instead: for every
+    key observed in any payload ∪ every key the contract expects,
+    report how many records carry it, how many lack it, and whether
+    the contract knows it. Unexpected keys with n_present > 0 (new
+    source column) and expected keys with n_missing > 0 (dropped /
+    renamed column) are the drift alarms.
+
+    Scale shape: one explode of the key arrays + wordcount groupBy
+    (map-side combine; key cardinality ~ schema width, so the shuffle
+    is tiny), total count rides as a broadcast 1-row aggregate, the
+    expected-key contract is a literal relation — no second scan, no
+    driver collect.
+    """
+    spark = df.sparkSession
+    keys = F.json_object_keys(F.col(json_col))
+    obs = (
+        df.select(F.explode(keys).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_present"))
+    )
+    exp = spark.createDataFrame([(k,) for k in expected_keys], "key string")
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        obs.join(exp.withColumn("_exp", F.lit(1)), "key", "full_outer")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            F.coalesce(F.col("n_present"), F.lit(0)).cast("long").alias("n_present"),
+            (F.col("_n") - F.coalesce(F.col("n_present"), F.lit(0)))
+            .cast("long")
+            .alias("n_missing"),
+            F.when(F.col("_exp").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("in_schema"),
+        )
+    )

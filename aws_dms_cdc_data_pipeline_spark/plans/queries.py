@@ -2356,6 +2356,73 @@ def unigram_logprob_scores_q(spark, sf_dir):
 
 
 @q(
+    "cdc_schema_drift",
+    """
+    WITH env AS (
+      SELECT CASE
+        WHEN event_id % 100 = 0 THEN
+          json_object('event_id', event_id, 'user_id', user_id,
+                      'event_type', event_type, 'value', value,
+                      'new_col', 1)
+        WHEN event_id % 97 = 0 THEN
+          json_object('event_id', event_id, 'user_id', user_id,
+                      'event_type', event_type)
+        ELSE
+          json_object('event_id', event_id, 'user_id', user_id,
+                      'event_type', event_type, 'value', value)
+      END AS j
+      FROM events
+    ), tot AS (SELECT count(*) AS n FROM env),
+    obs AS (
+      SELECT key, count(*) AS n_present
+      FROM (SELECT unnest(json_keys(j)) AS key FROM env)
+      GROUP BY 1
+    ),
+    exp AS (SELECT unnest(['event_id','user_id','event_type','value']) AS key),
+    allk AS (SELECT key FROM obs UNION SELECT key FROM exp)
+    SELECT a.key,
+           CAST(COALESCE(o.n_present, 0) AS BIGINT) AS n_present,
+           CAST(t.n - COALESCE(o.n_present, 0) AS BIGINT) AS n_missing,
+           CAST(CASE WHEN a.key IN ('event_id','user_id','event_type','value')
+                THEN 1 ELSE 0 END AS BIGINT) AS in_schema
+    FROM allk a LEFT JOIN obs o USING (key), tot t
+    """,
+    "CDC schema-drift audit: per-key presence/absence counts over the "
+    "raw JSON wire vs the declared contract — added-column and "
+    "dropped-column drift both surface as non-zero alarms "
+    "(operators/envelope.py:schema_drift_report). Drift is injected "
+    "deterministically (every 100th envelope gains new_col, every "
+    "97th drops value).",
+)
+def cdc_schema_drift_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.envelope import (
+        schema_drift_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    normal = F.to_json(F.struct("event_id", "user_id", "event_type", "value"))
+    extra = F.to_json(
+        F.struct(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.lit(1).alias("new_col"),
+        )
+    )
+    dropped = F.to_json(F.struct("event_id", "user_id", "event_type"))
+    wire = ev.select(
+        F.when(F.col("event_id") % 100 == 0, extra)
+        .when(F.col("event_id") % 97 == 0, dropped)
+        .otherwise(normal)
+        .alias("value")
+    )
+    return schema_drift_report(
+        wire, ["event_id", "user_id", "event_type", "value"]
+    )
+
+
+@q(
     "pack_training_sequences",
     None,  # FFD packing is sequential state — not relational algebra;
     # driver records rows-only (row count = #chunks, deterministic),
@@ -2438,6 +2505,9 @@ _ROTATED_OUT = [
     # hyperplane-LSH bucket shape stays covered in-window by
     # ann_lsh_topk (same sketch + bucket join); green r02+r03
     "embedding_near_dup_lsh",
+    # exact-cosine pair scoring stays covered in-window by
+    # ann_brute_force_topk (same dot/norm fold); green r02+r03
+    "embedding_similarity_pairs",
 ]
 
 assert all(name in REGISTRY for name in _ROTATED_OUT), "rotation list drifted"

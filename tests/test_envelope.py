@@ -95,3 +95,27 @@ def test_to_envelope_wraps_bare_rows(spark):
     assert r.metadata["partition-key-type"] == "primary-key"
     assert r.metadata["schema-name"] == "testdb"
     assert r.metadata["table-name"] == "retail_trans"
+
+
+def test_schema_drift_report_flags_added_and_dropped_keys(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.envelope import (
+        schema_drift_report,
+    )
+
+    wire = spark.createDataFrame(
+        [
+            ('{"a": 1, "b": 2}',),
+            ('{"a": 1, "b": 2}',),
+            ('{"a": 1, "b": 2, "rogue": 9}',),  # added column
+            ('{"a": 1}',),                      # dropped column b
+        ],
+        "value string",
+    )
+    rep = {r.key: r for r in schema_drift_report(wire, ["a", "b"]).collect()}
+    assert rep["a"].n_present == 4 and rep["a"].n_missing == 0
+    assert rep["a"].in_schema == 1
+    assert rep["b"].n_present == 3 and rep["b"].n_missing == 1
+    assert rep["rogue"].n_present == 1 and rep["rogue"].in_schema == 0
+    # an expected key never observed still gets a row
+    rep2 = {r.key: r for r in schema_drift_report(wire, ["a", "gone"]).collect()}
+    assert rep2["gone"].n_present == 0 and rep2["gone"].n_missing == 4
