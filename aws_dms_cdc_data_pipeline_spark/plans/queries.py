@@ -2423,6 +2423,31 @@ def cdc_schema_drift_q(spark, sf_dir):
 
 
 @q(
+    "kmeans_cluster_sizes",
+    None,  # trained centroids are float-iterative — not SQL-replayable;
+    # clustering QUALITY is pytest-asserted (tests/test_ivf.py recall,
+    # tests/test_llm_ops.py planted clusters)
+    "Corpus k-means clustering (the IVF coarse quantizer run as a "
+    "first-class operator): Lloyd iterations stay distributed, only "
+    "the k×dim centroid matrix reaches the driver; output is the "
+    "cluster-cardinality histogram (operators/ivf.py:train_quantizer).",
+)
+def kmeans_cluster_sizes_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf.train_quantizer(emb, n_lists=8, iterations=3)
+    normed = emb.select(
+        F.col("vec_id"), ivf._normalize(F.col("embedding")).alias("_v")
+    )
+    assigned = ivf._assign_cells(normed, centroids, id_col="vec_id")
+    return (
+        assigned.groupBy(F.col("_cell").alias("cluster"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+
+
+@q(
     "pack_training_sequences",
     None,  # FFD packing is sequential state — not relational algebra;
     # driver records rows-only (row count = #chunks, deterministic),

@@ -35,3 +35,13 @@ def test_ivf_recall_and_shape(spark, sf_dir):
     self_hits = {(r.query_id, r.vec_id) for r in approx_rows
                  if r.rank == 1}
     assert self_hits == {(q, q) for q in range(8)}
+
+
+def test_kmeans_cluster_sizes_partition_corpus(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.plans.queries import REGISTRY
+
+    out = REGISTRY["kmeans_cluster_sizes"].fn(spark, sf_dir).collect()
+    emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_vectors for r in out) == emb_n  # exactly one cell each
+    assert 1 < len(out) <= 8
+    assert all(0 <= r.cluster < 8 for r in out)
