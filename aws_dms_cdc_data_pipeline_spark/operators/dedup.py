@@ -411,3 +411,54 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Cross-source exact-duplicate overlap matrix.
+
+    Corpus forensics: how much of stratum A's content also appears in
+    stratum B (mirror-site crawls, re-scraped dumps, benchmark splits
+    leaking across sources). One row per unordered source pair with
+    the count of distinct normalized fingerprints present in both.
+
+    Scale shape: ONE shuffle keyed on the fingerprint (map-side
+    distinct of (fp, source)), then the per-fingerprint source-set
+    explodes into its ordered pairs — |sources|² per fingerprint,
+    bounded by the stratum count, never a corpus self-join. The text
+    itself never shuffles, only (fp, source).
+    """
+    fp = F.md5(normalize_text(F.col(text_col))).alias("_fp")
+    sets = (
+        df.select(fp, F.col(strata_col))
+        .distinct()
+        .groupBy("_fp")
+        .agg(F.array_sort(F.collect_set(strata_col)).alias("_srcs"))
+        .filter(F.size("_srcs") > 1)
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_srcs"),
+                    lambda a: F.filter(
+                        F.transform(
+                            F.col("_srcs"),
+                            lambda b: F.when(a < b, F.struct(
+                                a.alias("source_a"), b.alias("source_b")
+                            )),
+                        ),
+                        lambda s: s.isNotNull(),
+                    ),
+                )
+            )
+        ).alias("_p")
+    )
+    return pairs.groupBy(
+        F.col("_p.source_a").alias("source_a"),
+        F.col("_p.source_b").alias("source_b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_shared"))

@@ -2448,6 +2448,41 @@ def kmeans_cluster_sizes_q(spark, sf_dir):
 
 
 @q(
+    "source_overlap_matrix",
+    f"""
+    WITH all_docs AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text, 'srcX' AS source
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    fps AS (
+      SELECT DISTINCT source, md5({_NORM_SQL}) AS fp FROM all_docs
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    "Cross-source exact-duplicate overlap matrix (corpus forensics: "
+    "mirror crawls / re-scraped dumps). Input is documents ∪ a "
+    "re-sourced copy of every 10th doc so the matrix is non-trivial "
+    "on the fixture (operators/dedup.py:source_overlap_matrix — "
+    "one fp-keyed shuffle, source-set pair explode, no self-join).",
+)
+def source_overlap_matrix_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        F.lit("srcX").alias("source"),
+    )
+    return D.source_overlap_matrix(docs.unionByName(planted))
+
+
+@q(
     "pack_training_sequences",
     None,  # FFD packing is sequential state — not relational algebra;
     # driver records rows-only (row count = #chunks, deterministic),
@@ -2533,6 +2568,12 @@ _ROTATED_OUT = [
     # exact-cosine pair scoring stays covered in-window by
     # ann_brute_force_topk (same dot/norm fold); green r02+r03
     "embedding_similarity_pairs",
+    # media plumbing stays covered in-window by multimodal_features
+    # (same mapInPandas path, stronger value check); green r02+r03
+    "multimodal_media_stats",
+    # rows-only (no oracle) — weak check deferred to the r5 rotation
+    # alongside pack_training_sequences; quality is pytest-asserted
+    "kmeans_cluster_sizes",
 ]
 
 assert all(name in REGISTRY for name in _ROTATED_OUT), "rotation list drifted"

@@ -328,3 +328,30 @@ def test_unigram_logprob_orders_rarity(spark):
     # sum is integer micro-nats: sum_lq/1e6/n == mean exactly
     for r in out.values():
         assert abs(r.sum_lq / 1e6 / r.n_terms - r.mean_logprob) < 1e-12
+
+
+def test_source_overlap_matrix_counts_shared_fingerprints(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared doc one", "web"),
+            (2, "Shared   Doc One", "wiki"),   # same after normalization
+            (3, "shared doc two", "web"),
+            (4, "shared doc two", "wiki"),
+            (5, "shared doc two", "books"),
+            (6, "unique to web", "web"),
+            (7, "shared doc one", "web"),      # intra-source dup: no self-pair
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in source_overlap_matrix(df).collect()
+    }
+    assert out[("web", "wiki")] == 2          # both shared docs
+    assert out[("books", "web")] == 1
+    assert out[("books", "wiki")] == 1
+    assert len(out) == 3                      # no self-pairs, ordered pairs only
