@@ -107,6 +107,40 @@ def deterministic_shuffle(
     )
 
 
+def per_stratum_cap(
+    df: DataFrame,
+    cap: int,
+    *,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum, chosen deterministically.
+
+    The balanced-sampling primitive ("at most N examples per domain /
+    per class"): rank rows within each stratum by a seeded content
+    hash and keep the first ``cap``. Unlike a fraction-based sample,
+    the cap holds exactly even when strata are wildly skewed — the
+    dominant domain can't drown the mixture. Deterministic in
+    (seed, id): stable across runs, partitionings, and corpus growth
+    only ADDS candidates ranked after existing ones when their hash
+    is larger (re-ranking on growth is inherent to any exact cap).
+
+    Scale shape: one hash-partitioned window per stratum;
+    WindowGroupLimit pushes the rank cut map-side, so no task ever
+    materializes a full stratum sorted.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
 def with_split(
     df: DataFrame,
     *,

@@ -2483,6 +2483,61 @@ def source_overlap_matrix_q(spark, sf_dir):
 
 
 @q(
+    "balanced_domain_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap1:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rk <= 20
+    """,
+    "Balanced sampling: keep at most 20 docs per source, chosen by "
+    "seeded content-hash rank — the exact per-class cap that "
+    "fraction sampling can't guarantee under skew; WindowGroupLimit "
+    "cuts map-side (operators/sampling.py:per_stratum_cap).",
+)
+def balanced_domain_sample_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        per_stratum_cap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return per_stratum_cap(docs, 20, seed="cap1").select("doc_id", "source")
+
+
+@q(
+    "doc_length_histogram",
+    """
+    SELECT source,
+           CAST(least(floor(n_chars / 50.0), 9) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    "Per-source document-length histogram (fixed 50-char buckets, "
+    "top-coded at 9) — the packing-efficiency / truncation-loss "
+    "planning profile; pure map-side bucketing + one tiny shuffle.",
+)
+def doc_length_histogram_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 50.0), F.lit(9)).cast("long")
+    return (
+        docs.groupBy("source", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+@q(
     "pack_training_sequences",
     None,  # FFD packing is sequential state — not relational algebra;
     # driver records rows-only (row count = #chunks, deterministic),
@@ -2574,6 +2629,12 @@ _ROTATED_OUT = [
     # rows-only (no oracle) — weak check deferred to the r5 rotation
     # alongside pack_training_sequences; quality is pytest-asserted
     "kmeans_cluster_sizes",
+    # anti/semi family stays covered in-window by curate's left_semi
+    # dedup + rotated greens (set_except, join_semi); green r02+r03
+    "join_anti_no_orders",
+    # quality arithmetic is value-checked in-window inside
+    # curate_training_corpus's oracle CTE; green r02+r03
+    "text_quality_scores",
 ]
 
 assert all(name in REGISTRY for name in _ROTATED_OUT), "rotation list drifted"

@@ -117,3 +117,27 @@ def test_curate_training_corpus_composition(spark, oracle_sf_dir):
     light = [s for s in tot if s not in ("src0", "src1", "src2", "src3")]
     light_rate = sum(per_src[s] for s in light) / sum(tot[s] for s in light)
     assert heavy_rate > light_rate
+
+
+def test_per_stratum_cap_exact_and_deterministic(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        per_stratum_cap,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = per_stratum_cap(docs, 5, seed="s")
+    sizes = dict(capped.groupBy("source").count().collect())
+    tot = dict(docs.groupBy("source").count().collect())
+    for src, n in sizes.items():
+        assert n == min(5, tot[src])  # cap holds exactly per stratum
+    a = sorted(r.doc_id for r in capped.select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in per_stratum_cap(docs, 5, seed="s").select("doc_id").collect()
+    )
+    assert a == b  # deterministic
+    c = sorted(
+        r.doc_id
+        for r in per_stratum_cap(docs, 5, seed="t").select("doc_id").collect()
+    )
+    assert a != c  # seed changes the pick
