@@ -2538,6 +2538,47 @@ def doc_length_histogram_q(spark, sf_dir):
 
 
 @q(
+    "join_full_nation_activity",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_rich_cust
+      FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9700
+      GROUP BY 1
+    ), s AS (
+      SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_rich_supp
+      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+    )
+    SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_rich_cust, s.n_rich_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    "A6: FULL OUTER join of two sparse per-nation aggregates — "
+    "null-extension on BOTH sides exercised (thresholds chosen so "
+    "some nations appear on only one side).",
+)
+def join_full_nation_activity_q(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = (
+        cust.filter(
+            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9700)
+        )
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rich_cust"))
+    )
+    s = (
+        supp.filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rich_supp"))
+    )
+    return c.join(s, c.nk_c == s.nk_s, "full_outer").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        "n_rich_cust",
+        "n_rich_supp",
+    )
+
+
+@q(
     "pack_training_sequences",
     None,  # FFD packing is sequential state — not relational algebra;
     # driver records rows-only (row count = #chunks, deterministic),
@@ -2635,6 +2676,9 @@ _ROTATED_OUT = [
     # quality arithmetic is value-checked in-window inside
     # curate_training_corpus's oracle CTE; green r02+r03
     "text_quality_scores",
+    # left-outer null extension is subsumed in-window by the new
+    # join_full_nation_activity (both-sides extension); green r02+r03
+    "join_left_order_counts",
 ]
 
 assert all(name in REGISTRY for name in _ROTATED_OUT), "rotation list drifted"
