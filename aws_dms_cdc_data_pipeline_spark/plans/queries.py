@@ -2579,6 +2579,69 @@ def join_full_nation_activity_q(spark, sf_dir):
 
 
 @q(
+    "window_range_7day_spend",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+             AS day_no,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                           AS BIGINT)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS spend_7d_cents
+    FROM orders
+    """,
+    "A6: RANGE-frame window — per-customer trailing-7-day spend. "
+    "Value-based frames include ALL peers of a day, so the running "
+    "sum is tie-safe by construction (unlike ROWS frames, which need "
+    "a total order); cents quantization keeps the sum engine-exact.",
+)
+def window_range_7day_spend_q(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    day_no = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_no)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        day_no.alias("day_no"),
+        F.sum(cents).over(w).cast("long").alias("spend_7d_cents"),
+    )
+
+
+@q(
+    "set_except_all_orders",
+    """
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey AS o_custkey FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+    "A6: EXCEPT ALL (bag semantics) — each BUILDING customer cancels "
+    "exactly ONE of their order occurrences, the rest keep their "
+    "multiplicity (distinct-based EXCEPT would collapse them).",
+)
+def set_except_all_orders_q(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return orders.exceptAll(building)
+
+
+@q(
     "pack_training_sequences",
     None,  # FFD packing is sequential state — not relational algebra;
     # driver records rows-only (row count = #chunks, deterministic),
@@ -2679,6 +2742,12 @@ _ROTATED_OUT = [
     # left-outer null extension is subsumed in-window by the new
     # join_full_nation_activity (both-sides extension); green r02+r03
     "join_left_order_counts",
+    # ROWS-frame running sum superseded in-window by the more general
+    # (and tie-safe) RANGE-frame window_range_7day_spend; green r02+r03
+    "window_running_qty",
+    # exact dedup-pair shape stays covered in-window by
+    # source_overlap_matrix + curate's dedup; green r02+r03
+    "ngram_jaccard_pairs",
 ]
 
 assert all(name in REGISTRY for name in _ROTATED_OUT), "rotation list drifted"
