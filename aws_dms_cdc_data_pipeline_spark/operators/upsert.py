@@ -53,3 +53,67 @@ def current_state(
     if not keep_deleted:
         latest = latest.filter(F.col("metadata.operation") != F.lit(S.OP_DELETE))
     return latest.select("data.*")
+
+
+def scd2_history(
+    changes: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 view of a change stream.
+
+    Every change record becomes a VERSION with a validity interval:
+    ``valid_from`` = its own timestamp, ``valid_to`` = the next
+    version's timestamp for the same key (NULL while current),
+    ``is_current`` = 1 on the open version. The classic
+    point-in-time-joinable history a warehouse derives from CDC —
+    the latest-only view (:func:`current_state`) is this table
+    filtered to ``is_current``.
+
+    ``order_col`` closes the per-key order under timestamp ties
+    (T2's tie-break contract); the interval chain is then total, so
+    the output is engine-deterministic.
+
+    Scale shape: identical to current_state — ONE exchange on the
+    key (the reference's PK shard routing), per-key sort, a lead()
+    walk; no join, no second shuffle.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_col).asc()
+    )
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return changes.withColumn("valid_from", F.col(ts_col)).withColumn(
+        "valid_to", nxt
+    ).withColumn(
+        "is_current",
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def state_as_of(
+    changes: DataFrame,
+    as_of,
+    *,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Point-in-time (time-travel) state: the table as it was at ``as_of``.
+
+    Filters the change stream to ``ts <= as_of`` — an event-time
+    predicate that pushes to the scan (row-group pruning reads only
+    history up to the snapshot) — then takes the latest version per
+    key exactly like the live view. CDC replayability made queryable:
+    any historical audit question is this one operator.
+    """
+    upto = changes.filter(F.col(ts_col) <= as_of)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(order_col).desc()
+    )
+    return (
+        upto.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

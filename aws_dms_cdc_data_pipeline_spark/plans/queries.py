@@ -2642,6 +2642,73 @@ def set_except_all_orders_q(spark, sf_dir):
 
 
 @q(
+    "cdc_scd2_history",
+    """
+    SELECT user_id, event_id, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+           value
+    FROM events
+    """,
+    "SCD Type 2 view of the change stream: every change becomes a "
+    "version with a [valid_from, valid_to) interval + is_current "
+    "flag — one PK-shard exchange, lead() walk, no join "
+    "(operators/upsert.py:scd2_history).",
+)
+def cdc_scd2_history_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.upsert import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_history(
+        ev, key_col="user_id", ts_col="ts", order_col="event_id"
+    ).select(
+        "user_id", "event_id", "valid_from", "valid_to", "is_current", "value"
+    )
+
+
+@q(
+    "cdc_state_as_of",
+    """
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts, value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+    WHERE rn = 1
+    """,
+    "Point-in-time (time-travel) state: the keyed table as it stood "
+    "at the snapshot instant — event-time filter pushed to the scan "
+    "(row-group pruning), then latest-per-key "
+    "(operators/upsert.py:state_as_of).",
+)
+def cdc_state_as_of_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.upsert import state_as_of
+    from aws_dms_cdc_data_pipeline_spark.session import event_time_bounds_nanos
+
+    # push a slightly-loose RAW int64-nanos bound to the parquet scan
+    # (row-group pruning); +1000 ns admits any event whose µs
+    # truncation lands exactly on the snapshot instant, and
+    # state_as_of's exact µs-timestamp predicate then decides —
+    # identical semantics to the oracle's ns→µs handling
+    raw = load_table(spark, sf_dir, "events", raw_events=True)
+    pushed = raw.filter(
+        F.col("ts") < event_time_bounds_nanos("2024-01-15 00:00:00") + 1000
+    )
+    ev = pushed.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return state_as_of(
+        ev, F.lit("2024-01-15 00:00:00").cast("timestamp"),
+        key_col="user_id", ts_col="ts", order_col="event_id",
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@q(
     "pack_training_sequences",
     None,  # FFD packing is sequential state — not relational algebra;
     # driver records rows-only (row count = #chunks, deterministic),
@@ -2748,6 +2815,12 @@ _ROTATED_OUT = [
     # exact dedup-pair shape stays covered in-window by
     # source_overlap_matrix + curate's dedup; green r02+r03
     "ngram_jaccard_pairs",
+    # two-phase salted agg stays pytest'd + plan-audited; green r02+r03
+    "salted_supplier_qty",
+    # hyperplane bucket probe: family covered in-window by
+    # ann_brute_force_topk (exact re-rank half) + pytest recall;
+    # green r02+r03
+    "ann_lsh_topk",
 ]
 
 assert all(name in REGISTRY for name in _ROTATED_OUT), "rotation list drifted"

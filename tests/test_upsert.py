@@ -2,6 +2,8 @@
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from aws_dms_cdc_data_pipeline_spark import schema as S
 from aws_dms_cdc_data_pipeline_spark.generator import GeneratorConfig, envelopes_df
 from aws_dms_cdc_data_pipeline_spark.operators.upsert import current_state
@@ -100,3 +102,47 @@ def test_pipeline_counts_match_generator_bookkeeping(spark):
     assert state.count() == 120 - n_deleted
     # PK is unique in the derived table
     assert state.select("trans_id").distinct().count() == state.count()
+
+
+def test_scd2_history_interval_chain(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.upsert import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00", "a"),
+            (1, 11, "2024-01-02 00:00:00", "b"),
+            (1, 12, "2024-01-03 00:00:00", "c"),
+            (2, 20, "2024-01-05 00:00:00", "x"),
+        ],
+        "key long, seq long, ts string, payload string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hist = scd2_history(df, key_col="key", ts_col="ts", order_col="seq")
+    rows = {r.seq: r for r in hist.collect()}
+    # chain: each version closes at the next one's valid_from
+    assert rows[10].valid_to == rows[11].valid_from
+    assert rows[11].valid_to == rows[12].valid_from
+    # exactly one open version per key
+    assert rows[12].valid_to is None and rows[12].is_current == 1
+    assert rows[20].valid_to is None and rows[20].is_current == 1
+    assert sum(r.is_current for r in rows.values()) == 2
+
+
+def test_state_as_of_matches_filtered_current_state(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.upsert import state_as_of
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00", "old"),
+            (1, 11, "2024-01-09 00:00:00", "mid"),
+            (1, 12, "2024-02-01 00:00:00", "new"),
+            (2, 20, "2024-03-01 00:00:00", "future-only"),
+        ],
+        "key long, seq long, ts string, payload string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    snap = state_as_of(
+        df,
+        F.lit("2024-01-15 00:00:00").cast("timestamp"),
+        key_col="key", ts_col="ts", order_col="seq",
+    )
+    got = {r.key: r.payload for r in snap.collect()}
+    assert got == {1: "mid"}  # key 2 didn't exist yet; 'new' not yet visible
