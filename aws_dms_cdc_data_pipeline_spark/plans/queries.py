@@ -2730,6 +2730,38 @@ def pack_training_sequences_q(spark, sf_dir):
     )
 
 
+@q(
+    "edit_distance_pairs",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(ws, i, i + 2), ' ') AS g
+        FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS s(i)
+    ),
+    cand AS (
+        SELECT ga.doc_id AS id_a, gb.doc_id AS id_b
+        FROM grams ga JOIN grams gb
+          ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 5
+    )
+    SELECT id_a, id_b, levenshtein(na.t, nb.t) AS edit_dist
+    FROM cand JOIN norm na ON na.doc_id = id_a
+              JOIN norm nb ON nb.doc_id = id_b
+    WHERE abs(len(na.t) - len(nb.t)) <= 32
+      AND levenshtein(na.t, nb.t) <= 32
+    """,
+    "Near-dup pairs verified by exact Levenshtein distance ≤ 32: "
+    "df-capped inverted-index blocking (≥5 shared word-3-grams), "
+    "length prefilter, threshold-banded DP. Integer-exact oracle.",
+)
+def edit_distance_pairs_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.edit_distance_pairs(docs)
+
+
 # ===========================================================================
 # Registry ordering.
 #

@@ -58,6 +58,52 @@ def test_ngram_jaccard_planted_pair(spark):
     assert pairs[(1, 2)] == pytest.approx(expected, abs=1e-6)
 
 
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_planted(spark):
+    df = _docs(spark, [(1, NEAR_A), (2, NEAR_B), (3, FAR), (4, NEAR_A)])
+    got = {(r.id_a, r.id_b): r.edit_dist
+           for r in D.edit_distance_pairs(df).collect()}
+    # (1,2) near pair with the reference DP's exact distance; (1,4)/(2,4)
+    # identical/near copies; FAR shares no 5-gram block with anyone.
+    assert set(got) == {(1, 2), (1, 4), (2, 4)}
+    assert got[(1, 4)] == 0
+    assert got[(1, 2)] == _lev(NEAR_A, NEAR_B) == got[(2, 4)]
+
+
+def test_edit_distance_pairs_length_prefilter_and_bound(spark):
+    # shares a long prefix (many shared grams) but is 100+ chars longer —
+    # the |len| prefilter must reject it before any DP runs
+    padded = NEAR_A + " padding" * 20
+    df = _docs(spark, [(1, NEAR_A), (2, padded)])
+    assert D.edit_distance_pairs(df).count() == 0
+    # same length (prefilter passes) but distance above max_dist →
+    # the banded DP's -1 path must drop it
+    mut = NEAR_A[:-14] + "x" * 14
+    df2 = _docs(spark, [(1, NEAR_A), (2, mut)])
+    assert D.edit_distance_pairs(df2, max_dist=10).count() == 0
+    kept = D.edit_distance_pairs(df2, max_dist=32).collect()
+    assert [(r.id_a, r.id_b, r.edit_dist) for r in kept] == [
+        (1, 2, _lev(NEAR_A.lower(), mut.lower()))
+    ]
+
+
+def test_edit_distance_pairs_min_shared_grams(spark):
+    # docs overlap in exactly one 3-gram window → below the 5-gram floor
+    df = _docs(spark, [(1, "alpha beta gamma delta"),
+                       (2, "beta gamma delta epsilon zeta")])
+    assert D.edit_distance_pairs(df, max_dist=100).count() == 0
+    assert D.edit_distance_pairs(df, max_dist=100, min_shared_grams=1).count() == 1
+
+
 def test_ngram_jaccard_max_df_caps_stop_shingle(spark):
     # Plant a stop-shingle: "zz yy xx" appears in EVERY doc. Without a
     # cap, its posting list alone contributes O(p²) candidate rows —
