@@ -2762,6 +2762,60 @@ def edit_distance_pairs_q(spark, sf_dir):
     return D.edit_distance_pairs(docs)
 
 
+def _profile_col_sql(col: str, kind: str) -> str:
+    """One UNION-ALL branch of the table-profile oracle, normalized
+    exactly like operators/profile._norm_value."""
+    if kind == "double":
+        mn = f"CAST(CAST(floor(CAST(MIN({col}) AS DOUBLE) * 1e6) AS BIGINT) AS VARCHAR)"
+        mx = f"CAST(CAST(floor(CAST(MAX({col}) AS DOUBLE) * 1e6) AS BIGINT) AS VARCHAR)"
+    elif kind == "timestamp":
+        mn = f"strftime(MIN({col}), '%Y-%m-%d %H:%M:%S')"
+        mx = f"strftime(MAX({col}), '%Y-%m-%d %H:%M:%S')"
+    else:
+        mn = f"CAST(MIN({col}) AS VARCHAR)"
+        mx = f"CAST(MAX({col}) AS VARCHAR)"
+    return (
+        f"SELECT '{col}' AS column_name, "
+        f"CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null, "
+        f"CAST(COUNT({col}) AS BIGINT) AS n_non_null, "
+        f"CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct, "
+        f"{mn} AS min_value, {mx} AS max_value FROM lineitem"
+    )
+
+
+_LINEITEM_PROFILE_KINDS = {
+    "l_orderkey": "int",
+    "l_partkey": "int",
+    "l_suppkey": "int",
+    "l_linenumber": "int",
+    "l_quantity": "double",
+    "l_extendedprice": "double",
+    "l_discount": "double",
+    "l_tax": "double",
+    "l_returnflag": "str",
+    "l_linestatus": "str",
+    "l_shipdate": "timestamp",
+}
+
+
+@q(
+    "profile_lineitem",
+    "\nUNION ALL\n".join(
+        _profile_col_sql(c, k) for c, k in _LINEITEM_PROFILE_KINDS.items()
+    ),
+    "One-pass table profiler (the ANALYZE surface): per-column "
+    "null/non-null/distinct counts and portable min/max over all 11 "
+    "lineitem columns in a single aggregation (operators/profile.py). "
+    "Exact-distinct path oracle-verified; approx=True is the HLL "
+    "100 TB path.",
+)
+def profile_lineitem_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.profile import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_table(li)
+
+
 # ===========================================================================
 # Registry ordering.
 #
