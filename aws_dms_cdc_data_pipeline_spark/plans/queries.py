@@ -2762,6 +2762,87 @@ def edit_distance_pairs_q(spark, sf_dir):
     return D.edit_distance_pairs(docs)
 
 
+@q(
+    "cdc_snapshot_diff",
+    """
+    WITH s1 AS (
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+               value AS last_value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        WHERE rn = 1
+    ),
+    s2 AS (
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+               value AS last_value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE ts <= TIMESTAMP '2024-02-01 00:00:00')
+        WHERE rn = 1
+    ),
+    d AS (
+        SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+               CASE WHEN s1.user_id IS NULL THEN 'insert'
+                    WHEN s2.user_id IS NULL THEN 'delete'
+                    WHEN s1.last_event_id IS DISTINCT FROM s2.last_event_id
+                      OR s1.last_ts IS DISTINCT FROM s2.last_ts
+                      OR s1.last_value IS DISTINCT FROM s2.last_value
+                    THEN 'update' END AS change_type,
+               CASE WHEN s1.user_id IS NULL OR s2.user_id IS NULL THEN ''
+                    ELSE concat_ws(',',
+                        CASE WHEN s1.last_event_id IS DISTINCT FROM s2.last_event_id
+                             THEN 'last_event_id' END,
+                        CASE WHEN s1.last_ts IS DISTINCT FROM s2.last_ts
+                             THEN 'last_ts' END,
+                        CASE WHEN s1.last_value IS DISTINCT FROM s2.last_value
+                             THEN 'last_value' END) END AS changed_cols
+        FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+    )
+    SELECT user_id, change_type, changed_cols FROM d
+    WHERE change_type IS NOT NULL
+    """,
+    "Snapshot diff between two time-travel states (Jan 15 vs Feb 1): "
+    "each key classified insert/delete/update with the differing "
+    "columns listed — one co-partitioned full-outer join over the "
+    "as-of windows (operators/diff.py:snapshot_diff).",
+)
+def cdc_snapshot_diff_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.diff import snapshot_diff
+    from aws_dms_cdc_data_pipeline_spark.operators.upsert import state_as_of
+    from aws_dms_cdc_data_pipeline_spark.session import event_time_bounds_nanos
+
+    raw = load_table(spark, sf_dir, "events", raw_events=True)
+
+    def snap(ts):
+        # loose raw-nanos bound pushed to the scan (row-group
+        # pruning; +1000 ns covers µs truncation onto the instant),
+        # exact µs predicate applied by state_as_of — same pattern
+        # and semantics as cdc_state_as_of_q
+        pushed = raw.filter(
+            F.col("ts") < event_time_bounds_nanos(ts) + 1000
+        )
+        ev = pushed.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        return state_as_of(
+            ev, F.lit(ts).cast("timestamp"),
+            key_col="user_id", ts_col="ts", order_col="event_id",
+        ).select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+
+    return snapshot_diff(
+        snap("2024-01-15 00:00:00"),
+        snap("2024-02-01 00:00:00"),
+        keys="user_id",
+        compare_cols=["last_event_id", "last_ts", "last_value"],
+    )
+
+
 def _profile_col_sql(col: str, kind: str) -> str:
     """One UNION-ALL branch of the table-profile oracle, normalized
     exactly like operators/profile._norm_value."""
