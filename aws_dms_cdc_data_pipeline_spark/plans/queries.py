@@ -2843,6 +2843,54 @@ def cdc_snapshot_diff_q(spark, sf_dir):
     )
 
 
+_FK_RELATIONS = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_audit_sql(name: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return (
+        f"SELECT '{name}' AS relation, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_child, "
+        f"CAST(SUM(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk, "
+        f"CAST(SUM(CASE WHEN {fk} IS NOT NULL AND NOT EXISTS "
+        f"(SELECT 1 FROM {parent} WHERE {pk} = {fk}) THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_orphans FROM {child}"
+    )
+
+
+@q(
+    "fk_integrity_audit",
+    "\nUNION ALL\n".join(_fk_audit_sql(*r) for r in _FK_RELATIONS),
+    "Referential-integrity audit over the full star schema: per-FK "
+    "child/null/orphan counts — dimension key sets broadcast, facts "
+    "never shuffle, output O(#relations) "
+    "(operators/integrity.py:fk_orphan_audit).",
+)
+def fk_integrity_audit_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.integrity import (
+        fk_orphan_audit,
+    )
+
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in {"lineitem", "orders", "part", "supplier", "customer",
+                  "nation", "region"}
+    }
+    return fk_orphan_audit(
+        [
+            (name, tables[child], fk, tables[parent], pk)
+            for name, child, fk, parent, pk in _FK_RELATIONS
+        ]
+    )
+
+
 def _profile_col_sql(col: str, kind: str) -> str:
     """One UNION-ALL branch of the table-profile oracle, normalized
     exactly like operators/profile._norm_value."""
