@@ -2891,6 +2891,62 @@ def fk_integrity_audit_q(spark, sf_dir):
     )
 
 
+@q(
+    "cohort_retention",
+    """
+    WITH uw AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS wk
+                FROM events),
+    c AS (SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY user_id),
+    a AS (SELECT c.cohort_week,
+                 CAST(datediff('day', c.cohort_week, uw.wk) / 7 AS BIGINT)
+                     AS week_offset,
+                 CAST(COUNT(*) AS BIGINT) AS n_active
+          FROM uw JOIN c ON uw.user_id = c.user_id
+          GROUP BY 1, 2)
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset, n_active,
+           CAST(SUM(CASE WHEN week_offset = 0 THEN n_active ELSE 0 END)
+                OVER (PARTITION BY cohort_week) AS BIGINT) AS n_cohort
+    FROM a
+    """,
+    "Cohort retention: users bucketed by first-active ISO week, "
+    "distinct-active counts per (cohort, week offset) with cohort "
+    "size — per-user week sets collapse map-side (collect_set), so "
+    "the only full shuffle is keyed on user_id; the offset matrix is "
+    "O(#weeks^2) rows. All-integer output (exact cross-engine).",
+)
+def cohort_retention_q(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.to_date(F.date_trunc("week", F.col("ts")))
+    per_user = (
+        ev.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.collect_set("wk").alias("wks"))
+    )
+    exploded = per_user.select(
+        F.array_min("wks").alias("cohort_week"),
+        F.explode("wks").alias("wk"),
+    )
+    agg = exploded.groupBy(
+        "cohort_week",
+        (F.datediff("wk", "cohort_week") / 7).cast("long").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    w = Window.partitionBy("cohort_week")
+    return agg.withColumn(
+        "n_cohort",
+        F.sum(
+            F.when(F.col("week_offset") == 0, F.col("n_active")).otherwise(
+                F.lit(0)
+            )
+        ).over(w),
+    ).withColumn(
+        # ISO string: dates round-trip engine-independently
+        "cohort_week",
+        F.date_format("cohort_week", "yyyy-MM-dd"),
+    )
+
+
 def _profile_col_sql(col: str, kind: str) -> str:
     """One UNION-ALL branch of the table-profile oracle, normalized
     exactly like operators/profile._norm_value."""
