@@ -2947,6 +2947,100 @@ def cohort_retention_q(spark, sf_dir):
     )
 
 
+@q(
+    "funnel_conversion",
+    """
+    WITH u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    u2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN u1 ON e.user_id = u1.user_id
+           WHERE e.event_type = 'click' AND e.ts > u1.t1
+           GROUP BY e.user_id),
+    u3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN u2 ON e.user_id = u2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+           GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM u1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM u2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM u3
+    """,
+    "Ordered conversion funnel (view -> click -> purchase, each step "
+    "strictly after the previous step's first occurrence): greedy "
+    "earliest-completion semantics via three user-keyed conditional "
+    "mins — every shuffle and join shares the user_id partitioning, "
+    "output is one row per step.",
+)
+def funnel_conversion_q(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+
+    def first_after(step, prev, prev_ts):
+        e = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{step}"))
+
+    u1 = first_after("view", None, None)
+    u2 = first_after("click", u1, "t_view")
+    u3 = first_after("purchase", u2, "t_click")
+
+    def count_step(df, idx, name):
+        return df.agg(
+            F.lit(idx).cast("long").alias("step_idx"),
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        count_step(u1, 1, "view")
+        .unionByName(count_step(u2, 2, "click"))
+        .unionByName(count_step(u3, 3, "purchase"))
+    )
+
+
+@q(
+    "skew_key_report",
+    """
+    WITH c AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+               FROM lineitem GROUP BY l_suppkey),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem),
+    r AS (SELECT l_suppkey, n_rows,
+                 CAST(row_number() OVER (ORDER BY n_rows DESC, l_suppkey)
+                      AS BIGINT) AS rnk
+          FROM c)
+    SELECT rnk, l_suppkey, n_rows,
+           CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm
+    FROM r, t WHERE rnk <= 20
+    """,
+    "Join/agg-key skew diagnostics: top-20 heavy hitters by row "
+    "count with integer ppm share — the report that decides whether "
+    "a key needs salting (operators/skew.py). Partial counts "
+    "map-side; the rank window runs on #distinct-keys rows and "
+    "WindowGroupLimit pushes the top-20 cut; total rides a 1-row "
+    "broadcast.",
+)
+def skew_key_report_q(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = li.agg(F.count(F.lit(1)).alias("total"))
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("l_suppkey"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rnk",
+            "l_suppkey",
+            "n_rows",
+            F.expr("n_rows * 1000000L div total").alias("share_ppm"),
+        )
+    )
+
+
 def _profile_col_sql(col: str, kind: str) -> str:
     """One UNION-ALL branch of the table-profile oracle, normalized
     exactly like operators/profile._norm_value."""
