@@ -3041,6 +3041,114 @@ def skew_key_report_q(spark, sf_dir):
     )
 
 
+@q(
+    "cdc_backfill_reconcile",
+    """
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_event_type, value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    "T5 as a verifiable batch query: the full-load handoff. A "
+    "point-in-time snapshot at the cutover instant is unioned with "
+    "the live CDC tail (ts strictly after cutover) and re-upserted; "
+    "the oracle is the DIRECT full-history current state, so the "
+    "check proves snapshot+tail reconciliation loses/duplicates "
+    "nothing at the boundary. Both legs push their raw-nanos time "
+    "bound to the scan; at scale the snapshot leg is a materialized "
+    "table, not a re-scan.",
+)
+def cdc_backfill_reconcile_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.upsert import state_as_of
+    from aws_dms_cdc_data_pipeline_spark.session import event_time_bounds_nanos
+
+    cut = "2024-01-15 00:00:00"
+    cut_ns = event_time_bounds_nanos(cut)
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    raw = load_table(spark, sf_dir, "events", raw_events=True)
+
+    def to_micros(df):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    # snapshot leg: state as of the cutover (loose raw bound pushed,
+    # exact µs predicate inside state_as_of)
+    snap = state_as_of(
+        to_micros(raw.filter(F.col("ts") < cut_ns + 1000)),
+        F.lit(cut).cast("timestamp"),
+        key_col="user_id", ts_col="ts", order_col="event_id",
+    ).select(*cols)
+    # tail leg: changes strictly after the cutover
+    tail = (
+        to_micros(raw.filter(F.col("ts") >= cut_ns - 1000))
+        .filter(F.col("ts") > F.lit(cut).cast("timestamp"))
+        .select(*cols)
+    )
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        snap.unionByName(tail)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@q(
+    "grouped_quantiles_qty",
+    """
+    WITH r AS (
+        SELECT l_suppkey, l_quantity,
+               row_number() OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_quantity) AS rn,
+               COUNT(*) OVER (PARTITION BY l_suppkey) AS n
+        FROM lineitem
+    )
+    SELECT l_suppkey,
+           MAX(CASE WHEN rn = (n + 3) // 4 THEN l_quantity END) AS p25_qty,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END) AS median_qty,
+           MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN l_quantity END) AS p75_qty
+    FROM r
+    WHERE rn = (n + 3) // 4 OR rn = (n + 1) // 2 OR rn = (3 * n + 3) // 4
+    GROUP BY l_suppkey
+    """,
+    "Exact nearest-rank grouped quantiles (p25/median/p75 of "
+    "quantity per supplier): one key-partitioned window pass selects "
+    "the order statistics — values are actual data elements (no "
+    "interpolation), so results are bit-identical cross-engine and "
+    "the pattern scales to any group count with a single shuffle.",
+)
+def grouped_quantiles_qty_q(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_quantity")
+    ranked = li.select(
+        "l_suppkey",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_suppkey")).alias("n"),
+    )
+    k25 = F.expr("(n + 3) div 4")
+    k50 = F.expr("(n + 1) div 2")
+    k75 = F.expr("(3 * n + 3) div 4")
+    sel = ranked.filter(
+        (F.col("rn") == k25) | (F.col("rn") == k50) | (F.col("rn") == k75)
+    )
+    return sel.groupBy("l_suppkey").agg(
+        F.max(F.when(F.col("rn") == k25, F.col("l_quantity"))).alias("p25_qty"),
+        F.max(F.when(F.col("rn") == k50, F.col("l_quantity"))).alias("median_qty"),
+        F.max(F.when(F.col("rn") == k75, F.col("l_quantity"))).alias("p75_qty"),
+    )
+
+
 def _profile_col_sql(col: str, kind: str) -> str:
     """One UNION-ALL branch of the table-profile oracle, normalized
     exactly like operators/profile._norm_value."""
