@@ -49,3 +49,48 @@ def sessionize(
         )
         .drop("_start")
     )
+
+
+def daily_streaks(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user consecutive-active-day streak stats (gaps-and-islands).
+
+    Calendar cousin of :func:`sessionize`: collapse events to distinct
+    active days, then group consecutive days with the classic
+    ``day_number - row_number`` island key (constant within a run of
+    consecutive days, different across gaps — pure integer
+    arithmetic, no date intervals). Returns one row per user:
+    ``n_active_days``, ``n_streaks``, ``longest_streak`` (days).
+
+    Scale shape: the distinct-day aggregation does the data
+    reduction FIRST (map-side combine; output is |users|×|days|,
+    tiny next to the event count), and the island window + both
+    follow-up groupBys all share the user-key partitioning — one
+    exchange of the already-reduced rows. Deterministic everywhere:
+    row_number runs over unique (user, day) pairs, so no tie
+    ambiguity exists.
+    """
+    days = df.select(
+        F.col(user_col).alias("_u"),
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("_day"),
+    ).distinct()
+    w = Window.partitionBy("_u").orderBy("_day")
+    islands = days.withColumn(
+        "_grp", F.col("_day") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("_u", "_grp").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    return (
+        streaks.groupBy("_u")
+        .agg(
+            F.sum("_len").cast("long").alias("n_active_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("_len").cast("long").alias("longest_streak"),
+        )
+        .withColumnRenamed("_u", user_col)
+    )

@@ -178,17 +178,17 @@ def cdc_current_state(spark, sf_dir):
     "A2: event-time range scan + predicate (pushdown-eligible)",
 )
 def cdc_event_time_range(spark, sf_dir):
-    from aws_dms_cdc_data_pipeline_spark.session import event_time_bounds_nanos
+    from aws_dms_cdc_data_pipeline_spark.session import event_ts_bound, event_ts_to_micros
 
-    # range-filter the RAW int64 nanos so the predicate reaches the
-    # parquet scan (row-group pruning); convert to timestamp after
+    # range-filter ts in STORAGE units so the predicate reaches the
+    # parquet scan (row-group pruning); normalize to timestamp after
     raw = load_table(spark, sf_dir, "events", raw_events=True)
     pushed = raw.filter(
-        (F.col("ts") >= event_time_bounds_nanos("2024-01-10 00:00:00"))
-        & (F.col("ts") < event_time_bounds_nanos("2024-01-20 00:00:00"))
+        (F.col("ts") >= event_ts_bound(raw, "2024-01-10 00:00:00"))
+        & (F.col("ts") < event_ts_bound(raw, "2024-01-20 00:00:00"))
         & (F.col("event_type") == "purchase")
     )
-    ev = pushed.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = event_ts_to_micros(pushed)
     return ev.select("event_id", "ts", "user_id", "value")
 
 
@@ -1719,10 +1719,10 @@ _PROMOS = [
 )
 def range_join_promo_events(spark, sf_dir):
     from aws_dms_cdc_data_pipeline_spark.operators.rangejoin import range_join
-    from aws_dms_cdc_data_pipeline_spark.session import event_time_bounds_nanos
+    from aws_dms_cdc_data_pipeline_spark.session import event_ts_bound, event_ts_to_micros
 
-    # the promo intervals' envelope is known up front — filter the RAW
-    # int64 nanos before timestamp conversion so the parquet scan
+    # the promo intervals' envelope is known up front — filter ts in
+    # STORAGE units before normalization so the parquet scan
     # row-group-prunes (same trick as cdc_event_time_range); an inner
     # range join can only match inside the envelope, so this is lossless
     # parse before min/max — lexicographic order over strings only
@@ -1734,13 +1734,12 @@ def range_join_promo_events(spark, sf_dir):
 
     lo = min((s for _, s, _ in _PROMOS), key=_dt)
     hi = max((e for _, _, e in _PROMOS), key=_dt)
-    raw = load_table(spark, sf_dir, "events", raw_events=True).filter(
-        (F.col("ts") >= event_time_bounds_nanos(lo))
-        & (F.col("ts") < event_time_bounds_nanos(hi))
+    raw0 = load_table(spark, sf_dir, "events", raw_events=True)
+    raw = raw0.filter(
+        (F.col("ts") >= event_ts_bound(raw0, lo))
+        & (F.col("ts") < event_ts_bound(raw0, hi))
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
-        "event_id", "ts", "value"
-    )
+    ev = event_ts_to_micros(raw).select("event_id", "ts", "value")
     promos = spark.createDataFrame(
         _PROMOS, "promo string, p_start string, p_end string"
     ).select(
@@ -2685,18 +2684,18 @@ def cdc_scd2_history_q(spark, sf_dir):
 )
 def cdc_state_as_of_q(spark, sf_dir):
     from aws_dms_cdc_data_pipeline_spark.operators.upsert import state_as_of
-    from aws_dms_cdc_data_pipeline_spark.session import event_time_bounds_nanos
+    from aws_dms_cdc_data_pipeline_spark.session import event_ts_bound, event_ts_to_micros
 
-    # push a slightly-loose RAW int64-nanos bound to the parquet scan
-    # (row-group pruning); +1000 ns admits any event whose µs
-    # truncation lands exactly on the snapshot instant, and
-    # state_as_of's exact µs-timestamp predicate then decides —
-    # identical semantics to the oracle's ns→µs handling
+    # push a slightly-loose storage-unit bound to the parquet scan
+    # (row-group pruning); +1 µs admits any event whose µs truncation
+    # lands exactly on the snapshot instant, and state_as_of's exact
+    # µs-timestamp predicate then decides — identical semantics to
+    # the oracle's handling of the same file
     raw = load_table(spark, sf_dir, "events", raw_events=True)
     pushed = raw.filter(
-        F.col("ts") < event_time_bounds_nanos("2024-01-15 00:00:00") + 1000
+        F.col("ts") < event_ts_bound(raw, "2024-01-15 00:00:00", slack_us=1)
     )
-    ev = pushed.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = event_ts_to_micros(pushed)
     return state_as_of(
         ev, F.lit("2024-01-15 00:00:00").cast("timestamp"),
         key_col="user_id", ts_col="ts", order_col="event_id",
@@ -2810,21 +2809,17 @@ def edit_distance_pairs_q(spark, sf_dir):
 def cdc_snapshot_diff_q(spark, sf_dir):
     from aws_dms_cdc_data_pipeline_spark.operators.diff import snapshot_diff
     from aws_dms_cdc_data_pipeline_spark.operators.upsert import state_as_of
-    from aws_dms_cdc_data_pipeline_spark.session import event_time_bounds_nanos
+    from aws_dms_cdc_data_pipeline_spark.session import event_ts_bound, event_ts_to_micros
 
     raw = load_table(spark, sf_dir, "events", raw_events=True)
 
     def snap(ts):
-        # loose raw-nanos bound pushed to the scan (row-group
-        # pruning; +1000 ns covers µs truncation onto the instant),
-        # exact µs predicate applied by state_as_of — same pattern
-        # and semantics as cdc_state_as_of_q
-        pushed = raw.filter(
-            F.col("ts") < event_time_bounds_nanos(ts) + 1000
-        )
-        ev = pushed.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        # loose storage-unit bound pushed to the scan (row-group
+        # pruning; +1 µs covers truncation onto the instant), exact
+        # µs predicate applied by state_as_of — same pattern and
+        # semantics as cdc_state_as_of_q
+        pushed = raw.filter(F.col("ts") < event_ts_bound(raw, ts, slack_us=1))
+        ev = event_ts_to_micros(pushed)
         return state_as_of(
             ev, F.lit(ts).cast("timestamp"),
             key_col="user_id", ts_col="ts", order_col="event_id",
@@ -3056,32 +3051,28 @@ def skew_key_report_q(spark, sf_dir):
     "the live CDC tail (ts strictly after cutover) and re-upserted; "
     "the oracle is the DIRECT full-history current state, so the "
     "check proves snapshot+tail reconciliation loses/duplicates "
-    "nothing at the boundary. Both legs push their raw-nanos time "
+    "nothing at the boundary. Both legs push their storage-unit time "
     "bound to the scan; at scale the snapshot leg is a materialized "
     "table, not a re-scan.",
 )
 def cdc_backfill_reconcile_q(spark, sf_dir):
     from aws_dms_cdc_data_pipeline_spark.operators.upsert import state_as_of
-    from aws_dms_cdc_data_pipeline_spark.session import event_time_bounds_nanos
+    from aws_dms_cdc_data_pipeline_spark.session import event_ts_bound, event_ts_to_micros
 
     cut = "2024-01-15 00:00:00"
-    cut_ns = event_time_bounds_nanos(cut)
     cols = ["user_id", "event_id", "ts", "event_type", "value"]
     raw = load_table(spark, sf_dir, "events", raw_events=True)
 
-    def to_micros(df):
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-
-    # snapshot leg: state as of the cutover (loose raw bound pushed,
-    # exact µs predicate inside state_as_of)
+    # snapshot leg: state as of the cutover (loose storage-unit bound
+    # pushed, exact µs predicate inside state_as_of)
     snap = state_as_of(
-        to_micros(raw.filter(F.col("ts") < cut_ns + 1000)),
+        event_ts_to_micros(raw.filter(F.col("ts") < event_ts_bound(raw, cut, slack_us=1))),
         F.lit(cut).cast("timestamp"),
         key_col="user_id", ts_col="ts", order_col="event_id",
     ).select(*cols)
     # tail leg: changes strictly after the cutover
     tail = (
-        to_micros(raw.filter(F.col("ts") >= cut_ns - 1000))
+        event_ts_to_micros(raw.filter(F.col("ts") >= event_ts_bound(raw, cut, slack_us=-1)))
         .filter(F.col("ts") > F.lit(cut).cast("timestamp"))
         .select(*cols)
     )
@@ -3201,6 +3192,101 @@ def profile_lineitem_q(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return profile_table(li)
+
+
+@q(
+    "interval_coverage_user",
+    """
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + CAST(round(value * 1000000, 0) AS BIGINT) AS e
+        FROM events
+    ),
+    flag AS (
+        SELECT user_id, s, e,
+               CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) IS NULL
+                      OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS op
+        FROM iv
+        WHERE s IS NOT NULL AND e IS NOT NULL AND e > s
+    ),
+    isl AS (
+        SELECT user_id, s, e,
+               SUM(op) OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM flag
+    ),
+    per AS (
+        SELECT user_id, island, COUNT(*) AS nrows, MIN(s) AS lo, MAX(e) AS hi
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(nrows) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(hi - lo) AS BIGINT) AS covered_us
+    FROM per GROUP BY user_id
+    """,
+    "Measure-of-union interval merge (operators/intervals.py): each "
+    "event contributes [ts, ts + value seconds) in epoch-µs longs; "
+    "overlapping intervals per user merge sweep-line-style (running "
+    "max of previous ends over one window partitioning), islands "
+    "re-aggregate — one shuffle, integer-exact, nothing quadratic.",
+)
+def interval_coverage_user_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.round(F.col("value") * F.lit(1_000_000.0), 0).cast("long")
+        ).alias("e"),
+    )
+    return interval_coverage(iv, "user_id", "s", "e")
+
+
+@q(
+    "daily_streaks_users",
+    """
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, day,
+               day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS grp
+        FROM d
+    ),
+    s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM s GROUP BY user_id
+    """,
+    "Consecutive-active-day streaks (gaps-and-islands, "
+    "operators/sessionize.py:daily_streaks): distinct (user, day) "
+    "reduction first (map-side combine), then day_number - row_number "
+    "island key — all integer arithmetic, one exchange reused by the "
+    "window and both groupBys.",
+)
+def daily_streaks_users_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sessionize import daily_streaks
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return daily_streaks(ev)
 
 
 # ===========================================================================

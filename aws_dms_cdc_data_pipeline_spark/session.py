@@ -77,33 +77,49 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str, *, raw_events: bool = False):
     """Read one fixture table (schemas in FIXTURES.md §B).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    rejects by default — read it as long (runtime-settable legacy
-    conf) and truncate to microseconds, exactly matching DuckDB's
-    ns→µs handling of the same file.
+    ``events.ts`` exists in two fixture generations: older testdata
+    wrote parquet TIMESTAMP(NANOS) — Spark reads it as int64 under the
+    legacy conf and we truncate to microseconds (DuckDB's ns→µs
+    handling of the same file) — while current testdata writes
+    TIMESTAMP(MICROS), which Spark reads as a native timestamp
+    directly. The loader detects the generation from the scanned
+    schema and returns ``ts`` as a session-UTC TimestampType either
+    way.
 
-    The µs conversion is a derived expression, so time-range
-    predicates on the converted column CANNOT push to the parquet
-    scan. Callers with selective event-time ranges should pass
-    ``raw_events=True``, filter the int64 nanos directly (pushdown-
-    and row-group-stats-eligible), then convert — see
-    ``event_time_bounds_nanos``.
+    ``raw_events=True`` returns ``ts`` in STORAGE units (int64 nanos
+    or native timestamp) so selective time ranges can be pushed to
+    the parquet scan (row-group pruning). Build the bound literal
+    with ``event_ts_bound`` — it emits the matching type — and
+    normalize afterwards with ``event_ts_to_micros``. On native-
+    timestamp fixtures both helpers are identity-shaped: timestamp
+    predicates push down as-is.
     """
     # The driver may hand us a session built with defaults; every
     # timestamp comparison against the (naive-UTC) DuckDB oracle
-    # assumes UTC session time, and both confs are runtime-settable —
-    # so the loader defends itself instead of trusting the builder.
+    # assumes UTC session time, and all three confs are runtime-
+    # settable — so the loader defends itself instead of trusting the
+    # builder.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # read µs-no-tz as TimestampType (not NTZ): values are UTC
+        # micros verbatim and every comparison/window downstream stays
+        # on the one timestamp type the engine uses everywhere
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        df = spark.read.parquet(path)
+        if raw_events or not _event_ts_is_long(df):
+            return df
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(path)
-        if raw_events:
-            return df
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(path)
+
+
+def _event_ts_is_long(df) -> bool:
+    from pyspark.sql.types import LongType
+
+    return isinstance(df.schema["ts"].dataType, LongType)
 
 
 def event_time_bounds_nanos(ts_utc: str) -> int:
@@ -112,6 +128,35 @@ def event_time_bounds_nanos(ts_utc: str) -> int:
 
     d = _dt.datetime.fromisoformat(ts_utc).replace(tzinfo=_dt.timezone.utc)
     return int(d.timestamp()) * 1_000_000_000
+
+
+def event_ts_bound(df, ts_utc: str, *, slack_us: int = 0):
+    """Literal for comparing a RAW events ``ts`` column to a UTC instant.
+
+    Emits whatever type the storage column has: epoch-nanos long for
+    legacy nanos fixtures, a timestamp literal for native-µs fixtures
+    — so the predicate is pushdown-eligible in both generations.
+    ``slack_us`` widens the bound (±1 µs covers truncation onto an
+    instant when a loose pushed bound is re-checked exactly
+    downstream); both forms constant-fold to a scan-pushable literal.
+    """
+    from pyspark.sql import functions as F
+
+    if _event_ts_is_long(df):
+        return F.lit(event_time_bounds_nanos(ts_utc) + slack_us * 1000)
+    ts = F.lit(ts_utc).cast("timestamp")
+    if slack_us:
+        return ts + F.expr(f"INTERVAL '{slack_us}' MICROSECOND")
+    return ts
+
+
+def event_ts_to_micros(df):
+    """Normalize a RAW events frame's ``ts`` to TimestampType (µs, UTC)."""
+    from pyspark.sql import functions as F
+
+    if _event_ts_is_long(df):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
