@@ -8,3 +8,6 @@ from aws_dms_cdc_data_pipeline_spark.streaming.metrics import (  # noqa: F401
     JsonlMetricsListener,
     attach_metrics_listener,
 )
+from aws_dms_cdc_data_pipeline_spark.streaming.matview import (  # noqa: F401
+    IncrementalAggView,
+)

@@ -99,8 +99,13 @@ def _merge_with_retry(
             time.sleep(delay)
 
 
-def _deliver(cfg: CdcStreamConfig, store: StateStore):
-    """Build the foreachBatch delivery function."""
+def _deliver(cfg: CdcStreamConfig, store: StateStore, view=None):
+    """Build the foreachBatch delivery function.
+
+    ``view`` (optional ``IncrementalAggView``) is advanced after each
+    successful merge from the store's generation diff — per-batch cost
+    O(batch + touched groups), never O(state).
+    """
 
     def deliver(batch: DataFrame, epoch_id: int) -> None:
         batch = batch.persist()
@@ -152,12 +157,17 @@ def _deliver(cfg: CdcStreamConfig, store: StateStore):
             delivery_dlq = os.path.join(
                 cfg.error_path, f"batch_id={epoch_id}", "delivery"
             )
+            pre_manifest = view.begin() if view is not None else None
             err, attempts = _merge_with_retry(
                 store,
                 selected,
                 cfg.delivery_retry_seconds,
                 cfg.delivery_retry_backoff_seconds,
             )
+            if err is None and view is not None:
+                # replayed epochs are safe: a content-identical merge
+                # diffs to zero rows; a missed window rebuilds
+                view.advance(pre_manifest)
             if err is None:
                 # A crash between a failed attempt's DLQ write and the
                 # checkpoint commit can leave a stale delivery DLQ for
@@ -179,14 +189,25 @@ def _deliver(cfg: CdcStreamConfig, store: StateStore):
     return deliver
 
 
-def start_cdc_stream(spark: SparkSession, cfg: CdcStreamConfig) -> StreamingQuery:
-    """Wire and start the CDC delivery stream."""
+def start_cdc_stream(
+    spark: SparkSession, cfg: CdcStreamConfig, *, matview=None
+) -> StreamingQuery:
+    """Wire and start the CDC delivery stream.
+
+    ``matview``: optional ``IncrementalAggView`` bound to this
+    stream's StateStore path; maintained incrementally per batch.
+    """
     stream = read_envelope_stream(
         spark, cfg.source_path, max_files_per_trigger=cfg.max_files_per_trigger
     )
     store = StateStore(spark, cfg.state_path)
+    if matview is not None and matview.store.path != store.path:
+        raise ValueError(
+            "matview is bound to a different StateStore path: "
+            f"{matview.store.path!r} != {store.path!r}"
+        )
     writer = (
-        stream.writeStream.foreachBatch(_deliver(cfg, store))
+        stream.writeStream.foreachBatch(_deliver(cfg, store, matview))
         .option("checkpointLocation", cfg.checkpoint_path)
         .outputMode("update")
     )
