@@ -3195,6 +3195,52 @@ def profile_lineitem_q(spark, sf_dir):
 
 
 @q(
+    "asof_next_visit_tolerance",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           (SELECT r.event_id FROM events r
+             WHERE r.user_id = l.user_id AND r.event_type = 'visit'
+               AND r.ts >= l.ts
+               AND epoch_us(r.ts) - epoch_us(l.ts) <= 259200000000
+             ORDER BY r.ts ASC, r.event_id DESC LIMIT 1) AS asof_event_id,
+           (SELECT r.ts FROM events r
+             WHERE r.user_id = l.user_id AND r.event_type = 'visit'
+               AND r.ts >= l.ts
+               AND epoch_us(r.ts) - epoch_us(l.ts) <= 259200000000
+             ORDER BY r.ts ASC, r.event_id DESC LIMIT 1) AS asof_ts
+    FROM events l WHERE l.event_type = 'purchase'
+    """,
+    "FORWARD as-of join with a 3-day tolerance (pandas merge_asof "
+    "parity): each purchase gets the next visit within 72 h, else "
+    "NULL. Same union+window single-shuffle shape as the backward "
+    "direction, sort reversed; tolerance nulls via the match's "
+    "carried right-ts — no extra join. Oracle is the correlated "
+    "ANSI-SQL formulation.",
+)
+def asof_next_visit_tolerance_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    visits = ev.filter(F.col("event_type") == "visit").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        visits,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_order="event_id",
+        right_payload=["event_id", "ts"],
+        direction="forward",
+        tolerance_us=3 * 24 * 3600 * 1_000_000,
+    )
+
+
+@q(
     "interval_coverage_user",
     """
     WITH iv AS (

@@ -109,3 +109,88 @@ def test_sessionize_gap_boundary_is_exclusive(spark):
     out = {r.event_id: r.session_idx
            for r in sessionize(events, gap_minutes=30).collect()}
     assert out == {1: 1, 3: 1, 2: 1}
+
+
+def _asof(purchases, visits, **kw):
+    return {
+        r.event_id: (r.asof_event_id, r.asof_ts)
+        for r in asof_join(
+            purchases,
+            visits,
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            right_order="event_id",
+            right_payload=["event_id", "ts"],
+            **kw,
+        ).collect()
+    }
+
+
+def _direction_fixtures(spark):
+    purchases = spark.createDataFrame(
+        [
+            (1, 1, _ts(5)),    # before all visits
+            (2, 1, _ts(15)),   # equidistant between :10 and :20
+            (3, 1, _ts(20)),   # exactly AT the :20 visits
+            (4, 1, _ts(25)),   # between :20 and :40
+            (5, 1, _ts(59)),   # after all visits
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    visits = spark.createDataFrame(
+        [
+            (201, 1, _ts(10)),
+            (202, 1, _ts(20)),
+            (203, 1, _ts(20)),  # duplicate ts — higher event_id wins
+            (204, 1, _ts(40)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    return purchases, visits
+
+
+def test_asof_join_forward(spark):
+    purchases, visits = _direction_fixtures(spark)
+    out = _asof(purchases, visits, direction="forward")
+    assert out[1] == (201, _ts(10))   # earliest visit >= :05
+    assert out[2] == (203, _ts(20))   # next is :20; tie → max event_id
+    assert out[3] == (203, _ts(20))   # >= includes same instant
+    assert out[4] == (204, _ts(40))
+    assert out[5] == (None, None)     # nothing after :59
+
+
+def test_asof_join_nearest(spark):
+    purchases, visits = _direction_fixtures(spark)
+    out = _asof(purchases, visits, direction="nearest")
+    assert out[1] == (201, _ts(10))   # only forward exists
+    assert out[2] == (201, _ts(10))   # 5 min both ways: tie → backward
+    assert out[3] == (203, _ts(20))
+    assert out[4] == (203, _ts(20))   # 5 min back vs 15 forward
+    assert out[5] == (204, _ts(40))   # only backward exists
+
+
+def test_asof_join_tolerance(spark):
+    purchases, visits = _direction_fixtures(spark)
+    tol = 6 * 60 * 1_000_000  # 6 minutes in µs
+    back = _asof(purchases, visits, tolerance_us=tol)
+    assert back[2] == (201, _ts(10))  # 5 min back: within
+    assert back[5] == (None, None)    # 19 min back: nulled out
+    fwd = _asof(purchases, visits, direction="forward", tolerance_us=tol)
+    assert fwd[1] == (201, _ts(10))   # 5 min forward: within
+    assert fwd[4] == (None, None)     # 15 min forward: nulled out
+    near = _asof(purchases, visits, direction="nearest", tolerance_us=tol)
+    assert near[4] == (203, _ts(20))  # back within, forward nulled
+    assert near[5] == (None, None)    # both out of tolerance
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    purchases, visits = _direction_fixtures(spark)
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(
+            purchases, visits, on="user_id", left_ts="ts", right_ts="ts",
+            right_order="event_id", right_payload=["event_id"],
+            direction="sideways",
+        )
