@@ -3241,6 +3241,29 @@ def asof_next_visit_tolerance_q(spark, sf_dir):
 
 
 @q(
+    "ewma_user_value",
+    None,  # rows-only: transcendental weights (0.5^(dt/h)) cannot
+    # hash-match across engines bit-for-bit; exactness is covered by
+    # tests/test_features.py against a brute-force O(n²) reference
+    "Per-user time-decayed EWMA of event value (halflife 6 h, "
+    "irregular series): groupBy().applyInPandas, one key shuffle, "
+    "pandas' stable Cython ewm(times=) scan per group — the "
+    "documented Arrow slow path for semantics relational algebra "
+    "can't express stably.",
+)
+def ewma_user_value_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.features import ewma_by_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return ewma_by_key(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        order_col="event_id", halflife_us=6 * 3600 * 1_000_000,
+    )
+
+
+@q(
     "interval_coverage_user",
     """
     WITH iv AS (

@@ -1,0 +1,77 @@
+"""ewma_by_key vs a brute-force O(n²) reference."""
+
+import datetime as dt
+import math
+
+import pytest
+
+from aws_dms_cdc_data_pipeline_spark.operators.features import ewma_by_key
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 12, minute)
+
+
+HALFLIFE_US = 10 * 60 * 1_000_000  # 10 minutes
+
+
+def _brute(series):
+    """Reference: y_t = sum(w_j x_j)/sum(w_j), w = 0.5^(dt/halflife)."""
+    out = []
+    for i, (t_i, _) in enumerate(series):
+        num = den = 0.0
+        for t_j, x_j in series[: i + 1]:
+            w = 0.5 ** ((t_i - t_j).total_seconds() * 1e6 / HALFLIFE_US)
+            num += w * x_j
+            den += w
+        out.append(num / den)
+    return out
+
+
+def test_ewma_matches_brute_force(spark):
+    series = [(_ts(0), 10.0), (_ts(3), 20.0), (_ts(7), 5.0),
+              (_ts(20), 40.0), (_ts(21), 2.0)]
+    rows = [(1, i, t, v) for i, (t, v) in enumerate(series)]
+    # second key interleaved: results must be independent per key
+    rows += [(2, i, t, v * 3) for i, (t, v) in enumerate(series[:3])]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = ewma_by_key(
+        df, key_col="user_id", ts_col="ts", value_col="value",
+        order_col="event_id", halflife_us=HALFLIFE_US,
+    ).collect()
+    got1 = [r.ewma for r in sorted(
+        (r for r in out if r.user_id == 1), key=lambda r: r.event_id)]
+    got2 = [r.ewma for r in sorted(
+        (r for r in out if r.user_id == 2), key=lambda r: r.event_id)]
+    want1 = _brute(series)
+    want2 = _brute([(t, v * 3) for t, v in series[:3]])
+    assert all(math.isclose(g, w, rel_tol=1e-9) for g, w in zip(got1, want1))
+    assert all(math.isclose(g, w, rel_tol=1e-9) for g, w in zip(got2, want2))
+
+
+def test_ewma_constant_series_is_constant(spark):
+    df = spark.createDataFrame(
+        [(1, i, _ts(i), 7.5) for i in range(6)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    out = ewma_by_key(
+        df, key_col="user_id", ts_col="ts", value_col="value",
+        order_col="event_id", halflife_us=HALFLIFE_US,
+    ).collect()
+    assert all(math.isclose(r.ewma, 7.5, rel_tol=1e-12) for r in out)
+
+
+def test_ewma_validates_args(spark):
+    df = spark.createDataFrame(
+        [(1, 1, _ts(0), 1.0)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError, match="halflife"):
+        ewma_by_key(df, key_col="user_id", ts_col="ts", value_col="value",
+                    order_col="event_id", halflife_us=0)
+    with pytest.raises(TypeError, match="timestamp"):
+        ewma_by_key(df, key_col="user_id", ts_col="event_id",
+                    value_col="value", order_col="event_id",
+                    halflife_us=HALFLIFE_US)
