@@ -3240,6 +3240,58 @@ def asof_next_visit_tolerance_q(spark, sf_dir):
     )
 
 
+def _checksum_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.checksum import (
+        checksum_oracle_sql,
+    )
+
+    orders = checksum_oracle_sql(
+        "orders",
+        {
+            "o_orderkey": "int", "o_custkey": "int", "o_orderstatus": "string",
+            "o_totalprice": "double", "o_orderdate": "timestamp",
+            "o_orderpriority": "string",
+        },
+    )
+    supplier = checksum_oracle_sql(
+        "supplier",
+        {
+            "s_suppkey": "int", "s_name": "string",
+            "s_nationkey": "int", "s_acctbal": "double",
+        },
+    )
+    return f"{orders}\nUNION ALL\n{supplier}"
+
+
+@q(
+    "table_checksums",
+    _checksum_oracle(),
+    "Replication-validation checksums (the DMS ValidationEnabled "
+    "analog): each table folds to one (n_rows, SUM-of-60-bit-row-"
+    "digest) row via a canonical cross-engine encoding (ints "
+    "verbatim, doubles as DECIMAL(18,6), timestamps as epoch-µs, "
+    "NULL sentinel) — commutative SUM means map-side partials and NO "
+    "data shuffle; comparing two 100 TB tables exchanges ~48 bytes. "
+    "The oracle builds the SAME digest in DuckDB, proving the "
+    "cross-system validation contract end-to-end.",
+)
+def table_checksums_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.checksum import table_checksum
+
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return table_checksum(
+        orders, "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    ).unionByName(
+        table_checksum(
+            supplier, "supplier",
+            ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        )
+    )
+
+
 @q(
     "ewma_user_value",
     None,  # rows-only: transcendental weights (0.5^(dt/h)) cannot
