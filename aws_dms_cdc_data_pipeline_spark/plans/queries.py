@@ -3240,6 +3240,31 @@ def asof_next_visit_tolerance_q(spark, sf_dir):
     )
 
 
+@q(
+    "unpivot_lineitem_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, metric, value FROM (
+      UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                      l_extendedprice, l_discount, l_tax
+               FROM lineitem)
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME metric VALUE value)
+    """,
+    "Wide→long unpivot (melt): 4 measure columns stack into "
+    "(metric, value) rows. Pure per-row projection — Spark's Expand "
+    "operator, no shuffle, codegen'd; the relational dual of pivot "
+    "(which is covered by pivot_returnflag_linestatus).",
+)
+def unpivot_lineitem_metrics_q(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
 def _checksum_oracle() -> str:
     from aws_dms_cdc_data_pipeline_spark.operators.checksum import (
         checksum_oracle_sql,

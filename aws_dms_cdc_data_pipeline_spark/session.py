@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Spark's legacy default writes timestamps as parquet INT96,
+        # which has NO min/max statistics — every time-range scan
+        # over engine-written data would read every row group. µs
+        # int64 restores stats-based pruning (and is what every
+        # modern reader, including DuckDB and the fixtures, uses).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
