@@ -3241,6 +3241,50 @@ def asof_next_visit_tolerance_q(spark, sf_dir):
 
 
 @q(
+    "rolling_weekly_active_users",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        FROM events
+    ),
+    contrib AS (
+        SELECT DISTINCT ud.user_id, ud.day + o.off AS day
+        FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud)
+    SELECT c.day, CAST(COUNT(*) AS BIGINT) AS wau
+    FROM contrib c, bounds b
+    WHERE c.day BETWEEN b.lo AND b.hi
+    GROUP BY c.day
+    """,
+    "Exact trailing-7-day active users per day (WAU): reduce to "
+    "distinct (user, day) FIRST (map-side combine, output "
+    "|users|x|days|), explode each pair to the 7 windows it serves, "
+    "de-dup, count per day. No sliding COUNT(DISTINCT) window state, "
+    "no self-join of the event table — the shuffles carry only the "
+    "reduced pair set x7. Trailing days beyond the data's max day "
+    "are clipped on both sides.",
+)
+def rolling_weekly_active_users_q(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    ).distinct()
+    lo, hi = ud.agg(F.min("day"), F.max("day")).first()
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6))).alias("day"),
+        )
+        .filter((F.col("day") >= F.lit(lo)) & (F.col("day") <= F.lit(hi)))
+        .distinct()
+    )
+    return contrib.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("wau"))
+
+
+@q(
     "unpivot_lineitem_metrics",
     """
     SELECT l_orderkey, l_linenumber, metric, value FROM (

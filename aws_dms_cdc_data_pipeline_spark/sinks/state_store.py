@@ -201,4 +201,53 @@ def _latest_envelope(envelopes: DataFrame, key: str) -> DataFrame:
     )
 
 
-__all__ = ["StateStore", "current_state"]
+__all__ = ["StateStore", "current_state", "changes_in_generation"]
+
+
+def changes_in_generation(store: StateStore) -> DataFrame | None:
+    """Change-data-feed of the store's most recent merge (the Delta
+    CDF analog): one row per key whose LIVE value changed, classified
+    insert/update/delete with the changed-column list.
+
+    Reads only the touched buckets' current and kept-previous version
+    directories — never the full state — and diffs live rows with
+    :func:`~aws_dms_cdc_data_pipeline_spark.operators.diff.snapshot_diff`
+    (one co-keyed full-outer join of bucket-sized inputs). Re-delivered
+    no-op records (same key, same values) produce NO feed row, so a
+    replayed epoch emits an empty feed. Returns None before the first
+    merge.
+
+    Cites the same store layout contract the incremental matview
+    uses (streaming/matview.py): previous versions survive exactly
+    one generation, so call this between merges (e.g. from the
+    foreachBatch hook); after a crash-gap, downstream consumers
+    re-baseline from :meth:`StateStore.table`.
+    """
+    from aws_dms_cdc_data_pipeline_spark.operators.diff import snapshot_diff
+
+    manifest = store._manifest()
+    gen = manifest["generation"]
+    if gen < 0:
+        return None
+    key_leaf = store.key.split(".")[-1]
+
+    def _live(dirs: list[str]) -> DataFrame:
+        if not dirs:
+            return store.spark.createDataFrame([], S.DATA_SCHEMA)
+        env = store.spark.read.parquet(*dirs)
+        return env.filter(
+            F.col("metadata.operation") != F.lit(S.OP_DELETE)
+        ).select("data.*")
+
+    touched = [int(b) for b, v in manifest["buckets"].items() if v == gen]
+    new_dirs, old_dirs = [], []
+    for b in touched:
+        new_dirs.append(store._bdir(b, gen))
+        prev = [
+            int(e.removeprefix("v="))
+            for e in os.listdir(os.path.join(store.path, f"b={b}"))
+            if e.startswith("v=") and int(e.removeprefix("v=")) < gen
+        ]
+        if prev:
+            old_dirs.append(store._bdir(b, max(prev)))
+    return snapshot_diff(_live(old_dirs), _live(new_dirs), keys=key_leaf)
