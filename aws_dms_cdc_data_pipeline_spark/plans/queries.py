@@ -3241,6 +3241,60 @@ def asof_next_visit_tolerance_q(spark, sf_dir):
 
 
 @q(
+    "scd2_point_in_time_enrich",
+    """
+    WITH v AS (
+        SELECT user_id, event_id, value, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM events WHERE event_type = 'visit'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           v.event_id AS dim_event_id, v.value AS dim_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN v ON v.user_id = p.user_id
+               AND v.valid_from <= p.ts
+               AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+    """,
+    "Temporal (point-in-time) dimension enrichment — the warehouse "
+    "idiom for SCD2 lookup: fact rows join the version whose "
+    "[valid_from, valid_to) interval covers the fact timestamp. "
+    "Equi-key hash join on user_id with the interval as a residual "
+    "filter (versions per key are few, so no explosion); zero-length "
+    "versions from timestamp ties match nothing, keeping the join "
+    "1:<=1 and deterministic. Same answer as the as-of join "
+    "(asof_purchase_last_visit) by construction — two routes to one "
+    "semantic, both driver-checked.",
+)
+def scd2_point_in_time_enrich_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.upsert import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    versions = scd2_history(
+        ev.filter(F.col("event_type") == "visit").select(
+            "user_id", "event_id", "ts", "value"
+        ),
+        key_col="user_id", ts_col="ts", order_col="event_id",
+    ).select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("dim_event_id"),
+        F.col("value").alias("dim_value"),
+        "valid_from", "valid_to",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return purchases.join(
+        versions,
+        (purchases.user_id == versions.v_user_id)
+        & (versions.valid_from <= purchases.ts)
+        & (versions.valid_to.isNull() | (purchases.ts < versions.valid_to)),
+        "left",
+    ).select("event_id", "user_id", "ts", "dim_event_id", "dim_value")
+
+
+@q(
     "rolling_weekly_active_users",
     """
     WITH ud AS (
