@@ -108,4 +108,103 @@ def overlap_fraction(ranges: list[tuple]) -> float:
     return max(0.0, 1.0 - overall / total) if total > overall else 0.0
 
 
-__all__ = ["cluster_by", "file_stat_ranges", "overlap_fraction"]
+__all__ = ["cluster_by", "cluster_by_zorder", "z_value", "normalized_rank", "file_stat_ranges", "overlap_fraction"]
+
+
+def z_value(cols, bits: int = 16):
+    """Z-order (Morton) key: bit-interleave of per-column ranks.
+
+    Each column must already be normalized to an integer in
+    [0, 2^bits) — see :func:`normalized_rank`. Interleaving puts bit
+    i of column j at position ``i * ncols + j``, so sorting by the
+    result clusters rows that are close in EVERY dimension — the
+    multi-dimensional extension of :func:`cluster_by` (Delta's
+    OPTIMIZE ZORDER equivalent). Pure bit arithmetic: shiftright /
+    AND / shiftleft chains, fully inside whole-stage codegen.
+
+    ``bits * len(cols)`` must fit a long (≤ 62).
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z_value needs >= 2 columns (use cluster_by for 1)")
+    if bits * n > 62:
+        raise ValueError(f"bits*ncols = {bits * n} exceeds long range")
+    terms = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def normalized_rank(col, lo, hi, bits: int = 16):
+    """Scale a numeric column into [0, 2^bits) given its [lo, hi]
+    bounds (two driver scalars from one cheap agg — at 100 TB this is
+    a parquet-footer-level min/max, not a data scan)."""
+    from pyspark.sql import functions as F
+
+    top = (1 << bits) - 1
+    if hi <= lo:
+        return F.lit(0).cast("long")
+    return F.least(
+        F.lit(top).cast("long"),
+        ((col.cast("double") - float(lo)) * (top / (float(hi) - float(lo))))
+        .cast("long"),
+    )
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    out_path: str,
+    cols: list[str],
+    *,
+    bits: int = 16,
+    num_files: int | None = None,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> None:
+    """Rewrite ``df`` clustered on the Z-order key of ``cols`` (each
+    numeric or timestamp). Every listed dimension's per-file min/max
+    stats tighten simultaneously, so selective scans on ANY of them
+    (or boxes over several) prune files — where single-axis
+    clustering serves only its leading column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if len(cols) < 2:
+        raise ValueError("cluster_by_zorder needs >= 2 columns")
+
+    def as_long(c):
+        t = df.schema[c].dataType
+        if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(F.col(c).cast("timestamp"))
+        return F.col(c).cast("long")
+
+    bounds = df.agg(
+        *[F.min(as_long(c)).alias(f"_lo_{c}") for c in cols],
+        *[F.max(as_long(c)).alias(f"_hi_{c}") for c in cols],
+    ).first()
+    ranks = [
+        normalized_rank(as_long(c), bounds[f"_lo_{c}"], bounds[f"_hi_{c}"], bits)
+        for c in cols
+    ]
+    zed = df.withColumn("_z", z_value(ranks, bits))
+    part = (
+        zed.repartitionByRange(num_files, "_z")
+        if num_files is not None
+        else zed.repartitionByRange("_z")
+    )
+    (
+        part.sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(out_path)
+    )

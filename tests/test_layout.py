@@ -64,3 +64,66 @@ def test_cluster_by_validates_cols(spark, tmp_path):
     ev = load_table(spark, SF_DIR, "events")
     with pytest.raises(ValueError, match="clustering column"):
         cluster_by(ev, str(tmp_path / "x"), [])
+
+
+def test_zorder_tightens_both_axes(spark, tmp_path):
+    from aws_dms_cdc_data_pipeline_spark.maintenance.layout import (
+        cluster_by_zorder,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "ts")
+
+    def norm_widths(path, column):
+        ranges = [r for r in file_stat_ranges(path, column) if r[0] is not None]
+        los = [lo for lo, _ in ranges]
+        his = [hi for _, hi in ranges]
+        span = max(his) - min(los)
+        if hasattr(span, "total_seconds"):
+            return [
+                (hi - lo).total_seconds() / span.total_seconds()
+                for lo, hi in ranges
+            ]
+        return [(hi - lo) / span for lo, hi in ranges]
+
+    scattered = str(tmp_path / "scat")
+    ev.repartition(16).write.mode("overwrite").parquet(scattered)
+    linear = str(tmp_path / "linear")
+    cluster_by(ev, linear, ["ts"], num_files=16)
+    zorder = str(tmp_path / "zorder")
+    cluster_by_zorder(ev, zorder, ["user_id", "ts"], num_files=16)
+
+    import statistics as st
+
+    z_user = st.mean(norm_widths(zorder, "user_id"))
+    z_ts = st.mean(norm_widths(zorder, "ts"))
+    scat_user = st.mean(norm_widths(scattered, "user_id"))
+    scat_ts = st.mean(norm_widths(scattered, "ts"))
+    lin_user = st.mean(norm_widths(linear, "user_id"))
+
+    # scattered files span ~everything on both axes
+    assert scat_user > 0.9 and scat_ts > 0.9
+    # linear ts clustering leaves user_id unclustered
+    assert lin_user > 0.9
+    # z-order tightens BOTH axes substantially below the unclustered
+    # baseline (16 files over 2 interleaved dims → ~1/4 per axis)
+    assert z_user < 0.6, z_user
+    assert z_ts < 0.6, z_ts
+
+    # lossless
+    back = spark.read.parquet(zorder)
+    assert back.count() == ev.count()
+
+
+def test_z_value_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from aws_dms_cdc_data_pipeline_spark.maintenance.layout import z_value
+
+    df = spark.range(1).select(
+        z_value([F.lit(0b101).cast("long"), F.lit(0b011).cast("long")], bits=3)
+        .alias("z")
+    )
+    # col0 bits land at even positions, col1 bits at odd:
+    # col0=0b101 -> pos 0,2,4 = 1,0,1 ; col1=0b011 -> pos 1,3,5 = 1,1,0
+    # z (pos5..0) = 0 1 1 0 1 1 = 0b011011
+    assert df.first()["z"] == 0b011011
