@@ -9,3 +9,14 @@ from aws_dms_cdc_data_pipeline_spark.operators.envelope import (  # noqa: F401
 )
 from aws_dms_cdc_data_pipeline_spark.operators.partitioning import partition_by_key  # noqa: F401
 from aws_dms_cdc_data_pipeline_spark.operators.upsert import current_state  # noqa: F401
+from aws_dms_cdc_data_pipeline_spark.operators.asof import asof_join  # noqa: F401
+from aws_dms_cdc_data_pipeline_spark.operators.sessionize import (  # noqa: F401
+    daily_streaks,
+    sessionize,
+)
+from aws_dms_cdc_data_pipeline_spark.operators.intervals import interval_coverage  # noqa: F401
+from aws_dms_cdc_data_pipeline_spark.operators.features import ewma_by_key  # noqa: F401
+from aws_dms_cdc_data_pipeline_spark.operators.checksum import (  # noqa: F401
+    checksum_oracle_sql,
+    table_checksum,
+)
