@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + metadata.
 
 The Spark-side plumbing is real and tested — schema, Arrow batch
-shape, partitioning — while the actual media decode is stubbed
-(image/audio libraries are not in this container): ``decode_image``
-raises NotImplementedError unless ``fake=True``, in which case a
-deterministic fake "decode" derived from the bytes stands in so the
-pipeline shape can be exercised end-to-end.
+shape, partitioning — and the decode path is REAL for the formats
+that need no codec library: 24-bit BMP (pure numpy) and PCM WAV
+(stdlib ``wave``), round-tripped by tests through encode → Spark
+binary column → mapInPandas decode → features. Compressed formats
+(JPEG/PNG/MP3/H.264) genuinely need libraries absent from this
+container and raise NotImplementedError; ``fake=True`` substitutes a
+deterministic byte-statistics decode so that plumbing stays testable
+(and DuckDB-oracle-checkable) for any payload.
 
 Pattern: ``mapInPandas`` over batches of (id, media binary, mime) —
 the decode/resize/feature step is embarrassingly parallel, so the
@@ -59,10 +62,109 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def _decode_real(content: bytes, mime: str):
+def encode_bmp(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit uncompressed
+    BMP (BI_RGB) — pure struct packing, no image library. The encode
+    half of the real-decode path; also the synthetic-media source for
+    tests."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_raw = w * 3
+    pad = (4 - row_raw % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up rows, BGR
+        body += px[y, :, ::-1].tobytes() + b"\x00" * pad
+    size = 54 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return bytes(header + info + body)
+
+
+def _decode_bmp(blob: bytes):
+    """24-bit BI_RGB BMP → (width, height, (H, W, 3) uint8 RGB)."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    offset = struct.unpack_from("<I", blob, 10)[0]
+    w, h = struct.unpack_from("<ii", blob, 18)
+    planes, bpp, compression = struct.unpack_from("<HHI", blob, 26)
+    if bpp != 24 or compression != 0 or h <= 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed bottom-up BMP supported "
+            f"(got bpp={bpp}, compression={compression}, h={h})"
+        )
+    row_raw = w * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)[:, :row_raw].reshape(h, w, 3)
+    return w, h, rows[::-1, :, ::-1]  # flip to top-down, BGR→RGB
+
+
+def _decode_wav(blob: bytes):
+    """PCM WAV → (n_channels, framerate, float32 mono samples in
+    [-1, 1]) via the stdlib ``wave`` module (8/16/32-bit PCM)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(blob), "rb") as wf:
+        nch, sw, rate = wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {sw}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return nch, rate, x
+
+
+def _decode_real(content: bytes, mime: str, dim: int = 16):
+    """Real decode for formats that need no external library:
+
+    - ``image/bmp`` → (width, height, features): per-channel means
+      then gray means of ``dim-3`` horizontal strips.
+    - ``audio/wav`` / ``audio/x-wav`` → (n_channels, framerate,
+      features): RMS of ``dim`` equal time segments.
+
+    Compressed formats (JPEG/PNG/MP3/H.264) genuinely need codec
+    libraries absent from this container and raise
+    NotImplementedError — use ``fake=True`` for plumbing tests.
+    """
+    import numpy as np
+
+    m = (mime or "").lower()
+    if m == "image/bmp":
+        w, h, px = _decode_bmp(content)
+        gray = px.astype(np.float32).mean(axis=2) / 255.0
+        feats = [float(px[:, :, c].mean() / 255.0) for c in range(3)]
+        strips = np.array_split(gray, max(1, dim - 3), axis=0)
+        feats += [float(s.mean()) for s in strips]
+        return w, h, [float(f) for f in feats[:dim]]
+    if m in ("audio/wav", "audio/x-wav"):
+        nch, rate, x = _decode_wav(content)
+        segs = np.array_split(x, dim) if x.size else [np.zeros(1)] * dim
+        feats = [float(np.sqrt(np.mean(np.square(s)))) if s.size else 0.0
+                 for s in segs]
+        return nch, rate, feats
     raise NotImplementedError(
-        "media decode needs an image/audio library not present in this "
-        "environment; pass fake=True for the deterministic stand-in"
+        f"decode for mime={mime!r} needs a codec library not present in "
+        "this environment (BMP/WAV decode natively; pass fake=True for "
+        "the deterministic stand-in)"
     )
 
 
@@ -111,7 +213,7 @@ def extract_features(
                 if fake:
                     w, h, feats = _decode_fake(blob, dim)
                 else:
-                    w, h, feats = _decode_real(blob, mime)  # pragma: no cover
+                    w, h, feats = _decode_real(blob, mime, dim)
                 out["media_id"].append(mid)
                 out["byte_len"].append(len(blob))
                 out["width"].append(w)
