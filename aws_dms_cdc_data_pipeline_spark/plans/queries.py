@@ -3240,6 +3240,30 @@ def asof_next_visit_tolerance_q(spark, sf_dir):
     )
 
 
+def _bm25_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.search import bm25_oracle_sql
+
+    return bm25_oracle_sql(["spark", "shuffle", "broadcast"], top_k=25)
+
+
+@q(
+    "bm25_keyword_search",
+    _bm25_oracle(),
+    "Ranked keyword search over documents (the OpenSearch Discover "
+    "parity op, reference README.md:451-492): BM25-family scoring "
+    "with a log-free rational idf so Spark and DuckDB produce "
+    "bit-identical doubles, per-term contributions quantized into an "
+    "order-independent integer sum, ties broken on doc_id. Non-query "
+    "terms are pruned before the first shuffle; corpus stats ride a "
+    "1-row broadcast; top-k compiles to TakeOrderedAndProject.",
+)
+def bm25_keyword_search_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, ["spark", "shuffle", "broadcast"], top_k=25)
+
+
 @q(
     "scd2_point_in_time_enrich",
     """

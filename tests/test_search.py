@@ -1,0 +1,61 @@
+"""bm25_search: planted-corpus ranking semantics."""
+
+import pytest
+
+from aws_dms_cdc_data_pipeline_spark.operators.search import bm25_search, tokenize
+
+
+DOCS = [
+    (1, "spark shuffle spark shuffle spark"),        # heavy on both terms
+    (2, "spark query engine runs a query plan"),     # one term, once
+    (3, "shuffle free join via bucketing shuffle"),  # rarer term, twice
+    (4, "nothing relevant here at all"),             # no hit
+    (5, "spark " * 50),                              # long doc: tf saturates
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bm25_ranking_semantics(spark):
+    out = bm25_search(
+        _df(spark), ["spark", "shuffle"], top_k=10
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    scores = {r["doc_id"]: r["score"] for r in out}
+    hits = {r["doc_id"]: r["n_terms_hit"] for r in out}
+    assert 4 not in ids                      # no-hit doc excluded
+    assert ids[0] == 1                       # both terms, high tf, short doc
+    assert hits[1] == 2 and hits[2] == 1 and hits[3] == 1
+    # doc 5 has huge tf but k1 saturation + length normalization keep
+    # it below the short two-term doc
+    assert scores[1] > scores[5]
+    # scores strictly positive and ordering is descending
+    vals = [r["score"] for r in out]
+    assert vals == sorted(vals, reverse=True)
+    assert all(v > 0 for v in vals)
+
+
+def test_bm25_case_insensitive_and_dedup_terms(spark):
+    a = bm25_search(_df(spark), ["SPARK", "spark"], top_k=10).collect()
+    b = bm25_search(_df(spark), ["spark"], top_k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_bm25_rejects_empty_query(spark):
+    with pytest.raises(ValueError, match="query term"):
+        bm25_search(_df(spark), [])
+
+
+def test_tokenize_counts(spark):
+    out = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in tokenize(_df(spark), "text", "doc_id").collect()
+    }
+    assert out[(1, "spark")] == 3
+    assert out[(1, "shuffle")] == 2
+    assert out[(3, "shuffle")] == 2
+    assert (4, "spark") not in out
