@@ -269,3 +269,61 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, *, width: int, height: int
+) -> DataFrame:
+    """Resize every decodable image to (width, height) and re-encode.
+
+    Nearest-neighbor sampling on the decoded pixel array (pure numpy
+    index arithmetic — deterministic on every platform, no
+    interpolation library), BMP in / BMP out. Non-BMP or NULL
+    payloads pass through as NULL content with NULL dims, so a mixed
+    corpus keeps one row per input (filter on ``content IS NOT
+    NULL`` for the clean subset). Same mapInPandas shape as
+    extract_features: embarrassingly parallel, shuffle-free,
+    constant memory per Arrow batch.
+    """
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError(f"target dims must be positive, got {width}x{height}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "content": [], "mime": []}
+            for mid, content, mime in zip(
+                pdf["media_id"], pdf["content"], pdf["mime"]
+            ):
+                out["media_id"].append(mid)
+                blob = bytes(content) if content is not None else None
+                if blob is None or (mime or "").lower() != "image/bmp":
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["content"].append(None)
+                    out["mime"].append(mime)
+                    continue
+                w0, h0, px = _decode_bmp(blob)
+                ys = (np.arange(height) * h0) // height
+                xs = (np.arange(width) * w0) // width
+                resized = px[ys][:, xs]
+                out["width"].append(width)
+                out["height"].append(height)
+                out["content"].append(bytearray(encode_bmp(resized)))
+                out["mime"].append("image/bmp")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)

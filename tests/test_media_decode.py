@@ -91,3 +91,44 @@ def test_bmp_header_is_spec_conformant():
     assert blob[:2] == b"BM"
     assert struct.unpack_from("<I", blob, 2)[0] == len(blob)
     assert struct.unpack_from("<I", blob, 10)[0] == 54
+
+
+def test_resize_images_nearest_neighbor(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_bmp(img)), "image/bmp", {}),
+        (2, bytearray(b"not-an-image"), "application/octet-stream", {}),
+        (3, None, "image/bmp", {}),
+    ]
+    import pyspark.sql.functions as _F  # noqa: F401
+
+    from aws_dms_cdc_data_pipeline_spark.operators.multimodal import MEDIA_SCHEMA
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(media, width=4, height=5).collect()}
+
+    assert (out[1]["width"], out[1]["height"]) == (4, 5)
+    w, h, back = _decode_bmp(bytes(out[1]["content"]))
+    assert (w, h) == (4, 5)
+    # nearest-neighbor reference with the same index arithmetic
+    ys = (np.arange(5) * 10) // 5
+    xs = (np.arange(4) * 8) // 4
+    assert np.array_equal(back, img[ys][:, xs])
+    # non-image and NULL rows pass through with NULL content
+    assert out[2]["content"] is None and out[2]["width"] is None
+    assert out[3]["content"] is None
+
+
+def test_resize_images_validates_dims(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    media = spark.createDataFrame([], MEDIA_SCHEMA)
+    with pytest.raises(ValueError, match="positive"):
+        resize_images(media, width=0, height=5)
