@@ -24,6 +24,12 @@ Execution shape at 100 TB:
 - Tokenize + count per (doc, term) in one map-side pass; the
   inverted-index rows for NON-query terms never leave the scan — the
   broadcast literal term list prunes before the first shuffle.
+- Ad-hoc use tokenizes twice (once for the pruned hits, once for the
+  document-length branch). A production corpus materializes
+  ``tokenize()`` ONCE as a bucketed table (sinks/bucketed.py, bucket
+  on the id): every subsequent search prunes that index and the
+  dl/stats branch reads pre-aggregated lengths — per-query work
+  collapses to the hit rows.
 - Document lengths aggregate map-side; ``avgdl``/``N`` ride a 1-row
   broadcast (no driver collect).
 - df per query term = tiny aggregate over the pruned index.
