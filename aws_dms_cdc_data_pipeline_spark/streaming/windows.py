@@ -49,3 +49,37 @@ def windowed_operation_counts(
             "n",
         )
     )
+
+
+def session_activity(
+    envelopes: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Per-key SESSION windows over the envelope stream (E26's
+    streaming leg): events for one primary key group into sessions
+    that close after ``gap`` of event-time silence.
+
+    Built on the native ``session_window`` aggregation, so streaming
+    state is bounded by the watermark and merged incrementally by the
+    engine (dynamic-gap merge, map-side partials) — no custom state
+    handler. Works identically on a batch frame, which is the oracle
+    in tests (same function, same answer).
+    """
+    src = envelopes.select(
+        F.col("metadata.timestamp").alias("event_ts"),
+        F.col("data.trans_id").alias("trans_id"),
+    )
+    if src.isStreaming:
+        src = src.withWatermark("event_ts", watermark)
+    return (
+        src.groupBy(F.session_window("event_ts", gap), "trans_id")
+        .agg(F.count("*").alias("n_changes"))
+        .select(
+            "trans_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_changes",
+        )
+    )

@@ -45,3 +45,32 @@ def test_streaming_windows_match_batch(spark, tmp_path):
         ).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    from aws_dms_cdc_data_pipeline_spark.streaming.windows import (
+        session_activity,
+    )
+
+    src = str(tmp_path / "wire_sess")
+    write_envelope_jsonl(CFG, src, files=3)
+
+    stream = read_envelope_stream(spark, src, max_files_per_trigger=1)
+    sessions = session_activity(
+        stream.filter(~F.col("_corrupt")), gap="10 minutes"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(str, spark.sql("SELECT * FROM sess_counts").collect()))
+
+    batch = envelopes_df(spark, CFG)
+    want = sorted(map(str, session_activity(batch, gap="10 minutes").collect()))
+    assert got == want
+    assert len(got) > 0
