@@ -3350,13 +3350,16 @@ def rolling_weekly_active_users_q(spark, sf_dir):
         "user_id",
         F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
     ).distinct()
-    lo, hi = ud.agg(F.min("day"), F.max("day")).first()
+    # clip bounds ride a 1-row broadcast (no driver collect)
+    bounds = ud.agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
     contrib = (
         ud.select(
             "user_id",
             F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6))).alias("day"),
         )
-        .filter((F.col("day") >= F.lit(lo)) & (F.col("day") <= F.lit(hi)))
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("day") >= F.col("_lo")) & (F.col("day") <= F.col("_hi")))
+        .select("user_id", "day")
         .distinct()
     )
     return contrib.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("wau"))
