@@ -162,3 +162,81 @@ def with_split(
         "split",
         F.when(h < val_hi, "val").when(h < test_hi, "test").otherwise("train"),
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    k: int = 4,
+    seed: str = "",
+    num_shards: int = 16,
+) -> DataFrame:
+    """Deterministic contrastive negatives: k pseudo-random partners
+    per anchor (anchor_id, neg_rank 1..k, negative_id).
+
+    Contrastive/embedding training wants, for each example, a few
+    uniformly-random OTHER examples as negatives — reproducibly
+    (resume emits the identical dataset) and without a per-row RNG.
+    This derives a seeded permutation per shard exactly like
+    :func:`deterministic_shuffle` (md5 range-binned shards, in-shard
+    hash rank) and pairs each anchor with the k CYCLICALLY-NEXT rows
+    of its shard's permutation: uniform partners (the permutation is
+    hash-random), no self-pairs (cyclic offset 1..k over a shard of
+    size > k), every anchor serves as a negative for exactly k
+    others (balanced usage — no coupon-collector skew).
+
+    Scale shape: one hash exchange on ``shard`` computes the ranks;
+    the pairing self-join is co-partitioned on the same key (no
+    second shuffle of either side); k output rows per anchor. Shards
+    of size ≤ k yield fewer partners (the cycle wraps onto self and
+    those rows are dropped) — size ``num_shards`` so shards ≫ k.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    hkey = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    base = df.select(F.col(id_col)).withColumn("_hkey", hkey)
+    prefix = F.conv(F.col("_hkey").substr(1, 4), 16, 10).cast("int")
+    base = base.withColumn(
+        "_shard", F.floor(prefix * num_shards / _STRATA).cast("int")
+    )
+    w = Window.partitionBy("_shard").orderBy("_hkey", id_col)
+    sz = Window.partitionBy("_shard")
+    ranked = base.withColumn(
+        "_rnk", F.row_number().over(w).cast("long")
+    ).withColumn("_sz", F.count(F.lit(1)).over(sz).cast("long"))
+
+    # guard: Spark's sequence(1, 0) is the DECREASING [1, 0], so a
+    # singleton shard must yield an empty offset array (row dropped)
+    offsets = F.explode(
+        F.when(
+            F.col("_sz") > 1,
+            F.sequence(F.lit(1), F.least(F.lit(k), F.col("_sz") - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+    ).alias("neg_rank")
+    anchors = ranked.select(
+        F.col(id_col).alias("anchor_id"),
+        "_shard",
+        "_rnk",
+        "_sz",
+        offsets,
+    ).withColumn(
+        "_want", ((F.col("_rnk") - 1 + F.col("neg_rank")) % F.col("_sz")) + 1
+    )
+    partners = ranked.select(
+        F.col("_shard").alias("_pshard"),
+        F.col("_rnk").alias("_prnk"),
+        F.col(id_col).alias("negative_id"),
+    )
+    return (
+        anchors.join(
+            partners,
+            (anchors._shard == partners._pshard)
+            & (anchors._want == partners._prnk),
+        )
+        .select("anchor_id", F.col("neg_rank").cast("long"), "negative_id")
+    )

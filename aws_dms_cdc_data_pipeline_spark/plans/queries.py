@@ -3240,6 +3240,51 @@ def asof_next_visit_tolerance_q(spark, sf_dir):
     )
 
 
+@q(
+    "contrastive_negative_samples",
+    """
+    WITH b AS (
+        SELECT doc_id, md5(':' || CAST(doc_id AS VARCHAR)) AS hkey
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, hkey,
+               CAST(floor(CAST(('0x' || substr(hkey, 1, 4)) AS BIGINT)
+                          * 16 / 65536) AS INT) AS shard
+        FROM b
+    ),
+    r AS (
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                                       ORDER BY hkey, doc_id) AS BIGINT) AS rnk,
+               CAST(COUNT(*) OVER (PARTITION BY shard) AS BIGINT) AS sz
+        FROM s
+    ),
+    a AS (
+        SELECT r.doc_id AS anchor_id, r.shard, r.rnk, r.sz,
+               CAST(o.off AS BIGINT) AS neg_rank
+        FROM r CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS off) o
+        WHERE o.off <= r.sz - 1
+    )
+    SELECT a.anchor_id, a.neg_rank, p.doc_id AS negative_id
+    FROM a JOIN r p ON p.shard = a.shard
+                   AND p.rnk = ((a.rnk - 1 + a.neg_rank) % a.sz) + 1
+    """,
+    "Deterministic contrastive negatives: k=4 pseudo-random partners "
+    "per anchor from a seeded md5 permutation, paired cyclically "
+    "WITHIN hash shards — one shard exchange, co-partitioned "
+    "self-join, no RNG, no self-pairs, every doc serves as negative "
+    "for exactly k others (operators/sampling.py:negative_samples).",
+)
+def contrastive_negative_samples_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return negative_samples(docs, id_col="doc_id", k=4, num_shards=16)
+
+
 def _bm25_oracle() -> str:
     from aws_dms_cdc_data_pipeline_spark.operators.search import bm25_oracle_sql
 

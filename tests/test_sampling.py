@@ -141,3 +141,53 @@ def test_per_stratum_cap_exact_and_deterministic(spark, sf_dir):
         for r in per_stratum_cap(docs, 5, seed="t").select("doc_id").collect()
     )
     assert a != c  # seed changes the pick
+
+
+def test_negative_samples_properties(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    out = negative_samples(docs, id_col="doc_id", k=3, num_shards=4).collect()
+
+    rows = [(r["anchor_id"], r["neg_rank"], r["negative_id"]) for r in out]
+    # no self-pairs
+    assert all(a != n for a, _, n in rows)
+    # every anchor gets exactly k distinct negatives
+    from collections import Counter, defaultdict
+
+    per_anchor = defaultdict(set)
+    for a, r, n in rows:
+        per_anchor[a].add((r, n))
+    assert all(len(v) == 3 for v in per_anchor.values())
+    assert len(per_anchor) == 200
+    # balanced usage: every doc serves as a negative exactly k times
+    usage = Counter(n for _, _, n in rows)
+    assert set(usage.values()) == {3}
+    # deterministic: second run identical
+    again = negative_samples(docs, id_col="doc_id", k=3, num_shards=4).collect()
+    assert sorted(rows) == sorted(
+        (r["anchor_id"], r["neg_rank"], r["negative_id"]) for r in again
+    )
+    # different seed -> different pairing (overwhelmingly)
+    other = negative_samples(
+        docs, id_col="doc_id", k=3, num_shards=4, seed="s2"
+    ).collect()
+    assert sorted(rows) != sorted(
+        (r["anchor_id"], r["neg_rank"], r["negative_id"]) for r in other
+    )
+
+
+def test_negative_samples_tiny_shards(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    # 2 docs, k=4: each can only have 1 partner; singleton case drops
+    docs = spark.range(0, 2).withColumnRenamed("id", "doc_id")
+    out = negative_samples(docs, id_col="doc_id", k=4, num_shards=1).collect()
+    assert len(out) == 2
+    assert all(r["neg_rank"] == 1 for r in out)
+    one = spark.range(0, 1).withColumnRenamed("id", "doc_id")
+    assert negative_samples(one, id_col="doc_id", k=4, num_shards=1).count() == 0
