@@ -240,3 +240,58 @@ def negative_samples(
         )
         .select("anchor_id", F.col("neg_rank").cast("long"), "negative_id")
     )
+
+
+def upsample_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic mixture resampling WITH replacement: weight w
+    emits floor(w) full copies of each stratum row plus one more with
+    probability frac(w) — decided by the row's seeded hash, not an
+    RNG, so the emitted multiset is reproducible and exact.
+
+    The upsampling half of mixture weighting (stratified_hash_sample
+    covers w ≤ 1): training mixtures routinely repeat high-value
+    domains (code ×2.5, math ×3) — per Hoffmann/Chinchilla-style
+    data budgets — and the repeat decision must survive re-runs and
+    backfills. Output carries ``copy_idx`` (1..n) so downstream
+    shuffling/packing can spread duplicates.
+
+    Scale shape: pure map-side — a broadcast weight map, an explode
+    of ``sequence(1, n_copies)``; no shuffle, no RNG state. Strata
+    missing from ``weights`` default to 1.0 (pass 0.0 to drop).
+    """
+    if not weights:
+        raise ValueError("upsample_mixture needs a non-empty weights map")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be >= 0")
+    wmap = F.create_map(
+        *[x for k, v in sorted(weights.items())
+          for x in (F.lit(k), F.lit(float(v)))]
+    )
+    w = F.coalesce(wmap[F.col(stratum_col)], F.lit(1.0))
+    # seeded per-row uniform in [0, 1): same md5-prefix machinery as
+    # hash_sample, so the extra-copy decision is engine-portable
+    u = (
+        F.conv(
+            F.md5(
+                F.concat(
+                    F.lit(seed), F.lit("#"), F.col(id_col).cast("string")
+                )
+            ).substr(1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    n_copies = (F.floor(w) + F.when(u < w - F.floor(w), 1).otherwise(0)).cast(
+        "int"
+    )
+    return df.withColumn("_n", n_copies).filter(F.col("_n") > 0).select(
+        "*", F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy_idx")
+    ).drop("_n")

@@ -3241,6 +3241,45 @@ def asof_next_visit_tolerance_q(spark, sf_dir):
 
 
 @q(
+    "upsample_code_math_mixture",
+    """
+    WITH w AS (
+        SELECT d.*,
+               CASE source WHEN 'src1' THEN 2.5
+                           WHEN 'src2' THEN 0.5
+                           ELSE 1.0 END AS wgt,
+               CAST(('0x' || substr(md5('#' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM documents d
+    ),
+    n AS (
+        SELECT doc_id, source, n_chars,
+               CAST(floor(wgt) + CASE WHEN u < wgt - floor(wgt)
+                                      THEN 1 ELSE 0 END AS INT) AS n_copies
+        FROM w
+    )
+    SELECT doc_id, source, n_chars, CAST(o.off AS INT) AS copy_idx
+    FROM n CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS off) o
+    WHERE n.n_copies > 0 AND o.off <= n.n_copies
+    """,
+    "Mixture UPSAMPLING (weights > 1 duplicate rows): src1 ×2.5, "
+    "src2 ×0.5, rest ×1 — floor(w) copies plus one more when the "
+    "row's seeded md5-uniform < frac(w). Pure map-side explode, no "
+    "RNG, reproducible multiset with copy_idx lineage "
+    "(operators/sampling.py:upsample_mixture).",
+)
+def upsample_code_math_mixture_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        upsample_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return upsample_mixture(docs, {"src1": 2.5, "src2": 0.5})
+
+
+@q(
     "contrastive_negative_samples",
     """
     WITH b AS (

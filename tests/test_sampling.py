@@ -191,3 +191,43 @@ def test_negative_samples_tiny_shards(spark):
     assert all(r["neg_rank"] == 1 for r in out)
     one = spark.range(0, 1).withColumnRenamed("id", "doc_id")
     assert negative_samples(one, id_col="doc_id", k=4, num_shards=1).count() == 0
+
+
+def test_upsample_mixture_copy_semantics(spark):
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        upsample_mixture,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "code" if i % 3 == 0 else ("web" if i % 3 == 1 else "junk"))
+         for i in range(300)],
+        "doc_id long, source string",
+    )
+    out = upsample_mixture(
+        docs, {"code": 2.5, "web": 1.0, "junk": 0.0}
+    ).collect()
+    from collections import Counter
+
+    copies = Counter()
+    for r in out:
+        copies[(r["doc_id"], r["source"])] += 1
+    # junk fully dropped; web exactly once
+    assert not any(s == "junk" for _, s in copies)
+    web = [c for (_, s), c in copies.items() if s == "web"]
+    assert web and set(web) == {1}
+    # code rows: 2 or 3 copies each, mean ≈ 2.5
+    code = [c for (_, s), c in copies.items() if s == "code"]
+    assert set(code) <= {2, 3}
+    assert 2.2 < sum(code) / len(code) < 2.8
+    # copy_idx is 1..n per doc
+    idx = {}
+    for r in out:
+        idx.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in idx.values())
+    # deterministic across runs
+    again = upsample_mixture(docs, {"code": 2.5, "web": 1.0, "junk": 0.0})
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again.collect()))
+    with pytest.raises(ValueError, match="weights"):
+        upsample_mixture(docs, {})
