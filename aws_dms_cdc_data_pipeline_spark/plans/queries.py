@@ -3241,6 +3241,65 @@ def asof_next_visit_tolerance_q(spark, sf_dir):
 
 
 @q(
+    "cdc_rate_anomalies",
+    """
+    WITH m AS (
+        SELECT date_trunc('hour', ts) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM(n) AS DECIMAL(38,0)) AS tot,
+               CAST(SUM(CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0)) AS sq
+        FROM m
+    )
+    SELECT m.bucket, m.n,
+           round((m.n - CAST(s.tot AS DOUBLE) / s.nb)
+                 / sqrt((CAST(s.sq AS DOUBLE)
+                         - CAST(s.tot AS DOUBLE) * (CAST(s.tot AS DOUBLE) / s.nb))
+                        / s.nb), 6) AS z,
+           CAST(CASE WHEN abs((m.n - CAST(s.tot AS DOUBLE) / s.nb)
+                 / sqrt((CAST(s.sq AS DOUBLE)
+                         - CAST(s.tot AS DOUBLE) * (CAST(s.tot AS DOUBLE) / s.nb))
+                        / s.nb)) > 3 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM m CROSS JOIN s
+    """,
+    "Change-rate anomaly report (ops observability for the CDC "
+    "stream): per-hour event counts z-scored against the corpus "
+    "mean/stddev — moments accumulate as EXACT integers/decimals "
+    "(overflow-safe at any scale), the final mean/variance/sqrt are "
+    "correctly-rounded IEEE ops on identical inputs, so the doubles "
+    "match DuckDB bit-for-bit. Stats ride a 1-row broadcast; no "
+    "driver collect.",
+)
+def cdc_rate_anomalies_q(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("n").cast("decimal(38,0)").alias("tot"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n"))
+        .cast("decimal(38,0)")
+        .alias("sq"),
+    )
+    j = per.crossJoin(F.broadcast(stats))
+    mean = F.col("tot").cast("double") / F.col("nb")
+    var = (
+        F.col("sq").cast("double") - F.col("tot").cast("double") * mean
+    ) / F.col("nb")
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return j.select(
+        "bucket",
+        "n",
+        F.round(z, 6).alias("z"),
+        F.when(F.abs(z) > 3, 1).otherwise(0).cast("long").alias("is_anomaly"),
+    )
+
+
+@q(
     "upsample_code_math_mixture",
     """
     WITH w AS (
