@@ -3240,6 +3240,44 @@ def asof_next_visit_tolerance_q(spark, sf_dir):
     )
 
 
+_LINEITEM_CHECKS = {
+    "qty_positive": "l_quantity > 0",
+    "price_non_negative": "l_extendedprice >= 0",
+    "discount_in_unit_range": "l_discount >= 0 AND l_discount <= 1",
+    "returnflag_enum": "l_returnflag IN ('A', 'N', 'R')",
+    "shipdate_present": "l_shipdate IS NOT NULL",
+}
+
+
+@q(
+    "lineitem_contract_checks",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS check_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN COALESCE(({pred}), FALSE)
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+               CAST(CASE WHEN SUM(CASE WHEN COALESCE(({pred}), FALSE)
+                                       THEN 0 ELSE 1 END) = 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS pass_flag
+        FROM lineitem"""
+        for name, pred in sorted(_LINEITEM_CHECKS.items())
+    ),
+    "Declarative data-contract checks (dbt-test / Delta-CHECK "
+    "analog): five named predicates over lineitem evaluated in ONE "
+    "scan as conditional counts — map-side partials, no data "
+    "shuffle; NULL predicate = violation. The same predicate strings "
+    "run verbatim in the DuckDB oracle "
+    "(operators/expectations.py:check_constraints).",
+)
+def lineitem_contract_checks_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.expectations import (
+        check_constraints,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return check_constraints(li, _LINEITEM_CHECKS)
+
+
 @q(
     "cdc_rate_anomalies",
     """
