@@ -152,7 +152,11 @@ def normalized_rank(col, lo, hi, bits: int = 16):
     from pyspark.sql import functions as F
 
     top = (1 << bits) - 1
-    if hi <= lo:
+    # None bounds = empty table or all-NULL column: the column carries
+    # no ordering information, so it contributes a constant rank (same
+    # treatment as a constant column, hi == lo) instead of a TypeError
+    # deep inside the comparison.
+    if lo is None or hi is None or hi <= lo:
         return F.lit(0).cast("long")
     return F.least(
         F.lit(top).cast("long"),

@@ -30,74 +30,92 @@ import shutil
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from aws_dms_cdc_data_pipeline_spark import schema as S
 from aws_dms_cdc_data_pipeline_spark.sinks.state_store import StateStore
+from aws_dms_cdc_data_pipeline_spark.sources.envelope_stream import (
+    parse_envelope_lines,
+)
 
 
 def replay_dlq(spark: SparkSession, error_path: str, store: StateStore) -> dict:
     """Replay every dead-lettered record under ``error_path`` into
     ``store``. Returns counts: ``delivery_replayed``,
     ``parse_replayed``, ``still_corrupt``.
+
+    Both branches re-run :func:`parse_envelope_lines` — the EXACT
+    production parser with its full ``_corrupt`` predicate (missing
+    envelope, metadata, data, doc_id, OR the ``data.trans_id`` store
+    key). A hand-rolled weaker predicate here once admitted
+    trans_id-NULL lines into the store's hash(NULL) bucket, silently
+    collapsing distinct malformed records into one winner; reusing the
+    parser makes that divergence structurally impossible. Lines still
+    corrupt (from either branch) are re-parked, never dropped.
     """
     out = {"delivery_replayed": 0, "parse_replayed": 0, "still_corrupt": 0}
 
     delivery_dirs = sorted(glob.glob(os.path.join(error_path, "batch_id=*", "delivery")))
     parse_dirs = sorted(glob.glob(os.path.join(error_path, "batch_id=*", "parse")))
+    if not delivery_dirs and not parse_dirs:
+        return out
 
     raw_schema = "raw string"
-    if delivery_dirs:
-        raw = spark.read.schema(raw_schema).json(delivery_dirs)
-        env = raw.select(
-            F.from_json(F.col("raw"), S.KEYED_ENVELOPE_SCHEMA).alias("_e")
-        ).select("_e.data", "_e.metadata", "_e.doc_id")
-        n = env.count()
-        if n:
-            store.merge(env)
-        out["delivery_replayed"] = n
-        for d in delivery_dirs:
-            shutil.rmtree(d, ignore_errors=True)
+    still_bad = []  # DataFrames of re-parked lines, merged below
 
-    if parse_dirs:
-        raw = spark.read.schema(raw_schema).json(parse_dirs)
-        parsed = raw.select(
-            "raw",
-            F.from_json(F.col("raw"), S.KEYED_ENVELOPE_SCHEMA).alias("_e"),
-        ).withColumn(
-            "_ok",
-            F.col("_e.metadata").isNotNull() & F.col("_e.doc_id").isNotNull(),
+    def _split(dirs):
+        """(good envelopes, still-corrupt raw lines) via the production parser."""
+        raw = spark.read.schema(raw_schema).json(dirs)
+        parsed = parse_envelope_lines(raw, line_col="raw").persist()
+        good = parsed.filter(~F.col("_corrupt")).select("data", "metadata", "doc_id")
+        bad = parsed.filter(F.col("_corrupt")).select(
+            F.col("_raw").alias("raw"),
+            F.lit("parse-error").alias("error"),
+            F.current_timestamp().alias("dead_lettered_at"),
         )
-        parsed = parsed.persist()
-        try:
-            good = parsed.filter(F.col("_ok")).select(
-                "_e.data", "_e.metadata", "_e.doc_id"
-            )
-            bad = parsed.filter(~F.col("_ok")).select(
-                "raw",
-                F.lit("parse-error").alias("error"),
-                F.current_timestamp().alias("dead_lettered_at"),
-            )
-            n_good = good.count()
-            n_bad = bad.count()
+        return parsed, good, bad
+
+    retry_dir = os.path.join(error_path, "batch_id=replay", "parse")
+    cached = []
+    try:
+        if delivery_dirs:
+            parsed, good, bad = _split(delivery_dirs)
+            cached.append(parsed)
+            n_good, n_bad = good.count(), bad.count()
             if n_good:
                 store.merge(good)
-            # atomic-enough rewrite: stage the survivors, then swap the
-            # per-batch parse dirs for a single consolidated one
-            retry_dir = os.path.join(error_path, "batch_id=replay", "parse")
+            out["delivery_replayed"] = n_good
+            out["still_corrupt"] += n_bad
             if n_bad:
-                staging = retry_dir + ".tmp"
-                shutil.rmtree(staging, ignore_errors=True)
-                bad.write.mode("overwrite").json(staging)
-                shutil.rmtree(retry_dir, ignore_errors=True)
-                os.replace(staging, retry_dir)
-            for d in parse_dirs:
-                if os.path.abspath(d) != os.path.abspath(retry_dir):
-                    shutil.rmtree(d, ignore_errors=True)
-            if not n_bad:
-                shutil.rmtree(retry_dir, ignore_errors=True)
+                still_bad.append(bad)
+
+        if parse_dirs:
+            parsed, good, bad = _split(parse_dirs)
+            cached.append(parsed)
+            n_good, n_bad = good.count(), bad.count()
+            if n_good:
+                store.merge(good)
             out["parse_replayed"] = n_good
-            out["still_corrupt"] = n_bad
-        finally:
-            parsed.unpersist()
+            out["still_corrupt"] += n_bad
+            if n_bad:
+                still_bad.append(bad)
+
+        # atomic-enough rewrite: stage the survivors, then swap the
+        # per-batch error dirs for a single consolidated retry dir
+        if still_bad:
+            bad_all = still_bad[0]
+            for b in still_bad[1:]:
+                bad_all = bad_all.unionByName(b)
+            staging = retry_dir + ".tmp"
+            shutil.rmtree(staging, ignore_errors=True)
+            bad_all.write.mode("overwrite").json(staging)
+            shutil.rmtree(retry_dir, ignore_errors=True)
+            os.replace(staging, retry_dir)
+        for d in delivery_dirs + parse_dirs:
+            if os.path.abspath(d) != os.path.abspath(retry_dir):
+                shutil.rmtree(d, ignore_errors=True)
+        if not still_bad:
+            shutil.rmtree(retry_dir, ignore_errors=True)
+    finally:
+        for p in cached:
+            p.unpersist()
 
     return out
 

@@ -10,7 +10,7 @@ Design for 100 TB:
 
 - Each row folds to a 60-bit digest of a CANONICAL string encoding
   (stable across engines: integers verbatim, doubles via
-  DECIMAL(18,6), timestamps via epoch-µs, NULL via a sentinel), so
+  DECIMAL(38,6), timestamps via epoch-µs, NULL via a sentinel), so
   the same logical row digests identically in Spark, DuckDB, or any
   SQL engine — that is what makes cross-system validation possible.
 - The table checksum is the exact SUM of row digests as
@@ -48,7 +48,12 @@ def _canon(df: DataFrame, c: str) -> Column:
             col = col.cast("timestamp")
         s = F.unix_micros(col).cast("string")
     elif isinstance(t, (T.DoubleType, T.FloatType)):
-        s = col.cast("decimal(18,6)").cast("string")
+        # DECIMAL(38,6) spans |x| < 1e32 — far past any double that
+        # survives a µs-exact pipeline. The narrower DECIMAL(18,6)
+        # silently NULL'd |x| >= 1e12 under Spark's non-ANSI cast
+        # (false-pass: overflow digested identically to genuine NULL)
+        # while DuckDB's CAST errored — a cross-engine divergence.
+        s = col.cast("decimal(38,6)").cast("string")
     elif isinstance(t, T.DateType):
         s = F.datediff(col, F.lit("1970-01-01")).cast("string")
     elif isinstance(
@@ -97,7 +102,7 @@ def checksum_oracle_sql(table: str, col_types: dict[str, str]) -> str:
         if t == "timestamp":
             s = f"CAST(epoch_us({c}) AS VARCHAR)"
         elif t == "double":
-            s = f"CAST(CAST({c} AS DECIMAL(18,6)) AS VARCHAR)"
+            s = f"CAST(CAST({c} AS DECIMAL(38,6)) AS VARCHAR)"
         elif t == "date":
             s = f"CAST(datediff('day', DATE '1970-01-01', {c}) AS VARCHAR)"
         else:

@@ -93,3 +93,34 @@ def test_checksum_validates_cdc_replication(spark):
     )
     c = table_checksum(tampered.select(*cols), "state").collect()
     assert c != a
+
+
+def test_checksum_wide_double_range_matches_duckdb(spark):
+    """|x| >= 1e12 doubles must digest as their value, not as NULL —
+    and identically in DuckDB (ADVICE-r4: DECIMAL(18,6) silently
+    NULL'd them under Spark's non-ANSI cast while DuckDB's CAST
+    errored; DECIMAL(38,6) restores the cross-engine contract)."""
+    import duckdb
+    from aws_dms_cdc_data_pipeline_spark.operators.checksum import (
+        checksum_oracle_sql,
+    )
+
+    rows = [(1, 5.0e12), (2, -3.25e15), (3, None), (4, 0.5)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    (got,) = table_checksum(df, "t", ["id", "v"]).collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(
+        checksum_oracle_sql("t", {"id": "int", "v": "double"})
+    ).fetchone()
+    assert (got["n_rows"], got["checksum"]) == (want[1], want[2])
+
+    # and the overflow row is NOT digesting as NULL: nulling it out
+    # changes the checksum
+    df_nulled = spark.createDataFrame(
+        [(1, None), (2, -3.25e15), (3, None), (4, 0.5)], "id long, v double"
+    )
+    (other,) = table_checksum(df_nulled, "t", ["id", "v"]).collect()
+    assert other["checksum"] != got["checksum"]

@@ -127,3 +127,31 @@ def test_z_value_interleaves_bits(spark):
     # col0=0b101 -> pos 0,2,4 = 1,0,1 ; col1=0b011 -> pos 1,3,5 = 1,1,0
     # z (pos5..0) = 0 1 1 0 1 1 = 0b011011
     assert df.first()["z"] == 0b011011
+
+
+def test_zorder_constant_and_empty_inputs(spark, tmp_path):
+    """Empty table / all-NULL clustering column: bounds come back None;
+    the rank must degrade to a constant (ADVICE-r4: it raised
+    TypeError inside `hi <= lo`)."""
+    from aws_dms_cdc_data_pipeline_spark.maintenance.layout import (
+        cluster_by_zorder,
+        normalized_rank,
+    )
+
+    assert str(normalized_rank(F.col("x"), None, None)) == str(
+        F.lit(0).cast("long")
+    )
+
+    # all-NULL second axis: rewrite succeeds, clustering rides axis 1
+    df = spark.createDataFrame(
+        [(i, None) for i in range(100)], "a long, b double"
+    )
+    out = str(tmp_path / "nullaxis")
+    cluster_by_zorder(df, out, ["a", "b"], num_files=2)
+    assert spark.read.parquet(out).count() == 100
+
+    # fully empty input: no files is fine, no TypeError
+    empty = df.filter(F.col("a") < 0)
+    out2 = str(tmp_path / "empty")
+    cluster_by_zorder(empty, out2, ["a", "b"], num_files=2)
+    assert spark.read.parquet(out2).count() == 0

@@ -68,3 +68,48 @@ def test_replay_empty_dlq_is_noop(spark, tmp_path):
     assert out == {
         "delivery_replayed": 0, "parse_replayed": 0, "still_corrupt": 0,
     }
+
+
+def test_replay_trans_id_null_stays_dead(spark, tmp_path):
+    """A line with metadata + doc_id present but data.trans_id NULL must
+    NOT be replayed (the store keys on trans_id; hash(NULL) bucketing
+    would silently collapse all such records into one winner). The
+    replay must judge lines with the production parser's full _corrupt
+    predicate — this is the ADVICE-r4 regression."""
+    store = StateStore(spark, str(tmp_path / "state"), num_buckets=4)
+    err = str(tmp_path / "error")
+
+    null_key_line = json.dumps({
+        "data": {"trans_id": None, "customer_id": "C-1", "event": "visit",
+                 "sku": "S-1", "amount": 5, "device": "pc",
+                 "trans_datetime": "2022-03-14T14:17:40Z"},
+        "metadata": {"timestamp": "2022-03-14T14:18:11.104009Z",
+                     "record-type": "data", "operation": "insert",
+                     "partition-key-type": "primary-key",
+                     "schema-name": "testdb", "table-name": "retail_trans",
+                     "transaction-id": 1},
+        "doc_id": "d-1",
+    })
+    no_data_line = json.dumps({
+        "metadata": {"timestamp": "2022-03-14T14:18:11.104009Z",
+                     "record-type": "data", "operation": "insert",
+                     "partition-key-type": "primary-key",
+                     "schema-name": "testdb", "table-name": "retail_trans",
+                     "transaction-id": 2},
+        "doc_id": "d-2",
+    })
+    # one in each branch: the delivery branch must apply the same gate
+    _write_dlq(os.path.join(err, "batch_id=1", "delivery"),
+               [{"raw": null_key_line, "error": "delivery-error"}])
+    _write_dlq(os.path.join(err, "batch_id=2", "parse"),
+               [{"raw": no_data_line, "error": "parse-error"},
+                {"raw": null_key_line, "error": "parse-error"}])
+
+    out = replay_dlq(spark, err, store)
+    assert out == {
+        "delivery_replayed": 0, "parse_replayed": 0, "still_corrupt": 3,
+    }
+    assert store.table().count() == 0
+    # all three re-parked, none dropped
+    parked = spark.read.json(os.path.join(err, "batch_id=replay", "parse"))
+    assert parked.count() == 3
