@@ -20,6 +20,7 @@ from aws_dms_cdc_data_pipeline_spark.operators.checksum import (  # noqa: F401
     checksum_oracle_sql,
     table_checksum,
 )
+from aws_dms_cdc_data_pipeline_spark.operators.outliers import flag_outliers  # noqa: F401
 from aws_dms_cdc_data_pipeline_spark.operators.search import bm25_search  # noqa: F401
 from aws_dms_cdc_data_pipeline_spark.operators.multimodal import (  # noqa: F401
     extract_features,
