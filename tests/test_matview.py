@@ -172,3 +172,82 @@ def test_streaming_integration(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_streaming_crash_recovery_mid_trigger(spark, tmp_path):
+    """Crash between a batch's store merge and the view advance, with
+    the checkpoint intact: on restart the batch replays (idempotent
+    merge), the view detects the generation gap and rebuilds — the
+    final view still equals the full recompute.
+    """
+    import shutil
+
+    from aws_dms_cdc_data_pipeline_spark.generator import write_envelope_jsonl
+    from aws_dms_cdc_data_pipeline_spark.operators.selection import select_table
+    from aws_dms_cdc_data_pipeline_spark.sources.envelope_stream import (
+        read_envelope_batch,
+    )
+    from aws_dms_cdc_data_pipeline_spark.streaming import (
+        CdcStreamConfig, start_cdc_stream,
+    )
+
+    wire = str(tmp_path / "wire")
+    write_envelope_jsonl(
+        GeneratorConfig(n_rows=80, seed=11, update_fraction=0.3,
+                        delete_fraction=0.1, duplicate_fraction=0.2),
+        wire, files=2,
+    )
+    cfg = CdcStreamConfig(
+        source_path=wire, sink_root=str(tmp_path / "sink"),
+        trigger_seconds=None, max_files_per_trigger=1,
+    )
+    store = StateStore(spark, cfg.state_path)
+    view = IncrementalAggView(store, os.path.join(cfg.sink_root, "matview"))
+
+    # generation 1: clean run
+    start_cdc_stream(spark, cfg, matview=view).awaitTermination()
+    _assert_device_view_matches(view, store)
+    gen_clean = store.version()
+
+    # new wire files land (fresh names so the file source sees them)
+    staging = str(tmp_path / "staging")
+    write_envelope_jsonl(
+        GeneratorConfig(n_rows=60, seed=12, update_fraction=0.4,
+                        delete_fraction=0.2, duplicate_fraction=0.1),
+        staging, files=2,
+    )
+    new_files = []
+    for i, name in enumerate(sorted(os.listdir(staging))):
+        dst = os.path.join(wire, f"late-{i:05d}.jsonl")
+        shutil.move(os.path.join(staging, name), dst)
+        new_files.append(dst)
+
+    # CRASH SIMULATION: the stream merged the first new file into the
+    # store, then died before view.advance ran and before the epoch
+    # committed to the checkpoint. Store generation moves; view's
+    # recorded store_gen does not; checkpoint still points before the
+    # batch.
+    env = read_envelope_batch(spark, new_files[0])
+    good = env.filter(~F.col("_corrupt")).drop("_raw", "_corrupt")
+    store.merge(select_table(good, cfg.schema_name, cfg.table_name))
+    assert store.version() > gen_clean
+    stale = _rows(view.table())
+
+    # RESTART on the same checkpoint: both new files (re)process — the
+    # crashed file's merge replays idempotently, the view sees the
+    # missed generation and falls back to rebuild.
+    start_cdc_stream(spark, cfg, matview=view).awaitTermination()
+    _assert_device_view_matches(view, store)
+    assert _rows(view.table()) != stale  # it actually advanced
+
+    # and a THIRD run with nothing new is a no-op for both
+    gen_final, v_final = store.version(), view._manifest()["v"]
+    start_cdc_stream(spark, cfg, matview=view).awaitTermination()
+    assert store.version() == gen_final
+    assert _rows(view.table()) == _rows(_recompute(store))
+
+
+def _assert_device_view_matches(view, store):
+    got = sorted(map(tuple, view.table().collect()))
+    want = _rows(_recompute(store))
+    assert got == want and got

@@ -74,3 +74,57 @@ def test_sample_frames_fan_out(spark):
     assert [r.frame_idx for r in by_id[2]] == [0]
     f0 = next(r for r in by_id[1] if r.frame_idx == 0)
     assert len(bytes(f0.frame)) == 64 and len(f0.frame_features) == 4
+
+
+def test_skew_report_to_salted_join_roundtrip(spark):
+    """The operational loop: the skew report FINDS the hot key, the
+    salted join FIXES it — demonstrated end to end on a planted skew.
+    """
+    from aws_dms_cdc_data_pipeline_spark.operators.skew import salted_join
+
+    # 80% of fact rows share key 1; dims are tiny
+    rows = [(1, i) for i in range(8000)] + [
+        (2 + (i % 50), i) for i in range(2000)
+    ]
+    big = spark.createDataFrame(rows, "k long, v long")
+    small = spark.createDataFrame(
+        [(k, f"dim-{k}") for k in range(1, 60)], "k long, name string"
+    )
+
+    # 1) detection: the report's share arithmetic flags k=1 at ~80%
+    counts = big.groupBy("k").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = big.agg(F.count(F.lit(1)).alias("total"))
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .select("k", F.expr("n_rows * 1000000L div total").alias("share_ppm"))
+        .orderBy(F.col("share_ppm").desc())
+        .first()
+    )
+    assert top["k"] == 1 and top["share_ppm"] >= 500_000
+
+    # 2) fix: salting balances shuffle-partition input sizes
+    buckets = 8
+    from aws_dms_cdc_data_pipeline_spark.operators.skew import _row_salt
+
+    def max_partition_rows(df, *cols):
+        return (
+            df.repartition(16, *cols)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    plain_max = max_partition_rows(big, "k")
+    salted_max = max_partition_rows(
+        big.withColumn("_salt", _row_salt(big, buckets)), "k", "_salt"
+    )
+    assert plain_max >= 8000  # the hot key funnels into one task
+    assert salted_max <= plain_max // 3  # salt spreads it
+
+    # 3) correctness: salted result == plain join, bit for bit
+    got = sorted(
+        tuple(r) for r in salted_join(big, small, "k", buckets=buckets).collect()
+    )
+    want = sorted(tuple(r) for r in big.join(small, "k").collect())
+    assert got == want and len(got) == 10000
