@@ -67,12 +67,21 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int = 20,
+    textbook: bool = False,
 ) -> DataFrame:
     """Top-k documents for a bag of query terms.
 
     Returns (id, score, n_terms_hit) ordered by (score DESC, id ASC).
-    ``score`` is the quantized-exact sum of per-term rational BM25
-    contributions (see module docstring for the log-free idf).
+    ``score`` is the quantized-exact sum of per-term BM25
+    contributions. ``textbook=True`` uses the standard Lucene idf
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))`` — textbook multi-term
+    ranking at the cost of libm ``ln`` in the score (still
+    deterministic within Spark; just not guaranteed bit-identical to
+    an independent engine's ``ln``). The default keeps the log-free
+    rational idf whose cross-engine determinism the DuckDB oracle
+    check depends on (see module docstring; measured agreement
+    between the two orderings on the documents fixture:
+    tests/test_search.py::test_textbook_vs_rational_idf_deviation).
     """
     if not query_terms:
         raise ValueError("bm25_search needs at least one query term")
@@ -96,6 +105,8 @@ def bm25_search(
     )
     avgdl = F.col("total_dl") / F.col("n_docs")
     idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    if textbook:
+        idf = F.log(F.lit(1.0) + idf)
     tf_part = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl)
     )

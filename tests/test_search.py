@@ -59,3 +59,43 @@ def test_tokenize_counts(spark):
     assert out[(1, "shuffle")] == 2
     assert out[(3, "shuffle")] == 2
     assert (4, "spark") not in out
+
+
+def test_textbook_vs_rational_idf_deviation(spark):
+    """Quantify the documented ranking deviation between the log-free
+    rational idf (cross-engine-deterministic default) and textbook
+    ln-idf (textbook=True): overlap@k of the top-k sets and Kendall
+    tau over the common prefix, on the real documents fixture with
+    the registry query's terms."""
+    from aws_dms_cdc_data_pipeline_spark.session import load_table
+    from tests.conftest import SF_DIR_ORACLE
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    terms = ["spark", "shuffle", "broadcast"]
+    k = 25
+    rational = [r["doc_id"] for r in
+                bm25_search(docs, terms, top_k=k).collect()]
+    textbook = [r["doc_id"] for r in
+                bm25_search(docs, terms, top_k=k, textbook=True).collect()]
+    assert len(rational) == len(textbook) == k
+
+    overlap = len(set(rational) & set(textbook)) / k
+
+    common = [d for d in rational if d in set(textbook)]
+    pos_t = {d: i for i, d in enumerate(textbook)}
+    n = len(common)
+    concordant = discordant = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if pos_t[common[i]] < pos_t[common[j]]:
+                concordant += 1
+            else:
+                discordant += 1
+    tau = (concordant - discordant) / max(1, concordant + discordant)
+
+    # measured r5 on sf0.01: overlap@25 = 1.0, tau = 1.0 — the
+    # deviation is theoretical at fixture scale. Loose floors so data
+    # regeneration can't flake the suite; material deviation (below
+    # these) should be investigated, not re-floored.
+    assert overlap >= 0.8, f"overlap@{k} collapsed: {overlap}"
+    assert tau >= 0.8, f"kendall tau collapsed: {tau}"
