@@ -42,7 +42,52 @@ HEADLINE = (
     "asof_purchase_last_visit",
     "sessionize_events",
     "label_centroids",
+    # heavier LLM-ops families (added r5 so round-over-round perf
+    # tracking covers the operators most likely to regress)
+    "tfidf_top_terms",
+    "near_dedup_canonical",
+    "bm25_keyword_search",
 )
+
+
+# Relational subset re-run at the scaled tier (see tools/
+# make_scaled_sf.py): at sf0.1 these are scheduling-floor-dominated
+# (~0.3-0.5 s/stage constant vs sub-second work — PERF.md), so the
+# floor, not the plan, sets the DuckDB ratio. 10× the rows amortizes
+# the floor and shows the ratio the plans actually extrapolate to.
+SCALE_SUBSET = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "regional_revenue",
+    "topk_customers_by_revenue",
+    "sessionize_events",
+    "window_range_7day_spend",
+)
+
+
+def _duckdb_seconds(registry, names, sf_dir: str) -> dict[str, float]:
+    """Steady-state DuckDB wall times for the same queries' oracle SQL
+    on the same parquet files (the cross-engine compute bar)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    out = {}
+    for name in names:
+        sql = registry[name].oracle
+        if sql is None:
+            continue
+        con.execute(sql).fetchall()  # warm (buffer cache, plan)
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        out[name] = round(time.time() - t0, 3)
+    return out
 
 
 def main() -> None:
@@ -75,17 +120,47 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # optional scaled tier: present iff the scaled dir was prebuilt
+    # (tools/make_scaled_sf.py) — never generated on the bench clock
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".benchdata", "sf1"),
     )
+    if os.path.isdir(scale_dir):
+        spark_t: dict[str, float] = {}
+        for name in SCALE_SUBSET:
+            spark.catalog.clearCache()
+            REGISTRY[name].fn(spark, scale_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t0 = time.time()
+            REGISTRY[name].fn(spark, scale_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark_t[name] = round(time.time() - t0, 3)
+        duck_t = _duckdb_seconds(REGISTRY, SCALE_SUBSET, scale_dir)
+        s_tot = round(sum(spark_t.values()), 3)
+        d_tot = round(sum(duck_t.values()), 3)
+        payload["scale_check"] = {
+            "sf": 1.0,
+            "dir": scale_dir,
+            "spark_sec": spark_t,
+            "duckdb_sec": duck_t,
+            "spark_total": s_tot,
+            "duckdb_total": d_tot,
+            "ratio_vs_duckdb": round(s_tot / d_tot, 2) if d_tot else None,
+        }
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,99 @@
+"""Build a scaled-up copy of a testdata sf directory for bench runs.
+
+The fixtures top out at sf0.1 (600k lineitem), where a 17-query Spark
+sweep is scheduling-floor-dominated (~0.3-0.5 s/stage constant cost vs
+sub-second real work — PERF.md's gap decomposition). This tool
+replicates the FACT tables ``factor``× with key offsets so the floor
+amortizes and per-query times measure real work:
+
+- ``orders``/``lineitem``: both key spaces shift by
+  ``replica * (max(o_orderkey)+1)`` so replicas join exactly like the
+  original (same per-order line counts, same dim fan-out per order).
+- ``events``: ``event_id`` shifts; ``ts`` shifts by ``replica`` hours
+  so sessionization/windows see new activity, not duplicate instants;
+  ``user_id`` stays — the same user population generating 10× events
+  is the realistic growth axis.
+- Dimensions (``region nation customer supplier part``) copy as-is:
+  dims grow slower than facts, and fixed dims keep broadcast-join
+  plan shapes honest at scale.
+- ``documents``/``embeddings`` copy as-is: replicated near-identical
+  text would explode near-dup candidate pairs quadratically — a
+  different (adversarial) workload, not a scale-up of this one.
+
+Usage: python tools/make_scaled_sf.py [src_dir] [dst_dir] [factor]
+Defaults: /root/testdata/sf0.1 → <repo>/.benchdata/sf1, factor 10.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+_COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
+               "documents", "embeddings"]
+
+
+def build(src: str, dst: str, factor: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+
+    def copy(sql: str, table: str) -> None:
+        out = os.path.join(dst, f"{table}.parquet")
+        con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+
+    for t in _COPY_AS_IS:
+        copy(f"SELECT * FROM read_parquet('{src}/{t}.parquet')", t)
+
+    stride = con.execute(
+        f"SELECT MAX(o_orderkey) + 1 FROM read_parquet('{src}/orders.parquet')"
+    ).fetchone()[0]
+
+    copy(
+        f"""
+        SELECT o_orderkey + r.i * {stride} AS o_orderkey,
+               o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM read_parquet('{src}/orders.parquet')
+        CROSS JOIN range({factor}) r(i)
+        """,
+        "orders",
+    )
+    copy(
+        f"""
+        SELECT l_orderkey + r.i * {stride} AS l_orderkey,
+               l_partkey, l_suppkey, l_linenumber, l_quantity,
+               l_extendedprice, l_discount, l_tax, l_returnflag,
+               l_linestatus, l_shipdate
+        FROM read_parquet('{src}/lineitem.parquet')
+        CROSS JOIN range({factor}) r(i)
+        """,
+        "lineitem",
+    )
+    ev_stride = con.execute(
+        f"SELECT MAX(event_id) + 1 FROM read_parquet('{src}/events.parquet')"
+    ).fetchone()[0]
+    copy(
+        f"""
+        SELECT event_id + r.i * {ev_stride} AS event_id,
+               ts + INTERVAL (r.i) HOUR AS ts,
+               user_id, event_type, value, props
+        FROM read_parquet('{src}/events.parquet')
+        CROSS JOIN range({factor}) r(i)
+        """,
+        "events",
+    )
+    for t in ["orders", "lineitem", "events"]:
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{dst}/{t}.parquet')"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(repo, ".benchdata", "sf1")
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    build(src, dst, factor)
