@@ -31,6 +31,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Below this many (deduped, undirected) edges the whole graph solves
+# in ONE task via executor-side union-find instead of iterating: the
+# pair graph of a deduped corpus is orders of magnitude smaller than
+# the corpus itself (sf0.1: 256 edges from 5,000 docs), and each
+# label-propagation round costs a full scheduled job — the iteration
+# is pure scheduling floor until the graph outgrows a partition.
+# 1M (id, id) pairs is ~tens of MB in one Arrow batch: comfortably a
+# single task, far past any fixture. The iterative path stays the
+# scale path beyond it.
+_SINGLE_TASK_EDGE_LIMIT = 1_000_000
+
+
+def _components_single_task(und: DataFrame, limit: int) -> DataFrame:
+    """All edges → one group → union-find in one Arrow batch.
+
+    Executor-side (groupBy on a constant + applyInPandas), NOT a
+    driver collect: the result comes back as a distributed DataFrame
+    and nothing routes through the driver. Label = min member id
+    under Python ordering, which matches Spark/SQL binary ordering
+    for the integer and ASCII-string id types dedup emits.
+    """
+    import pandas as pd
+
+    id_type = und.schema["s"].dataType.simpleString()
+
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > limit:  # guard: caller miscounted — fail loudly
+            raise RuntimeError(
+                f"single-task components got {len(pdf)} edges (> {limit})"
+            )
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for s, t in zip(pdf["s"], pdf["t"]):
+            rs, rt = find(s), find(t)
+            if rs != rt:
+                # union by label: smaller id becomes the root, so the
+                # root IS the component label (min member id)
+                lo, hi = (rs, rt) if rs < rt else (rt, rs)
+                parent[hi] = lo
+        nodes = set(pdf["s"]) | set(pdf["t"])
+        return pd.DataFrame(
+            {"id": list(nodes), "comp": [find(n) for n in nodes]}
+        )
+
+    return (
+        und.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(uf, schema=f"id {id_type}, comp {id_type}")
+    )
+
 
 def connected_components(
     edges: DataFrame,
@@ -53,6 +110,9 @@ def connected_components(
         e.select(F.col("t").alias("s"), F.col("s").alias("t"))
     ).distinct()
     und = und.localCheckpoint(eager=True)  # computed once, reused per round
+
+    if und.count() <= _SINGLE_TASK_EDGE_LIMIT:
+        return _components_single_task(und, _SINGLE_TASK_EDGE_LIMIT)
 
     labels = (
         und.select(F.col("s").alias("id"))

@@ -375,7 +375,18 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)),
         )
     )
-    grams = words.select(F.col(id_col), F.explode(gram_arr).alias("g")).distinct()
+    # The inverted index feeds several consumers (df-filter agg + its
+    # semi-join probe, both sides of the candidate self-join, per-doc
+    # sizes); unpersisted, normalize+split+explode+distinct re-runs
+    # for each. Same cache policy as minhash's shingle hashes
+    # (dedup.py:171): keyed by logical plan so back-to-back runs reuse
+    # it, cleared by the caller between query families; swap for
+    # StorageLevel.DISK_ONLY when the index outgrows cluster memory.
+    grams = (
+        words.select(F.col(id_col), F.explode(gram_arr).alias("g"))
+        .distinct()
+        .persist()
+    )
     if max_df is not None:
         # Document-frequency filter over the inverted index. One extra
         # agg + semi-join on the gram — both shuffle on "g", the same
@@ -386,7 +397,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_df)
             .select("g")
         )
-        grams = grams.join(rare, "g", "left_semi")
+        grams = grams.join(rare, "g", "left_semi").persist()
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
 
     ga, gb = grams.alias("ga"), grams.alias("gb")

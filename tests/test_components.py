@@ -29,13 +29,36 @@ def test_connected_components_is_deterministic_and_symmetric(spark):
     assert as_dict(connected_components(fwd)) == {5: 5, 9: 5, 7: 5}
 
 
-def test_connected_components_raises_when_not_converged(spark):
-    # a 6-hop chain cannot converge in 1 round
+def test_connected_components_raises_when_not_converged(spark, monkeypatch):
+    # a 6-hop chain cannot converge in 1 round — force the iterative
+    # path (the single-task union-find would absorb a graph this small)
+    from aws_dms_cdc_data_pipeline_spark.operators import components as C
+
+    monkeypatch.setattr(C, "_SINGLE_TASK_EDGE_LIMIT", 0)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iterations=1)
+
+
+def test_single_task_and_iterative_paths_agree(spark, monkeypatch):
+    """Both implementations produce identical components on a mixed
+    graph (chain + clique + singleton-ish pair), long AND string ids."""
+    from aws_dms_cdc_data_pipeline_spark.operators import components as C
+
+    long_edges = [(i, i + 1) for i in range(8)] + [(20, 21), (21, 22), (20, 22), (30, 31)]
+    str_edges = [(f"d{a:03d}", f"d{b:03d}") for a, b in long_edges]
+    for rows, ddl in [
+        (long_edges, "id_a long, id_b long"),
+        (str_edges, "id_a string, id_b string"),
+    ]:
+        edges = spark.createDataFrame(rows, ddl)
+        fast = {(r["id"], r["comp"]) for r in connected_components(edges).collect()}
+        monkeypatch.setattr(C, "_SINGLE_TASK_EDGE_LIMIT", 0)
+        slow = {(r["id"], r["comp"]) for r in connected_components(edges).collect()}
+        monkeypatch.undo()
+        assert fast == slow and fast
 
 
 def test_near_dup_clusters_keeps_singletons(spark):
