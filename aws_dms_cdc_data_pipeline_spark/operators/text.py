@@ -351,3 +351,77 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 10,
+) -> DataFrame:
+    """Corpus-level line deduplication (boilerplate removal).
+
+    The RefinedWeb/CCNet preprocessing step the document-level dedups
+    (operators/dedup.py) can't express: a LINE that appears in
+    ``min_df`` or more distinct documents is boilerplate (headers,
+    footers, cookie banners, nav text) — strip it from every document
+    and reassemble the remaining lines in their original order.
+    Returns (id_col, clean_text, n_lines_kept, n_lines_removed); a
+    document whose every line is boilerplate comes back with
+    ``clean_text = ''`` rather than disappearing.
+
+    Scale shape (the skew trap is the point here): boilerplate lines
+    are BY DEFINITION the hottest keys in the corpus — a naive
+    ``groupBy(line).agg(count_distinct(doc_id))`` funnels every copy
+    of a popular footer into one task. Instead the document frequency
+    is computed as ``distinct(line, doc_id)`` FIRST — that shuffle
+    spreads a hot line across partitions by (line, doc) — followed by
+    a map-side-combinable count. The boilerplate line set (df ≥
+    min_df) is small and joins back as a build side; reassembly is
+    one groupBy(doc) with an order-restoring array_sort on (pos,
+    line) structs — no window, no second shuffle axis.
+    """
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn("line", F.trim(F.col("line")))
+        .filter(F.col("line") != "")
+    )
+    # distinct-first: hot lines spread over (line, doc) before counting
+    line_df = (
+        lines.select("line", id_col)
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    boiler = line_df.filter(F.col("_df") >= min_df).select("line")
+    kept = lines.join(boiler, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_lines")
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .join(totals, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+            (
+                F.coalesce("_n_lines", F.lit(0)) - F.coalesce("n_lines_kept", F.lit(0))
+            ).cast("long").alias("n_lines_removed"),
+        )
+    )

@@ -3781,6 +3781,59 @@ def events_value_outliers_q(spark, sf_dir):
     )
 
 
+@q(
+    "boilerplate_line_removal",
+    """
+    WITH raw AS (
+      SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents
+    ),
+    l AS (
+      SELECT doc_id, s.i AS pos, trim(arr[s.i]) AS line
+      FROM raw, UNNEST(generate_series(1, len(arr))) s(i)
+      WHERE trim(arr[s.i]) <> ''
+    ),
+    ldf AS (
+      SELECT line, COUNT(*) AS _df
+      FROM (SELECT DISTINCT line, doc_id FROM l) GROUP BY line
+    ),
+    kept AS (
+      SELECT l.* FROM l
+      WHERE l.line NOT IN (SELECT line FROM ldf WHERE _df >= 2)
+    ),
+    reb AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(reb.clean_text, '') AS clean_text,
+           CAST(COALESCE(reb.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+           CAST(COALESCE(tot.n, 0) - COALESCE(reb.n_lines_kept, 0) AS BIGINT)
+               AS n_lines_removed
+    FROM documents d
+    LEFT JOIN reb ON d.doc_id = reb.doc_id
+    LEFT JOIN tot ON d.doc_id = tot.doc_id
+    """,
+    "Corpus-level line dedup / boilerplate removal (operators/text.py:"
+    "remove_boilerplate_lines, the RefinedWeb-style preprocessing the "
+    "document-level dedups can't express): lines appearing in >= "
+    "min_df distinct documents strip everywhere, remaining lines "
+    "reassemble in order. Skew-aware by construction — boilerplate "
+    "lines are the corpus's hottest keys, so document frequency is "
+    "computed distinct-(line,doc)-first (hot lines spread across "
+    "partitions) before the map-side-combinable count; reassembly is "
+    "one groupBy(doc) with an order-restoring array_sort, no window. "
+    "The fixture corpus has no cross-document lines (every df = 1), "
+    "so this oracle checks the full split/count/filter/reassemble "
+    "pipeline as an identity-modulo-trim transform; planted-"
+    "boilerplate semantics are covered in tests/test_boilerplate.py.",
+)
+def boilerplate_line_removal_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.remove_boilerplate_lines(docs, min_df=2)
+
+
 # ===========================================================================
 # Registry ordering.
 #
@@ -3835,6 +3888,7 @@ _R5_WINDOW = [
     "kmeans_cluster_sizes",  # rows-only (no oracle): first weak check
     # new in r5
     "events_value_outliers",
+    "boilerplate_line_removal",
     # r4-green continuity cross-section (one per operator family)
     "regional_revenue",
     "topk_customers_by_revenue",
@@ -3853,7 +3907,6 @@ _R5_WINDOW = [
     "session_window_stats",
     "range_join_promo_events",
     "time_rollup_events",
-    "source_overlap_matrix",
 ]
 
 assert len(_R5_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R5_WINDOW)}"
