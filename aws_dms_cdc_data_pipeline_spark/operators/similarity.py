@@ -323,3 +323,98 @@ def nearest_centroid_classify(
     return scored.groupBy(
         F.col("_true").alias(label_col), F.col("_pred").alias("pred_label")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+
+
+def _quantize_int8(col):
+    """Per-vector max-abs scalar quantization to [-127, 127] longs.
+
+    ``floor(x*127/maxabs + 0.5)`` — floor, not round: floor is
+    rounding-mode-portable across engines (PERF.md's half-boundary
+    caveat). Per-vector scaling cancels in cosine, so no scale column
+    needs carrying; an all-zero vector quantizes to zeros via the
+    scale-1 guard instead of dividing by zero.
+    """
+    maxabs = F.array_max(F.transform(col, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(maxabs == F.lit(0.0), F.lit(1.0)).otherwise(maxabs)
+    return F.transform(
+        col,
+        lambda x: F.floor(x.cast("double") * F.lit(127.0) / scale + F.lit(0.5))
+        .cast("long"),
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Scalar-quantized (int8) ANN with exact re-rank — the
+    memory-bandwidth tier of the candidate-then-rerank playbook.
+
+    At 100 TB the dominant ANN cost is scanning float32 vectors; the
+    int8 representation is 4× smaller, so the full-corpus candidate
+    pass reads a quarter of the bytes (materialize the quantized
+    column next to the float one and the scan prunes to it). Float
+    vectors are touched only for the ``k*rerank_factor`` candidates
+    per query that survive the quantized screen.
+
+    Fully deterministic and cross-engine reproducible (unlike IVF's
+    trained quantizer): quantization is exact integer arithmetic,
+    candidate and final ranks are total orders via the id tie-break.
+    Recall is governed by ``rerank_factor``; candidates are scored by
+    integer-dot cosine over the quantized vectors (exact — int8 dots
+    of any realistic dim fit a long).
+    """
+    corp = corpus.withColumn("_q", _quantize_int8(F.col(vec_col)))
+    qs = queries.withColumn("_qq", _quantize_int8(F.col(query_vec_col)))
+
+    def _lsum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    qdot = _lsum(F.zip_with("_q", "_qq", lambda a, b: a * b)).cast("double")
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        _lsum(F.transform(c, lambda x: x * x)).cast("double")
+    )
+    # try_divide: a zero vector has no defined cosine — it scores NULL
+    # and sinks below every real hit (ANSI-safe; plain `/` raises
+    # DIVIDE_BY_ZERO under this session's ANSI mode)
+    joined = corp.crossJoin(F.broadcast(qs)).withColumn(
+        "cosine",
+        F.round(F.try_divide(qdot, nrm(F.col("_q")) * nrm(F.col("_qq"))), 6),
+    )
+    cand = _topk_per_query(
+        joined, k=k * rerank_factor, query_id_col=query_id_col, id_col=id_col
+    ).select(query_id_col, id_col)
+
+    # exact re-rank: only candidate rows ever touch the float vectors
+    rer = (
+        corpus.join(F.broadcast(cand), id_col)
+        .join(
+            F.broadcast(queries.select(query_id_col, query_vec_col)),
+            query_id_col,
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                F.try_divide(
+                    _dot(F.col(vec_col), F.col(query_vec_col)),
+                    _norm(F.col(vec_col)) * _norm(F.col(query_vec_col)),
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -1127,6 +1127,66 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 @q(
+    "ann_quantized_topk",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    qz AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> floor(x * 127.0 /
+                 (CASE WHEN list_max(list_transform(v, y -> abs(y))) = 0
+                       THEN 1.0
+                       ELSE list_max(list_transform(v, y -> abs(y))) END)
+                 + 0.5)) AS q
+      FROM base
+    ),
+    qn AS (SELECT vec_id, v, q, sqrt(list_dot_product(q, q)) AS nq FROM qz),
+    qry AS (SELECT vec_id AS query_id, v AS qv, q AS qq, nq AS nqq
+            FROM qn WHERE vec_id < 8),
+    scored AS (
+      SELECT r.query_id, c.vec_id,
+             round(list_dot_product(c.q, r.qq) / (c.nq * r.nqq), 6) AS s
+      FROM qn c CROSS JOIN qry r
+    ),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, vec_id) AS rr
+        FROM scored) WHERE rr <= 40
+    ),
+    rer AS (
+      SELECT cand.query_id, cand.vec_id,
+             round(list_cosine_similarity(c.v, r.qv), 6) AS cosine
+      FROM cand JOIN base c ON cand.vec_id = c.vec_id
+                JOIN qry r ON cand.query_id = r.query_id
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rank
+          FROM rer)
+    WHERE rank <= 10
+    """,
+    "Scalar-quantized (int8) ANN with exact re-rank (operators/"
+    "similarity.py:quantized_topk): per-vector max-abs quantization "
+    "(floor(x*127/maxabs+0.5) — floor for rounding-mode portability; "
+    "the per-vector scale cancels in cosine), integer-dot candidate "
+    "screen over the 4x-smaller representation, float vectors touched "
+    "only for the k*4 survivors per query. Unlike IVF the whole "
+    "pipeline is deterministic integer arithmetic + total-order ranks, "
+    "so the DuckDB oracle reproduces it bit-exactly — an ANN tier "
+    "with a full cross-engine correctness gate.",
+)
+def ann_quantized_topk_q(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = V.quantized_topk(emb, queries_df, k=10, rerank_factor=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@q(
     "ann_ivf_topk",
     None,  # trained-quantizer cell assignment is engine-internal
     "IVF approximate top-10: k-means coarse quantizer (trained "
@@ -3889,6 +3949,7 @@ _R5_WINDOW = [
     # new in r5
     "events_value_outliers",
     "boilerplate_line_removal",
+    "ann_quantized_topk",
     # r4-green continuity cross-section (one per operator family)
     "regional_revenue",
     "topk_customers_by_revenue",
@@ -3906,7 +3967,6 @@ _R5_WINDOW = [
     "window_range_7day_spend",
     "session_window_stats",
     "range_join_promo_events",
-    "time_rollup_events",
 ]
 
 assert len(_R5_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R5_WINDOW)}"
