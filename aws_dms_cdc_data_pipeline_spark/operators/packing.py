@@ -24,7 +24,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -81,3 +81,76 @@ def pack_sequences(
         ),
     )
     return sharded.groupBy("shard").applyInPandas(ffd, out_schema)
+
+
+def pack_fixed_blocks(
+    items: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    block_tokens: int = 512,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing: concatenate every item's
+    token stream in deterministic ``id_col`` order and cut it into
+    fixed ``block_tokens`` blocks. Items SPLIT across block boundaries
+    — zero padding waste, the complement of :func:`pack_sequences`
+    (FFD never splits an item but leaves per-pack slack).
+
+    Returns one row per (item × block it overlaps):
+    (id_col, block_id, doc_tok_start, doc_tok_end, block_offset) —
+    token half-open ranges relative to the item, plus where the slice
+    starts inside the block. Zero-token items vanish (they contribute
+    no tokens). Pure integer arithmetic → bit-exact cross-engine.
+
+    Scale shape — the global exclusive prefix sum WITHOUT a
+    single-partition window: range-partition by id, cumsum within
+    each partition (window keyed on the partition id, so no second
+    shuffle), then per-partition totals (one tiny row each) prefix-sum
+    over ≤ num_partitions rows and broadcast back. The block explode
+    emits ceil(tokens/block) rows per item — map-side, no shuffle.
+    """
+    d = items.select(id_col, F.col(token_col).cast("long").alias("_t")).filter(
+        F.col("_t") > 0
+    )
+    P = num_partitions or d.sparkSession.sparkContext.defaultParallelism
+    d = d.repartitionByRange(P, F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_local", F.coalesce(F.sum("_t").over(w_local), F.lit(0)))
+    # per-partition totals: ≤ P rows — the single-partition prefix
+    # window below is bounded by the partition count, never the data
+    totals = d.groupBy("_pid").agg(F.sum("_t").alias("_ptot"))
+    w_prefix = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.withColumn(
+        "_poff", F.coalesce(F.sum("_ptot").over(w_prefix), F.lit(0))
+    ).select("_pid", "_poff")
+    d = d.join(F.broadcast(prefix), "_pid").withColumn(
+        "_start", F.col("_poff") + F.col("_local")
+    )
+    B = F.lit(block_tokens).cast("long")
+    blocks = d.select(
+        id_col,
+        "_start",
+        "_t",
+        F.explode(
+            F.sequence(
+                F.expr(f"_start div {block_tokens}"),
+                F.expr(f"(_start + _t - 1) div {block_tokens}"),
+            )
+        ).alias("block_id"),
+    )
+    lo = F.greatest(F.col("_start"), F.col("block_id") * B)
+    hi = F.least(F.col("_start") + F.col("_t"), (F.col("block_id") + 1) * B)
+    return blocks.select(
+        id_col,
+        F.col("block_id").cast("long").alias("block_id"),
+        (lo - F.col("_start")).cast("long").alias("doc_tok_start"),
+        (hi - F.col("_start")).cast("long").alias("doc_tok_end"),
+        (lo - F.col("block_id") * B).cast("long").alias("block_offset"),
+    )

@@ -3894,6 +3894,61 @@ def boilerplate_line_removal_q(spark, sf_dir):
     return X.remove_boilerplate_lines(docs, min_df=2)
 
 
+@q(
+    "pack_fixed_token_blocks",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS gstart
+      FROM t WHERE n_tokens > 0
+    ),
+    e AS (
+      SELECT doc_id, gstart, n_tokens, b.b AS block_id
+      FROM s, UNNEST(generate_series(CAST(gstart // 256 AS BIGINT),
+                                     CAST((gstart + n_tokens - 1) // 256
+                                          AS BIGINT))) b(b)
+    )
+    SELECT doc_id,
+           CAST(block_id AS BIGINT) AS block_id,
+           CAST(GREATEST(gstart, block_id * 256) - gstart AS BIGINT)
+               AS doc_tok_start,
+           CAST(LEAST(gstart + n_tokens, (block_id + 1) * 256) - gstart
+               AS BIGINT) AS doc_tok_end,
+           CAST(GREATEST(gstart, block_id * 256) - block_id * 256 AS BIGINT)
+               AS block_offset
+    FROM e
+    """,
+    "GPT-style concat-and-chunk packing (operators/packing.py:"
+    "pack_fixed_blocks, the zero-waste complement of FFD "
+    "pack_sequences): token streams concatenate in doc_id order and "
+    "cut into fixed 256-token blocks, documents splitting across "
+    "boundaries. The global exclusive prefix sum runs WITHOUT a "
+    "single-partition window: range-partition by id, per-partition "
+    "cumsum keyed on the partition id, per-partition totals (<= P "
+    "rows) prefix-summed and broadcast back. Pure integer arithmetic "
+    "-> bit-exact oracle.",
+)
+def pack_fixed_token_blocks_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.packing import (
+        pack_fixed_blocks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    items = X.with_token_counts(docs).select(
+        "doc_id", F.col("ws_tokens").alias("n_tokens")
+    )
+    return pack_fixed_blocks(items, block_tokens=256)
+
+
 # ===========================================================================
 # Registry ordering.
 #
@@ -3950,6 +4005,7 @@ _R5_WINDOW = [
     "events_value_outliers",
     "boilerplate_line_removal",
     "ann_quantized_topk",
+    "pack_fixed_token_blocks",
     # r4-green continuity cross-section (one per operator family)
     "regional_revenue",
     "topk_customers_by_revenue",
@@ -3966,7 +4022,6 @@ _R5_WINDOW = [
     "curate_training_corpus",
     "window_range_7day_spend",
     "session_window_stats",
-    "range_join_promo_events",
 ]
 
 assert len(_R5_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R5_WINDOW)}"

@@ -53,3 +53,68 @@ def test_ffd_waste_is_bounded_on_fixture_chunks(spark, sf_dir):
     for r in per_shard:
         optimal = -(-r.tok // 256)  # ceil: bins needed with no waste
         assert r.packs <= optimal * 11 / 9 + 1  # FFD guarantee per shard
+
+
+def test_fixed_blocks_cover_stream_exactly(spark):
+    """Concat-and-chunk invariants: every token of every item lands in
+    exactly one block slice; every block except the last is exactly
+    full; slices are contiguous within and across items."""
+    from aws_dms_cdc_data_pipeline_spark.operators.packing import (
+        pack_fixed_blocks,
+    )
+
+    rows = [(f"d{i:03d}", (i * 37) % 90 + 1) for i in range(60)] + [
+        ("dzero", 0), ("dbig", 1000),
+    ]
+    items = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    B = 128
+    out = pack_fixed_blocks(items, block_tokens=B).collect()
+
+    # zero-token item vanishes
+    assert all(r["doc_id"] != "dzero" for r in out)
+
+    # per-item: slices partition [0, n_tokens)
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    want_tokens = dict((d, n) for d, n in rows if n > 0)
+    for d, slices in per_doc.items():
+        slices.sort(key=lambda r: r["doc_tok_start"])
+        assert slices[0]["doc_tok_start"] == 0
+        assert slices[-1]["doc_tok_end"] == want_tokens[d]
+        for a, b in zip(slices, slices[1:]):
+            assert a["doc_tok_end"] == b["doc_tok_start"]
+    assert set(per_doc) == set(want_tokens)
+
+    # per-block: offsets tile [0, B) with no overlap; all but the
+    # final block are exactly full
+    per_block = {}
+    for r in out:
+        per_block.setdefault(r["block_id"], []).append(r)
+    total = sum(want_tokens.values())
+    n_blocks = (total + B - 1) // B
+    assert set(per_block) == set(range(n_blocks))
+    for b, slices in per_block.items():
+        slices.sort(key=lambda r: r["block_offset"])
+        assert slices[0]["block_offset"] == 0
+        filled = sum(r["doc_tok_end"] - r["doc_tok_start"] for r in slices)
+        assert filled == (B if b < n_blocks - 1 else total - B * (n_blocks - 1))
+
+
+def test_fixed_blocks_partition_layout_invariant(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.packing import (
+        pack_fixed_blocks,
+    )
+
+    rows = [(f"d{i:03d}", (i * 13) % 50 + 1) for i in range(200)]
+    items = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    a = sorted(map(tuple, pack_fixed_blocks(items, block_tokens=64).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pack_fixed_blocks(
+                items.repartition(13), block_tokens=64, num_partitions=3
+            ).collect(),
+        )
+    )
+    assert a == b and a
