@@ -3949,6 +3949,36 @@ def pack_fixed_token_blocks_q(spark, sf_dir):
     return pack_fixed_blocks(items, block_tokens=256)
 
 
+@q(
+    "heavy_hitter_event_types",
+    """
+    WITH base AS (SELECT event_type FROM events WHERE event_type IS NOT NULL),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM base)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt, tot.total
+    FROM base CROSS JOIN tot
+    GROUP BY event_type, tot.total
+    HAVING COUNT(*) * 100 >= tot.total * 15
+    """,
+    "Exact phi-heavy hitters with a bounded-memory candidate pass "
+    "(operators/heavyhitters.py:heavy_hitters): one narrow "
+    "mapInPandas scan runs Misra-Gries(k) per partition — the MG "
+    "deficit bound proves every key above n/k survives in some "
+    "partition summary, so with k >= 1/phi the <= k*P candidate rows "
+    "provably contain all true heavy hitters; the exact pass "
+    "semi-joins candidates back and filters cnt*den >= n*num in "
+    "integer arithmetic. Exact answers; the shuffle carries candidate "
+    "keys only, never the full key cardinality. The oracle is the "
+    "plain exact GROUP BY the operator is proven equal to.",
+)
+def heavy_hitter_event_types_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.heavyhitters import (
+        heavy_hitters,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "event_type", phi_num=15, phi_den=100)
+
+
 # ===========================================================================
 # Registry ordering.
 #
@@ -4006,6 +4036,7 @@ _R5_WINDOW = [
     "boilerplate_line_removal",
     "ann_quantized_topk",
     "pack_fixed_token_blocks",
+    "heavy_hitter_event_types",
     # r4-green continuity cross-section (one per operator family)
     "regional_revenue",
     "topk_customers_by_revenue",
@@ -4021,7 +4052,6 @@ _R5_WINDOW = [
     "tfidf_top_terms",
     "curate_training_corpus",
     "window_range_7day_spend",
-    "session_window_stats",
 ]
 
 assert len(_R5_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R5_WINDOW)}"
