@@ -76,3 +76,63 @@ def ewma_by_key(
 
 
 __all__ = ["ewma_by_key"]
+
+
+def winsorize(
+    df,
+    group_col: str,
+    value_col: str,
+    *,
+    lo_num: int = 5,
+    hi_num: int = 95,
+    den: int = 100,
+    keep_cols: list[str] | None = None,
+):
+    """Per-group winsorization (outlier clipping) at nearest-rank
+    quantiles: values below the group's p_lo clamp up to it, values
+    above p_hi clamp down. The robust-statistics companion of
+    operators/outliers.flag_outliers — flagging finds anomalies,
+    winsorizing neutralizes them for downstream aggregates.
+
+    Nearest-rank (ceil(p·n)-th order statistic, an actual data
+    element — no interpolation) keeps the result bit-identical across
+    engines and partition layouts. ONE exchange total: the rank
+    window partitions by group, and the bound lookup is a second
+    window over the SAME partitioning (max-of-flagged-rank), so
+    Catalyst reuses the sort — no bounds join, no second shuffle.
+
+    Returns keep_cols + (value_col, winsorized, clipped ∈ {-1,0,1}).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not (0 < lo_num <= hi_num <= den):
+        raise ValueError("need 0 < lo_num <= hi_num <= den")
+    keep = keep_cols or [group_col]
+    w_rank = Window.partitionBy(group_col).orderBy(value_col)
+    w_grp = Window.partitionBy(group_col)
+    ranked = df.filter(F.col(value_col).isNotNull()).select(
+        *keep,
+        value_col,
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w_grp).alias("_n"),
+    )
+    k_lo = F.expr(f"(_n * {lo_num} + {den} - 1) div {den}")
+    k_hi = F.expr(f"(_n * {hi_num} + {den} - 1) div {den}")
+    v = F.col(value_col)
+    bounded = ranked.select(
+        *keep,
+        value_col,
+        F.max(F.when(F.col("_rn") == k_lo, v)).over(w_grp).alias("_lo"),
+        F.max(F.when(F.col("_rn") == k_hi, v)).over(w_grp).alias("_hi"),
+    )
+    return bounded.select(
+        *keep,
+        value_col,
+        F.least(F.greatest(v, F.col("_lo")), F.col("_hi")).alias("winsorized"),
+        F.when(v < F.col("_lo"), F.lit(-1))
+        .when(v > F.col("_hi"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("clipped"),
+    )

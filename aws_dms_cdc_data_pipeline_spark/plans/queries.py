@@ -3979,6 +3979,49 @@ def heavy_hitter_event_types_q(spark, sf_dir):
     return heavy_hitters(ev, "event_type", phi_num=15, phi_den=100)
 
 
+@q(
+    "winsorized_order_prices",
+    """
+    WITH r AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    b AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN o_totalprice END)
+                 OVER (PARTITION BY o_orderpriority) AS lo,
+             MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN o_totalprice END)
+                 OVER (PARTITION BY o_orderpriority) AS hi
+      FROM r
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           LEAST(GREATEST(o_totalprice, lo), hi) AS winsorized,
+           CAST(CASE WHEN o_totalprice < lo THEN -1
+                     WHEN o_totalprice > hi THEN 1 ELSE 0 END AS INTEGER)
+               AS clipped
+    FROM b
+    """,
+    "Per-group winsorization at nearest-rank p05/p95 (operators/"
+    "features.py:winsorize, the robust-stats companion of "
+    "flag_outliers): clamp values outside the group's quantile bounds "
+    "to them. Nearest-rank order statistics are actual data elements "
+    "-> bit-identical across engines; ONE exchange total — the rank "
+    "window and the bound-lookup window share the same partitioning, "
+    "so Catalyst reuses the sort (no bounds join, no second shuffle).",
+)
+def winsorized_order_prices_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.features import winsorize
+
+    orders = load_table(spark, sf_dir, "orders")
+    return winsorize(
+        orders, "o_orderpriority", "o_totalprice",
+        keep_cols=["o_orderpriority", "o_orderkey"],
+    )
+
+
 # ===========================================================================
 # Registry ordering.
 #
@@ -4037,6 +4080,7 @@ _R5_WINDOW = [
     "ann_quantized_topk",
     "pack_fixed_token_blocks",
     "heavy_hitter_event_types",
+    "winsorized_order_prices",
     # r4-green continuity cross-section (one per operator family)
     "regional_revenue",
     "topk_customers_by_revenue",
@@ -4051,7 +4095,6 @@ _R5_WINDOW = [
     "near_dedup_canonical",
     "tfidf_top_terms",
     "curate_training_corpus",
-    "window_range_7day_spend",
 ]
 
 assert len(_R5_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R5_WINDOW)}"

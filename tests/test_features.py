@@ -75,3 +75,59 @@ def test_ewma_validates_args(spark):
         ewma_by_key(df, key_col="user_id", ts_col="event_id",
                     value_col="value", order_col="event_id",
                     halflife_us=HALFLIFE_US)
+
+
+def test_winsorize_clips_to_group_quantiles(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.features import winsorize
+
+    # group g: values 1..100 — nearest-rank p05 = 5, p95 = 95
+    rows = [("g", i, float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = {r["id"]: r for r in winsorize(
+        df, "g", "v", keep_cols=["g", "id"]).collect()}
+    assert out[1]["winsorized"] == 5.0 and out[1]["clipped"] == -1
+    assert out[4]["winsorized"] == 5.0 and out[4]["clipped"] == -1
+    assert out[5]["winsorized"] == 5.0 and out[5]["clipped"] == 0
+    assert out[50]["winsorized"] == 50.0 and out[50]["clipped"] == 0
+    assert out[95]["winsorized"] == 95.0 and out[95]["clipped"] == 0
+    assert out[96]["winsorized"] == 95.0 and out[96]["clipped"] == 1
+    assert out[100]["winsorized"] == 95.0 and out[100]["clipped"] == 1
+
+
+def test_winsorize_single_exchange_plan(spark):
+    """Both windows must share one partitioning: exactly one Exchange."""
+    from aws_dms_cdc_data_pipeline_spark.operators.features import winsorize
+    from aws_dms_cdc_data_pipeline_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    out = winsorize(orders, "o_orderpriority", "o_totalprice",
+                    keep_cols=["o_orderpriority", "o_orderkey"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    n_ex = len(re.findall(r"Exchange (?:hash|range|SinglePartition)", plan))
+    assert n_ex == 1, f"expected 1 exchange, plan has {n_ex}"
+
+
+def test_winsorize_validates_bounds(spark):
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.features import winsorize
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        winsorize(df, "g", "v", lo_num=96, hi_num=95)
+    with pytest.raises(ValueError):
+        winsorize(df, "g", "v", lo_num=0)
+
+
+def test_winsorize_tiny_groups(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.features import winsorize
+
+    # n=1: p05 and p95 are both the single element — nothing clips
+    df = spark.createDataFrame(
+        [("a", 42.0), ("b", 1.0), ("b", 9.0)], "g string, v double"
+    )
+    out = {(r["g"], r["v"]): r for r in winsorize(df, "g", "v").collect()}
+    assert all(r["clipped"] == 0 for r in out.values())
+    assert out[("a", 42.0)]["winsorized"] == 42.0
