@@ -114,15 +114,35 @@ def pack_fixed_blocks(
         F.col("_t") > 0
     )
     P = num_partitions or d.sparkSession.sparkContext.defaultParallelism
-    d = d.repartitionByRange(P, F.col(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    # ONE full-data exchange: range-partition by id, sort WITHIN each
+    # partition (narrow), then an order-preserving Arrow pass computes
+    # the partition-local exclusive cumsum. A Window.partitionBy on the
+    # partition id would re-shuffle the whole relation a second time —
+    # Catalyst can't see that rows are already co-located.
+    d = (
+        d.repartitionByRange(P, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .sortWithinPartitions(id_col)
     )
-    w_local = (
-        Window.partitionBy("_pid")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    d = d.withColumn("_local", F.coalesce(F.sum("_t").over(w_local), F.lit(0)))
+
+    def _cumsum(batches):
+        run = 0
+        for pdf in batches:
+            t = pdf["_t"]
+            pdf = pdf.assign(_local=t.cumsum() - t + run)
+            run += int(t.sum())
+            yield pdf
+
+    # persisted: both the totals branch and the block explode read this
+    # relation — unpersisted, the range shuffle + cumsum would run twice
+    # (same plan-keyed cache policy as dedup's inverted index)
+    d = d.mapInPandas(
+        _cumsum,
+        schema=(
+            f"`{id_col}` {d.schema[id_col].dataType.simpleString()}, "
+            "_t long, _pid int, _local long"
+        ),
+    ).persist()
     # per-partition totals: ≤ P rows — the single-partition prefix
     # window below is bounded by the partition count, never the data
     totals = d.groupBy("_pid").agg(F.sum("_t").alias("_ptot"))
