@@ -295,3 +295,39 @@ def upsample_mixture(
     return df.withColumn("_n", n_copies).filter(F.col("_n") > 0).select(
         "*", F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy_idx")
     ).drop("_n")
+
+
+def temporal_split(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    *,
+    holdout_n: int = 1,
+    tie_col: str | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Per-key temporal holdout: each key's LAST ``holdout_n`` events
+    (by ``time_col``, ties broken on ``tie_col``) label ``test``, the
+    rest ``train`` — the leakage-free evaluation split for sequential
+    data. A random/hash split (:func:`with_split`) leaks future
+    events of the same key into training; holding out the temporal
+    tail per key is the standard fix, and doing it per KEY (not one
+    global cutoff date) keeps every key represented in both sides
+    regardless of when it was active.
+
+    One key-partitioned window pass — single exchange; keys with
+    ≤ holdout_n events land entirely in ``test`` (callers filter on
+    a per-key train count if they need both sides populated).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(time_col).desc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).desc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return df.withColumn(
+        split_col,
+        F.when(F.row_number().over(w) <= holdout_n, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )

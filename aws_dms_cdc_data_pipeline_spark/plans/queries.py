@@ -4022,6 +4022,34 @@ def winsorized_order_prices_q(spark, sf_dir):
     )
 
 
+@q(
+    "temporal_split_events",
+    """
+    SELECT user_id, event_id,
+           CASE WHEN row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) <= 2
+                THEN 'test' ELSE 'train' END AS split
+    FROM events
+    """,
+    "Per-key temporal holdout (operators/sampling.py:temporal_split): "
+    "each user's LAST 2 events by (ts, event_id) label test, the rest "
+    "train — the leakage-free evaluation split for sequential data "
+    "(a random/hash split leaks a key's future into training; a "
+    "single global cutoff date empties one side for keys active only "
+    "early/late). One key-partitioned window pass, single exchange, "
+    "deterministic tie-break.",
+)
+def temporal_split_events_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        temporal_split,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return temporal_split(
+        ev, "user_id", "ts", holdout_n=2, tie_col="event_id"
+    ).select("user_id", "event_id", "split")
+
+
 # ===========================================================================
 # Registry ordering.
 #
@@ -4081,6 +4109,7 @@ _R5_WINDOW = [
     "pack_fixed_token_blocks",
     "heavy_hitter_event_types",
     "winsorized_order_prices",
+    "temporal_split_events",
     # r4-green continuity cross-section (one per operator family)
     "regional_revenue",
     "topk_customers_by_revenue",
@@ -4094,7 +4123,6 @@ _R5_WINDOW = [
     "sessionize_events",
     "near_dedup_canonical",
     "tfidf_top_terms",
-    "curate_training_corpus",
 ]
 
 assert len(_R5_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R5_WINDOW)}"

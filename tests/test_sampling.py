@@ -231,3 +231,37 @@ def test_upsample_mixture_copy_semantics(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again.collect()))
     with pytest.raises(ValueError, match="weights"):
         upsample_mixture(docs, {})
+
+
+def test_temporal_split_holds_out_latest_per_key(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import temporal_split
+
+    rows = []
+    for u in (1, 2):
+        for i in range(5):
+            rows.append((u, i, f"2024-01-0{i+1} 00:00:00"))
+    rows.append((3, 99, "2024-01-01 00:00:00"))  # single-event key
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r["user_id"], r["event_id"]): r["split"]
+           for r in temporal_split(df, "user_id", "ts", holdout_n=2,
+                                   tie_col="event_id").collect()}
+    for u in (1, 2):
+        assert out[(u, 4)] == "test" and out[(u, 3)] == "test"
+        assert out[(u, 2)] == out[(u, 1)] == out[(u, 0)] == "train"
+    assert out[(3, 99)] == "test"  # <= holdout_n events -> all test
+
+
+def test_temporal_split_tie_break_deterministic(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import temporal_split
+
+    # all events share one timestamp: the tie column alone decides
+    df = spark.createDataFrame(
+        [(1, i, "2024-06-01 12:00:00") for i in range(4)],
+        "user_id long, event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for _ in range(2):
+        out = {r["event_id"]: r["split"]
+               for r in temporal_split(df, "user_id", "ts", holdout_n=1,
+                                       tie_col="event_id").collect()}
+        assert out == {3: "test", 2: "train", 1: "train", 0: "train"}
