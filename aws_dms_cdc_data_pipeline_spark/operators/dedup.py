@@ -337,6 +337,39 @@ def simhash_pairs(
 # n-gram Jaccard (inverted-index join, exact)
 # ---------------------------------------------------------------------------
 
+def _word_gram_index(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Distinct (id, word-n-gram) inverted index, persisted.
+
+    Staging the split-word array as a real column matters: inlining it
+    into the n-gram lambda would re-run normalize+split once PER
+    n-gram. The index is persisted because its consumers (df-filter
+    agg + semi-join probe, both sides of the candidate self-join,
+    per-doc sizes, novelty scoring) would each re-run
+    normalize+split+explode+distinct — same plan-keyed cache policy as
+    minhash's shingle hashes (dedup.py:171), cleared by the caller
+    between query families; swap for StorageLevel.DISK_ONLY when the
+    index outgrows cluster memory.
+    """
+    words = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
+    )
+    cnt = F.size(F.col("_w"))
+    gram_arr = F.when(cnt < n, F.array(F.concat_ws(" ", F.col("_w")))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)),
+        )
+    )
+    return (
+        words.select(F.col(id_col), F.explode(gram_arr).alias("g"))
+        .distinct()
+        .persist()
+    )
+
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,
@@ -363,30 +396,7 @@ def ngram_jaccard_pairs(
     ``max_df=None`` to disable (exact, unbounded skew — only for
     corpora you know are stop-shingle-free).
     """
-    # Stage the split-word array as a real column: inlining it into the
-    # n-gram lambda would re-run normalize+split once PER n-gram.
-    words = df.select(
-        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
-    )
-    cnt = F.size(F.col("_w"))
-    gram_arr = F.when(cnt < n, F.array(F.concat_ws(" ", F.col("_w")))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), cnt - n),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)),
-        )
-    )
-    # The inverted index feeds several consumers (df-filter agg + its
-    # semi-join probe, both sides of the candidate self-join, per-doc
-    # sizes); unpersisted, normalize+split+explode+distinct re-runs
-    # for each. Same cache policy as minhash's shingle hashes
-    # (dedup.py:171): keyed by logical plan so back-to-back runs reuse
-    # it, cleared by the caller between query families; swap for
-    # StorageLevel.DISK_ONLY when the index outgrows cluster memory.
-    grams = (
-        words.select(F.col(id_col), F.explode(gram_arr).alias("g"))
-        .distinct()
-        .persist()
-    )
+    grams = _word_gram_index(df, text_col, id_col, n)
     if max_df is not None:
         # Document-frequency filter over the inverted index. One extra
         # agg + semi-join on the gram — both shuffle on "g", the same
@@ -555,3 +565,40 @@ def source_overlap_matrix(
         F.col("_p.source_a").alias("source_a"),
         F.col("_p.source_b").alias("source_b"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+
+
+def ngram_novelty_scores(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    n-grams that appear in NO other document — the curation signal
+    that separates original text from templated/boilerplate spam
+    (low novelty = most of the doc exists elsewhere in the corpus).
+
+    Same inverted index as :func:`ngram_jaccard_pairs` (shared,
+    persisted builder): gram document-frequency aggregates map-side
+    on the gram key, the df=1 flag joins back on the same key (one
+    exchange AQE can reuse), and the per-doc reduction is a plain
+    count ratio in exact integer arithmetic rendered once to double.
+    Documents with no grams (empty text) are absent from the output.
+    """
+    grams = _word_gram_index(df, text_col, id_col, n)
+    gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        grams.join(gram_df, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique_grams"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_unique_grams") / F.col("n_grams"), 6),
+        )
+    )

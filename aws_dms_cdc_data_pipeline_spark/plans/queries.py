@@ -4050,6 +4050,44 @@ def temporal_split_events_q(spark, sf_dir):
     ).select("user_id", "event_id", "split")
 
 
+@q(
+    "doc_novelty_scores",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+                  ELSE array_to_string(list_slice(ws, i, i + 2), ' ') END AS gr
+      FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) s(i)
+    ),
+    d AS (SELECT gr, COUNT(*) AS gdf FROM g GROUP BY gr)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique_grams,
+           round(SUM(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS novelty
+    FROM g JOIN d USING (gr)
+    GROUP BY doc_id
+    """,
+    "Per-document n-gram novelty (operators/dedup.py:"
+    "ngram_novelty_scores): fraction of a doc's distinct word "
+    "3-grams appearing in no other document — the curation signal "
+    "separating original text from templated spam. Reuses "
+    "ngram_jaccard's persisted inverted index; gram df aggregates "
+    "map-side and joins back on the same key (reusable exchange); "
+    "the ratio is exact integer counts rendered once to double.",
+)
+def doc_novelty_scores_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_novelty_scores(docs)
+
+
 # ===========================================================================
 # Registry ordering.
 #
@@ -4117,6 +4155,7 @@ _R5_WINDOW = [
     "heavy_hitter_event_types",
     "winsorized_order_prices",
     "temporal_split_events",
+    "doc_novelty_scores",
     # r4-green continuity cross-section (one per operator family)
     "regional_revenue",
     "topk_customers_by_revenue",
@@ -4129,7 +4168,6 @@ _R5_WINDOW = [
     "asof_purchase_last_visit",
     "sessionize_events",
     "near_dedup_canonical",
-    "tfidf_top_terms",
 ]
 
 assert len(_R5_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R5_WINDOW)}"

@@ -401,3 +401,25 @@ def test_source_overlap_matrix_counts_shared_fingerprints(spark):
     assert out[("books", "web")] == 1
     assert out[("books", "wiki")] == 1
     assert len(out) == 3                      # no self-pairs, ordered pairs only
+
+
+def test_ngram_novelty_separates_original_from_templated(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.dedup import (
+        ngram_novelty_scores,
+    )
+
+    template = "click here to subscribe to our amazing newsletter today"
+    rows = [
+        ("orig", "the quick brown fox jumps over the lazy dog tonight"),
+        ("spam1", template + " offer one"),
+        ("spam2", template + " offer two"),
+        ("spam3", template + " offer three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty_scores(df).collect()}
+    assert out["orig"]["novelty"] == 1.0  # fully unique
+    for d in ("spam1", "spam2", "spam3"):
+        assert out[d]["novelty"] < 0.5  # template grams shared
+        assert out[d]["n_unique_grams"] < out[d]["n_grams"]
+    # counts are exact: orig has len(words)-2 distinct grams
+    assert out["orig"]["n_grams"] == 8
