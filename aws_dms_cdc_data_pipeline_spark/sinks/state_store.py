@@ -102,6 +102,49 @@ class StateStore:
             "data.*"
         )
 
+    def lookup(self, keys: list) -> DataFrame:
+        """Point lookup — the OpenSearch GET-by-id parity call.
+
+        The bucket layout IS the index: each key hashes to exactly one
+        bucket, so the read touches only the bucket directories the
+        requested keys live in — ``len(set(buckets))/num_buckets`` of
+        the state, not a full scan. At 100 TB state with 4096 buckets
+        a 10-key lookup reads ≤ 10 buckets (~0.25% of the files); the
+        residual in-bucket filter prunes further via parquet min/max
+        on the key column. Keys are literals, so the bucket set is
+        computed driver-side with the SAME hash Spark applies
+        (verified by construction: one spark-side eval over the
+        literal array — no Python reimplementation of xxhash/murmur
+        to drift).
+        """
+        if not keys:
+            return self.table().limit(0)
+        manifest = self._manifest()
+        if manifest["generation"] < 0:
+            return self.table().limit(0)
+        # bucket ids via Spark's own hash, evaluated once on literals.
+        # The probe column type MUST match the stored key type: Spark's
+        # Murmur3 hashes int32 and int64 differently, so a width
+        # mismatch would probe the wrong bucket.
+        ktype = "string" if isinstance(keys[0], str) else "long"
+        probe = self.spark.createDataFrame([(k,) for k in keys], f"_k {ktype}")
+        wanted = {
+            r["_b"]
+            for r in probe.select(
+                F.expr(f"pmod(hash(_k), {self.num_buckets})").alias("_b")
+            ).collect()
+        }
+        dirs = [
+            self._bdir(int(b), v)
+            for b, v in manifest["buckets"].items()
+            if int(b) in wanted
+        ]
+        if not dirs:
+            return self.table().limit(0)
+        env = self.spark.read.parquet(*dirs)
+        live = env.filter(F.col("metadata.operation") != F.lit(S.OP_DELETE))
+        return live.filter(F.expr(self.key).isin(keys)).select("data.*")
+
     # -- write -------------------------------------------------------------
     def merge(self, batch_envelopes: DataFrame) -> int:
         """Upsert one micro-batch of keyed envelopes; returns new generation.

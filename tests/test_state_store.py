@@ -134,3 +134,51 @@ def test_null_pk_records_dead_letter(spark, tmp_path):
     table = StateStore(spark, cfg.state_path).table()
     assert table.count() == 10
     assert table.filter(F.col("trans_id").isNull()).count() == 0
+
+
+def test_lookup_reads_only_key_buckets(spark, tmp_path):
+    """Point lookup prunes to the buckets the keys hash into and
+    returns exactly the live rows for those keys."""
+    from aws_dms_cdc_data_pipeline_spark.generator import (
+        GeneratorConfig, envelopes_df,
+    )
+
+    store = StateStore(spark, str(tmp_path / "state"), num_buckets=16)
+    env = envelopes_df(
+        spark, GeneratorConfig(n_rows=60, seed=9, update_fraction=0.3,
+                               delete_fraction=0.2, duplicate_fraction=0.1)
+    )
+    store.merge(env)
+    all_rows = {r["trans_id"]: r for r in store.table().collect()}
+    live = sorted(all_rows)
+    dead = sorted(
+        {r["data"]["trans_id"] for r in env.collect()} - set(all_rows)
+    )
+    assert live and dead  # fixture has both live and deleted keys
+
+    # exact rows for live keys; deleted keys absent; missing keys absent
+    want = live[:3] + dead[:1] + [999_999_999]
+    got = {r["trans_id"]: r for r in store.lookup(want).collect()}
+    assert sorted(got) == live[:3]
+    for k in live[:3]:
+        assert got[k] == all_rows[k]
+
+    # pruning: the scan's input files stay within the probed buckets
+    from pyspark.sql import functions as F
+
+    probe = spark.createDataFrame([(k,) for k in want], "_k long")
+    wanted_buckets = {
+        r["_b"] for r in probe.select(
+            F.expr("pmod(hash(_k), 16)").alias("_b")).collect()
+    }
+    files = store.lookup(want).inputFiles()
+    touched_buckets = {
+        int(p.split("/b=")[1].split("/")[0]) for p in files
+    }
+    assert touched_buckets <= wanted_buckets
+    assert len(touched_buckets) < 16  # genuinely pruned, not a full scan
+
+    # empty key list and empty store short-circuit
+    assert store.lookup([]).count() == 0
+    empty = StateStore(spark, str(tmp_path / "none"), num_buckets=4)
+    assert empty.lookup([1, 2]).count() == 0
