@@ -4088,6 +4088,35 @@ def doc_novelty_scores_q(spark, sf_dir):
     return D.ngram_novelty_scores(docs)
 
 
+@q(
+    "weekly_users_from_sketches",
+    None,  # DataSketches HLL binary: no cross-engine oracle (DuckDB's
+    # approx_count_distinct is a different sketch); exactness-bound
+    # tests live in tests/test_sketches.py
+    "Re-aggregatable distinct-count rollup (operators/sketches.py): "
+    "one HLL sketch per DAY materialized from the fact table, weekly "
+    "distinct-user estimates from sketch UNION over the tiny "
+    "pre-agg relation — the fact table is read once at the finest "
+    "grain ever queried; every coarser rollup re-aggregates bytes "
+    "per bucket (COUNT DISTINCT does not re-aggregate; DataSketches "
+    "HLL does, map-side like a SUM). Rows-only; pytest pins "
+    "rollup-of-sketches == direct sketch and <= 5% error vs exact.",
+)
+def weekly_users_from_sketches_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sketches import (
+        bucket_sketches,
+        rollup_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = bucket_sketches(ev, "to_date(ts)", "user_id", bucket_alias="day")
+    return rollup_sketches(
+        daily, "date_trunc('week', day)", rollup_alias="week"
+    ).select(
+        F.col("week").cast("date").alias("week"), "approx_distinct", "n_rows"
+    )
+
+
 # ===========================================================================
 # Registry ordering.
 #
@@ -4156,6 +4185,7 @@ _R5_WINDOW = [
     "winsorized_order_prices",
     "temporal_split_events",
     "doc_novelty_scores",
+    "weekly_users_from_sketches",
     # r4-green continuity cross-section (one per operator family)
     "regional_revenue",
     "topk_customers_by_revenue",
@@ -4167,7 +4197,6 @@ _R5_WINDOW = [
     "grouping_sets_revenue",
     "asof_purchase_last_visit",
     "sessionize_events",
-    "near_dedup_canonical",
 ]
 
 assert len(_R5_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R5_WINDOW)}"
