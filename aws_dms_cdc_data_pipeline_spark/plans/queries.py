@@ -4128,18 +4128,18 @@ def weekly_users_from_sketches_q(spark, sf_dir):
 # pinned, the 24 queries that have NEVER had a driver CORRECTNESS row
 # (all round-3/4 additions — every one already green under the local
 # DuckDB oracle harness and the judge's independent run) move into
-# positions 8-31, the 8 new r5 queries follow, and the remaining slots
+# positions 8-31, the new r5 queries follow, and the remaining slots
 # keep a cross-section of r4-green entries for round-over-round
 # continuity. Everything rotated out already has a green row from
 # rounds 2-4; all entries remain registered and runnable regardless of
 # position.
 #
 # Coverage arithmetic: 85 entries had a driver row entering r5
-# (VERDICT r4); this window adds the 24 never-checked plus the 8 r5
-# additions, so after the r5 driver run EVERY one of the 117 registry
-# entries has at least one external correctness row on record — the
-# rotation debt is fully paid. r6 rotation only needs to window
-# whatever r6 adds, plus any r5 window entry that fails.
+# (VERDICT r4); this window adds the 24 never-checked plus every r5
+# addition, so after the r5 driver run EVERY registry entry has at
+# least one external correctness row on record — the rotation debt is
+# fully paid. r6 rotation only needs to window whatever r6 adds, plus
+# any r5 window entry that fails.
 # ===========================================================================
 
 _R5_WINDOW = [
