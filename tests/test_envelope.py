@@ -119,3 +119,36 @@ def test_schema_drift_report_flags_added_and_dropped_keys(spark):
     # an expected key never observed still gets a row
     rep2 = {r.key: r for r in schema_drift_report(wire, ["a", "gone"]).collect()}
     assert rep2["gone"].n_present == 0 and rep2["gone"].n_missing == 4
+
+
+def test_parse_tolerates_unknown_fields_and_missing_optionals(spark):
+    """Schema-evolution tolerance on the wire: a producer adding new
+    envelope/data fields must not break ingestion (from_json drops
+    unknowns), and absent optional columns parse as NULL without
+    tripping the corrupt gate."""
+    import json
+
+    from aws_dms_cdc_data_pipeline_spark.sources.envelope_stream import (
+        parse_envelope_lines,
+    )
+
+    evolved = json.dumps({
+        "data": {"trans_id": 5, "customer_id": "C-5", "sku": "S-5",
+                 "amount": 1, "trans_datetime": "2022-03-14T14:17:40Z",
+                 "NEW_COLUMN": "surprise"},          # added by producer
+        "metadata": {"timestamp": "2022-03-14T14:18:11.104009Z",
+                     "record-type": "data", "operation": "insert",
+                     "partition-key-type": "primary-key",
+                     "schema-name": "testdb", "table-name": "retail_trans",
+                     "transaction-id": 1,
+                     "new-meta": {"nested": True}},  # added by producer
+        "doc_id": "d-5",
+        "top_level_extra": 42,                        # added by producer
+    })
+    df = spark.createDataFrame([(evolved,)], "value string")
+    (row,) = parse_envelope_lines(df).collect()
+    assert not row["_corrupt"]
+    assert row["data"]["trans_id"] == 5
+    assert row["data"]["event"] is None      # optional absent -> NULL
+    assert row["data"]["device"] is None
+    assert "NEW_COLUMN" not in row["data"].asDict()
