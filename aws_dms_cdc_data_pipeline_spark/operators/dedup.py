@@ -24,6 +24,8 @@ LSH parameters only affect cost, not correctness of reported pairs
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -138,6 +140,56 @@ def _hashed_shingles(
     )
 
 
+def _bands_of(with_sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bh) band-bucket rows from a ``_sig`` signature column.
+
+    Band rows carry ONLY (id, band, band_hash) — the shingle arrays
+    stay out of any candidate join, so the bands× explode and the
+    bucket shuffle move ~24 bytes/row no matter how large the
+    documents are. Shingle hashes re-enter per candidate id via a
+    keyed join for the exact-Jaccard verify.
+    """
+    rows_per_band = num_hashes // bands
+    return with_sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("_sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select(id_col, "_band.band", "_band.bh")
+
+
+def _with_signature(hashed: DataFrame, num_hashes: int) -> DataFrame:
+    """Attach the per-seed minhash signature array to (id, _bh) rows."""
+    return hashed.withColumn(
+        "_sig",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("_bh"), lambda h, i=i: F.xxhash64(h, F.lit(i)))
+                )
+                for i in range(num_hashes)
+            ]
+        ),
+    )
+
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -169,45 +221,9 @@ def minhash_lsh_pairs(
     # scale with state larger than cluster memory, swap persist()
     # for an explicit checkpoint/write — the plan shape is unchanged.
     hashed = _hashed_shingles(df, text_col, id_col, shingle_k).persist()
-    with_sig = hashed.withColumn(
-        "_sig",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(F.col("_bh"), lambda h, i=i: F.xxhash64(h, F.lit(i)))
-                )
-                for i in range(num_hashes)
-            ]
-        ),
-    )
+    with_sig = _with_signature(hashed, num_hashes)
 
-    # Band rows carry ONLY (id, band, band_hash) — the shingle arrays
-    # stay out of the candidate self-join, so the bands× explode and
-    # the bucket shuffle move ~24 bytes/row no matter how large the
-    # documents are. Shingle hashes re-enter per candidate id via a
-    # keyed join for the exact-Jaccard verify.
-    banded = with_sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("_sig")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band"),
-    ).select(id_col, "_band.band", "_band.bh")
+    banded = _bands_of(with_sig, id_col, num_hashes, bands)
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -601,4 +617,103 @@ def ngram_novelty_scores(
             "novelty",
             F.round(F.col("n_unique_grams") / F.col("n_grams"), 6),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: probe a new batch against a materialized index
+# ---------------------------------------------------------------------------
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's LSH band index + shingle hashes.
+
+    Two parquet relations under ``path``: ``bands/`` (id, band, bh —
+    ~24 B/doc/band) and ``shingles/`` (id, _bh — the 64-bit shingle
+    hash arrays the exact-Jaccard verify needs). Pass
+    ``mode="append"`` to extend the index with an ingested batch —
+    the whole point: the corpus is (re)indexed once, not per batch.
+    """
+    hashed = _hashed_shingles(df, text_col, id_col, shingle_k)
+    banded = _bands_of(_with_signature(hashed, num_hashes), id_col, num_hashes, bands)
+    banded.write.mode(mode).parquet(os.path.join(path, "bands"))
+    hashed.write.mode(mode).parquet(os.path.join(path, "shingles"))
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    index_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs touching a NEW batch, against an existing index.
+
+    The incremental-ingest shape: per batch the work is
+    |batch| × bands band rows probing the index's band buckets plus a
+    batch-internal self-join — the corpus is never re-paired against
+    itself (at 100 TB that difference is the job being minutes vs
+    impossible). Pairs are (id_a < id_b, jaccard ≥ threshold) with at
+    least one side in ``new_docs``; identical parameters give exactly
+    the pairs the full recompute would emit for those ids (same
+    banding, same exact verify — proven in tests/test_llm_ops.py).
+    After ingesting, call :func:`write_minhash_index` with
+    ``mode="append"`` to extend the index with the batch.
+    """
+    spark = new_docs.sparkSession
+    new_hashed = _hashed_shingles(new_docs, text_col, id_col, shingle_k).persist()
+    new_bands = _bands_of(
+        _with_signature(new_hashed, num_hashes), id_col, num_hashes, bands
+    )
+    idx_bands = spark.read.parquet(os.path.join(index_path, "bands"))
+    idx_shingles = spark.read.parquet(os.path.join(index_path, "shingles"))
+
+    # candidates: new × index (bucket probe) ∪ new × new (within batch)
+    a, b = new_bands.alias("a"), idx_bands.alias("b")
+    cross = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+    )
+    n1, n2 = new_bands.alias("a"), new_bands.alias("b")
+    within = n1.join(
+        n2,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+    cand = cross.unionByName(within).dropDuplicates(["id_a", "id_b"])
+
+    # exact verify over the union of shingle sources (a candidate's
+    # sides can live in either relation)
+    shingles = idx_shingles.unionByName(new_hashed).dropDuplicates([id_col])
+    sh_a = shingles.select(F.col(id_col).alias("id_a"), F.col("_bh").alias("sh_a"))
+    sh_b = shingles.select(F.col(id_col).alias("id_b"), F.col("_bh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
     )

@@ -423,3 +423,48 @@ def test_ngram_novelty_separates_original_from_templated(spark):
         assert out[d]["n_unique_grams"] < out[d]["n_grams"]
     # counts are exact: orig has len(words)-2 distinct grams
     assert out["orig"]["n_grams"] == 8
+
+
+def test_incremental_minhash_equals_full_recompute(spark, tmp_path):
+    """Probing a new batch against the materialized band index yields
+    EXACTLY the full-recompute pairs that touch the batch."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+        write_minhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus_rows = [
+        (f"c{i:03d}", f"{base} variant {i} " + " ".join(f"w{i}{j}" for j in range(6)))
+        for i in range(30)
+    ]
+    # two corpus docs that are near-dups of each other
+    corpus_rows += [("cdupA", base + " shared tail one"),
+                    ("cdupB", base + " shared tail one!")]
+    new_rows = [
+        ("n001", base + " shared tail one"),        # near-dup of cdupA/B
+        ("n002", "completely different text about spark shuffles and joins"),
+        ("n003", "completely different text about spark shuffles and joins!"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id string, text string")
+    new = spark.createDataFrame(new_rows, "doc_id string, text string")
+
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, idx)
+    got = sorted(map(tuple,
+        incremental_minhash_pairs(new, idx).collect()))
+
+    full = minhash_lsh_pairs(corpus.unionByName(new))
+    new_ids = {r[0] for r in new_rows}
+    want = sorted(
+        tuple(r) for r in full.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    )
+    assert got == want and got  # non-trivial: planted dups found
+
+    # extend the index with the batch; a re-probe of the SAME batch
+    # now also sees itself (pairs unchanged — idempotent content)
+    write_minhash_index(new, idx, mode="append")
+    again = sorted(map(tuple, incremental_minhash_pairs(new, idx).collect()))
+    assert again == got
