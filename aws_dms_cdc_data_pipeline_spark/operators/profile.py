@@ -114,3 +114,66 @@ def profile_table(
         f"stack({len(cols)}, {stack_args}) AS "
         "(column_name, n_null, n_non_null, n_distinct, min_value, max_value)"
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact Pearson correlation matrix over numeric columns —
+    cross-engine deterministic, one scan, one reduce row.
+
+    Every moment (n, Σx, Σxy) is computed on floor(x·1e6)-quantized
+    values in DECIMAL(38,0) — exact integer arithmetic, so any engine
+    produces identical moments; the final correlation touches floats
+    only in the last step (one correctly-rounded sqrt + divide per
+    pair, identical IEEE on identical inputs). Built-in `corr()`
+    aggregates float partials in partition order — run-to-run
+    nondeterministic in the last ulp and unverifiable across engines;
+    this formulation is the validation-grade version.
+
+    One scan, map-side partial aggregation of k + k(k+1)/2 sums into
+    a SINGLE row; the pair matrix unfolds driver-free via `stack`.
+    NULLs drop listwise. A constant column yields NULL correlations
+    (zero variance — try_divide). Capacity: |x·1e6| ≤ M, n rows needs
+    n·M² < 1e38 — e.g. M=1e12 allows n up to 1e14 rows.
+
+    Returns (col_a, col_b, corr, n_rows) for a ≤ b (diag included).
+    """
+    base = df.select(*cols).na.drop()
+    q = {
+        c: F.floor(F.col(c).cast("double") * F.lit(1e6)).cast("decimal(38,0)")
+        for c in cols
+    }
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("_n")]
+    aggs += [F.sum(q[c]).alias(f"_s_{c}") for c in cols]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    aggs += [F.sum(q[a] * q[b]).alias(f"_q_{a}_{b}") for a, b in pairs]
+    row = base.agg(*aggs)
+
+    def corr_expr(a: str, b: str):
+        n = F.col("_n")
+        num = (n * F.col(f"_q_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")).cast(
+            "double"
+        )
+        var_a = (n * F.col(f"_q_{a}_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")).cast(
+            "double"
+        )
+        var_b = (n * F.col(f"_q_{b}_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")).cast(
+            "double"
+        )
+        return F.round(F.try_divide(num, F.sqrt(var_a) * F.sqrt(var_b)), 6)
+
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        corr_expr(a, b).alias("corr"),
+                        F.col("_n").cast("long").alias("n_rows"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("_p")
+    )
+    return stacked.select("_p.col_a", "_p.col_b", "_p.corr", "_p.n_rows")

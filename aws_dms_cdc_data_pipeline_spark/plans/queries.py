@@ -4117,6 +4117,60 @@ def weekly_users_from_sketches_q(spark, sf_dir):
     )
 
 
+def _corr_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    qz = {c: f"CAST(floor({c} * 1e6) AS HUGEINT)" for c in cols}
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    moment_sql = ", ".join(
+        ["CAST(COUNT(*) AS HUGEINT) AS _n"]
+        + [f"SUM({qz[c]}) AS s_{c}" for c in cols]
+        + [f"SUM({qz[a]} * {qz[b]}) AS q_{a}_{b}" for a, b in pairs]
+    )
+    branches = []
+    for a, b in pairs:
+        num = f"CAST(_n * q_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+        va = f"CAST(_n * q_{a}_{a} - s_{a} * s_{a} AS DOUBLE)"
+        vb = f"CAST(_n * q_{b}_{b} - s_{b} * s_{b} AS DOUBLE)"
+        branches.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"round({num} / (sqrt({va}) * sqrt({vb})), 6) AS corr, "
+            f"CAST(_n AS BIGINT) AS n_rows FROM m"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+    WITH base AS (
+      SELECT {', '.join(cols)} FROM lineitem
+      WHERE {' AND '.join(f'{c} IS NOT NULL' for c in cols)}
+    ),
+    m AS (SELECT {moment_sql} FROM base)
+    {union}
+    """
+
+
+@q(
+    "lineitem_correlation_matrix",
+    _corr_oracle(),
+    "Exact Pearson correlation matrix (operators/profile.py:"
+    "correlation_matrix): every moment on floor(x*1e6)-quantized "
+    "values in DECIMAL(38,0)/HUGEINT — exact integers, so both "
+    "engines produce identical moments and floats enter only in the "
+    "final correctly-rounded sqrt+divide per pair. Built-in corr() "
+    "aggregates float partials in partition order (last-ulp "
+    "nondeterministic, unverifiable cross-engine); this is the "
+    "validation-grade form. One scan, map-side partials into a "
+    "single row, pair matrix unfolds via a literal-array explode.",
+)
+def lineitem_correlation_matrix_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.profile import (
+        correlation_matrix,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 # ===========================================================================
 # Registry ordering.
 #
@@ -4186,6 +4240,7 @@ _R5_WINDOW = [
     "temporal_split_events",
     "doc_novelty_scores",
     "weekly_users_from_sketches",
+    "lineitem_correlation_matrix",
     # r4-green continuity cross-section (one per operator family)
     "regional_revenue",
     "topk_customers_by_revenue",
@@ -4196,7 +4251,6 @@ _R5_WINDOW = [
     "multimodal_features",
     "grouping_sets_revenue",
     "asof_purchase_last_visit",
-    "sessionize_events",
 ]
 
 assert len(_R5_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R5_WINDOW)}"

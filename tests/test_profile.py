@@ -84,3 +84,34 @@ def test_timestamp_normalization(spark):
     prof = _by_col(profile_table(df))
     assert prof["ts"]["min_value"] == "2023-01-15 00:00:00"
     assert prof["ts"]["max_value"] == "2024-03-01 12:34:56"
+
+
+def test_correlation_matrix_semantics(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.profile import (
+        correlation_matrix,
+    )
+
+    # y = 2x exactly; z independent-ish; w constant
+    rows = [(float(i), 2.0 * i, float((i * 7) % 5), 3.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+    out = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in correlation_matrix(df, ["x", "y", "z", "w"]).collect()}
+    assert out[("x", "x")] == 1.0 and out[("y", "y")] == 1.0
+    assert out[("x", "y")] == 1.0            # perfectly linear
+    assert abs(out[("x", "z")]) < 0.3        # near-independent
+    assert out[("x", "w")] is None           # zero variance -> NULL
+    assert out[("w", "w")] is None
+    assert len(out) == 10                    # upper triangle incl diag
+
+
+def test_correlation_matrix_partition_invariant(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.profile import (
+        correlation_matrix,
+    )
+
+    rows = [(float(i % 17), float((i * 13) % 23)) for i in range(500)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    one = sorted(map(tuple, correlation_matrix(df, ["a", "b"]).collect()))
+    many = sorted(map(tuple,
+        correlation_matrix(df.repartition(37), ["a", "b"]).collect()))
+    assert one == many  # exact moments -> bit-identical across layouts
