@@ -4171,6 +4171,44 @@ def lineitem_correlation_matrix_q(spark, sf_dir):
     )
 
 
+@q(
+    "whitened_embedding_norms",
+    None,  # trained float transform (like IVF): no cross-engine oracle;
+    # decorrelation/orthonormality proofs live in tests/test_whitening.py
+    "PCA-whitening of the embedding corpus (operators/whitening.py): "
+    "one mapInPandas pass accumulates per-partition moments (count, "
+    "sum, dim^2 Gram — ONE ~33 KB row per partition, nothing "
+    "data-sized moves), eigendecomposition runs driver-side on the "
+    "dim x dim covariance (bounded like IVF centroids), and the "
+    "k x dim projection broadcasts back for an Arrow-vectorized "
+    "matmul per batch. Query emits per-vector whitened norms + "
+    "leading-component value (rows-only).",
+)
+def whitened_embedding_norms_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.whitening import (
+        apply_whitening,
+        fit_whitening,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_whitening(emb, k=8)
+    out = apply_whitening(emb, model)
+    return out.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("whitened", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+            4,
+        ).alias("whitened_norm"),
+        F.round(F.col("whitened")[0], 4).alias("pc1"),
+    )
+
+
 # ===========================================================================
 # Registry ordering.
 #
@@ -4241,6 +4279,7 @@ _R5_WINDOW = [
     "doc_novelty_scores",
     "weekly_users_from_sketches",
     "lineitem_correlation_matrix",
+    "whitened_embedding_norms",
     # r4-green continuity cross-section (one per operator family)
     "regional_revenue",
     "topk_customers_by_revenue",
@@ -4250,7 +4289,6 @@ _R5_WINDOW = [
     "ann_ivf_topk",
     "multimodal_features",
     "grouping_sets_revenue",
-    "asof_purchase_last_visit",
 ]
 
 assert len(_R5_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R5_WINDOW)}"
