@@ -34,7 +34,7 @@ Execution shape (scale notes):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _FP = 1_000_000
@@ -83,3 +83,59 @@ def flag_outliers(
         )
     )
     return j.filter(lhs > rhs).select(*keep)
+
+
+def flag_outliers_robust(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    k_scaled: int = 35,  # modified z threshold × 10 (3.5 is the textbook value)
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rows whose value deviates from their group's MEDIAN by more
+    than ``k_scaled/10`` times the MAD — the robust companion of
+    :func:`flag_outliers`.
+
+    Mean/stddev flagging breaks down exactly when it matters: heavy
+    outliers inflate the stddev and mask themselves (up to ~n/k of a
+    group can hide). Median and MAD have a 50% breakdown point. Both
+    statistics here are NEAREST-RANK order statistics over
+    floor(x·1e6)-quantized values — actual data elements, no
+    interpolation, no libm — and the flag test
+
+        |x_q − med_q| · 10 > k_scaled · mad_q
+
+    is pure integer arithmetic: bit-deterministic across engines and
+    partition layouts, like everything in this module. Zero-MAD
+    groups (>50% identical values): every row NOT equal to the
+    median flags (ad·10 > 0), median-valued rows never do (0 > 0
+    false) — any deviation from a majority-constant group is
+    anomalous by definition; the textbook modified z-score is simply
+    undefined there, so the convention is documented, not hidden.
+
+    Two window passes over ONE group partitioning (Catalyst reuses
+    the exchange): rank→median, then rank→MAD on the absolute
+    deviations; the per-group bounds ride the same window, no join.
+    """
+    keep = keep_cols or [group_col, value_col]
+    base = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "_xq", F.floor(F.col(value_col).cast("double") * F.lit(float(_FP))).cast("long")
+    )
+    w_grp = Window.partitionBy(group_col)
+    w_rank = w_grp.orderBy("_xq")
+    ranked = base.withColumn("_rn", F.row_number().over(w_rank)).withColumn(
+        "_n", F.count(F.lit(1)).over(w_grp)
+    )
+    med_rank = F.expr("(_n + 1) div 2")  # lower median: a data element
+    with_med = ranked.withColumn(
+        "_med", F.max(F.when(F.col("_rn") == med_rank, F.col("_xq"))).over(w_grp)
+    ).withColumn("_ad", F.abs(F.col("_xq") - F.col("_med")))
+    w_rank2 = w_grp.orderBy("_ad")
+    ranked2 = with_med.withColumn("_rn2", F.row_number().over(w_rank2))
+    with_mad = ranked2.withColumn(
+        "_mad", F.max(F.when(F.col("_rn2") == med_rank, F.col("_ad"))).over(w_grp)
+    )
+    return with_mad.filter(
+        F.col("_ad") * F.lit(10) > F.lit(k_scaled) * F.col("_mad")
+    ).select(*keep)

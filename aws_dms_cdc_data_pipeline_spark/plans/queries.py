@@ -4209,6 +4209,58 @@ def whitened_embedding_norms_q(spark, sf_dir):
     )
 
 
+@q(
+    "events_value_outliers_robust",
+    """
+    WITH b AS (
+      SELECT event_id, event_type, value,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS xq
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY xq) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM b
+    ),
+    m AS (
+      SELECT *, MAX(CASE WHEN rn = (n + 1) // 2 THEN xq END)
+                    OVER (PARTITION BY event_type) AS med
+      FROM r
+    ),
+    a AS (SELECT *, abs(xq - med) AS ad FROM m),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn2
+      FROM a
+    ),
+    d AS (
+      SELECT *, MAX(CASE WHEN rn2 = (n + 1) // 2 THEN ad END)
+                    OVER (PARTITION BY event_type) AS mad
+      FROM r2
+    )
+    SELECT event_type, event_id, value
+    FROM d WHERE ad * 10 > 35 * mad
+    """,
+    "Robust (median/MAD) outlier flags (operators/outliers.py:"
+    "flag_outliers_robust, the 50%-breakdown companion of "
+    "events_value_outliers): mean/stddev flagging masks itself when "
+    "outliers inflate the stddev; median and MAD don't. Both "
+    "statistics are nearest-rank order statistics over "
+    "floor(x*1e6)-quantized values and the flag test is pure integer "
+    "arithmetic — bit-deterministic cross-engine. Two rank passes "
+    "share ONE group exchange (Catalyst reuses it; no join).",
+)
+def events_value_outliers_robust_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.outliers import (
+        flag_outliers_robust,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return flag_outliers_robust(
+        ev, "event_type", "value",
+        keep_cols=["event_type", "event_id", "value"],
+    )
+
+
 # ===========================================================================
 # Registry ordering.
 #
@@ -4280,6 +4332,7 @@ _R5_WINDOW = [
     "weekly_users_from_sketches",
     "lineitem_correlation_matrix",
     "whitened_embedding_norms",
+    "events_value_outliers_robust",
     # r4-green continuity cross-section (one per operator family)
     "regional_revenue",
     "topk_customers_by_revenue",
@@ -4288,7 +4341,6 @@ _R5_WINDOW = [
     "ann_brute_force_topk",
     "ann_ivf_topk",
     "multimodal_features",
-    "grouping_sets_revenue",
 ]
 
 assert len(_R5_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R5_WINDOW)}"

@@ -74,3 +74,51 @@ def test_registry_query_matches_duckdb_oracle(spark):
     )
     want = sorted(tuple(r) for r in con.execute(qd.oracle).fetchall())
     assert got == want and got
+
+
+def test_robust_flags_where_classic_masks(spark):
+    """The masking case: a few huge outliers inflate the stddev enough
+    that 3-sigma misses some — median/MAD still flags them all."""
+    from aws_dms_cdc_data_pipeline_spark.operators.outliers import (
+        flag_outliers_robust,
+    )
+
+    rows = [("g", i, 10.0 + (i % 5) * 0.1) for i in range(50)]
+    rows += [("g", 900 + j, 1e6) for j in range(6)]  # gross outliers
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    robust = {r["id"] for r in flag_outliers_robust(
+        df, "g", "v", keep_cols=["id"]).collect()}
+    assert {900 + j for j in range(6)} <= robust
+    classic = {r["id"] for r in flag_outliers(
+        df, "g", "v", k=3, keep_cols=["id"]).collect()}
+    # the documented masking: classic sigma misses them (6/56 gross
+    # outliers hold ~10% mass and drag sigma to their own scale)
+    assert not classic
+
+
+def test_robust_zero_mad_group_flags_deviants_only(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.outliers import (
+        flag_outliers_robust,
+    )
+
+    # >50% identical values -> MAD = 0: any row differing from the
+    # median flags; median-valued rows never do
+    rows = [("g", i, 5.0) for i in range(10)] + [("g", 99, 500.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {r["id"] for r in flag_outliers_robust(
+        df, "g", "v", keep_cols=["id"]).collect()}
+    assert got == {99}
+
+
+def test_robust_partition_invariance(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.outliers import (
+        flag_outliers_robust,
+    )
+
+    rows = [("g", i, float(i % 13) + (80.0 if i % 41 == 0 else 0.0))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    a = {r["id"] for r in flag_outliers_robust(df, "g", "v", keep_cols=["id"]).collect()}
+    b = {r["id"] for r in flag_outliers_robust(
+        df.repartition(19), "g", "v", keep_cols=["id"]).collect()}
+    assert a == b and a
