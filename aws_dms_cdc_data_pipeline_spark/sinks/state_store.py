@@ -180,9 +180,19 @@ class StateStore:
             merged_src = old.unionByName(batch)
         # keep tombstones so a late pre-delete change can't resurrect the row
         latest = _latest_envelope(merged_src, self.key)
+        return self._swap_buckets(latest, touched, manifest, new_gen)
 
-        # One job writes every touched bucket; per-bucket dirs then move
-        # into their versioned slots before the single manifest swap.
+    def _swap_buckets(
+        self, latest: DataFrame, touched: list[int], manifest: dict, new_gen: int
+    ) -> int:
+        """Write ``latest`` (which carries ``_b``) as version ``new_gen``
+        of the ``touched`` buckets, swap the manifest, GC superseded
+        versions. Shared by :meth:`merge` and the erasure job — any
+        bucket rewrite goes through this one path.
+
+        One job writes every touched bucket; per-bucket dirs then move
+        into their versioned slots before the single manifest swap.
+        """
         staging = os.path.join(self.path, f"_staging-{new_gen}")
         latest.write.mode("overwrite").partitionBy("_b").parquet(staging)
         gc_dirs: list[str] = []
