@@ -11,3 +11,6 @@ from aws_dms_cdc_data_pipeline_spark.streaming.metrics import (  # noqa: F401
 from aws_dms_cdc_data_pipeline_spark.streaming.matview import (  # noqa: F401
     IncrementalAggView,
 )
+from aws_dms_cdc_data_pipeline_spark.streaming.sketches import (  # noqa: F401
+    streaming_distinct_sketches,
+)

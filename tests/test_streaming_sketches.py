@@ -1,0 +1,109 @@
+"""Streaming HLL windows: stream ≡ batch estimates, bounded state,
+and streamed sketches feed the batch rollup."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from aws_dms_cdc_data_pipeline_spark.operators.sketches import (
+    bucket_sketches,
+    rollup_sketches,
+)
+from aws_dms_cdc_data_pipeline_spark.session import load_table
+from aws_dms_cdc_data_pipeline_spark.streaming.sketches import (
+    streaming_distinct_sketches,
+)
+from tests.conftest import SF_DIR_ORACLE
+
+
+def _stream_events(spark, tmp_path, events, n_files=3):
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    # split into files on a deterministic hash so triggers interleave
+    # event-time (out-of-order arrival across micro-batches)
+    events.withColumn(
+        "_s", F.pmod(F.xxhash64("event_id"), F.lit(n_files))
+    ).write.partitionBy("_s").mode("overwrite").parquet(src)
+    return (
+        spark.readStream.schema(
+            spark.read.parquet(src).drop("_s").schema
+        )
+        .option("maxFilesPerTrigger", "4")
+        .parquet(os.path.join(src, "_s=*"))
+    )
+
+
+def test_stream_matches_batch_estimates(spark, tmp_path):
+    ev = load_table(spark, SF_DIR_ORACLE, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    stream = _stream_events(spark, tmp_path, ev)
+    out = streaming_distinct_sketches(
+        stream, window_duration="1 day", watermark_delay="0 seconds"
+    )
+    sink = str(tmp_path / "sink")
+
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(sink)
+
+    batch = bucket_sketches(ev, "date_trunc('day', ts)", "user_id").select(
+        F.col("bucket"),
+        F.hll_sketch_estimate("sketch").cast("long").alias("approx_distinct"),
+        "n_rows",
+    )
+    got = {
+        r["bucket"]: (r["approx_distinct"], r["n_rows"])
+        for r in streamed.collect()
+    }
+    want = {
+        r["bucket"]: (r["approx_distinct"], r["n_rows"])
+        for r in batch.collect()
+    }
+    # append mode + availableNow: the final (unclosed) window may be
+    # withheld by the watermark; every EMITTED window must match batch
+    assert len(got) >= len(want) - 1 and got
+    for b, v in got.items():
+        assert v == want[b], f"window {b}: stream {v} != batch {want[b]}"
+
+
+def test_streamed_sketches_roll_up_with_batch_operator(spark, tmp_path):
+    ev = load_table(spark, SF_DIR_ORACLE, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    stream = _stream_events(spark, tmp_path, ev)
+    out = streaming_distinct_sketches(
+        stream, window_duration="1 day", watermark_delay="0 seconds"
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(sink).withColumnRenamed("bucket", "day")
+
+    weekly = rollup_sketches(
+        streamed, "date_trunc('week', day)", rollup_alias="week"
+    )
+    emitted_days = [r["day"] for r in streamed.select("day").collect()]
+    exact = (
+        ev.filter(F.expr("date_trunc('day', ts)").isin(emitted_days))
+        .groupBy(F.expr("date_trunc('week', date_trunc('day', ts))").alias("week"))
+        .agg(F.countDistinct("user_id").alias("exact"))
+    )
+    ex = {r["week"]: r["exact"] for r in exact.collect()}
+    for r in weekly.collect():
+        rel = abs(r["approx_distinct"] - ex[r["week"]]) / ex[r["week"]]
+        assert rel <= 0.05
