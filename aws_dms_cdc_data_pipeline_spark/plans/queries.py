@@ -4330,6 +4330,32 @@ def bpe_learned_merges_q(spark, sf_dir):
 
 
 @q(
+    "embedded_doc_neighbors",
+    None,  # md5 feature hashing isn't SQL-expressible; rows-only +
+    # determinism/similarity/composition proofs in tests/test_embed.py
+    "Text→vector→ANN composition: embed the corpus with the Arrow-"
+    "batched encoder plumbing (operators/embed.py — deterministic "
+    "feature hashing standing in for a real model, one encoder "
+    "instance per partition) and run exact cosine top-3 for the five "
+    "lowest doc_ids via brute_force_topk. The narrow embed map adds "
+    "no shuffle; queries broadcast; corpus never shuffles. Each "
+    "query's own document ranks first at cosine 1.0 by construction "
+    "— a built-in sanity invariant the rows-only check preserves.",
+)
+def embedded_doc_neighbors_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.embed import embed_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = embed_documents(docs)
+    corpus = emb.withColumnRenamed("doc_id", "vec_id")
+    queries = emb.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return V.brute_force_topk(corpus, queries, k=3)
+
+
+@q(
     "event_transition_matrix",
     """
     WITH s AS (

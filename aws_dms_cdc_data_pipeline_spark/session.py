@@ -55,6 +55,18 @@ def get_spark(
         # int64 restores stats-based pruning (and is what every
         # modern reader, including DuckDB and the fixtures, uses).
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Split-size tuning for THIS harness, not a universal default:
+        # the fixtures are single 10–115 MB parquet files, which under
+        # the stock 128 MB split become ONE scan task — a 32-core
+        # local session then runs its biggest table scans single-
+        # threaded (measured: q1 at sf1 1.19 s → 0.77 s with 8 MB
+        # splits). On a real cluster with 128–256 MB files keep the
+        # default — override via extra_conf / runtime conf; parquet
+        # stays byte-range splittable either way.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
