@@ -62,6 +62,15 @@ SCALE_SUBSET = (
     "topk_customers_by_revenue",
     "sessionize_events",
     "window_range_7day_spend",
+    # LLM-ops tier: the scaler now salts document replicas (no cross-
+    # replica shared shingles) and perturbs embedding replicas, so
+    # these measure a REAL 10× corpus, not a near-dup explosion
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "tfidf_top_terms",
+    "bm25_keyword_search",
+    "ann_brute_force_topk",
+    "event_transition_matrix",
 )
 
 

@@ -138,3 +138,10 @@ def test_archive_erasure_rewrites_only_touched_files(spark, tmp_path):
         if os.path.exists(f) and os.path.getmtime(f) == m:
             untouched_kept += 1
     assert untouched_kept >= 1
+    # re-running the same request is a no-op (idempotent erasure)
+    again = erase_keys(
+        spark, store, [int(v) for v in victims], archive_path=archive
+    )
+    assert again["store_rows_erased"] == 0
+    assert again["archive_rows_erased"] == 0
+    assert again["archive_files_rewritten"] == 0

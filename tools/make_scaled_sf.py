@@ -16,9 +16,17 @@ amortizes and per-query times measure real work:
 - Dimensions (``region nation customer supplier part``) copy as-is:
   dims grow slower than facts, and fixed dims keep broadcast-join
   plan shapes honest at scale.
-- ``documents``/``embeddings`` copy as-is: replicated near-identical
-  text would explode near-dup candidate pairs quadratically — a
-  different (adversarial) workload, not a scale-up of this one.
+- ``documents``: replicas get a per-replica TOKEN SALT (every word
+  suffixed with ``~r<i>`` for i>0), so replicas share NO n-grams /
+  shingles with each other or the originals. Naive replication would
+  make every replica a near-dup of its original — candidate pairs
+  would grow ×factor² (an adversarial workload, not a scale-up);
+  salting preserves each replica's INTERNAL dup structure, so pair
+  work grows linearly with the corpus, which is what a 10× crawl
+  actually looks like.
+- ``embeddings``: replicas shift ids and add a small deterministic
+  per-replica offset to one coordinate — new near-neighbor structure
+  without degenerate exact duplicates.
 
 Usage: python tools/make_scaled_sf.py [src_dir] [dst_dir] [factor]
 Defaults: /root/testdata/sf0.1 → <repo>/.benchdata/sf1, factor 10.
@@ -31,8 +39,7 @@ import sys
 
 import duckdb
 
-_COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
-               "documents", "embeddings"]
+_COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]
 
 
 def build(src: str, dst: str, factor: int) -> None:
@@ -84,7 +91,40 @@ def build(src: str, dst: str, factor: int) -> None:
         """,
         "events",
     )
-    for t in ["orders", "lineitem", "events"]:
+    doc_stride = con.execute(
+        f"SELECT MAX(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')"
+    ).fetchone()[0]
+    copy(
+        f"""
+        SELECT doc_id + r.i * {doc_stride} AS doc_id,
+               CASE WHEN r.i = 0 THEN text
+                    ELSE array_to_string(
+                        list_transform(string_split(text, ' '),
+                                       x -> x || '~r' || r.i), ' ')
+               END AS text,
+               lang, source, n_chars
+        FROM read_parquet('{src}/documents.parquet')
+        CROSS JOIN range({factor}) r(i)
+        """,
+        "documents",
+    )
+    vec_stride = con.execute(
+        f"SELECT MAX(vec_id) + 1 FROM read_parquet('{src}/embeddings.parquet')"
+    ).fetchone()[0]
+    copy(
+        f"""
+        SELECT vec_id + r.i * {vec_stride} AS vec_id,
+               CASE WHEN r.i = 0 THEN embedding
+                    ELSE list_transform(embedding,
+                         x -> CAST(x + 0.01 * r.i AS FLOAT))
+               END AS embedding,
+               label
+        FROM read_parquet('{src}/embeddings.parquet')
+        CROSS JOIN range({factor}) r(i)
+        """,
+        "embeddings",
+    )
+    for t in ["orders", "lineitem", "events", "documents", "embeddings"]:
         n = con.execute(
             f"SELECT COUNT(*) FROM read_parquet('{dst}/{t}.parquet')"
         ).fetchone()[0]
