@@ -87,14 +87,33 @@ def bm25_search(
         raise ValueError("bm25_search needs at least one query term")
     terms = sorted({t.lower() for t in query_terms})
 
-    index = tokenize(docs, text_col, id_col)
-    # per-document length + corpus stats (1-row broadcast, no collect)
-    dl = index.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    # One tokenization, two cheap consumers. Document length is the
+    # SIZE of the token array — no explode and no (doc, term) shuffle
+    # for the length branch (the full-vocabulary aggregate was the
+    # query's dominant cost: only query-term rows need to shuffle at
+    # all). dl > 0 keeps the stats contract of the inverted-index
+    # formulation: token-less docs are not corpus members.
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        ).alias("_toks"),
+    )
+    dl = (
+        toks.select(F.col(id_col), F.size("_toks").cast("long").alias("dl"))
+        .filter(F.col("dl") > 0)
+    )
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_dl"),
     )
-    hits = index.filter(F.col("term").isin(terms))
+    hits = (
+        toks.select(F.col(id_col), F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
     df_per_term = hits.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )

@@ -4330,6 +4330,103 @@ def bpe_learned_merges_q(spark, sf_dir):
 
 
 @q(
+    "window_value_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           first_value(l_extendedprice) OVER w AS first_price,
+           last_value(l_extendedprice) OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_price,
+           nth_value(l_extendedprice, 2) OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_price
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+    """,
+    "A6 completeness: value window functions (first/last/nth_value). "
+    "last/nth use the explicit full-partition ROWS frame (the default "
+    "RANGE frame stops at CURRENT ROW — a classic silent-wrong-answer "
+    "without it, identical semantics in both engines). All three "
+    "share one (l_orderkey, l_linenumber) sort over one exchange; "
+    "the modulus filter is pushed into the scan.",
+)
+def window_value_funcs_q(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 10 == 0
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_extendedprice").over(w).alias("first_price"),
+        F.last("l_extendedprice").over(w_full).alias("last_price"),
+        F.nth_value("l_extendedprice", 2).over(w_full).alias("second_price"),
+    )
+
+
+@q(
+    "training_export_wide",
+    """
+    SELECT l.l_orderkey, l.l_linenumber,
+           l.l_quantity, l.l_extendedprice, l.l_discount,
+           o.o_orderstatus, o.o_orderpriority,
+           c.c_mktsegment, c.c_acctbal,
+           n.n_name AS cust_nation, r.r_name AS cust_region,
+           p.p_brand, p.p_type, p.p_retailprice,
+           s.s_acctbal AS supp_acctbal
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    JOIN part p      ON l.l_partkey = p.p_partkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    WHERE l.l_orderkey % 100 = 0
+    """,
+    "Star-flatten training export: the denormalized wide table a "
+    "feature pipeline ships to training (every dim joined onto the "
+    "fact, pure projection — no aggregation, floats pass through "
+    "untouched). 100 TB shape: four dims broadcast; orders joins on "
+    "the fact's own key so co-partitioning (or the bucketed layout in "
+    "sinks/bucketed.py) makes it exchange-light; the modulus sample "
+    "predicate pushes into the fact scan. The real export writes "
+    "sorted/bucketed parquet — this query is the plan in front of "
+    "that sink.",
+)
+def training_export_wide_q(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount", "o_orderstatus", "o_orderpriority",
+            "c_mktsegment", "c_acctbal",
+            F.col("n_name").alias("cust_nation"),
+            F.col("r_name").alias("cust_region"),
+            "p_brand", "p_type", "p_retailprice",
+            F.col("s_acctbal").alias("supp_acctbal"),
+        )
+    )
+
+
+@q(
     "embedded_doc_neighbors",
     None,  # md5 feature hashing isn't SQL-expressible; rows-only +
     # determinism/similarity/composition proofs in tests/test_embed.py
