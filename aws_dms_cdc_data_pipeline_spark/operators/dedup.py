@@ -717,3 +717,111 @@ def incremental_minhash_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring duplication (char-gram span detection)
+# ---------------------------------------------------------------------------
+
+def duplicated_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 20,
+    stride: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Character-level duplicated-substring spans, corpus-wide.
+
+    The exact-substring dedup of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed
+    relationally with WINNOWING anchors (Schleimer et al. 2003)
+    instead of a suffix array: hash the char ``gram_len``-gram at
+    EVERY position, keep per document the argmin-hash position of
+    each ``stride``-length position window (so anchor choice depends
+    only on CONTENT — two occurrences of a substring at different
+    offsets anchor the same grams, which a fixed-phase sample
+    provably misses — and consecutive anchors are never more than
+    ``stride`` apart). Count each anchored gram across the WHOLE
+    corpus (within-doc repetition counts too) and mark anchors whose
+    gram occurs >= ``min_count`` times; marked [i, i+gram_len)
+    windows merge per document into maximal spans (island detection:
+    running max of previous ends over one document-keyed window).
+    Returns ``(id, span_start, span_end, span_len)`` — 1-based
+    half-open char offsets, ready for span excision before training.
+
+    100 TB shape: the per-position hash pass is narrow CPU on the
+    scan; the winnowing window and the island merge are the only
+    document-keyed exchanges (~|chars| rows, then ~|chars|/stride).
+    The gram count is a map-side-combined groupBy and the hot-gram
+    filter comes back as a SEMI join — a boilerplate gram occurring
+    millions of times adds linear rows, never candidate PAIRS (no
+    quadratic blowup by construction, unlike pair-based dedup).
+    """
+    from pyspark.sql import Window
+
+    t = df.select(F.col(id_col), F.col(text_col).alias("_t")).filter(
+        F.length("_t") >= gram_len
+    )
+    pos = t.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.length("_t") - gram_len + 1)
+        ).alias("i"),
+        "_t",
+    ).select(
+        F.col(id_col),
+        "i",
+        F.expr(f"substring(_t, i, {gram_len})").alias("gr"),
+    )
+    hashed = pos.withColumn("h", F.xxhash64("gr"))
+    w_win = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(-(stride - 1), 0)
+    )
+    # argmin over the trailing window; ties (equal hashes) break on
+    # the smaller position — (h, i, gr) struct ordering is total
+    anchors = (
+        hashed.withColumn(
+            "_a", F.min(F.struct("h", "i", "gr")).over(w_win)
+        )
+        .select(
+            F.col(id_col),
+            F.col("_a.i").alias("i"),
+            F.col("_a.gr").alias("gr"),
+        )
+        .distinct()
+    )
+    g = anchors
+    hot = (
+        g.groupBy("gr")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gr")
+    )
+    d = g.join(hot, "gr", "left_semi").select(
+        F.col(id_col),
+        F.col("i").alias("s"),
+        (F.col("i") + gram_len).alias("e"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("s")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = d.withColumn(
+        "_new",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    ).withColumn("island", F.sum("_new").over(w))
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("s").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+            (F.max("e") - F.min("s")).cast("long").alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_end", "span_len")
+    )

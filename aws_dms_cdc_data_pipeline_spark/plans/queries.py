@@ -4369,6 +4369,25 @@ def window_value_funcs_q(spark, sf_dir):
 
 
 @q(
+    "duplicated_char_spans",
+    None,  # winnowing anchors hash with Spark's xxhash64 — no DuckDB
+    # equivalent (same reason minhash is rows-only); span semantics
+    # proven in tests/test_duplicated_spans.py (planted cross-doc +
+    # within-doc duplicates, offset-shift invariance, island merge)
+    "Exact substring-duplication spans (Lee et al. 2022 exact-substr "
+    "dedup, winnowing-anchored — operators/dedup.py:duplicated_spans):"
+    " per-position char-gram hashes, content-defined argmin anchors "
+    "(offset-invariant, ≤ stride gap), corpus-wide gram counts, "
+    "semi-join back, per-doc island merge. Linear in corpus size by "
+    "construction — a million-fold boilerplate gram adds rows, never "
+    "pairs.",
+)
+def duplicated_char_spans_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicated_spans(docs, gram_len=20, stride=10)
+
+
+@q(
     "training_export_wide",
     """
     SELECT l.l_orderkey, l.l_linenumber,
