@@ -825,3 +825,53 @@ def duplicated_spans(
         )
         .select(id_col, "span_start", "span_end", "span_len")
     )
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut ``[span_start, span_end)`` char ranges out of each doc —
+    the excision half of exact-substring dedup (pair with
+    :func:`duplicated_spans`, whose islands are disjoint and sorted
+    by construction; overlapping input spans must be pre-merged).
+
+    Pure-JVM: spans collapse to one sorted per-doc array (bounded by
+    text length / stride), ride a key join, and a single ``aggregate``
+    fold stitches the kept segments back together. Docs without spans
+    pass through untouched (left join + null guard). Output schema is
+    the input schema with ``text_col`` replaced by the cleaned text.
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").cast("long").alias("s"),
+                    F.col("span_end").cast("long").alias("e"),
+                )
+            )
+        ).alias("_spans")
+    )
+    joined = df.join(sp, id_col, "left")
+    t = F.col(text_col)
+    folded = F.aggregate(
+        F.col("_spans"),
+        F.struct(
+            F.lit(1).cast("long").alias("pos"), F.lit("").alias("out")
+        ),
+        lambda acc, s: F.struct(
+            s["e"].alias("pos"),
+            F.concat(
+                acc["out"], F.substring(t, acc["pos"], s["s"] - acc["pos"])
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            F.substring(t, acc["pos"], F.length(t) - acc["pos"] + 1),
+        ),
+    )
+    cleaned = F.when(F.col("_spans").isNull(), t).otherwise(folded)
+    return joined.withColumn(text_col, cleaned).drop("_spans")

@@ -56,3 +56,47 @@ def test_short_docs_skipped(spark):
     rows = [(1, "tiny"), (2, "tiny")]
     got = _spans(spark, rows, gram_len=20, stride=10)
     assert got == {}
+
+
+def test_excise_spans_exact_offsets(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.dedup import excise_spans
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "untouched")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 3, 6), (1, 8, 10)],
+        "doc_id long, span_start long, span_end long",
+    )
+    got = {r["doc_id"]: r["text"] for r in excise_spans(docs, spans).collect()}
+    # 1-based half-open: cut c,d,e then h,i -> "abfgj"
+    assert got[1] == "abfgj"
+    assert got[2] == "untouched"
+
+
+def test_dedup_then_excise_removes_duplication(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+        excise_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, "AAA " + shared + " BBB"), (2, "CCCCC " + shared + " DDDDD")],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(docs, gram_len=20, stride=5)
+    cleaned = {
+        r["doc_id"]: r["text"] for r in excise_spans(docs, spans).collect()
+    }
+    for t in cleaned.values():
+        assert shared not in t  # the duplicated region is gone
+        assert len(t) < len("AAA " + shared + " BBB")
+    re_spans = duplicated_spans(
+        spark.createDataFrame(
+            [(k, v) for k, v in cleaned.items()], "doc_id long, text string"
+        ),
+        gram_len=20,
+        stride=5,
+    ).collect()
+    assert re_spans == []  # idempotent: nothing left to find
