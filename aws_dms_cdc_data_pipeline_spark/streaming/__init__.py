@@ -14,3 +14,6 @@ from aws_dms_cdc_data_pipeline_spark.streaming.matview import (  # noqa: F401
 from aws_dms_cdc_data_pipeline_spark.streaming.sketches import (  # noqa: F401
     streaming_distinct_sketches,
 )
+from aws_dms_cdc_data_pipeline_spark.streaming.monitor import (  # noqa: F401
+    monitor_arrival_order,
+)
