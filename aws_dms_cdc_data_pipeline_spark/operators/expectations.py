@@ -53,4 +53,38 @@ def check_constraints(df: DataFrame, checks: dict[str, str]) -> DataFrame:
     return wide.select(F.explode(F.array(*rows)).alias("_c")).select("_c.*")
 
 
-__all__ = ["check_constraints"]
+__all__ = ["check_constraints", "quarantine_violations"]
+
+
+def quarantine_violations(
+    df: DataFrame, checks: dict[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level contract enforcement: ``(good, quarantined)``.
+
+    Where :func:`check_constraints` answers "how many violate", this
+    answers "WHICH rows, and why" — the Delta-Live-Tables
+    expectation-with-quarantine pattern (dbt ``store_failures``).
+    ``quarantined`` is the violating rows plus ``violations``: the
+    sorted array of failed check names (NULL predicate = violation,
+    same strictness as check_constraints). ``good`` is the rest with
+    the original schema. Both come off ONE annotated projection —
+    Catalyst shares the scan between the two filters, every predicate
+    is evaluated once per row map-side, and no shuffle exists in
+    either branch, so quarantining adds no pass over the data.
+    """
+    if not checks:
+        raise ValueError("quarantine_violations needs at least one check")
+    fails = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.coalesce(F.expr(pred), F.lit(False)), F.lit(name)
+                )
+                for name, pred in sorted(checks.items())
+            ]
+        )
+    )
+    annotated = df.withColumn("violations", fails)
+    good = annotated.filter(F.size("violations") == 0).drop("violations")
+    bad = annotated.filter(F.size("violations") > 0)
+    return good, bad

@@ -3338,6 +3338,55 @@ def lineitem_contract_checks_q(spark, sf_dir):
     return check_constraints(li, _LINEITEM_CHECKS)
 
 
+_QUARANTINE_CHECKS = {
+    # DELIBERATELY strict thresholds (the fixture passes the real
+    # contract — see _LINEITEM_CHECKS — so these exercise the
+    # quarantine path on genuine rows, including multi-reason ones)
+    "qty_below_max": "l_quantity < 50",
+    "discount_below_ten_pct": "l_discount < 0.1",
+}
+
+
+@q(
+    "lineitem_quarantine",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+           concat_ws(',',
+               CASE WHEN NOT COALESCE(({_QUARANTINE_CHECKS["discount_below_ten_pct"]}), FALSE)
+                    THEN 'discount_below_ten_pct' END,
+               CASE WHEN NOT COALESCE(({_QUARANTINE_CHECKS["qty_below_max"]}), FALSE)
+                    THEN 'qty_below_max' END
+           ) AS violations
+    FROM lineitem
+    WHERE NOT COALESCE(({_QUARANTINE_CHECKS["qty_below_max"]}), FALSE)
+       OR NOT COALESCE(({_QUARANTINE_CHECKS["discount_below_ten_pct"]}), FALSE)
+    """,
+    "Row-level contract quarantine (Delta-Live-Tables "
+    "expectation-with-quarantine / dbt store_failures — "
+    "operators/expectations.py:quarantine_violations): the violating "
+    "rows themselves with the sorted list of failed check names, "
+    "complementing lineitem_contract_checks' counts. One annotated "
+    "projection feeds both the good and quarantined branches — every "
+    "predicate evaluates once per row map-side, no shuffle in either "
+    "branch. Reasons join to one string so the oracle compares "
+    "arrays without engine array-literal differences.",
+)
+def lineitem_quarantine_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.expectations import (
+        quarantine_violations,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    _good, bad = quarantine_violations(li, _QUARANTINE_CHECKS)
+    return bad.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_discount",
+        F.array_join("violations", ",").alias("violations"),
+    )
+
+
 @q(
     "cdc_rate_anomalies",
     """
