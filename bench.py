@@ -137,13 +137,25 @@ def main() -> None:
         "sf": sf,
     }
 
-    # optional scaled tier: present iff the scaled dir was prebuilt
-    # (tools/make_scaled_sf.py) — never generated on the bench clock
+    # scaled tier: built once into .benchdata/sf1 (gitignored) if
+    # absent — generation happens OFF the bench clock, before any
+    # timed run; set SPARK_GRAFT_SKIP_SCALE=1 to opt out entirely
     scale_dir = os.environ.get(
         "SPARK_GRAFT_SCALE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".benchdata", "sf1"),
     )
+    if not os.path.isdir(scale_dir) and not os.environ.get(
+        "SPARK_GRAFT_SKIP_SCALE"
+    ):
+        try:
+            from tools.make_scaled_sf import build
+
+            build(sf_dir if sf >= 0.1 else "/root/testdata/sf0.1",
+                  scale_dir, 10)
+        except Exception as e:  # scaled tier is optional — never
+            # fail the headline bench over it
+            print(f"scale-tier build skipped: {e}", file=sys.stderr)
     if os.path.isdir(scale_dir):
         spark_t: dict[str, float] = {}
         for name in SCALE_SUBSET:
