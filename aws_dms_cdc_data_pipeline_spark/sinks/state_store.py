@@ -254,7 +254,7 @@ def _latest_envelope(envelopes: DataFrame, key: str) -> DataFrame:
     )
 
 
-__all__ = ["StateStore", "current_state", "changes_in_generation"]
+__all__ = ["StateStore", "current_state", "changes_in_generation", "reshard"]
 
 
 def changes_in_generation(store: StateStore) -> DataFrame | None:
@@ -304,3 +304,30 @@ def changes_in_generation(store: StateStore) -> DataFrame | None:
         if prev:
             old_dirs.append(store._bdir(b, max(prev)))
     return snapshot_diff(_live(old_dirs), _live(new_dirs), keys=key_leaf)
+
+
+def reshard(store: StateStore, new_path: str, num_buckets: int) -> StateStore:
+    """Rebuild ``store`` under a different bucket count — the
+    operational re-shard a growing deployment eventually needs (bucket
+    count fixes merge parallelism and lookup granularity; at 100 TB
+    state, 16 buckets that were right at launch become hotspots).
+
+    Blue-green by construction: the new store materializes at
+    ``new_path`` while the old one keeps serving; the caller swaps
+    consumers over when done (and deletes the old path). The rebuild
+    is ONE call into the same ``merge`` path every micro-batch uses —
+    latest-envelope semantics, tombstone preservation, manifest
+    atomicity and GC all come from the existing, fault-tested code
+    rather than a parallel implementation. Cost: one full read +
+    bucketed rewrite of live state — the unavoidable minimum, since
+    every key changes bucket with the modulus.
+    """
+    if os.path.exists(os.path.join(new_path, "_MANIFEST")):
+        raise ValueError(f"reshard target {new_path!r} already has a store")
+    new = StateStore(
+        store.spark, new_path, key=store.key, num_buckets=num_buckets
+    )
+    env = store.envelopes()
+    if env is not None:
+        new.merge(env.select("data", "metadata", "doc_id"))
+    return new

@@ -182,3 +182,41 @@ def test_lookup_reads_only_key_buckets(spark, tmp_path):
     assert store.lookup([]).count() == 0
     empty = StateStore(spark, str(tmp_path / "none"), num_buckets=4)
     assert empty.lookup([1, 2]).count() == 0
+
+
+def test_reshard_preserves_state_and_serves_lookups(spark, tmp_path):
+    from aws_dms_cdc_data_pipeline_spark.generator import (
+        GeneratorConfig,
+        envelopes_df,
+    )
+    from aws_dms_cdc_data_pipeline_spark.sinks.state_store import (
+        StateStore,
+        reshard,
+    )
+
+    store = StateStore(spark, str(tmp_path / "s8"), num_buckets=8)
+    env = envelopes_df(
+        spark,
+        GeneratorConfig(n_rows=60, seed=5, update_fraction=0.3,
+                        delete_fraction=0.15, duplicate_fraction=0.1),
+    )
+    store.merge(env)
+    before = sorted(map(tuple, store.table().collect()))
+
+    new = reshard(store, str(tmp_path / "s32"), 32)
+
+    assert new.num_buckets == 32
+    assert sorted(map(tuple, new.table().collect())) == before
+    # tombstones survive the migration (not just live rows)
+    n_env_old = store.envelopes().count()
+    assert new.envelopes().count() == n_env_old
+    # bucket-pruned lookup works against the NEW layout
+    some = [r[0] for r in store.table().limit(3).collect()]
+    got = {r["trans_id"] for r in new.lookup(some).collect()}
+    assert got == set(some)
+    # old store untouched and still serving
+    assert sorted(map(tuple, store.table().collect())) == before
+    # refuses to clobber an existing store
+    import pytest
+    with pytest.raises(ValueError):
+        reshard(store, str(tmp_path / "s32"), 16)
