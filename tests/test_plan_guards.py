@@ -33,3 +33,52 @@ def test_no_cartesian_or_rowwise_python(spark, sf_dir, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for op in FORBIDDEN:
         assert op not in plan, f"{name}: {op} in physical plan"
+
+
+def _plan(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_length_branch_stays_shuffle_light(spark, sf_dir):
+    """The r5 rewrite dropped the full-vocabulary (doc, term)
+    aggregate feeding document length (9 → 5 exchanges). Guard the
+    count so a refactor can't silently reintroduce it."""
+    plan = _plan(spark, sf_dir, "bm25_keyword_search")
+    shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange SinglePartition"
+    )  # broadcasts excluded: they're the cheap, desired exchanges
+    assert shuffles <= 5
+
+
+def test_training_export_broadcasts_all_small_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "training_export_wide")
+    # nation/region/part/supplier ride broadcasts; no cartesian
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_blas_brute_force_has_no_pre_scoring_exchange(spark, sf_dir):
+    """The BLAS scorer is a narrow map over the corpus scan: the only
+    exchange in the plan is the tiny per-query ranking AFTER scoring
+    (plus AQE bookkeeping) — the corpus itself never shuffles."""
+    from aws_dms_cdc_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from aws_dms_cdc_data_pipeline_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = brute_force_topk(emb, q, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pre, _, _post = plan.partition("MapInPandas")
+    # everything upstream of the scorer (printed BELOW MapInPandas in
+    # the tree, i.e. in _post... plan trees print root-first) — assert
+    # globally instead: exactly one exchange family, keyed by query
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange hashpartitioning(query_id") <= 1
+    assert plan.count("Exchange") <= 2
