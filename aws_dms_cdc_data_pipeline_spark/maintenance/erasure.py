@@ -105,6 +105,18 @@ def _erase_from_store(spark: SparkSession, store: StateStore, keys: list):
     if erased == 0:
         return 0, manifest["generation"]
     keep = env.filter(~key_col.isin(keys) | key_col.isNull())
+    # Lost-update guard: the store is single-writer by design, but an
+    # operator running erasure beside a live stream would otherwise
+    # have this job overwrite bucket versions a concurrent merge just
+    # advanced. Re-check the generation at the last moment and refuse
+    # loudly instead of silently dropping that merge. (The remaining
+    # ms-scale window is the same one merge itself accepts; pausing
+    # the stream removes it entirely.)
+    if store.version() != manifest["generation"]:
+        raise RuntimeError(
+            "state store advanced during erasure "
+            f"(gen {manifest['generation']} -> {store.version()}); re-run"
+        )
     new_gen = manifest["generation"] + 1
     gen = store._swap_buckets(keep, touched, manifest, new_gen)
     return erased, gen

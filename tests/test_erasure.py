@@ -145,3 +145,42 @@ def test_archive_erasure_rewrites_only_touched_files(spark, tmp_path):
     assert again["store_rows_erased"] == 0
     assert again["archive_rows_erased"] == 0
     assert again["archive_files_rewritten"] == 0
+
+
+def test_concurrent_merge_detected_not_clobbered(spark, tmp_path, monkeypatch):
+    """A merge landing between erasure's manifest read and its bucket
+    swap must abort the erasure, not silently lose the merge."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.maintenance import erasure as er
+
+    store = _build_store(spark, tmp_path)
+    victims = [r["trans_id"] for r in store.table().limit(2).collect()]
+
+    late_env = envelopes_df(
+        spark, GeneratorConfig(n_rows=5, seed=99, update_fraction=0.0,
+                               delete_fraction=0.0)
+    )
+
+    orig_version = type(store).version
+    state = {"calls": 0}
+
+    def racing_version(self):
+        # call 1 = erase_keys' result bookkeeping; call 2 = the
+        # guard's re-check — sneak a merge in just before it
+        state["calls"] += 1
+        if state["calls"] == 2:
+            type(store).version = orig_version
+            store.merge(late_env)
+            monkeypatch.setattr(type(store), "version", racing_version)
+        return orig_version(self)
+
+    monkeypatch.setattr(type(store), "version", racing_version)
+    try:
+        with pytest.raises(RuntimeError, match="advanced during erasure"):
+            er.erase_keys(spark, store, victims)
+    finally:
+        type(store).version = orig_version
+    # the concurrent merge's rows are intact; re-running now succeeds
+    out = er.erase_keys(spark, store, victims)
+    assert out["store_rows_erased"] == 2
