@@ -254,7 +254,7 @@ def _latest_envelope(envelopes: DataFrame, key: str) -> DataFrame:
     )
 
 
-__all__ = ["StateStore", "current_state", "changes_in_generation", "reshard"]
+__all__ = ["StateStore", "current_state", "changes_in_generation", "reshard", "fsck"]
 
 
 def changes_in_generation(store: StateStore) -> DataFrame | None:
@@ -331,3 +331,76 @@ def reshard(store: StateStore, new_path: str, num_buckets: int) -> StateStore:
     if env is not None:
         new.merge(env.select("data", "metadata", "doc_id"))
     return new
+
+
+def fsck(store: StateStore, *, clean: bool = False) -> dict:
+    """Manifest↔disk consistency report (and optional repair) for a
+    bucketed store — the operational check after a crash or an
+    interrupted maintenance job.
+
+    Classifies every ``b=*/v=*`` directory on disk against the
+    manifest:
+
+    - ``live``: the manifest's current version for its bucket;
+    - ``retained``: the immediately-previous version (kept one
+      generation for in-flight readers — expected, never cleaned);
+    - ``orphans``: anything else — crash debris from an interrupted
+      ``_swap_buckets`` (its staging dir), an aborted erasure, or a
+      GC that never ran. ``clean=True`` deletes these (and stray
+      ``_staging-*`` dirs); the manifest is never modified.
+    - ``missing``: manifest points at a directory that does not
+      exist — state LOSS, never auto-repaired; restore from the
+      archive (maintenance/replay + compact) instead.
+
+    Driver-side directory listing only — no data files are opened,
+    so the check is O(#directories) regardless of state size.
+    """
+    manifest = store._manifest()
+    live: list[str] = []
+    retained: list[str] = []
+    orphans: list[str] = []
+    missing: list[str] = []
+    for b_str, v in manifest["buckets"].items():
+        if not os.path.isdir(store._bdir(int(b_str), v)):
+            missing.append(f"b={b_str}/v={v}")
+    for entry in sorted(os.listdir(store.path)):
+        full = os.path.join(store.path, entry)
+        if entry.startswith("_staging-") and os.path.isdir(full):
+            orphans.append(entry)
+            continue
+        if not (entry.startswith("b=") and os.path.isdir(full)):
+            continue
+        b_str = entry.removeprefix("b=")
+        current = manifest["buckets"].get(b_str)
+        for vdir in sorted(os.listdir(full)):
+            if not vdir.startswith("v="):
+                continue
+            v = int(vdir.removeprefix("v="))
+            rel = f"{entry}/{vdir}"
+            if current is not None and v == current:
+                live.append(rel)
+            elif current is not None and v == _prev_version(full, current):
+                retained.append(rel)
+            else:
+                orphans.append(rel)
+    if clean:
+        for rel in orphans:
+            shutil.rmtree(os.path.join(store.path, rel), ignore_errors=True)
+    return {
+        "generation": manifest["generation"],
+        "live": live,
+        "retained": retained,
+        "orphans": orphans,
+        "missing": missing,
+        "cleaned": clean,
+    }
+
+
+def _prev_version(bucket_root: str, current: int) -> int | None:
+    versions = sorted(
+        int(e.removeprefix("v="))
+        for e in os.listdir(bucket_root)
+        if e.startswith("v=")
+    )
+    below = [v for v in versions if v < current]
+    return below[-1] if below else None

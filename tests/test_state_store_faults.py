@@ -111,3 +111,51 @@ def test_crash_before_gc_self_heals_on_next_merge(spark, tmp_path, monkeypatch):
             int(v.split("=")[1]) for v in os.listdir(bdir) if v.startswith("v=")
         )
         assert len(versions) <= 2, f"{bdir} kept {versions}"
+
+
+def test_fsck_classifies_and_cleans(spark, tmp_path):
+    import os
+
+    from aws_dms_cdc_data_pipeline_spark.generator import (
+        GeneratorConfig,
+        envelopes_df,
+    )
+    from aws_dms_cdc_data_pipeline_spark.sinks.state_store import (
+        StateStore,
+        fsck,
+    )
+
+    store = StateStore(spark, str(tmp_path / "state"), num_buckets=4)
+    env1 = envelopes_df(spark, GeneratorConfig(n_rows=20, seed=1))
+    env2 = envelopes_df(spark, GeneratorConfig(n_rows=20, seed=2))
+    store.merge(env1)
+    store.merge(env2)  # creates retained previous versions
+
+    clean_report = fsck(store)
+    assert clean_report["orphans"] == [] and clean_report["missing"] == []
+    assert len(clean_report["live"]) == len(store._manifest()["buckets"])
+
+    # plant crash debris: an ancient version dir + a staging dir
+    os.makedirs(os.path.join(store.path, "b=0", "v=99"))
+    os.makedirs(os.path.join(store.path, "_staging-77"))
+    report = fsck(store)
+    assert "b=0/v=99" in report["orphans"]
+    assert "_staging-77" in report["orphans"]
+    # retained previous versions are NOT orphans
+    assert all(r not in report["orphans"] for r in report["retained"])
+
+    before = sorted(map(tuple, store.table().collect()))
+    cleaned = fsck(store, clean=True)
+    assert cleaned["cleaned"]
+    assert not os.path.exists(os.path.join(store.path, "b=0", "v=99"))
+    assert not os.path.exists(os.path.join(store.path, "_staging-77"))
+    # cleaning touched nothing live: table identical, next fsck clean
+    assert sorted(map(tuple, store.table().collect())) == before
+    assert fsck(store)["orphans"] == []
+
+    # missing directory is reported, never repaired
+    victim = fsck(store)["live"][0]
+    import shutil
+
+    shutil.rmtree(os.path.join(store.path, victim))
+    assert fsck(store)["missing"] != []
