@@ -36,10 +36,24 @@ from aws_dms_cdc_data_pipeline_spark.sources.envelope_stream import (
 )
 
 
-def replay_dlq(spark: SparkSession, error_path: str, store: StateStore) -> dict:
+def replay_dlq(
+    spark: SparkSession,
+    error_path: str,
+    store: StateStore,
+    *,
+    include_contract: bool = False,
+) -> dict:
     """Replay every dead-lettered record under ``error_path`` into
     ``store``. Returns counts: ``delivery_replayed``,
-    ``parse_replayed``, ``still_corrupt``.
+    ``parse_replayed``, ``still_corrupt`` (plus
+    ``contract_replayed`` when ``include_contract``).
+
+    ``include_contract=True`` additionally replays the CONTRACT
+    quarantine (streaming/pipeline.py's third DLQ class). It is
+    opt-in because those rows were parked deliberately: re-merging
+    them is only correct after the operator has fixed the upstream
+    producer or consciously waived the contract — an automatic
+    replay would just re-admit the violation.
 
     Both branches re-run :func:`parse_envelope_lines` — the EXACT
     production parser with its full ``_corrupt`` predicate (missing
@@ -51,10 +65,17 @@ def replay_dlq(spark: SparkSession, error_path: str, store: StateStore) -> dict:
     corrupt (from either branch) are re-parked, never dropped.
     """
     out = {"delivery_replayed": 0, "parse_replayed": 0, "still_corrupt": 0}
+    if include_contract:
+        out["contract_replayed"] = 0
 
     delivery_dirs = sorted(glob.glob(os.path.join(error_path, "batch_id=*", "delivery")))
     parse_dirs = sorted(glob.glob(os.path.join(error_path, "batch_id=*", "parse")))
-    if not delivery_dirs and not parse_dirs:
+    contract_dirs = (
+        sorted(glob.glob(os.path.join(error_path, "batch_id=*", "contract")))
+        if include_contract
+        else []
+    )
+    if not delivery_dirs and not parse_dirs and not contract_dirs:
         return out
 
     raw_schema = "raw string"
@@ -97,6 +118,17 @@ def replay_dlq(spark: SparkSession, error_path: str, store: StateStore) -> dict:
             if n_bad:
                 still_bad.append(bad)
 
+        if contract_dirs:
+            parsed, good, bad = _split(contract_dirs)
+            cached.append(parsed)
+            n_good, n_bad = good.count(), bad.count()
+            if n_good:
+                store.merge(good)
+            out["contract_replayed"] = n_good
+            out["still_corrupt"] += n_bad
+            if n_bad:
+                still_bad.append(bad)
+
         # atomic-enough rewrite: stage the survivors, then swap the
         # per-batch error dirs for a single consolidated retry dir
         if still_bad:
@@ -108,7 +140,7 @@ def replay_dlq(spark: SparkSession, error_path: str, store: StateStore) -> dict:
             bad_all.write.mode("overwrite").json(staging)
             shutil.rmtree(retry_dir, ignore_errors=True)
             os.replace(staging, retry_dir)
-        for d in delivery_dirs + parse_dirs:
+        for d in delivery_dirs + parse_dirs + contract_dirs:
             if os.path.abspath(d) != os.path.abspath(retry_dir):
                 shutil.rmtree(d, ignore_errors=True)
         if not still_bad:

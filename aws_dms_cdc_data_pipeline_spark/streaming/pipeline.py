@@ -52,6 +52,15 @@ class CdcStreamConfig:
     # both to keep the failure path fast.
     delivery_retry_seconds: float = 60.0
     delivery_retry_backoff_seconds: float = 1.0
+    # Optional data-contract gate: named boolean SQL predicates over
+    # the selected envelopes (data.*/metadata.*/doc_id). Well-formed
+    # rows that FAIL a predicate are quarantined to
+    # error/batch_id=N/contract/ (with the failed check names) and
+    # excluded from the state merge — the third DLQ class beside
+    # parse (malformed) and delivery (sink failure). They still land
+    # in the raw archive: backup-before-validate, same order the
+    # reference applies (firehose.py:153 backs up AllDocuments).
+    contract_checks: dict[str, str] | None = None
 
     @property
     def state_path(self) -> str:
@@ -127,6 +136,32 @@ def _deliver(cfg: CdcStreamConfig, store: StateStore, view=None):
 
             good = batch.filter(~F.col("_corrupt")).drop("_raw", "_corrupt")
             selected = select_table(good, cfg.schema_name, cfg.table_name)
+
+            # S7 (third class): contract quarantine — well-formed rows
+            # violating a declared invariant park with their reasons
+            # and stay out of the state merge (the archive above keeps
+            # the raw record regardless). Epoch-keyed like the other
+            # DLQ legs, so replays overwrite their own prior attempt.
+            if cfg.contract_checks:
+                from aws_dms_cdc_data_pipeline_spark.operators.expectations import (
+                    quarantine_violations,
+                )
+
+                selected, violating = quarantine_violations(
+                    selected, cfg.contract_checks
+                )
+                violating.select(
+                    F.to_json(
+                        F.struct("data", "metadata", "doc_id")
+                    ).alias("raw"),
+                    F.lit("contract-violation").alias("error"),
+                    F.array_join("violations", ",").alias("detail"),
+                    F.current_timestamp().alias("dead_lettered_at"),
+                ).write.mode("overwrite").json(
+                    os.path.join(
+                        cfg.error_path, f"batch_id={epoch_id}", "contract"
+                    )
+                )
 
             # S6: raw hourly-partitioned archive of EVERY delivered
             # record (AllDocuments backup — selection happens after

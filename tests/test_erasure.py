@@ -184,3 +184,56 @@ def test_concurrent_merge_detected_not_clobbered(spark, tmp_path, monkeypatch):
     # the concurrent merge's rows are intact; re-running now succeeds
     out = er.erase_keys(spark, store, victims)
     assert out["store_rows_erased"] == 2
+
+
+def test_stream_contract_quarantine_and_optin_replay(spark, tmp_path):
+    """Third DLQ class: well-formed rows violating a declared contract
+    park with reasons, stay out of state, remain archived — and
+    replay back only with the operator's explicit opt-in."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.maintenance.replay import replay_dlq
+
+    cfg = GeneratorConfig(n_rows=40, seed=3, update_fraction=0.0,
+                          delete_fraction=0.0)
+    wire = str(tmp_path / "wire")
+    write_envelope_jsonl(cfg, wire, files=2)
+    scfg = CdcStreamConfig(
+        source_path=wire, sink_root=str(tmp_path / "sink"),
+        trigger_seconds=None,
+        contract_checks={"amount_small": "data.amount < 50"},
+    )
+    start_cdc_stream(spark, scfg).awaitTermination()
+    store = StateStore(spark, scfg.state_path)
+
+    live = store.table()
+    n_live = live.count()
+    assert live.filter("amount >= 50").count() == 0  # gate held
+
+    parked_files = glob.glob(os.path.join(
+        scfg.error_path, "batch_id=*", "contract", "*.json"))
+    parked = spark.read.json(parked_files)
+    n_parked = parked.count()
+    n_parked_keys = parked.select(
+        F.get_json_object("raw", "$.data.trans_id")
+    ).distinct().count()
+    assert n_parked > 0
+    assert parked.filter("error != 'contract-violation'").count() == 0
+    assert parked.filter("detail != 'amount_small'").count() == 0
+
+    # every parked row is still in the raw archive (backup-before-validate)
+    archive = spark.read.option("basePath", scfg.archive_path).json(
+        sorted(glob.glob(os.path.join(scfg.archive_path, "batch_id=*"))))
+    assert archive.count() >= n_live + n_parked
+
+    # default replay ignores the quarantine…
+    out = replay_dlq(spark, scfg.error_path, store)
+    assert "contract_replayed" not in out
+    assert store.table().filter("amount >= 50").count() == 0
+    # …opt-in replay merges it back
+    out = replay_dlq(spark, scfg.error_path, store, include_contract=True)
+    assert out["contract_replayed"] == n_parked
+    assert out["still_corrupt"] == 0
+    after = store.table()
+    assert after.count() == n_live + n_parked_keys
+    assert after.filter("amount >= 50").count() > 0
