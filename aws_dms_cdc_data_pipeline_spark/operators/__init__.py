@@ -27,3 +27,15 @@ from aws_dms_cdc_data_pipeline_spark.operators.multimodal import (  # noqa: F401
     resize_images,
     sample_frames,
 )
+from aws_dms_cdc_data_pipeline_spark.operators.bpe import (  # noqa: F401
+    learn_bpe_merges,
+    segment_words,
+)
+from aws_dms_cdc_data_pipeline_spark.operators.embed import embed_documents  # noqa: F401
+from aws_dms_cdc_data_pipeline_spark.operators.dedup import (  # noqa: F401
+    duplicated_spans,
+    excise_spans,
+)
+from aws_dms_cdc_data_pipeline_spark.operators.expectations import (  # noqa: F401
+    quarantine_violations,
+)
