@@ -331,3 +331,65 @@ def temporal_split(
             F.lit("train")
         ),
     )
+
+
+def temperature_fractions(
+    df: DataFrame,
+    *,
+    strata_col: str = "source",
+    alpha: float = 0.5,
+) -> dict[str, float]:
+    """Per-stratum keep-fractions for temperature-``alpha`` mixing.
+
+    The multilingual/multi-domain rebalancing rule (mT5/XLM-R style):
+    sample domain d proportional to ``n_d**alpha`` — alpha=1 keeps
+    natural proportions, alpha=0 equalizes domains, 0<alpha<1
+    up-weights small domains. Normalized so the smallest domain keeps
+    fraction 1.0 (never discards from the rarest data; everything
+    else downsamples toward the target shares):
+    ``f_d = (n_min / n_d) ** (1 - alpha)``.
+
+    One COUNT per stratum reaches the driver — bounded by the domain
+    count, the same contract as IVF's centroids. For ``alpha=0.5``
+    the fraction is computed as ``sqrt(n_min / n_d)`` — one exact
+    IEEE division + one correctly-rounded sqrt, so an independent
+    engine reproduces the thresholds bit-for-bit (the registry
+    oracle relies on this; other alphas go through ``pow``, which
+    carries no cross-engine rounding guarantee).
+    """
+    import math
+
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+    }
+    if not counts:
+        return {}
+    n_min = min(counts.values())
+    out = {}
+    for stratum, n in counts.items():
+        if alpha == 0.5:
+            out[stratum] = math.sqrt(n_min / n)
+        else:
+            out[stratum] = math.pow(n_min / n, 1.0 - alpha)
+    return out
+
+
+def temperature_mixture(
+    df: DataFrame,
+    *,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Deterministic temperature-``alpha`` domain mixture: compute
+    :func:`temperature_fractions`, then the same monotone id-hash
+    membership as :func:`stratified_hash_sample` — stable across
+    runs, partitionings, and alpha retuning: fractions grow
+    monotonically with alpha, so moving alpha toward 1 only ADDS
+    documents per domain and dataset versions nest."""
+    fractions = temperature_fractions(df, strata_col=strata_col, alpha=alpha)
+    return stratified_hash_sample(
+        df, fractions, strata_col=strata_col, id_col=id_col,
+        default_fraction=0.0,
+    )

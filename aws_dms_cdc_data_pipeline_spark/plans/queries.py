@@ -3348,6 +3348,40 @@ _QUARANTINE_CHECKS = {
 
 
 @q(
+    "temperature_mixture_sample",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    m AS (SELECT MIN(n) AS nmin FROM c),
+    f AS (
+        SELECT c.source,
+               printf('%04x', CAST(least(floor(
+                   sqrt(CAST(m.nmin AS DOUBLE) / CAST(c.n AS DOUBLE))
+                   * 65536), 65535) AS BIGINT)) AS thr
+        FROM c, m
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN f ON d.source = f.source
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < f.thr
+    """,
+    "Temperature-0.5 domain mixture (mT5/XLM-R rebalancing rule: "
+    "sample domain d proportional to n_d^alpha, smallest domain kept "
+    "whole — operators/sampling.py:temperature_mixture). Fractions "
+    "are sqrt(n_min/n_d): one exact IEEE division + one correctly-"
+    "rounded sqrt, so the oracle reproduces every 4-hex-digit "
+    "membership threshold bit-for-bit. One COUNT per domain reaches "
+    "the driver (bounded by domain count); the sample itself is the "
+    "shuffle-free monotone id-hash filter.",
+)
+def temperature_mixture_sample_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_mixture(docs, alpha=0.5)
+
+
+@q(
     "lineitem_quarantine",
     f"""
     SELECT l_orderkey, l_linenumber, l_quantity, l_discount,

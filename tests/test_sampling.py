@@ -265,3 +265,38 @@ def test_temporal_split_tie_break_deterministic(spark):
                for r in temporal_split(df, "user_id", "ts", holdout_n=1,
                                        tie_col="event_id").collect()}
         assert out == {3: "test", 2: "train", 1: "train", 0: "train"}
+
+
+def test_temperature_mixture_shares_and_monotonicity(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        temperature_fractions,
+        temperature_mixture,
+    )
+
+    rows = (
+        [(i, "big") for i in range(4000)]
+        + [(i + 10_000, "mid") for i in range(1000)]
+        + [(i + 20_000, "small") for i in range(250)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    fr = temperature_fractions(df, alpha=0.5)
+    assert fr["small"] == 1.0
+    assert abs(fr["mid"] - 0.5) < 1e-12      # sqrt(250/1000)
+    assert abs(fr["big"] - 0.25) < 1e-12     # sqrt(250/4000)
+
+    sampled = temperature_mixture(df, alpha=0.5)
+    got = {r["source"]: r["count"] for r in sampled.groupBy("source").count().collect()}
+    # smallest domain kept (nearly) whole; others near their fraction
+    assert got["small"] >= 248  # 'ffff' cap can drop ~1/65536
+    assert abs(got["mid"] / 1000 - 0.5) < 0.08
+    assert abs(got["big"] / 4000 - 0.25) < 0.05
+
+    # alpha=1 → natural proportions (every fraction 1.0, nothing dropped)
+    assert temperature_mixture(df, alpha=1.0).count() == df.count()
+
+    # fractions grow with alpha: a colder (lower-alpha) sample is a
+    # subset of a hotter one — dataset versions nest
+    hot = {r["doc_id"] for r in temperature_mixture(df, alpha=0.5).collect()}
+    cold = {r["doc_id"] for r in temperature_mixture(df, alpha=0.3).collect()}
+    assert cold <= hot
