@@ -54,7 +54,9 @@ def _make_monitor(ttl_ms: int | None):
             # source delivered; iterate it, never re-sort by time
             for ts, seq in zip(pdf["ts"], pdf["seq"]):
                 ts = ts.to_pydatetime()
-                seq = int(seq) if seq is not None else -1
+                # nullable transaction-id arrives as NaN in the Arrow
+                # batch, not None; NULL ranks below any real txid
+                seq = -1 if pd.isna(seq) else int(seq)
                 if last_ts is not None and (ts, seq) < (last_ts, last_seq):
                     out.append((int(key[0]), ts, seq, last_ts, last_seq))
                 else:

@@ -108,3 +108,17 @@ def test_all_in_order_emits_nothing(spark, tmp_path):
         _env(k, f"2024-01-01T00:00:0{k+4}", k * 10 + 5) for k in (1, 2, 3)
     ])
     assert _run(spark, src, tmp_path) == []
+
+
+def test_null_transaction_id_handled(spark, tmp_path):
+    src = str(tmp_path / "wire")
+    e1 = _env(9, "2024-01-01T00:00:01", 10)
+    e2 = _env(9, "2024-01-01T00:00:02", 20)
+    e2["metadata"]["transaction-id"] = None  # NULL txid, newer ts → in order
+    e3 = _env(9, "2024-01-01T00:00:01", 5)  # regresses behind (t2, NULL)
+    _write_wire(src, "a.json", [e1])
+    _write_wire(src, "b.json", [e2])
+    _write_wire(src, "c.json", [e3])
+    rows = _run(spark, src, tmp_path)
+    assert len(rows) == 1
+    assert rows[0]["seq"] == 5 and rows[0]["last_seq"] == -1
