@@ -3348,6 +3348,71 @@ _QUARANTINE_CHECKS = {
 
 
 @q(
+    "error_then_purchase_sessions",
+    """
+    WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(CASE WHEN prev_us IS NULL
+                          OR epoch_us(ts) - prev_us > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_idx
+        FROM (SELECT *, LAG(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+              FROM events)
+    ),
+    seq AS (
+        SELECT user_id, session_idx,
+               list(event_type ORDER BY ts, event_id) AS types,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, session_idx
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, n_events
+    FROM seq
+    WHERE list_position(types, 'error') > 0
+      AND list_contains(
+              types[list_position(types, 'error') + 1 :], 'purchase')
+    """,
+    "Sequence-pattern detection (the MATCH_RECOGNIZE shape, "
+    "relationally): sessions where an error is LATER followed by a "
+    "purchase — order matters, so no pair of EXISTS filters can "
+    "express it. Reuses the sessionize operator, then one "
+    "order-preserving collect per session and a pure-JVM "
+    "position/slice/exists test over the type array. One user-keyed "
+    "exchange end-to-end: the sessionize window and the session "
+    "groupBy share the user partitioning.",
+)
+def error_then_purchase_sessions_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, gap_minutes=30)
+    seq = s.groupBy("user_id", "session_idx").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ).alias("types"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    pos_e = F.array_position(F.col("types"), "error")
+    matched = (pos_e > 0) & F.exists(
+        F.slice(
+            F.col("types"),
+            (pos_e + 1).cast("int"),
+            F.greatest(F.size("types") - pos_e.cast("int"), F.lit(1)),
+        ),
+        lambda t: t == "purchase",
+    )
+    return seq.filter(matched).select(
+        "user_id", F.col("session_idx").cast("long").alias("session_idx"),
+        "n_events",
+    )
+
+
+@q(
     "temperature_mixture_sample",
     """
     WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),

@@ -194,3 +194,33 @@ def test_asof_join_rejects_bad_direction(spark):
             right_order="event_id", right_payload=["event_id"],
             direction="sideways",
         )
+
+
+def test_error_then_purchase_order_matters(spark):
+    """The pattern is ORDERED: purchase-then-error must not match."""
+    from aws_dms_cdc_data_pipeline_spark.plans.queries import REGISTRY
+    import datetime as dt
+    import os
+    import tempfile
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: error ... purchase (match)
+    for i, t in enumerate(["view", "error", "click", "purchase"]):
+        rows.append((100 + i, base + dt.timedelta(minutes=i), 1, t, 1.0, "{}"))
+    # user 2: purchase ... error (NO match — order reversed)
+    for i, t in enumerate(["purchase", "view", "error"]):
+        rows.append((200 + i, base + dt.timedelta(minutes=i), 2, t, 1.0, "{}"))
+    # user 3: error in one session, purchase in the NEXT (no match:
+    # 31-minute gap splits the sessions)
+    rows.append((300, base, 3, "error", 1.0, "{}"))
+    rows.append((301, base + dt.timedelta(minutes=40), 3, "purchase", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        out = REGISTRY["error_then_purchase_sessions"].fn(spark, tmp).collect()
+    assert [(r["user_id"], r["session_idx"]) for r in out] == [(1, 1)]
