@@ -162,7 +162,12 @@ def _erase_from_archive(
                 | _archive_key_expr(key).isNull()
             )
         )
-        tmp = path + ".erasing"
+        # underscore prefix: a crash that strands this staging dir
+        # leaves a path Spark's hidden-file filter IGNORES, so a
+        # half-finished erasure can never double-count archive rows
+        tmp = os.path.join(
+            os.path.dirname(path), "_erasing." + os.path.basename(path)
+        )
         keep.coalesce(1).write.mode("overwrite").json(tmp)
         parts = [
             p

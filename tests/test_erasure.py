@@ -237,3 +237,26 @@ def test_stream_contract_quarantine_and_optin_replay(spark, tmp_path):
     after = store.table()
     assert after.count() == n_live + n_parked_keys
     assert after.filter("amount >= 50").count() > 0
+
+
+def test_stranded_erasure_staging_dir_is_invisible_to_readers(spark, tmp_path):
+    """Crash-debris contract: a half-finished erasure's staging dir
+    must never double-count rows in archive reads."""
+    import json as _json
+
+    archive = str(tmp_path / "archive")
+    leaf = os.path.join(archive, "batch_id=0", "year=2024", "month=01",
+                        "day=01", "hour=00")
+    os.makedirs(leaf)
+    with open(os.path.join(leaf, "part-0.json"), "w") as f:
+        f.write(_json.dumps({"doc_id": "1", "value": "{}"}) + "\n")
+    # simulate a crashed rewrite: staging dir with a survivor copy
+    stranded = os.path.join(leaf, "_erasing.part-0.json")
+    os.makedirs(stranded)
+    with open(os.path.join(stranded, "part-x.json"), "w") as f:
+        f.write(_json.dumps({"doc_id": "1", "value": "{}"}) + "\n")
+
+    df = (spark.read.schema("doc_id string, value string")
+          .option("basePath", archive)
+          .json(sorted(glob.glob(os.path.join(archive, "batch_id=*")))))
+    assert df.count() == 1  # the stranded copy is ignored
