@@ -76,4 +76,89 @@ def rollup_sketches(
     )
 
 
-__all__ = ["bucket_sketches", "rollup_sketches"]
+__all__ = [
+    "bucket_sketches",
+    "rollup_sketches",
+    "bottomk_value_sketches",
+    "rollup_quantiles",
+]
+
+
+def bottomk_value_sketches(
+    df: DataFrame,
+    bucket_expr: str,
+    value_col: str,
+    id_expr: str,
+    *,
+    bucket_alias: str = "bucket",
+    k: int = 1024,
+) -> DataFrame:
+    """Mergeable quantile sketch per bucket: the ``k`` rows with the
+    SMALLEST ``xxhash64(id)`` keep their values (a KMV/bottom-k
+    sketch — Bar-Yossef et al. 2002, the same mergeability backbone
+    as theta sketches).
+
+    Why bottom-k-by-hash and not a reservoir: bottom-k is CLOSED
+    under union — bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+    bottom-k(B)) EXACTLY, so coarser rollups recompute nothing and
+    equal the sketch built directly at the coarse grain bit-for-bit
+    (asserted in tests). A seeded reservoir has no such property, and
+    Spark's sample() churns with partitioning. The hash is uniform
+    over row identities, so kept values are a uniform row sample and
+    nearest-rank quantiles over them carry the standard
+    O(1/sqrt(k)) rank error.
+
+    Per bucket the sketch is ≤ k (hash, value) structs, built with a
+    map-side-combined ``min_by``-style aggregation: sort_array over a
+    collect_list bounded by slice — the shuffle carries at most k
+    entries per (bucket, partition).
+    """
+    h = F.xxhash64(F.expr(id_expr))
+    entry = F.struct(h.alias("h"), F.col(value_col).cast("double").alias("v"))
+    return (
+        df.groupBy(F.expr(bucket_expr).alias(bucket_alias))
+        .agg(
+            F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("entries"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+def rollup_quantiles(
+    sketches: DataFrame,
+    rollup_expr: str,
+    probs: list[float],
+    *,
+    rollup_alias: str = "rollup_bucket",
+    k: int = 1024,
+) -> DataFrame:
+    """Quantile estimates at a coarser grain from pre-built bottom-k
+    sketches — the fact table is never touched again.
+
+    Union = flatten + re-sort + re-slice (exact bottom-k of the
+    union); estimates are nearest-rank order statistics of the kept
+    values, so the output is a deterministic pure function of the
+    input multiset. One column per requested probability:
+    ``q50``, ``q95``, ... (probability × 100, rounded).
+    """
+    merged = F.slice(
+        F.sort_array(F.flatten(F.collect_list("entries"))), 1, k
+    )
+    vals = F.array_sort(F.transform(F.col("_m"), lambda e: e["v"]))
+    cols = [
+        F.element_at(
+            vals,
+            F.greatest(
+                F.ceil(F.size(vals) * F.lit(float(p))).cast("int"), F.lit(1)
+            ),
+        ).alias(f"q{round(p * 100)}")
+        for p in probs
+    ]
+    return (
+        sketches.groupBy(F.expr(rollup_expr).alias(rollup_alias))
+        .agg(
+            merged.alias("_m"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+        )
+        .select(rollup_alias, "n_rows", *cols)
+    )

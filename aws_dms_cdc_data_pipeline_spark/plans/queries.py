@@ -3348,6 +3348,35 @@ _QUARANTINE_CHECKS = {
 
 
 @q(
+    "weekly_value_quantiles_from_sketches",
+    None,  # xxhash64 row sampling isn't SQL-mirrorable (minhash
+    # precedent); mergeability is EXACT and asserted in
+    # tests/test_sketches.py (rollup == direct sketch, bit-for-bit)
+    "Re-aggregatable quantiles (operators/sketches.py:"
+    "bottomk_value_sketches + rollup_quantiles): per-day bottom-k-"
+    "by-hash value sketches roll up to weekly q50/q95 WITHOUT "
+    "re-touching the fact table — bottom-k is exactly closed under "
+    "union (KMV/theta-sketch mergeability), unlike percentile state "
+    "or reservoirs. The quantile sibling of the HLL distinct rollup "
+    "(weekly_users_from_sketches).",
+)
+def weekly_value_quantiles_from_sketches_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sketches import (
+        bottomk_value_sketches,
+        rollup_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = bottomk_value_sketches(
+        ev, "to_date(ts)", "value", "event_id", bucket_alias="day", k=512
+    )
+    return rollup_quantiles(
+        daily, "date_trunc('week', day)", [0.5, 0.95],
+        rollup_alias="week", k=512,
+    )
+
+
+@q(
     "error_then_purchase_sessions",
     """
     WITH s AS (

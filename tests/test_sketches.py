@@ -50,3 +50,60 @@ def test_rollup_matches_direct_sketch_and_exact(spark):
     # 3) row counts are exact (plain SUM re-aggregation)
     n_total = sum(r["n_rows"] for r in got.values())
     assert n_total == ev.count()
+
+
+def test_bottomk_quantile_rollup_exact_mergeability_and_accuracy(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.sketches import (
+        bottomk_value_sketches,
+        rollup_quantiles,
+    )
+
+    ev = load_table(spark, SF_DIR_ORACLE, "events")
+    daily = bottomk_value_sketches(
+        ev, "to_date(ts)", "value", "event_id", bucket_alias="day", k=512
+    )
+    weekly = rollup_quantiles(
+        daily, "date_trunc('week', day)", [0.5, 0.95],
+        rollup_alias="week", k=512,
+    )
+    got = {r["week"]: r for r in weekly.collect()}
+
+    # 1) EXACT mergeability: rollup of daily sketches == sketching
+    #    weeks directly (bottom-k closure under union)
+    direct = {
+        r["week"]: r
+        for r in rollup_quantiles(
+            bottomk_value_sketches(
+                ev, "date_trunc('week', to_date(ts))", "value", "event_id",
+                bucket_alias="week", k=512,
+            ),
+            "week", [0.5, 0.95], rollup_alias="week", k=512,
+        ).collect()
+    }
+    assert set(got) == set(direct)
+    for w in got:
+        assert got[w]["q50"] == direct[w]["q50"]
+        assert got[w]["q95"] == direct[w]["q95"]
+        assert got[w]["n_rows"] == direct[w]["n_rows"]
+
+    # 2) estimates track exact quantiles (k=512 → rank error ~4-5%;
+    #    assert via rank position, not value distance)
+    from pyspark.sql import functions as F
+
+    for w, r in got.items():
+        wk = ev.filter(
+            F.expr("date_trunc('week', to_date(ts))") == w
+        ).select("value")
+        n = wk.count()
+        for q, p in ((r["q50"], 0.5), (r["q95"], 0.95)):
+            rank = wk.filter(F.col("value") <= q).count() / n
+            assert abs(rank - p) < 0.12, f"week {w} p={p}: rank {rank}"
+
+    # 3) layout invariance: repartitioned input → identical sketches
+    daily2 = bottomk_value_sketches(
+        ev.repartition(7), "to_date(ts)", "value", "event_id",
+        bucket_alias="day", k=512,
+    )
+    a = {r["day"]: r["entries"] for r in daily.collect()}
+    b = {r["day"]: r["entries"] for r in daily2.collect()}
+    assert a == b
