@@ -4869,13 +4869,11 @@ def dormant_high_value_customers_q(spark, sf_dir):
 #
 # Coverage arithmetic: 85 entries had a driver row entering r5
 # (VERDICT r4); this window adds the 24 never-checked plus the r5
-# additions that fit, so after the r5 driver run every entry EXCEPT
-# the five newest r5-session queries (embedded_doc_neighbors,
-# window_value_funcs, training_export_wide, duplicated_char_spans,
-# lineitem_quarantine — all green under the local DuckDB harness)
-# has an external correctness row. The r6 window = those five + any
-# r6 additions + any r5 window entry that fails, with the rest of
-# the 50 slots as a green cross-section.
+# additions that fit. Queries registered AFTER the window filled
+# (every name below position 50 — all green under the local DuckDB
+# harness, see tools/verify_correctness.py) queue for the r6 window:
+# r6 = those + any r6 additions + any r5 window entry that fails,
+# with the rest of the 50 slots as a green cross-section.
 # ===========================================================================
 
 _R5_WINDOW = [
