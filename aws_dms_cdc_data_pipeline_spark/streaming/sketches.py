@@ -64,4 +64,74 @@ def streaming_distinct_sketches(
     )
 
 
-__all__ = ["streaming_distinct_sketches"]
+
+
+def streaming_bottomk_sketches(
+    stream_df,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_expr: str = "event_id",
+    window_duration: str = "1 day",
+    k: int = 512,
+):
+    """Streaming leg of the bottom-k quantile sketch
+    (operators/sketches.py:bottomk_value_sketches).
+
+    Per event-time window, state is the k smallest (xxhash64(id),
+    value) entries — bounded at k structs per window no matter how
+    many rows arrive, maintained in ``applyInPandasWithState``.
+    Because bottom-k is exactly closed under union, the streamed
+    sketch equals the batch sketch over the same rows BIT-FOR-BIT
+    (asserted in tests), and the emitted rows feed
+    ``rollup_quantiles`` interchangeably with batch-built sketches.
+
+    Update mode: each trigger re-emits the window's current sketch
+    (monotone refinement — downstream keeps the latest row per
+    bucket, the same convention as the streaming heavy-hitters leg).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            hs, vs, n = state.get
+            entries = list(zip(hs, vs))
+        else:
+            entries, n = [], 0
+        for pdf in pdfs:
+            n += len(pdf)
+            entries.extend(zip(pdf["h"], pdf["v"]))
+            entries = sorted(entries)[:k]
+        state.update((
+            [int(h) for h, _ in entries],
+            [float(v) for _, v in entries],
+            int(n),
+        ))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]],
+                "entries": [[(int(h), float(v)) for h, v in entries]],
+                "n_rows": [int(n)],
+            }
+        )
+
+    keyed = stream_df.select(
+        F.window(ts_col, window_duration)["start"].alias("bucket"),
+        F.xxhash64(F.expr(id_expr)).alias("h"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "bucket timestamp, "
+            "entries array<struct<h: bigint, v: double>>, n_rows bigint"
+        ),
+        stateStructType="hs array<bigint>, vs array<double>, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__ = ["streaming_distinct_sketches", "streaming_bottomk_sketches"]

@@ -107,3 +107,52 @@ def test_streamed_sketches_roll_up_with_batch_operator(spark, tmp_path):
     for r in weekly.collect():
         rel = abs(r["approx_distinct"] - ex[r["week"]]) / ex[r["week"]]
         assert rel <= 0.05
+
+
+def test_streaming_bottomk_equals_batch_bit_for_bit(spark, tmp_path):
+    from aws_dms_cdc_data_pipeline_spark.operators.sketches import (
+        bottomk_value_sketches,
+    )
+    from aws_dms_cdc_data_pipeline_spark.streaming.sketches import (
+        streaming_bottomk_sketches,
+    )
+
+    ev = load_table(spark, SF_DIR_ORACLE, "events").select(
+        "event_id", "ts", "value"
+    )
+    stream = _stream_events(spark, tmp_path, ev)
+    out = streaming_bottomk_sketches(stream, k=128)
+    sink = str(tmp_path / "sink")
+
+    def deliver(batch, epoch_id):
+        if batch.count():
+            batch.write.mode("append").parquet(sink)
+
+    q = (
+        out.writeStream.foreachBatch(deliver)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # latest emission per window = the final sketch
+    streamed_df = spark.read.parquet(sink)
+    streamed_df.createOrReplaceTempView("_bk_sink")
+    latest = spark.sql(
+        """SELECT bucket, entries, n_rows FROM (
+               SELECT *, max(n_rows) OVER (PARTITION BY bucket) AS mx
+               FROM _bk_sink) WHERE n_rows = mx"""
+    )
+    streamed = {
+        r["bucket"]: (tuple(map(tuple, r["entries"])), r["n_rows"])
+        for r in latest.collect()
+    }
+    batch = {
+        r["bucket"]: (tuple(map(tuple, r["entries"])), r["n_rows"])
+        for r in bottomk_value_sketches(
+            ev, "date_trunc('day', ts)", "value", "event_id", k=128
+        ).collect()
+    }
+    assert streamed == batch  # bottom-k closure ⇒ bit-for-bit equality
