@@ -393,3 +393,44 @@ def temperature_mixture(
         df, fractions, strata_col=strata_col, id_col=id_col,
         default_fraction=0.0,
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Weighted sample of ``k`` rows WITHOUT replacement
+    (Efraimidis-Spirakis 2006: draw u~U(0,1) per row, rank by
+    ``u**(1/w)`` — inclusion probability proportional to weight,
+    exactly the reservoir-A algorithm's order statistic).
+
+    "Randomness" is the row's id hash (xxhash64 with ``salt``) mapped
+    to (0,1): fully deterministic for a given salt — re-runs,
+    repartitions, and cluster-size changes reproduce the identical
+    sample — while varying ``salt`` yields fresh independent draws
+    (quality-score-weighted corpus subsampling with an audit trail).
+
+    Rows with weight <= 0 or NULL are never selected. Plan shape:
+    one narrow projection + TakeOrderedAndProject — top-k never
+    concentrates the table in one task and there is no shuffle.
+    """
+    u = (
+        (F.xxhash64(F.col(id_col), F.lit(salt)).cast("double")
+         / F.lit(float(2**64)))
+        + F.lit(0.5)  # [-0.5, 0.5) → [0, 1)
+    )
+    # log-domain key: ln(u)/w is monotone in u**(1/w), avoids
+    # pow-underflow for tiny weights; u in (0,1) ⇒ ln(u) < 0
+    safe_u = F.greatest(u, F.lit(1e-18))
+    key = F.log(safe_u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_es_key", key)
+        .orderBy(F.col("_es_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_es_key")
+    )

@@ -300,3 +300,35 @@ def test_temperature_mixture_shares_and_monotonicity(spark):
     hot = {r["doc_id"] for r in temperature_mixture(df, alpha=0.5).collect()}
     cold = {r["doc_id"] for r in temperature_mixture(df, alpha=0.3).collect()}
     assert cold <= hot
+
+
+def test_weighted_sample_determinism_and_weight_bias(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 10.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    a = {r["doc_id"] for r in weighted_sample(df, 100, weight_col="w").collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_sample(
+            df.repartition(13), 100, weight_col="w"
+        ).collect()
+    }
+    assert a == b and len(a) == 100  # deterministic, layout-invariant
+
+    # heavy items (w=10, 10% of rows) must be strongly over-represented
+    heavy_rate = sum(1 for i in range(10) for d in [
+        {r["doc_id"] for r in weighted_sample(
+            df, 100, weight_col="w", salt=i).collect()}
+    ] for x in d if x < 50) / (10 * 100)
+    assert heavy_rate > 0.25  # vs 0.10 under uniform sampling
+
+    # zero/NULL weights never selected
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, None), (3, 5.0)], "doc_id long, w double"
+    )
+    got = {r["doc_id"] for r in weighted_sample(df2, 3, weight_col="w").collect()}
+    assert got == {3}
