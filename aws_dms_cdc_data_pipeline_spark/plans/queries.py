@@ -3348,6 +3348,34 @@ _QUARANTINE_CHECKS = {
 
 
 @q(
+    "quality_weighted_sample",
+    None,  # the Efraimidis-Spirakis key uses ln() of a hash-derived
+    # uniform — ln carries no cross-engine correctly-rounded
+    # guarantee, so the top-k boundary can't be oracle-gated;
+    # determinism/bias/exclusion properties proven in
+    # tests/test_sampling.py
+    "Quality-weighted corpus subsample without replacement "
+    "(operators/sampling.py:weighted_sample — Efraimidis-Spirakis "
+    "2006 with hash-derived uniforms): inclusion probability "
+    "proportional to the document's quality score, fully "
+    "deterministic per salt, layout-invariant. Plan: narrow "
+    "projection + TakeOrderedAndProject — no shuffle, top-k never "
+    "concentrates the corpus.",
+)
+def quality_weighted_sample_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = X.with_quality_score(load_table(spark, sf_dir, "documents"))
+    return weighted_sample(
+        docs.select("doc_id", "quality_score"),
+        100,
+        weight_col="quality_score",
+    )
+
+
+@q(
     "weekly_value_quantiles_from_sketches",
     None,  # xxhash64 row sampling isn't SQL-mirrorable (minhash
     # precedent); mergeability is EXACT and asserted in
