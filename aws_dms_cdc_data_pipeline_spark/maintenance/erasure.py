@@ -118,7 +118,7 @@ def _erase_from_store(spark: SparkSession, store: StateStore, keys: list):
             f"(gen {manifest['generation']} -> {store.version()}); re-run"
         )
     new_gen = manifest["generation"] + 1
-    gen = store._swap_buckets(keep, touched, manifest, new_gen)
+    gen = store._swap_buckets(keep, touched, manifest, new_gen, allow_empty=True)
     return erased, gen
 
 

@@ -134,28 +134,23 @@ def learn_bpe_merges(
     spark = df.sparkSession
     vocab = word_symbol_table(df, text_col).localCheckpoint(eager=True)
     merges: list[BpeMerge] = []
-    try:
-        for rank in range(n_merges):
-            best = (
-                pair_counts(vocab)
-                .orderBy(F.desc("pair_weight"), "left", "right")
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            b = best[0]
-            merges.append(
-                BpeMerge(rank, b["left"], b["right"], b["left"] + b["right"],
-                         int(b["pair_weight"]))
-            )
-            vocab = _apply_merge(vocab, b["left"], b["right"])
-            if (rank + 1) % checkpoint_every == 0:
-                old = vocab
-                vocab = vocab.localCheckpoint(eager=True)
-                del old
-    finally:
-        pass
+    for rank in range(n_merges):
+        best = (
+            pair_counts(vocab)
+            .orderBy(F.desc("pair_weight"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        merges.append(
+            BpeMerge(rank, b["left"], b["right"], b["left"] + b["right"],
+                     int(b["pair_weight"]))
+        )
+        vocab = _apply_merge(vocab, b["left"], b["right"])
+        if (rank + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
     return spark.createDataFrame(
         [(m.rank, m.left, m.right, m.merged, m.weight) for m in merges],
         "rank int, left string, right string, merged string, weight long",

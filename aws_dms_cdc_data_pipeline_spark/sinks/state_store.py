@@ -91,6 +91,8 @@ class StateStore:
         if manifest["generation"] < 0:
             return None
         dirs = [self._bdir(int(b), v) for b, v in manifest["buckets"].items()]
+        if not dirs:  # every key erased: live store with zero buckets
+            return self.spark.createDataFrame([], S.KEYED_ENVELOPE_SCHEMA)
         return self.spark.read.parquet(*dirs)
 
     def table(self) -> DataFrame:
@@ -183,7 +185,13 @@ class StateStore:
         return self._swap_buckets(latest, touched, manifest, new_gen)
 
     def _swap_buckets(
-        self, latest: DataFrame, touched: list[int], manifest: dict, new_gen: int
+        self,
+        latest: DataFrame,
+        touched: list[int],
+        manifest: dict,
+        new_gen: int,
+        *,
+        allow_empty: bool = False,
     ) -> int:
         """Write ``latest`` (which carries ``_b``) as version ``new_gen``
         of the ``touched`` buckets, swap the manifest, GC superseded
@@ -192,21 +200,51 @@ class StateStore:
 
         One job writes every touched bucket; per-bucket dirs then move
         into their versioned slots before the single manifest swap.
+
+        A touched bucket with no staged output means every one of its
+        keys vanished. ``merge`` can never shrink a bucket (it keeps
+        tombstones), so there a missing dir is interference — a crash
+        or a concurrent ``fsck(clean=True)`` removing the in-flight
+        staging — and committing would silently publish an empty
+        bucket: raise instead. Erasure passes ``allow_empty=True``;
+        an emptied bucket is then dropped from the manifest (readers
+        simply never visit it) and all its versions are GC'd.
         """
         staging = os.path.join(self.path, f"_staging-{new_gen}")
         latest.write.mode("overwrite").partitionBy("_b").parquet(staging)
+        if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+            raise RuntimeError(
+                f"state store staging dir {staging} vanished or is "
+                "incomplete after write (concurrent fsck clean?); "
+                "nothing was committed — re-run"
+            )
         gc_dirs: list[str] = []
         for b in touched:
             src = os.path.join(staging, f"_b={b}")
+            prev = manifest["buckets"].get(str(b))
+            if not os.path.exists(src):
+                if not allow_empty:
+                    raise RuntimeError(
+                        f"bucket {b} had rows but produced no staged "
+                        f"output under {staging}; refusing to commit "
+                        "an empty bucket version"
+                    )
+                # every key of the bucket was erased: drop the bucket
+                # from the manifest and GC all its versions.
+                if prev is not None:
+                    del manifest["buckets"][str(b)]
+                    gc_dirs.extend(
+                        self._bdir(b, v)
+                        for v in _versions_below(
+                            os.path.join(self.path, f"b={b}"), prev + 1
+                        )
+                    )
+                continue
             dst = self._bdir(b, new_gen)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             if os.path.exists(dst):
                 shutil.rmtree(dst)  # crashed earlier attempt of same gen
-            if os.path.exists(src):
-                os.rename(src, dst)
-            else:  # every key of the bucket vanished (not expected: dedup keeps one row per key)
-                os.makedirs(dst, exist_ok=True)
-            prev = manifest["buckets"].get(str(b))
+            os.rename(src, dst)
             if prev is not None:
                 gc_dirs.extend(
                     self._bdir(b, v)
@@ -348,6 +386,13 @@ def fsck(store: StateStore, *, clean: bool = False) -> dict:
       ``_swap_buckets`` (its staging dir), an aborted erasure, or a
       GC that never ran. ``clean=True`` deletes these (and stray
       ``_staging-*`` dirs); the manifest is never modified.
+    - ``in_flight``: ``_staging-<g>`` with ``g`` ABOVE the manifest
+      generation — a merge/erasure that may be running right now.
+      Never classified as orphan and never cleaned: deleting it
+      would yank a live writer's staged output out from under the
+      commit (the writer now also detects that and aborts, but fsck
+      must not cause the abort). Only ``_staging-<g>`` with
+      ``g <= generation`` — provably superseded — is crash debris.
     - ``missing``: manifest points at a directory that does not
       exist — state LOSS, never auto-repaired; restore from the
       archive (maintenance/replay + compact) instead.
@@ -360,13 +405,21 @@ def fsck(store: StateStore, *, clean: bool = False) -> dict:
     retained: list[str] = []
     orphans: list[str] = []
     missing: list[str] = []
+    in_flight: list[str] = []
     for b_str, v in manifest["buckets"].items():
         if not os.path.isdir(store._bdir(int(b_str), v)):
             missing.append(f"b={b_str}/v={v}")
     for entry in sorted(os.listdir(store.path)):
         full = os.path.join(store.path, entry)
         if entry.startswith("_staging-") and os.path.isdir(full):
-            orphans.append(entry)
+            try:
+                staged_gen = int(entry.removeprefix("_staging-"))
+            except ValueError:
+                staged_gen = None
+            if staged_gen is not None and staged_gen > manifest["generation"]:
+                in_flight.append(entry)
+            else:
+                orphans.append(entry)
             continue
         if not (entry.startswith("b=") and os.path.isdir(full)):
             continue
@@ -391,6 +444,7 @@ def fsck(store: StateStore, *, clean: bool = False) -> dict:
         "live": live,
         "retained": retained,
         "orphans": orphans,
+        "in_flight": in_flight,
         "missing": missing,
         "cleaned": clean,
     }
