@@ -25,7 +25,16 @@ def _hex4(id_col: Column) -> Column:
 
 
 def hex_threshold(fraction: float) -> str:
-    """Fraction → 4-char lowercase hex bound ('0.25' → '4000')."""
+    """Fraction → lowercase text bound ('0.25' → '4000').
+
+    ``fraction >= 1.0`` returns ``'g'``: every md5 prefix is
+    hex-only, so ``prefix < 'g'`` is always true in any engine's
+    byte-wise string compare — keep-everything really keeps
+    everything (a 0xffff clamp would drop the ~1/65536 ids whose
+    prefix is 'ffff' even at fraction 1.0).
+    """
+    if fraction >= 1.0:
+        return "g"
     return format(min(int(fraction * _STRATA), _STRATA - 1), "04x")
 
 

@@ -92,6 +92,8 @@ def bottomk_value_sketches(
     *,
     bucket_alias: str = "bucket",
     k: int = 1024,
+    prefilter: bool = True,
+    margin: int = 8,
 ) -> DataFrame:
     """Mergeable quantile sketch per bucket: the ``k`` rows with the
     SMALLEST ``xxhash64(id)`` keep their values (a KMV/bottom-k
@@ -108,20 +110,64 @@ def bottomk_value_sketches(
     nearest-rank quantiles over them carry the standard
     O(1/sqrt(k)) rank error.
 
-    Per bucket the sketch is ≤ k (hash, value) structs, built with a
-    map-side-combined ``min_by``-style aggregation: sort_array over a
-    collect_list bounded by slice — the shuffle carries at most k
-    entries per (bucket, partition).
+    Scale shape (``prefilter=True``, the default): collect_list's
+    partial aggregation is unbounded — the naive one-pass build
+    shuffles EVERY (hash, value) pair per bucket, O(rows) shuffle
+    bytes. Instead this runs a cheap counting pass (long agg,
+    map-side combined, #buckets output rows), derives a per-bucket
+    hash threshold covering ``margin×k`` expected survivors, and
+    broadcast-joins it onto the scan so only ~margin×k rows per
+    bucket reach the sketch shuffle. The cut is exact whenever ≥
+    min(k, n) rows survive — guaranteed in distribution terms
+    (P[shortfall] < exp(-k·(margin-1)²/(2·margin)) ≈ 0 for k ≥ 64)
+    and guarded structurally: buckets whose filtered sketch came up
+    short are rebuilt unfiltered in-plan (AQE collapses the fallback
+    branch to an empty relation when, as always in practice, no
+    bucket fails). Output is bit-identical to ``prefilter=False``.
+    Requires bucket cardinality to fit a broadcast (#buckets ≪
+    data — true for time-grain buckets); pass ``prefilter=False``
+    for pathological bucket counts, paying the unbounded shuffle.
     """
-    h = F.xxhash64(F.expr(id_expr))
-    entry = F.struct(h.alias("h"), F.col(value_col).cast("double").alias("v"))
-    return (
-        df.groupBy(F.expr(bucket_expr).alias(bucket_alias))
-        .agg(
+    base = df.select(
+        F.expr(bucket_expr).alias(bucket_alias),
+        F.xxhash64(F.expr(id_expr)).alias("_h"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    entry = F.struct(F.col("_h").alias("h"), F.col("_v").alias("v"))
+    if not prefilter:
+        return base.groupBy(bucket_alias).agg(
             F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("entries"),
             F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
+    counts = base.groupBy(bucket_alias).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
     )
+    # xxhash64 is uniform over [-2^63, 2^63): keep h ≤ that range's
+    # margin·k/n quantile. Double rounding of the cut position only
+    # moves the expected-survivor count by ulps — margin dwarfs it.
+    frac = F.least(F.lit(1.0), F.lit(float(margin * k)) / F.col("n_rows"))
+    thr = counts.withColumn(
+        "_t",
+        F.when(frac >= 1.0, F.lit(2**63 - 1)).otherwise(
+            (F.lit(-(2.0**63)) + frac * F.lit(2.0**64)).cast("long")
+        ),
+    )
+    kept = base.join(F.broadcast(thr), bucket_alias).filter(
+        F.col("_h") <= F.col("_t")
+    )
+    sk = kept.groupBy(bucket_alias, "n_rows").agg(
+        F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("entries")
+    )
+    good = sk.filter(F.size("entries") == F.least(F.lit(k), F.col("n_rows")))
+    # buckets the probabilistic cut shorted (or dropped entirely):
+    # rebuilt exactly; empty in practice, so AQE prunes this branch.
+    bad = counts.join(good.select(bucket_alias), bucket_alias, "left_anti")
+    exact_bad = (
+        base.join(F.broadcast(bad), bucket_alias)
+        .groupBy(bucket_alias, "n_rows")
+        .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("entries"))
+    )
+    return good.unionByName(exact_bad).select(bucket_alias, "entries", "n_rows")
 
 
 def rollup_quantiles(

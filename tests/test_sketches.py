@@ -107,3 +107,28 @@ def test_bottomk_quantile_rollup_exact_mergeability_and_accuracy(spark):
     a = {r["day"]: r["entries"] for r in daily.collect()}
     b = {r["day"]: r["entries"] for r in daily2.collect()}
     assert a == b
+
+
+def test_bottomk_prefilter_is_bit_identical_and_fallback_exact(spark, sf_dir):
+    """The threshold-prefiltered build (bounded shuffle) must equal the
+    naive unbounded build bit-for-bit; margin=0 starves the filter so
+    EVERY bucket takes the in-plan exact-rebuild branch, proving the
+    guard restores exactness rather than papering over a shortfall."""
+    from aws_dms_cdc_data_pipeline_spark.operators.sketches import (
+        bottomk_value_sketches,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def canon(df):
+        return sorted(
+            (r["bucket"], tuple(map(tuple, r["entries"])), r["n_rows"])
+            for r in df.collect()
+        )
+
+    args = (ev, "date_trunc('day', ts)", "value", "event_id")
+    naive = canon(bottomk_value_sketches(*args, k=64, prefilter=False))
+    fast = canon(bottomk_value_sketches(*args, k=64))
+    starved = canon(bottomk_value_sketches(*args, k=64, margin=0))
+    assert fast == naive
+    assert starved == naive
