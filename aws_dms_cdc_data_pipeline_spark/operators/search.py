@@ -104,15 +104,32 @@ def bm25_search(
         toks.select(F.col(id_col), F.size("_toks").cast("long").alias("dl"))
         .filter(F.col("dl") > 0)
     )
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_dl"),
-    )
     hits = (
         toks.select(F.col(id_col), F.explode("_toks").alias("term"))
         .filter(F.col("term").isin(terms))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return _bm25_rank(
+        hits, dl, id_col=id_col, k1=k1, b=b, top_k=top_k, textbook=textbook
+    )
+
+
+def _bm25_rank(
+    hits: DataFrame,
+    dl: DataFrame,
+    *,
+    id_col: str,
+    k1: float,
+    b: float,
+    top_k: int,
+    textbook: bool = False,
+) -> DataFrame:
+    """Score + rank given pruned (id, term, tf) hits and (id, dl)
+    lengths — the shared back half of the ad-hoc and indexed paths."""
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
     )
     df_per_term = hits.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
@@ -140,6 +157,154 @@ def bm25_search(
         )
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(top_k)
+    )
+
+
+def ensure_token_index(
+    spark,
+    docs: DataFrame,
+    name: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> tuple[str, str]:
+    """Materialize the corpus token index ONCE as bucketed catalog
+    tables; every subsequent search/TF-IDF call reads the index and
+    never re-tokenizes.
+
+    Two tables (idempotent per session — existing tables are reused):
+
+    - ``tokidx_<name>``: (id, term, tf), bucketed + sorted BY TERM —
+      a query's ``term IN (...)`` filter bucket-prunes the read to
+      the matching buckets, and df-per-term aggregates shuffle-free
+      (the bucketing IS the term partitioning);
+    - ``toklen_<name>``: (id, dl), bucketed by id — the score join's
+      dl side arrives pre-clustered on the join key.
+
+    This is the production shape the ad-hoc paths document: at 100 TB
+    the Java-regex tokenization pass dominates every text query
+    (PERF.md sf1 decomposition), and it is a pure function of the
+    corpus — paying it per query is the bug. Building costs one
+    tokenize + two bucketed writes, amortized over every subsequent
+    keyword search, TF-IDF, vocabulary, or df-based filter run.
+    """
+    idx_table = f"tokidx_{name}"
+    dl_table = f"toklen_{name}"
+    if not spark.catalog.tableExists(idx_table):
+        from aws_dms_cdc_data_pipeline_spark.sinks.bucketed import write_bucketed
+
+        _drop_stale_location(spark, idx_table)
+        tok = tokenize(docs, text_col, id_col)
+        write_bucketed(tok, idx_table, bucket_col="term",
+                       num_buckets=num_buckets)
+    if not spark.catalog.tableExists(dl_table):
+        from aws_dms_cdc_data_pipeline_spark.sinks.bucketed import write_bucketed
+
+        _drop_stale_location(spark, dl_table)
+        dl = (
+            spark.table(idx_table)
+            .groupBy(id_col)
+            .agg(F.sum("tf").cast("long").alias("dl"))
+        )
+        write_bucketed(dl, dl_table, bucket_col=id_col,
+                       num_buckets=num_buckets)
+    return idx_table, dl_table
+
+
+def _drop_stale_location(spark, table: str) -> None:
+    """Remove a dead session's leftover warehouse dir for a derived
+    table the catalog no longer knows (saveAsTable refuses to reuse
+    the location otherwise). Only ever touches the managed-warehouse
+    path of OUR tokidx_/toklen_ cache tables."""
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    wh = wh.removeprefix("file:")
+    if wh:
+        p = os.path.join(wh, table.lower())
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def bm25_search_indexed(
+    spark,
+    idx_table: str,
+    dl_table: str,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    textbook: bool = False,
+) -> DataFrame:
+    """:func:`bm25_search` against a materialized token index —
+    bit-identical ranking (same tokens, same rational arithmetic,
+    same quantization; asserted in tests), but per-query work is the
+    bucket-pruned hit rows plus the pre-aggregated length table
+    instead of two corpus tokenization passes."""
+    if not query_terms:
+        raise ValueError("bm25_search_indexed needs at least one query term")
+    terms = sorted({t.lower() for t in query_terms})
+    hits = spark.table(idx_table).filter(F.col("term").isin(terms))
+    dl = spark.table(dl_table)
+    return _bm25_rank(
+        hits, dl, id_col=id_col, k1=k1, b=b, top_k=top_k, textbook=textbook
+    )
+
+
+def tfidf_top_terms_indexed(
+    spark,
+    idx_table: str,
+    dl_table: str,
+    *,
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per doc from the materialized
+    token index (same smoothed TF-IDF formula as
+    ``text.tfidf_top_terms``; tokens are the index's alnum tokens and
+    N counts indexed docs, i.e. docs with ≥1 token).
+
+    Plan shape against the index: df-per-term aggregates SHUFFLE-FREE
+    (index bucketed on term), corpus size is a 1-row broadcast from
+    the tiny length table, and the only data-sized exchange is the
+    per-doc rank window — which WindowGroupLimit cuts to k rows per
+    doc map-side. The corpus text is never re-read, let alone
+    re-tokenized.
+    """
+    from pyspark.sql import Window
+
+    tf = spark.table(idx_table)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = spark.table(dl_table).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("_n") + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
 
 
@@ -195,4 +360,11 @@ def bm25_oracle_sql(
     """
 
 
-__all__ = ["bm25_search", "bm25_oracle_sql", "tokenize"]
+__all__ = [
+    "bm25_search",
+    "bm25_search_indexed",
+    "bm25_oracle_sql",
+    "ensure_token_index",
+    "tfidf_top_terms_indexed",
+    "tokenize",
+]

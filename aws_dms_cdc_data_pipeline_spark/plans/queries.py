@@ -3710,6 +3710,85 @@ def bm25_keyword_search_q(spark, sf_dir):
     return bm25_search(docs, ["spark", "shuffle", "broadcast"], top_k=25)
 
 
+def _token_index_for(spark, sf_dir):
+    """Build-or-reuse the corpus token index for a fixture dir (the
+    table name encodes the dir, so sf tiers never collide)."""
+    import re as _re
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    name = _re.sub(r"[^a-zA-Z0-9]+", "_", sf_dir.strip("/")).lower()
+    return ensure_token_index(spark, docs, name)
+
+
+@q(
+    "bm25_keyword_search_indexed",
+    _bm25_oracle(),
+    "The same BM25 ranking served from the MATERIALIZED token index "
+    "(operators/search.py:ensure_token_index): tokenize once into a "
+    "term-bucketed catalog table + id-bucketed length table, then "
+    "every query is bucket-pruned hit rows + pre-aggregated lengths — "
+    "no corpus re-tokenization. Bit-identical to bm25_keyword_search "
+    "(same oracle SQL); the benched production shape for text search.",
+)
+def bm25_keyword_search_indexed_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bm25_search_indexed,
+    )
+
+    idx, dl = _token_index_for(spark, sf_dir)
+    return bm25_search_indexed(
+        spark, idx, dl, ["spark", "shuffle", "broadcast"], top_k=25
+    )
+
+
+@q(
+    "tfidf_top_terms_indexed",
+    """
+    WITH tok AS (
+        SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM documents,
+             LATERAL (SELECT unnest(string_split_regex(lower(text),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+        GROUP BY doc_id, t.term
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tok GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM tok),
+    scored AS (
+        SELECT doc_id, tok.term, tf, df,
+               round(tf * (ln(CAST(nd + 1 AS DOUBLE)
+                              / CAST(df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf
+        FROM tok JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+    "Top-5 TF-IDF terms per doc served from the materialized token "
+    "index (operators/search.py:tfidf_top_terms_indexed): df-per-term "
+    "aggregates shuffle-free on the term-bucketed index, corpus size "
+    "is a 1-row broadcast from the length table, and the text column "
+    "is never re-read. Tokens are the index's alnum tokens (N = docs "
+    "with >=1 token), mirrored exactly by the oracle CTE.",
+)
+def tfidf_top_terms_indexed_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        tfidf_top_terms_indexed,
+    )
+
+    idx, dl = _token_index_for(spark, sf_dir)
+    return tfidf_top_terms_indexed(spark, idx, dl, k=5)
+
+
 @q(
     "scd2_point_in_time_enrich",
     """
@@ -4958,8 +5037,9 @@ _R6_WINDOW = [
     "text_fingerprints",
     "ann_lsh_topk",
     "embedding_similarity_pairs",
-    "embedding_near_dup_lsh",
-    "multimodal_media_stats",
+    # new in r6: the materialized-token-index production paths
+    "bm25_keyword_search_indexed",
+    "tfidf_top_terms_indexed",
 ]
 
 assert len(_R6_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R6_WINDOW)}"

@@ -47,6 +47,10 @@ HEADLINE = (
     "tfidf_top_terms",
     "near_dedup_canonical",
     "bm25_keyword_search",
+    # r6: the materialized-token-index production paths (the ad-hoc
+    # variants above stay benched so the index's win is measured)
+    "bm25_keyword_search_indexed",
+    "tfidf_top_terms_indexed",
 )
 
 
@@ -69,6 +73,8 @@ SCALE_SUBSET = (
     "minhash_lsh_pairs",
     "tfidf_top_terms",
     "bm25_keyword_search",
+    "bm25_keyword_search_indexed",
+    "tfidf_top_terms_indexed",
     "ann_brute_force_topk",
     "event_transition_matrix",
 )

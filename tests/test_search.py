@@ -99,3 +99,51 @@ def test_textbook_vs_rational_idf_deviation(spark):
     # these) should be investigated, not re-floored.
     assert overlap >= 0.8, f"overlap@{k} collapsed: {overlap}"
     assert tau >= 0.8, f"kendall tau collapsed: {tau}"
+
+
+def test_indexed_paths_bit_identical_to_adhoc(spark, sf_dir):
+    """bm25/tfidf served from the materialized token index must equal
+    the ad-hoc (re-tokenizing) paths bit-for-bit."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bm25_search,
+        bm25_search_indexed,
+        ensure_token_index,
+        tfidf_top_terms_indexed,
+        tokenize,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx, dl = ensure_token_index(spark, docs, "t_idx_parity")
+    terms = ["spark", "shuffle", "broadcast"]
+    adhoc = [tuple(r) for r in bm25_search(docs, terms, top_k=25).collect()]
+    via_idx = [
+        tuple(r)
+        for r in bm25_search_indexed(spark, idx, dl, terms, top_k=25).collect()
+    ]
+    assert via_idx == adhoc
+
+    # tfidf over the SAME alnum tokens, computed from first principles
+    import math
+
+    tok = {(r["doc_id"], r["term"]): r["tf"] for r in tokenize(docs, "text", "doc_id").collect()}
+    n_docs = len({d for d, _ in tok})
+    df_ = {}
+    for (_, t) in tok:
+        df_[t] = df_.get(t, 0) + 1
+    expect = {}
+    for (d, t), tf in tok.items():
+        expect[(d, t)] = round(tf * (math.log((n_docs + 1) / (df_[t] + 1)) + 1.0), 6)
+    got = tfidf_top_terms_indexed(spark, idx, dl, k=5).collect()
+    assert got, "indexed tfidf returned nothing"
+    for r in got:
+        assert abs(r["tfidf"] - expect[(r["doc_id"], r["term"])]) < 1e-9
+        assert r["df"] == df_[r["term"]]
+    # per-doc top-5: rank is 1..min(5, vocab) and scores descend
+    byd = {}
+    for r in got:
+        byd.setdefault(r["doc_id"], []).append((r["rank"], r["tfidf"], r["term"]))
+    for d, rows in byd.items():
+        rows.sort()
+        assert [x[0] for x in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert (a[1], ) >= (b[1], ) or (a[1] == b[1] and a[2] < b[2])
