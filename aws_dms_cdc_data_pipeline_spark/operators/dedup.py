@@ -413,29 +413,28 @@ def ngram_jaccard_pairs(
     corpora you know are stop-shingle-free).
     """
     grams = _word_gram_index(df, text_col, id_col, n)
+    # Posting-list formulation (replaces the r5 index self-join, which
+    # audited at 15 shuffles): one df-count over the persisted index,
+    # a gram-keyed join filtering stop-shingles, then the posting list
+    # per surviving gram collects IN the same partitioning (no new
+    # exchange — the groupBy key is the join key) and candidate pairs
+    # explode map-side from each ≤max_df-element list. Per-gram state
+    # is bounded by max_df BEFORE any collect happens, and the pair
+    # stream a p-document gram emits is the same p² the join produced,
+    # flowing straight into the pair-count partial agg.
+    gdf = grams.groupBy("g").agg(F.count("*").alias("_df"))
     if max_df is not None:
-        # Document-frequency filter over the inverted index. One extra
-        # agg + semi-join on the gram — both shuffle on "g", the same
-        # key the candidate join uses, so AQE can reuse the exchange.
-        rare = (
-            grams.groupBy("g")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("g")
-        )
-        grams = grams.join(rare, "g", "left_semi").persist()
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
-
-    ga, gb = grams.alias("ga"), grams.alias("gb")
-    inter = (
-        ga.join(gb, (F.col("ga.g") == F.col("gb.g"))
-                & (F.col(f"ga.{id_col}") < F.col(f"gb.{id_col}")))
-        .groupBy(
-            F.col(f"ga.{id_col}").alias("id_a"),
-            F.col(f"gb.{id_col}").alias("id_b"),
-        )
-        .agg(F.count("*").alias("inter"))
+        gdf = gdf.filter(F.col("_df") <= max_df)
+    ok = grams.join(gdf.select("g"), "g")
+    sizes = ok.groupBy(id_col).agg(F.count("*").alias("sz"))
+    posting = ok.groupBy("g").agg(F.collect_list(id_col).alias("_ids"))
+    pairs = (
+        posting.filter(F.size("_ids") > 1)
+        .select(F.explode("_ids").alias("id_a"), "_ids")
+        .select("id_a", F.explode("_ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
     )
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
