@@ -121,7 +121,11 @@ def _hashed_shingles(
     long→long, and the exact-Jaccard verify intersects hash sets
     (identical to string-set Jaccard absent 64-bit collisions).
     """
-    norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import fan_out_scan
+
+    norm = fan_out_scan(
+        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
+    )
     n = F.length(F.col("_norm"))
     sh = norm.select(
         id_col,
@@ -368,8 +372,12 @@ def _word_gram_index(
     between query families; swap for StorageLevel.DISK_ONLY when the
     index outgrows cluster memory.
     """
-    words = df.select(
-        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import fan_out_scan
+
+    words = fan_out_scan(
+        df.select(
+            F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
+        )
     )
     cnt = F.size(F.col("_w"))
     gram_arr = F.when(cnt < n, F.array(F.concat_ws(" ", F.col("_w")))).otherwise(

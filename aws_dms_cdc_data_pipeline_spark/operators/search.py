@@ -47,7 +47,9 @@ _FP = 1_000_000  # 6-decimal fixed point, matches plans/queries._q6
 
 def tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, term, tf): lowercase alnum tokens with per-doc counts."""
-    toks = df.select(
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import fan_out_scan
+
+    toks = fan_out_scan(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(
             F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
@@ -93,7 +95,9 @@ def bm25_search(
     # query's dominant cost: only query-term rows need to shuffle at
     # all). dl > 0 keeps the stats contract of the inverted-index
     # formulation: token-less docs are not corpus members.
-    toks = docs.select(
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import fan_out_scan
+
+    toks = fan_out_scan(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.filter(
             F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),

@@ -201,8 +201,10 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import fan_out_scan
+
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    terms = df.select(
+    terms = fan_out_scan(df.select(id_col, text_col)).select(
         id_col, F.explode(F.split(norm, " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))

@@ -1,0 +1,130 @@
+"""CDC pipeline throughput bench: one availableNow drain of a large
+envelope backlog through the FULL triple-sink delivery path (parse →
+contract gate → hourly archive → bounded-retry state-store merge).
+
+The streaming path is correctness-tested at toy scale
+(tests/test_streaming.py, test_latency.py); this measures it at
+volume: N envelopes (default 1M) split across files so the drain runs
+several micro-batches, on the same local[32] session the query bench
+uses. Reported numbers:
+
+- ``envelopes_per_sec``: N / drain wall seconds — the headline;
+- ``merge_sec``: seconds inside StateStore.merge (timed via a wrap)
+  — the state-store leg of the split;
+- ``archive_sec`` is not separable without patching the sink write
+  itself; ``other_sec`` = wall − merge covers parse + contract +
+  archive + checkpoint commit.
+
+Generation happens OFF the clock and is reused across runs (the
+backlog dir is keyed by N and kept under ``.benchdata/``).
+
+Usage: python tools/bench_cdc.py [N]    (or imported by bench.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_backlog(n_envelopes: int, files: int) -> str:
+    """Generate (once) a JSONL backlog of ~n_envelopes envelopes."""
+    from aws_dms_cdc_data_pipeline_spark.generator import (
+        GeneratorConfig,
+        generate_envelopes,
+        write_envelope_jsonl,
+    )
+
+    out_dir = os.path.join(REPO, ".benchdata", f"cdc_backlog_{n_envelopes}")
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # events per row ≈ 1 + update + delete fractions; solve for n_rows
+    cfg = GeneratorConfig(
+        n_rows=int(n_envelopes / 1.4),
+        seed=1234,
+        update_fraction=0.3,
+        delete_fraction=0.1,
+        duplicate_fraction=0.02,
+        shuffle_fraction=0.05,
+    )
+    n_actual = len(generate_envelopes(cfg))
+    write_envelope_jsonl(cfg, out_dir, files=files)
+    with open(marker, "w") as f:
+        json.dump({"n_envelopes": n_actual}, f)
+    return out_dir
+
+
+def run(n_envelopes: int = 1_000_000, *, spark=None, files: int = 16,
+        files_per_trigger: int = 4) -> dict:
+    import aws_dms_cdc_data_pipeline_spark.sinks.state_store as SS
+    from aws_dms_cdc_data_pipeline_spark.session import get_spark
+    from aws_dms_cdc_data_pipeline_spark.streaming.pipeline import (
+        CdcStreamConfig,
+        start_cdc_stream,
+    )
+
+    backlog = _ensure_backlog(n_envelopes, files)
+    with open(os.path.join(backlog, "_COMPLETE")) as f:
+        n_actual = json.load(f)["n_envelopes"]
+
+    own_spark = spark is None
+    if own_spark:
+        spark = get_spark("bench-cdc")
+
+    sink_root = os.path.join(REPO, ".benchdata", "_cdc_sink")
+    shutil.rmtree(sink_root, ignore_errors=True)
+
+    merge_time = {"sec": 0.0, "calls": 0}
+    real_merge = SS.StateStore.merge
+
+    def timed_merge(self, batch):
+        t0 = time.monotonic()
+        try:
+            return real_merge(self, batch)
+        finally:
+            merge_time["sec"] += time.monotonic() - t0
+            merge_time["calls"] += 1
+
+    SS.StateStore.merge = timed_merge
+    try:
+        cfg = CdcStreamConfig(
+            source_path=backlog,
+            sink_root=sink_root,
+            trigger_seconds=None,  # availableNow: drain the backlog
+            max_files_per_trigger=files_per_trigger,
+            contract_checks={"amount_positive": "data.amount >= 0"},
+        )
+        t0 = time.monotonic()
+        q = start_cdc_stream(spark, cfg)
+        q.awaitTermination()
+        wall = time.monotonic() - t0
+    finally:
+        SS.StateStore.merge = real_merge
+
+    store = SS.StateStore(spark, cfg.state_path)
+    out = {
+        "n_envelopes": n_actual,
+        "wall_sec": round(wall, 2),
+        "envelopes_per_sec": round(n_actual / wall),
+        "batches": merge_time["calls"],
+        "merge_sec": round(merge_time["sec"], 2),
+        "other_sec": round(wall - merge_time["sec"], 2),
+        "state_rows": store.table().count(),
+        "generations": store.version(),
+    }
+    shutil.rmtree(sink_root, ignore_errors=True)
+    return out
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    print(json.dumps(run(n)))

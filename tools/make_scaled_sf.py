@@ -46,9 +46,17 @@ def build(src: str, dst: str, factor: int) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
 
+    # Small row groups so Spark's file source can split the scan: a
+    # single-row-group file scans as ONE task no matter the cluster
+    # size, which serialized every sf1 text query's tokenize/shingle
+    # stage on one of 32 cores (measured 37 s of a 50 s cold minhash).
+    # Any real 100 TB layout is thousands of files/row groups; 4096
+    # rows per group makes the fixture behave like one.
     def copy(sql: str, table: str) -> None:
         out = os.path.join(dst, f"{table}.parquet")
-        con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+        con.execute(
+            f"COPY ({sql}) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE 4096)"
+        )
 
     for t in _COPY_AS_IS:
         copy(f"SELECT * FROM read_parquet('{src}/{t}.parquet')", t)
