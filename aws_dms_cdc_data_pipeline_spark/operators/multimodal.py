@@ -188,13 +188,25 @@ def _decode_fake(content: bytes, dim: int) -> tuple[int, int, list[float]]:
 
 def extract_features(
     media: DataFrame, *, dim: int = 16, batch_hint: int | None = None,
-    fake: bool = False
+    fake: bool = False, decoder=None
 ) -> DataFrame:
     """Decode + featurize each media blob via mapInPandas.
 
     Arrow streams batches of the binary column into Python; each
     batch yields one output frame — constant memory per task
     regardless of table size.
+
+    ``decoder`` is the codec swap-in point as a TESTED CONTRACT
+    (tests/test_media_decode.py): a plain callable
+    ``(blob: bytes, mime: str) -> (width, height, features) | None``
+    shipped to executors inside the mapInPandas closure — this is
+    where a real deployment plugs Pillow/ffmpeg for JPEG/MP3/H.264.
+    It is consulted FIRST for every non-null blob; returning ``None``
+    defers to the built-in path (native BMP/WAV decode, or
+    NotImplementedError for codec formats — exactly today's
+    behavior), and exceptions propagate as task failures. The
+    callable must be deterministic and import its libraries inside
+    itself (it is pickled to executors).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -210,7 +222,11 @@ def extract_features(
                     out["features"].append(None)
                     continue
                 blob = bytes(content)
-                if fake:
+                decoded = decoder(blob, mime) if decoder is not None else None
+                if decoded is not None:
+                    w, h, feats = decoded
+                    feats = [float(f) for f in list(feats)[:dim]]
+                elif fake:
                     w, h, feats = _decode_fake(blob, dim)
                 else:
                     w, h, feats = _decode_real(blob, mime, dim)

@@ -195,6 +195,22 @@ def main() -> None:
             "ratio_vs_duckdb": round(s_cmp / d_cmp, 2) if d_cmp else None,
         }
 
+    # CDC streaming tier: one availableNow drain of a generated
+    # envelope backlog through the FULL triple-sink pipeline (parse →
+    # contract gate → hourly archive → state-store merge) — the
+    # streaming path measured at volume, not toy test scale.
+    # Generation is off the clock and cached under .benchdata/.
+    if not os.environ.get("SPARK_GRAFT_SKIP_CDC"):
+        try:
+            from tools.bench_cdc import run as cdc_run
+
+            payload["cdc_throughput"] = cdc_run(
+                int(os.environ.get("SPARK_GRAFT_CDC_N", "1000000")),
+                spark=spark,
+            )
+        except Exception as e:  # optional tier — never fail the bench
+            print(f"cdc tier skipped: {e}", file=sys.stderr)
+
     print(json.dumps(payload))
 
 

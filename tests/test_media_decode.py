@@ -132,3 +132,45 @@ def test_resize_images_validates_dims(spark):
     media = spark.createDataFrame([], MEDIA_SCHEMA)
     with pytest.raises(ValueError, match="positive"):
         resize_images(media, width=0, height=5)
+
+
+def test_pluggable_decoder_contract(spark):
+    """The codec swap-in point is a real, tested contract: a user
+    decode callable handles formats the built-in path raises on,
+    returning None defers to the built-in decode, and the fallback's
+    NotImplementedError for unhandled codec formats survives."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    jpeg_blob = b"\xff\xd8\xff\xe0" + bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+    rows = [
+        (1, bytearray(jpeg_blob), "image/jpeg", {}),   # only the plugin decodes this
+        (2, bytearray(encode_bmp(img)), "image/bmp", {}),  # plugin defers -> builtin
+        (3, None, "image/jpeg", {}),                   # NULL passthrough
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def fake_jpeg_decoder(blob, mime):
+        # stands in for Pillow: imports (if any) would live in here,
+        # because the callable is pickled to executors
+        if mime == "image/jpeg" and blob[:2] == b"\xff\xd8":
+            return (640, 480, [len(blob) / 1000.0, blob[4] / 255.0])
+        return None
+
+    out = {
+        r["media_id"]: r
+        for r in extract_features(media, dim=5, decoder=fake_jpeg_decoder).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (640, 480)
+    assert out[1]["features"] == pytest.approx(
+        [len(jpeg_blob) / 1000.0, jpeg_blob[4] / 255.0]
+    )
+    # deferred row went through the real BMP decode
+    assert (out[2]["width"], out[2]["height"]) == (4, 4)
+    assert out[2]["features"][0] == pytest.approx(
+        float(img[:, :, 0].mean()) / 255.0, rel=1e-6
+    )
+    assert out[3]["features"] is None
+
+    # without the plugin the same jpeg row still fails loudly
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        extract_features(media, dim=5).collect()
