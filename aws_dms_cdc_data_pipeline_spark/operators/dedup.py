@@ -245,9 +245,30 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    # Exact size prefilter before any shingle array moves: J(A,B) ≥ t
+    # forces |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), and |A∩B| ≤ min(|A|,|B|),
+    # so min(|A|,|B|) ≥ t·max(|A|,|B|) is NECESSARY — pairs outside the
+    # size ratio are rejected with two longs per row. This matters
+    # because verify-join volume is candidates × shingle-array bytes
+    # (the arrays are ~100-1000× the (id_a, id_b) rows): at the sf10
+    # probe the unfiltered verify shuffle spilled past local disk;
+    # band-collision false positives have uncorrelated sizes and die
+    # here for free, and genuinely-near-dup pairs pass untouched, so
+    # the result set is bit-identical (tested).
+    nsz = hashed.select(id_col, F.size("_bh").alias("_n"))
+    cand_sized = (
+        cand.join(nsz.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a")), "id_a")
+        .join(nsz.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b")), "id_b")
+        .filter(
+            F.least("n_a", "n_b")
+            >= F.lit(jaccard_threshold) * F.greatest("n_a", "n_b")
+        )
+        .select("id_a", "id_b")
+    )
+
     sh_a = hashed.select(F.col(id_col).alias("id_a"), F.col("_bh").alias("sh_a"))
     sh_b = hashed.select(F.col(id_col).alias("id_b"), F.col("_bh").alias("sh_b"))
-    verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    verified = cand_sized.join(sh_a, "id_a").join(sh_b, "id_b")
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
@@ -421,27 +442,46 @@ def ngram_jaccard_pairs(
     corpora you know are stop-shingle-free).
     """
     grams = _word_gram_index(df, text_col, id_col, n)
-    # Posting-list formulation (replaces the r5 index self-join, which
-    # audited at 15 shuffles): one df-count over the persisted index,
-    # a gram-keyed join filtering stop-shingles, then the posting list
-    # per surviving gram collects IN the same partitioning (no new
-    # exchange — the groupBy key is the join key) and candidate pairs
-    # explode map-side from each ≤max_df-element list. Per-gram state
-    # is bounded by max_df BEFORE any collect happens, and the pair
-    # stream a p-document gram emits is the same p² the join produced,
-    # flowing straight into the pair-count partial agg.
+    # Candidate generation, refined from two earlier rounds' findings:
+    #
+    # - CAPPED df (the default): posting-list formulation. One
+    #   df-count over the persisted index, a gram-keyed join dropping
+    #   stop-shingles, then the posting list per surviving gram
+    #   collects IN the join's partitioning (no new exchange) and
+    #   pairs explode map-side. Per-gram agg state is ≤ max_df ids
+    #   (filtered BEFORE any collect), and per-gram pair fan-out is
+    #   ≤ max_df²/2 streamed rows — the r5 "straggler bomb" note
+    #   against posting lists applies to the UNCAPPED case (and to
+    #   AQE skew-splitting, which never triggers on ≤max_df·8 B ≈
+    #   80 KB gram groups anyway); with the cap both formulations
+    #   concentrate a gram's pairs in one task, and this one audits
+    #   at half the exchanges of the self-join.
+    # - UNCAPPED (max_df=None): the self-join, which streams pairs
+    #   without buffering any per-gram array — the only safe shape
+    #   when a gram's posting list is unbounded.
     gdf = grams.groupBy("g").agg(F.count("*").alias("_df"))
     if max_df is not None:
         gdf = gdf.filter(F.col("_df") <= max_df)
-    ok = grams.join(gdf.select("g"), "g")
-    sizes = ok.groupBy(id_col).agg(F.count("*").alias("sz"))
-    posting = ok.groupBy("g").agg(F.collect_list(id_col).alias("_ids"))
-    pairs = (
-        posting.filter(F.size("_ids") > 1)
-        .select(F.explode("_ids").alias("id_a"), "_ids")
-        .select("id_a", F.explode("_ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
+        ok = grams.join(gdf.select("g"), "g")
+        sizes = ok.groupBy(id_col).agg(F.count("*").alias("sz"))
+        posting = ok.groupBy("g").agg(F.collect_list(id_col).alias("_ids"))
+        pairs = (
+            posting.filter(F.size("_ids") > 1)
+            .select(F.explode("_ids").alias("id_a"), "_ids")
+            .select("id_a", F.explode("_ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+    else:
+        sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+        ga, gb = grams.alias("ga"), grams.alias("gb")
+        pairs = ga.join(
+            gb,
+            (F.col("ga.g") == F.col("gb.g"))
+            & (F.col(f"ga.{id_col}") < F.col(f"gb.{id_col}")),
+        ).select(
+            F.col(f"ga.{id_col}").alias("id_a"),
+            F.col(f"gb.{id_col}").alias("id_b"),
+        )
     inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))

@@ -468,3 +468,21 @@ def test_incremental_minhash_equals_full_recompute(spark, tmp_path):
     write_minhash_index(new, idx, mode="append")
     again = sorted(map(tuple, incremental_minhash_pairs(new, idx).collect()))
     assert again == got
+
+
+def test_ngram_jaccard_capped_equals_uncapped_when_no_stop_grams(spark, sf_dir):
+    """With max_df above every gram's df the posting-list (capped)
+    path and the streaming self-join (uncapped) path must produce the
+    identical pair set — they are two physical shapes of one query."""
+    import aws_dms_cdc_data_pipeline_spark.operators.dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3, max_df=10**9).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3, max_df=None).collect()
+    }
+    assert capped == uncapped and capped
