@@ -32,7 +32,12 @@ def partition_by_key(
     return df.repartition(num_partitions, col)
 
 
-def fan_out_scan(df: DataFrame, *, min_fraction: float = 0.5) -> DataFrame:
+def fan_out_scan(
+    df: DataFrame,
+    *,
+    min_fraction: float = 0.5,
+    min_bytes_per_partition: int = 2 * 1024 * 1024,
+) -> DataFrame:
     """Spread a poorly-split input across the cluster before per-row-
     heavy work (shingling, tokenization, media decode).
 
@@ -43,12 +48,20 @@ def fan_out_scan(df: DataFrame, *, min_fraction: float = 0.5) -> DataFrame:
     sf1 fixture's single-row-group documents table ran minhash
     shingling on ONE task of 32: measured 37 s of a 50 s cold run).
     This guard pays one narrow round-robin exchange of the raw rows
-    to restore parallelism — strictly when the scan is under
-    ``min_fraction`` of default parallelism; a properly-split source
-    (any real 100 TB layout) passes through untouched, so the guard
-    is a no-op exactly where the shuffle would be a 100 TB write.
+    to restore parallelism — strictly when BOTH hold:
 
-    Batch-only (streaming plans have no static partition count).
+    - the scan is under ``min_fraction`` of default parallelism, and
+    - each scan partition carries ≥ ``min_bytes_per_partition`` of
+      source data (plan-statistics estimate) — below that, the work
+      a partition holds is smaller than the exchange's own cost
+      (measured +0.5 s per text query on the 0.6 MB sf0.1 corpus
+      for zero win; the single-row-group sf1 corpus, 5.9 MB in one
+      split, gains 6×).
+
+    A properly-split source (any real 100 TB layout) passes through
+    untouched, so the guard is a no-op exactly where the shuffle
+    would be a 100 TB write. Batch-only (streaming plans have no
+    static partition count).
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
@@ -57,5 +70,11 @@ def fan_out_scan(df: DataFrame, *, min_fraction: float = 0.5) -> DataFrame:
     except Exception:
         return df
     if n >= max(2, int(target * min_fraction)):
+        return df
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = None
+    if size is not None and size // max(1, n) < min_bytes_per_partition:
         return df
     return df.repartition(target)
