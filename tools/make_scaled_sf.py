@@ -54,8 +54,12 @@ def build(src: str, dst: str, factor: int) -> None:
     # rows per group makes the fixture behave like one.
     def copy(sql: str, table: str) -> None:
         out = os.path.join(dst, f"{table}.parquet")
+        # text/vector rows are wide and per-row expensive: 1024-row
+        # groups give those scans >=32 native splits; narrow fact rows
+        # keep 4096 (finer groups only add footer overhead there).
+        rg = 1024 if table in ("documents", "embeddings") else 4096
         con.execute(
-            f"COPY ({sql}) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE 4096)"
+            f"COPY ({sql}) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})"
         )
 
     for t in _COPY_AS_IS:
