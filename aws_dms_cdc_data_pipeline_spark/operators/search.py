@@ -164,6 +164,83 @@ def _bm25_rank(
     )
 
 
+def tokenize_positions(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, pos): the POSITIONAL token relation (0-based token
+    offsets) — the index shape phrase/proximity search needs, where
+    :func:`tokenize`'s (id, term, tf) bag loses order."""
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import fan_out_scan
+
+    return (
+        fan_out_scan(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("pos", "term"),
+        )
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase matching over the positional token relation — the
+    capability BM25's bag-of-terms scoring cannot express (OpenSearch
+    ``match_phrase`` parity; same alnum tokenization as
+    :func:`tokenize`, so punctuation between words does not break a
+    phrase).
+
+    Returns (id, n_matches) for documents containing the full token
+    sequence, n_matches > 0, ordered (n_matches DESC, id ASC).
+
+    Plan shape: the scan keeps ONLY rows matching the phrase's rarest
+    anchor... in fact simpler and stronger — rows matching ANY phrase
+    token (a literal isin prune before the only exchange), then one
+    per-doc window pass checks that the phrase's terms appear at
+    consecutive positions via ``lead(pos, i)``/``lead(term, i)``.
+    Shuffle payload is the pruned positional rows (|phrase| terms'
+    postings), one exchange total; no self-joins, no arrays of the
+    whole document.
+    """
+    from pyspark.sql import Window
+
+    terms = [t for t in _split_phrase(phrase)]
+    if not terms:
+        raise ValueError("phrase_search needs at least one token")
+    toks = tokenize_positions(docs, text_col, id_col).filter(
+        F.col("term").isin(sorted(set(terms)))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cond = F.lit(True)
+    for i, t in enumerate(terms):
+        # the i-th following PRUNED row must hold term_i at pos0 + i:
+        # consecutive positions in the pruned relation are consecutive
+        # in the document exactly when every intermediate token is
+        # also a phrase token — which consecutive positions force.
+        cond = cond & (F.lead("term", i).over(w) == F.lit(t)) & (
+            F.lead("pos", i).over(w) == F.col("pos") + F.lit(i)
+        )
+    hits = toks.withColumn("_m", cond).filter(F.col("_m"))
+    return (
+        hits.groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+        .orderBy(F.col("n_matches").desc(), F.col(id_col).asc())
+    )
+
+
+def _split_phrase(phrase: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", phrase.lower()) if t]
+
+
 def ensure_token_index(
     spark,
     docs: DataFrame,

@@ -3724,6 +3724,61 @@ def _token_index_for(spark, sf_dir):
     return ensure_token_index(spark, docs, name)
 
 
+_PHRASE = "stream table hash"
+
+
+def _phrase_oracle() -> str:
+    terms = _PHRASE.split()
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    conds = [f"term = '{terms[0]}'"]
+    for i, t in enumerate(terms[1:], start=1):
+        conds.append(
+            f"lead(term, {i}) OVER w = '{t}' "
+            f"AND lead(pos, {i}) OVER w = pos + {i}"
+        )
+    cond = " AND ".join(conds)
+    return f"""
+    WITH dw AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS term
+        FROM dw, UNNEST(generate_series(1, len(ws))) AS s(i)
+    ),
+    pruned AS (SELECT * FROM toks WHERE term IN ({in_list})),
+    m AS (
+        SELECT doc_id, ({cond}) AS hit
+        FROM pruned
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM m WHERE hit
+    GROUP BY doc_id
+    ORDER BY n_matches DESC, doc_id ASC
+    """
+
+
+@q(
+    "phrase_search_docs",
+    _phrase_oracle(),
+    "Exact phrase matching over the positional token relation "
+    "(OpenSearch match_phrase parity — the capability BM25's "
+    "bag-of-terms scoring cannot express): scan rows prune to the "
+    "phrase's own tokens BEFORE the only exchange, then one per-doc "
+    "window pass checks lead(term,i)/lead(pos,i) consecutiveness — "
+    "no self-joins, no whole-document arrays "
+    "(operators/search.py:phrase_search).",
+)
+def phrase_search_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, _PHRASE)
+
+
 @q(
     "bm25_keyword_search_indexed",
     _bm25_oracle(),
@@ -5034,12 +5089,13 @@ _R6_WINDOW = [
     "text_token_counts",
     "text_quality_scores",
     "text_lang_id",
-    "text_fingerprints",
     "ann_lsh_topk",
     "embedding_similarity_pairs",
-    # new in r6: the materialized-token-index production paths
+    # new in r6: the materialized-token-index production paths +
+    # positional phrase search
     "bm25_keyword_search_indexed",
     "tfidf_top_terms_indexed",
+    "phrase_search_docs",
 ]
 
 assert len(_R6_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R6_WINDOW)}"

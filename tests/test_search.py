@@ -147,3 +147,38 @@ def test_indexed_paths_bit_identical_to_adhoc(spark, sf_dir):
         assert [x[0] for x in rows] == list(range(1, len(rows) + 1))
         for a, b in zip(rows, rows[1:]):
             assert (a[1], ) >= (b[1], ) or (a[1] == b[1] and a[2] < b[2])
+
+
+def test_phrase_search_planted_cases(spark):
+    """Planted-corpus phrase semantics: punctuation between words does
+    not break a phrase (alnum tokenization), partial/reordered tokens
+    do not match, overlapping and repeated-token phrases count right."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import phrase_search
+
+    rows = [
+        (1, "the quick, brown FOX jumps"),          # punctuation inside phrase
+        (2, "quick brown dog; quick brown fox"),    # match at offset, 1 hit
+        (3, "brown quick fox"),                     # reordered -> no match
+        (4, "quick brown quick brown fox ok"),      # later occurrence only
+        (5, "a a a a"),                             # repeated-token phrase
+        (6, "quick brownfox"),                      # token boundary matters
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(docs, "Quick Brown fox").collect()}
+    assert out == {1: 1, 2: 1, 4: 1}
+
+    # overlapping matches of a repeated-token phrase: "a a" in "a a a a"
+    out2 = {r["doc_id"]: r["n_matches"]
+            for r in phrase_search(docs, "a a").collect()}
+    assert out2 == {5: 3}
+
+    # single-token phrase counts term frequency among matching docs
+    out3 = {r["doc_id"]: r["n_matches"]
+            for r in phrase_search(docs, "quick").collect()}
+    assert out3 == {1: 1, 2: 2, 3: 1, 4: 2, 6: 1}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least one token"):
+        phrase_search(docs, "!!!")
