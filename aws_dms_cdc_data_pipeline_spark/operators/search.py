@@ -217,6 +217,34 @@ def phrase_search(
     toks = tokenize_positions(docs, text_col, id_col).filter(
         F.col("term").isin(sorted(set(terms)))
     )
+    return _phrase_match(toks, terms, id_col)
+
+
+def phrase_search_indexed(
+    spark,
+    pos_table: str,
+    phrase: str,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`phrase_search` against a materialized positional index
+    (:func:`ensure_position_index`) — identical results, but per-query
+    work is the bucket-pruned postings of the phrase's own tokens; the
+    corpus text is never re-read."""
+    terms = [t for t in _split_phrase(phrase)]
+    if not terms:
+        raise ValueError("phrase_search_indexed needs at least one token")
+    toks = spark.table(pos_table).filter(
+        F.col("term").isin(sorted(set(terms)))
+    )
+    return _phrase_match(toks, terms, id_col)
+
+
+def _phrase_match(toks: DataFrame, terms: list[str], id_col: str) -> DataFrame:
+    """Count full-phrase occurrences per doc over a PRUNED (id, term,
+    pos) relation containing only the phrase's tokens."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
     cond = F.lit(True)
     for i, t in enumerate(terms):
@@ -233,6 +261,33 @@ def phrase_search(
         .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
         .orderBy(F.col("n_matches").desc(), F.col(id_col).asc())
     )
+
+
+def ensure_position_index(
+    spark,
+    docs: DataFrame,
+    name: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> str:
+    """Materialize the POSITIONAL token relation (id, term, pos) as a
+    term-bucketed catalog table ``tokpos_<name>`` — the phrase/
+    proximity-search companion of :func:`ensure_token_index`'s
+    (id, term, tf) bag index. Idempotent per session."""
+    pos_table = f"tokpos_{name}"
+    if not spark.catalog.tableExists(pos_table):
+        from aws_dms_cdc_data_pipeline_spark.sinks.bucketed import write_bucketed
+
+        _drop_stale_location(spark, pos_table)
+        write_bucketed(
+            tokenize_positions(docs, text_col, id_col),
+            pos_table,
+            bucket_col="term",
+            num_buckets=num_buckets,
+        )
+    return pos_table
 
 
 def _split_phrase(phrase: str) -> list[str]:
@@ -297,7 +352,7 @@ def _drop_stale_location(spark, table: str) -> None:
     """Remove a dead session's leftover warehouse dir for a derived
     table the catalog no longer knows (saveAsTable refuses to reuse
     the location otherwise). Only ever touches the managed-warehouse
-    path of OUR tokidx_/toklen_ cache tables."""
+    path of OUR tokidx_/toklen_/tokpos_ cache tables."""
     import os
     import shutil
 
@@ -445,7 +500,11 @@ __all__ = [
     "bm25_search",
     "bm25_search_indexed",
     "bm25_oracle_sql",
+    "ensure_position_index",
     "ensure_token_index",
+    "phrase_search",
+    "phrase_search_indexed",
     "tfidf_top_terms_indexed",
     "tokenize",
+    "tokenize_positions",
 ]

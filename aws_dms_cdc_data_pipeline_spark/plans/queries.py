@@ -3780,6 +3780,28 @@ def phrase_search_docs_q(spark, sf_dir):
 
 
 @q(
+    "phrase_search_docs_indexed",
+    _phrase_oracle(),
+    "Phrase search served from the MATERIALIZED positional index "
+    "(operators/search.py:ensure_position_index): the term-bucketed "
+    "(id, term, pos) table bucket-prunes to the phrase's own tokens; "
+    "results bit-identical to phrase_search_docs (same oracle).",
+)
+def phrase_search_docs_indexed_q(spark, sf_dir):
+    import re as _re
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_position_index,
+        phrase_search_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    name = _re.sub(r"[^a-zA-Z0-9]+", "_", sf_dir.strip("/")).lower()
+    pos = ensure_position_index(spark, docs, name)
+    return phrase_search_indexed(spark, pos, _PHRASE)
+
+
+@q(
     "bm25_keyword_search_indexed",
     _bm25_oracle(),
     "The same BM25 ranking served from the MATERIALIZED token index "

@@ -51,6 +51,7 @@ HEADLINE = (
     # variants above stay benched so the index's win is measured)
     "bm25_keyword_search_indexed",
     "tfidf_top_terms_indexed",
+    "phrase_search_docs",
 )
 
 

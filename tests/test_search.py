@@ -182,3 +182,20 @@ def test_phrase_search_planted_cases(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="at least one token"):
         phrase_search(docs, "!!!")
+
+
+def test_phrase_search_indexed_parity(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_position_index,
+        phrase_search,
+        phrase_search_indexed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos = ensure_position_index(spark, docs, "t_pos_parity")
+    adhoc = [tuple(r) for r in phrase_search(docs, "stream table hash").collect()]
+    via_idx = [
+        tuple(r)
+        for r in phrase_search_indexed(spark, pos, "stream table hash").collect()
+    ]
+    assert via_idx == adhoc and adhoc
