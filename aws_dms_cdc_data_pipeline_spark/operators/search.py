@@ -348,6 +348,41 @@ def ensure_token_index(
     return idx_table, dl_table
 
 
+def append_to_token_index(
+    spark,
+    new_docs: DataFrame,
+    idx_table: str,
+    dl_table: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> None:
+    """Incrementally maintain the token index: tokenize ONLY the new
+    batch and append its postings + lengths (same bucketing spec, so
+    bucket pruning and shuffle-free term aggregation keep working —
+    Spark appends per-bucket files). After the append, every indexed
+    query (bm25/tfidf) sees the union corpus exactly as if the index
+    had been rebuilt (bit-parity tested).
+
+    Contract: ``new_docs`` carries ids NOT already indexed — the same
+    new-batch contract as the incremental MinHash index
+    (operators/dedup.py:incremental_minhash_pairs); re-appending an id
+    would double-count its term frequencies. Cost is O(new batch),
+    never O(corpus): the existing index is not read, let alone
+    rewritten — the maintenance shape that makes a 100 TB corpus
+    index affordable to keep current from the CDC stream.
+    """
+    tok = tokenize(new_docs, text_col, id_col)
+    from aws_dms_cdc_data_pipeline_spark.sinks.bucketed import write_bucketed
+
+    write_bucketed(tok, idx_table, bucket_col="term",
+                   num_buckets=num_buckets, mode="append")
+    dl = tok.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    write_bucketed(dl, dl_table, bucket_col=id_col,
+                   num_buckets=num_buckets, mode="append")
+
+
 def _drop_stale_location(spark, table: str) -> None:
     """Remove a dead session's leftover warehouse dir for a derived
     table the catalog no longer knows (saveAsTable refuses to reuse
@@ -497,6 +532,7 @@ def bm25_oracle_sql(
 
 
 __all__ = [
+    "append_to_token_index",
     "bm25_search",
     "bm25_search_indexed",
     "bm25_oracle_sql",

