@@ -263,6 +263,74 @@ def _phrase_match(toks: DataFrame, terms: list[str], id_col: str) -> DataFrame:
     )
 
 
+def proximity_search(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    *,
+    slop: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-term proximity search (OpenSearch ``span_near`` / Lucene
+    SpanNearQuery parity, unordered): documents where ``term_a`` and
+    ``term_b`` occur within ``slop`` token positions of each other,
+    scored by the number of qualifying position pairs.
+
+    Returns (id, n_pairs, min_distance), ordered (n_pairs DESC, id
+    ASC). Execution: the positional relation prunes to the two terms'
+    postings at the scan, then a per-doc postings join with the
+    ``|pos_a − pos_b| ≤ slop`` band predicate — worst-case work per
+    doc is tf_a × tf_b, bounded by the terms' own frequencies (a
+    stop-word probe is the caller's to avoid, same contract as BM25's
+    term list). One exchange on the doc id; nothing document-sized
+    moves.
+    """
+    a, b = term_a.lower(), term_b.lower()
+    if not a or not b or a == b:
+        raise ValueError("proximity_search needs two distinct terms")
+    toks = tokenize_positions(docs, text_col, id_col).filter(
+        F.col("term").isin([a, b])
+    )
+    return _proximity_pairs(toks, a, b, slop, id_col)
+
+
+def proximity_search_indexed(
+    spark,
+    pos_table: str,
+    term_a: str,
+    term_b: str,
+    *,
+    slop: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`proximity_search` from the materialized positional index
+    (bucket-pruned to the two terms' postings)."""
+    a, b = term_a.lower(), term_b.lower()
+    if not a or not b or a == b:
+        raise ValueError("proximity_search needs two distinct terms")
+    toks = spark.table(pos_table).filter(F.col("term").isin([a, b]))
+    return _proximity_pairs(toks, a, b, slop, id_col)
+
+
+def _proximity_pairs(
+    toks: DataFrame, a: str, b: str, slop: int, id_col: str
+) -> DataFrame:
+    pa = toks.filter(F.col("term") == a).select(id_col, F.col("pos").alias("pa"))
+    pb = toks.filter(F.col("term") == b).select(id_col, F.col("pos").alias("pb"))
+    pairs = pa.join(pb, id_col).filter(
+        F.abs(F.col("pa") - F.col("pb")) <= slop
+    )
+    return (
+        pairs.groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias("min_distance"),
+        )
+        .orderBy(F.col("n_pairs").desc(), F.col(id_col).asc())
+    )
+
+
 def ensure_position_index(
     spark,
     docs: DataFrame,
@@ -540,6 +608,8 @@ __all__ = [
     "ensure_token_index",
     "phrase_search",
     "phrase_search_indexed",
+    "proximity_search",
+    "proximity_search_indexed",
     "tfidf_top_terms_indexed",
     "tokenize",
     "tokenize_positions",

@@ -3779,6 +3779,47 @@ def phrase_search_docs_q(spark, sf_dir):
     return phrase_search(docs, _PHRASE)
 
 
+_PROX = ("stream", "hash", 4)
+
+
+@q(
+    "proximity_search_docs",
+    f"""
+    WITH dw AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS term
+        FROM dw, UNNEST(generate_series(1, len(ws))) AS s(i)
+    ),
+    pa AS (SELECT doc_id, pos AS p_a FROM toks WHERE term = '{_PROX[0]}'),
+    pb AS (SELECT doc_id, pos AS p_b FROM toks WHERE term = '{_PROX[1]}'),
+    pairs AS (
+        SELECT pa.doc_id, abs(p_a - p_b) AS d
+        FROM pa JOIN pb USING (doc_id)
+        WHERE abs(p_a - p_b) <= {_PROX[2]}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(d) AS BIGINT) AS min_distance
+    FROM pairs GROUP BY doc_id
+    ORDER BY n_pairs DESC, doc_id ASC
+    """,
+    "Two-term proximity search (OpenSearch span_near parity, "
+    "unordered slop window): positional postings of the two probe "
+    "terms prune at the scan, then a per-doc band-predicate join — "
+    "work bounded by tf_a x tf_b per doc, one exchange on the doc id "
+    "(operators/search.py:proximity_search).",
+)
+def proximity_search_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import proximity_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return proximity_search(docs, _PROX[0], _PROX[1], slop=_PROX[2])
+
+
 @q(
     "phrase_search_docs_indexed",
     _phrase_oracle(),

@@ -238,3 +238,73 @@ def test_incremental_token_index_append_parity(spark, sf_dir):
     got = tfidf_top_terms_indexed(spark, idx, dl, k=3)
     assert got.groupBy("doc_id").count().filter("count > 3").count() == 0
     assert got.select("doc_id").distinct().count() == n_after
+
+
+def test_proximity_search_planted_and_indexed(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_position_index,
+        proximity_search,
+        proximity_search_indexed,
+    )
+
+    rows = [
+        (1, "alpha x x x beta"),          # distance 4 == slop -> match
+        (2, "alpha x x x x beta"),        # distance 5 > slop -> no match
+        (3, "beta alpha"),                # unordered, distance 1
+        (4, "alpha beta alpha"),          # 2 qualifying pairs
+        (5, "alpha only here"),           # missing beta
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_pairs"], r["min_distance"])
+        for r in proximity_search(docs, "alpha", "beta", slop=4).collect()
+    }
+    assert out == {1: (1, 4), 3: (1, 1), 4: (2, 1)}
+
+    pos = ensure_position_index(spark, docs, "t_prox_parity")
+    via_idx = {
+        r["doc_id"]: (r["n_pairs"], r["min_distance"])
+        for r in proximity_search_indexed(spark, pos, "alpha", "beta", slop=4).collect()
+    }
+    assert via_idx == out
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="two distinct terms"):
+        proximity_search(docs, "alpha", "ALPHA")
+
+
+def test_fan_out_scan_conditions(spark, sf_dir, tmp_path):
+    """fan_out_scan: no-op on well-split or tiny-known-size inputs,
+    fans out large (or unknown-size) single-partition inputs."""
+    from pyspark.sql import functions as F
+
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import fan_out_scan
+
+    target = spark.sparkContext.defaultParallelism
+
+    # tiny single-file parquet input (known stats): bytes condition
+    # blocks the fan-out
+    spark.createDataFrame([(i, "x") for i in range(10)],
+                          "id long, text string").coalesce(1)\
+        .write.parquet(str(tmp_path / "tiny"))
+    tiny = spark.read.parquet(str(tmp_path / "tiny"))
+    assert tiny.rdd.getNumPartitions() == 1
+    assert fan_out_scan(tiny).rdd.getNumPartitions() == 1
+
+    # unknown-size single-partition input (local relation): fans out —
+    # the safe default when statistics can't rule the work small
+    unknown = spark.createDataFrame([(i, "x") for i in range(10)],
+                                    "id long, text string").coalesce(1)
+    assert fan_out_scan(unknown).rdd.getNumPartitions() == target
+
+    # large single-partition input: fans out to default parallelism
+    big = (
+        spark.range(0, 200_000, 1, 1)
+        .select("id", F.concat(F.lit("word " * 40), F.col("id").cast("string")).alias("text"))
+    )
+    assert big.rdd.getNumPartitions() == 1
+    assert fan_out_scan(big).rdd.getNumPartitions() == target
+
+    # already-split input passes through untouched
+    split = spark.range(0, 1000, 1, target).selectExpr("id", "'t' AS text")
+    assert fan_out_scan(split).rdd.getNumPartitions() == target
