@@ -5152,13 +5152,13 @@ _R6_WINDOW = [
     "text_token_counts",
     "text_quality_scores",
     "text_lang_id",
-    "ann_lsh_topk",
-    "embedding_similarity_pairs",
     # new in r6: the materialized-token-index production paths +
     # positional phrase search
     "bm25_keyword_search_indexed",
     "tfidf_top_terms_indexed",
     "phrase_search_docs",
+    "phrase_search_docs_indexed",
+    "proximity_search_docs",
 ]
 
 assert len(_R6_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R6_WINDOW)}"
