@@ -144,18 +144,27 @@ def _hashed_shingles(
     )
 
 
-def _bands_of(with_sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+def _bands_of(
+    with_sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """(id, band, bh) band-bucket rows from a ``_sig`` signature column.
 
     Band rows carry ONLY (id, band, band_hash) — the shingle arrays
     stay out of any candidate join, so the bands× explode and the
     bucket shuffle move ~24 bytes/row no matter how large the
     documents are. Shingle hashes re-enter per candidate id via a
-    keyed join for the exact-Jaccard verify.
+    keyed join for the exact-Jaccard verify. ``carry`` names extra
+    fixed-width columns to ride along (e.g. the shingle-set size for
+    the verify prefilter — 8 bytes/row buys skipping a join later).
     """
     rows_per_band = num_hashes // bands
     return with_sig.select(
         id_col,
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -175,7 +184,7 @@ def _bands_of(with_sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> 
                 ]
             )
         ).alias("_band"),
-    ).select(id_col, "_band.band", "_band.bh")
+    ).select(id_col, *carry, "_band.band", "_band.bh")
 
 
 def _with_signature(hashed: DataFrame, num_hashes: int) -> DataFrame:
@@ -225,9 +234,14 @@ def minhash_lsh_pairs(
     # scale with state larger than cluster memory, swap persist()
     # for an explicit checkpoint/write — the plan shape is unchanged.
     hashed = _hashed_shingles(df, text_col, id_col, shingle_k).persist()
-    with_sig = _with_signature(hashed, num_hashes)
+    with_sig = _with_signature(hashed, num_hashes).withColumn(
+        "_n", F.size("_bh").cast("long")
+    )
 
-    banded = _bands_of(with_sig, id_col, num_hashes, bands)
+    # band rows carry the shingle-set size (+8 B/row): the verify
+    # prefilter below then needs NO size-lookup joins — it is a plain
+    # filter on the candidate join's own output.
+    banded = _bands_of(with_sig, id_col, num_hashes, bands, carry=("_n",))
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -241,29 +255,30 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
 
     # Exact size prefilter before any shingle array moves: J(A,B) ≥ t
     # forces |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), and |A∩B| ≤ min(|A|,|B|),
     # so min(|A|,|B|) ≥ t·max(|A|,|B|) is NECESSARY — pairs outside the
-    # size ratio are rejected with two longs per row. This matters
-    # because verify-join volume is candidates × shingle-array bytes
-    # (the arrays are ~100-1000× the (id_a, id_b) rows): at the sf10
-    # probe the unfiltered verify shuffle spilled past local disk;
-    # band-collision false positives have uncorrelated sizes and die
-    # here for free, and genuinely-near-dup pairs pass untouched, so
-    # the result set is bit-identical (tested).
-    nsz = hashed.select(id_col, F.size("_bh").alias("_n"))
+    # size ratio are rejected with two longs per row, BEFORE the
+    # dedup shuffle even runs. This matters because verify-join volume
+    # is candidates × shingle-array bytes (the arrays are ~100-1000×
+    # the (id_a, id_b) rows): at the sf10 probe the unfiltered verify
+    # shuffle spilled past local disk; band-collision false positives
+    # have uncorrelated sizes and die here for free, and genuinely-
+    # near-dup pairs pass untouched, so the result set is bit-
+    # identical (tested). Sizes ride the band rows (carry above), so
+    # this is a pure filter — no lookup joins.
     cand_sized = (
-        cand.join(nsz.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a")), "id_a")
-        .join(nsz.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b")), "id_b")
-        .filter(
+        cand.filter(
             F.least("n_a", "n_b")
             >= F.lit(jaccard_threshold) * F.greatest("n_a", "n_b")
         )
         .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
     sh_a = hashed.select(F.col(id_col).alias("id_a"), F.col("_bh").alias("sh_a"))
