@@ -3779,6 +3779,55 @@ def phrase_search_docs_q(spark, sf_dir):
     return phrase_search(docs, _PHRASE)
 
 
+@q(
+    "bigram_collocations",
+    """
+    WITH dw AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS term
+        FROM dw, UNNEST(generate_series(1, len(ws))) AS s(i)
+    ),
+    uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+    bi AS (
+        SELECT term AS term_a,
+               lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS term_b
+        FROM toks
+    ),
+    pairs AS (
+        SELECT term_a, term_b, CAST(COUNT(*) AS BIGINT) AS pair_count
+        FROM bi WHERE term_b IS NOT NULL
+        GROUP BY term_a, term_b
+        HAVING COUNT(*) >= 5
+    )
+    SELECT term_a, term_b, pair_count,
+           ua.c AS c_a, ub.c AS c_b,
+           round(ln(CAST(pair_count * n.n AS DOUBLE)
+                    / CAST(ua.c * ub.c AS DOUBLE)), 6) AS pmi
+    FROM pairs
+    JOIN uni ua ON ua.term = term_a
+    JOIN uni ub ON ub.term = term_b
+    CROSS JOIN n
+    ORDER BY pmi DESC, term_a, term_b
+    LIMIT 50
+    """,
+    "Top-50 adjacent-bigram collocations by PMI (multiword-expression "
+    "mining / tokenizer-merge sanity signal): ln(c_ab*N/(c_a*c_b)) "
+    "over alnum token bigrams, round-6 absorbing libm drift, "
+    "pair_count >= 5 flooring PMI's low-frequency bias; every "
+    "exchange carries fixed-width token rows, top-k compiles to "
+    "TakeOrderedAndProject (operators/text.py:collocations).",
+)
+def bigram_collocations_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return X.collocations(docs, min_count=5, top_k=50)
+
+
 _PROX = ("stream", "hash", 4)
 
 
@@ -5143,7 +5192,6 @@ _R6_WINDOW = [
     "scalar_string_funcs",
     "scalar_date_funcs",
     "scalar_math_funcs",
-    "json_extract_props",
     "having_supplier_qty",
     "scalar_subquery_above_avg",
     "distinct_user_event_pairs",
@@ -5159,6 +5207,7 @@ _R6_WINDOW = [
     "phrase_search_docs",
     "phrase_search_docs_indexed",
     "proximity_search_docs",
+    "bigram_collocations",
 ]
 
 assert len(_R6_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R6_WINDOW)}"
