@@ -344,7 +344,7 @@ def ensure_position_index(
     term-bucketed catalog table ``tokpos_<name>`` — the phrase/
     proximity-search companion of :func:`ensure_token_index`'s
     (id, term, tf) bag index. Idempotent per session."""
-    pos_table = f"tokpos_{name}"
+    pos_table = f"{_cache_db(spark)}.tokpos_{name}"
     if not spark.catalog.tableExists(pos_table):
         from aws_dms_cdc_data_pipeline_spark.sinks.bucketed import write_bucketed
 
@@ -393,8 +393,9 @@ def ensure_token_index(
     tokenize + two bucketed writes, amortized over every subsequent
     keyword search, TF-IDF, vocabulary, or df-based filter run.
     """
-    idx_table = f"tokidx_{name}"
-    dl_table = f"toklen_{name}"
+    db = _cache_db(spark)
+    idx_table = f"{db}.tokidx_{name}"
+    dl_table = f"{db}.toklen_{name}"
     if not spark.catalog.tableExists(idx_table):
         from aws_dms_cdc_data_pipeline_spark.sinks.bucketed import write_bucketed
 
@@ -451,20 +452,43 @@ def append_to_token_index(
                    num_buckets=num_buckets, mode="append")
 
 
+_CACHE_DB = "tokcache"
+
+
+def _cache_db(spark) -> str:
+    """Database holding the derived token-index cache tables, with an
+    EXPLICIT repo-anchored location: the default warehouse dir is
+    relative to the driver process's cwd, so a harness launched from
+    elsewhere would otherwise scatter managed tables outside the
+    repo. A database LOCATION pins them regardless of cwd."""
+    import os
+
+    loc = os.path.join(_repo_root(), "spark-warehouse", f"{_CACHE_DB}.db")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_CACHE_DB} LOCATION '{loc}'")
+    return _CACHE_DB
+
+
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
 def _drop_stale_location(spark, table: str) -> None:
-    """Remove a dead session's leftover warehouse dir for a derived
-    table the catalog no longer knows (saveAsTable refuses to reuse
-    the location otherwise). Only ever touches the managed-warehouse
-    path of OUR tokidx_/toklen_/tokpos_ cache tables."""
+    """Remove a dead session's leftover dir for a derived cache table
+    the catalog no longer knows (saveAsTable refuses to reuse the
+    location otherwise). Only ever touches OUR tokidx_/toklen_/
+    tokpos_ cache-table paths under the repo-anchored cache db."""
     import os
     import shutil
 
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    wh = wh.removeprefix("file:")
-    if wh:
-        p = os.path.join(wh, table.lower())
-        if os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
+    bare = table.split(".")[-1].lower()
+    p = os.path.join(_repo_root(), "spark-warehouse",
+                     f"{_CACHE_DB}.db", bare)
+    if os.path.isdir(p):
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def bm25_search_indexed(
