@@ -1,0 +1,81 @@
+"""Percolator: standing queries over incoming documents (OpenSearch
+percolate parity) — batch semantics + streaming leg, stream ≡ batch."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from aws_dms_cdc_data_pipeline_spark.operators.search import phrase_search
+from aws_dms_cdc_data_pipeline_spark.streaming.percolate import (
+    percolate,
+    start_percolator,
+)
+
+STANDING = [
+    ("q_fox", "quick brown fox"),
+    ("q_alert", "system failure"),
+    ("q_term", "spark"),
+]
+
+DOCS = [
+    (1, "the quick, brown fox jumps over spark"),
+    (2, "system failure detected; system failure escalated"),
+    (3, "nothing interesting here"),
+    (4, "quick brown dog but spark spark everywhere"),
+]
+
+
+def test_percolate_batch_matches_adhoc(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_matches"]
+        for r in percolate(docs, STANDING).collect()
+    }
+    # every standing query's hits equal the ad-hoc phrase query's hits
+    expect = {}
+    for qid, phrase in STANDING:
+        for r in phrase_search(docs, phrase).collect():
+            expect[(qid, r["doc_id"])] = r["n_matches"]
+    assert got == expect
+    assert got[("q_fox", 1)] == 1
+    assert got[("q_alert", 2)] == 2
+    assert got[("q_term", 4)] == 2
+    assert ("q_fox", 4) not in got  # dog != fox
+    assert all(d != 3 for (_, d) in got)
+
+
+def test_percolator_stream_equals_batch(spark, tmp_path):
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    # two files -> exercised across availableNow batches
+    for fname, rows in (("a.jsonl", DOCS[:2]), ("b.jsonl", DOCS[2:])):
+        with open(src / fname, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_percolator(
+        stream,
+        STANDING,
+        str(tmp_path / "alerts"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    alerts = spark.read.parquet(str(tmp_path / "alerts" / "batch_id=*"))
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_matches"] for r in alerts.collect()
+    }
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    batch = {
+        (r["query_id"], r["doc_id"]): r["n_matches"]
+        for r in percolate(docs, STANDING).collect()
+    }
+    assert got == batch
+    # multiple epochs actually ran (per-epoch idempotent layout)
+    assert alerts.select("batch_id").distinct().count() >= 2
