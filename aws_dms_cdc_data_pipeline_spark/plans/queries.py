@@ -5143,11 +5143,15 @@ def dormant_high_value_customers_q(spark, sf_dir):
 # and runnable regardless of position.
 #
 # Coverage arithmetic: 127/136 entries had a driver row entering r6
-# (VERDICT r5); this window adds the missing 9, so after the r6
-# driver run every registry entry has an external correctness row.
-# The r7 window = any r6 additions + any r6 window entry that fails,
-# with the rest of the 50 slots as a green cross-section, stalest
-# rows first.
+# (VERDICT r5); this window adds the missing 9 PLUS all six
+# r6-session additions (bm25/tfidf indexed, phrase ad-hoc + indexed,
+# proximity, collocations — each oracle-green locally), so after the
+# r6 driver run every one of the 142 registry entries has an
+# external correctness row. The r7 window = any r7 additions + any
+# r6 window entry that fails, with the rest of the 50 slots as a
+# green cross-section, stalest rows first (the four r3-vintage
+# entries evicted mid-r6 — text_fingerprints, ann_lsh_topk,
+# embedding_similarity_pairs, json_extract_props — lead that list).
 # ===========================================================================
 
 _R6_WINDOW = [
