@@ -456,24 +456,44 @@ def ngram_jaccard_pairs(
     ``max_df=None`` to disable (exact, unbounded skew — only for
     corpora you know are stop-shingle-free).
     """
+    inter, sizes = _gram_pair_intersections(df, text_col, id_col, n, max_df)
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _gram_pair_intersections(df, text_col, id_col, n, max_df):
+    """Shared candidate machinery for the set-similarity family:
+    (id_a < id_b, inter = #shared distinct word n-grams) plus per-doc
+    filtered gram-set sizes. Candidate generation, refined from two
+    earlier rounds' findings:
+
+    - CAPPED df (the default): posting-list formulation. One
+      df-count over the persisted index, a gram-keyed join dropping
+      stop-shingles, then the posting list per surviving gram
+      collects IN the join's partitioning (no new exchange) and
+      pairs explode map-side. Per-gram agg state is ≤ max_df ids
+      (filtered BEFORE any collect), and per-gram pair fan-out is
+      ≤ max_df²/2 streamed rows — the r5 "straggler bomb" note
+      against posting lists applies to the UNCAPPED case (and to
+      AQE skew-splitting, which never triggers on ≤max_df·8 B ≈
+      80 KB gram groups anyway); with the cap both formulations
+      concentrate a gram's pairs in one task, and this one audits
+      at half the exchanges of the self-join.
+    - UNCAPPED (max_df=None): the self-join, which streams pairs
+      without buffering any per-gram array — the only safe shape
+      when a gram's posting list is unbounded.
+    """
     grams = _word_gram_index(df, text_col, id_col, n)
-    # Candidate generation, refined from two earlier rounds' findings:
-    #
-    # - CAPPED df (the default): posting-list formulation. One
-    #   df-count over the persisted index, a gram-keyed join dropping
-    #   stop-shingles, then the posting list per surviving gram
-    #   collects IN the join's partitioning (no new exchange) and
-    #   pairs explode map-side. Per-gram agg state is ≤ max_df ids
-    #   (filtered BEFORE any collect), and per-gram pair fan-out is
-    #   ≤ max_df²/2 streamed rows — the r5 "straggler bomb" note
-    #   against posting lists applies to the UNCAPPED case (and to
-    #   AQE skew-splitting, which never triggers on ≤max_df·8 B ≈
-    #   80 KB gram groups anyway); with the cap both formulations
-    #   concentrate a gram's pairs in one task, and this one audits
-    #   at half the exchanges of the self-join.
-    # - UNCAPPED (max_df=None): the self-join, which streams pairs
-    #   without buffering any per-gram array — the only safe shape
-    #   when a gram's posting list is unbounded.
     gdf = grams.groupBy("g").agg(F.count("*").alias("_df"))
     if max_df is not None:
         gdf = gdf.filter(F.col("_df") <= max_df)
@@ -498,18 +518,54 @@ def ngram_jaccard_pairs(
             F.col(f"gb.{id_col}").alias("id_b"),
         )
     inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+    return inter, sizes
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """ASYMMETRIC near-duplication: Jaccard CONTAINMENT
+    C(contained, container) = |A∩B| / |A| — the quote/subsumption
+    detector symmetric Jaccard cannot express. A short document fully
+    quoted inside a long one scores C ≈ 1.0 while J stays tiny
+    (J ≤ |A|/|B|), so near-dup dedup never sees it; for training-data
+    curation these subsumed documents are pure repetition.
+
+    Emits one row per directed containment at or above ``threshold``:
+    (contained_id, container_id, containment, jaccard) — both
+    directions of a pair are evaluated, identical twins emit two
+    rows. Same shared inverted-index machinery, df cap, and
+    stop-shingle semantics as :func:`ngram_jaccard_pairs`
+    (intersections computed once per unordered pair, then both
+    directed ratios are a projection).
+    """
+    inter, sizes = _gram_pair_intersections(df, text_col, id_col, n, max_df)
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    ab = both.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment"),
+        F.round(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+        ).alias("jaccard"),
     )
+    ba = both.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        F.round(F.col("inter") / F.col("sz_b"), 6).alias("containment"),
+        F.round(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+        ).alias("jaccard"),
+    )
+    return ab.unionByName(ba).filter(F.col("containment") >= threshold)
 
 
 def edit_distance_pairs(

@@ -3780,6 +3780,64 @@ def phrase_search_docs_q(spark, sf_dir):
 
 
 @q(
+    "ngram_containment_pairs",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents
+    ),
+    dw AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+                    ELSE array_to_string(list_slice(ws, i, i + 2), ' ')
+               END AS g
+        FROM dw, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS s(i)
+    ),
+    gdf AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 10000),
+    ok AS (SELECT grams.* FROM grams JOIN gdf USING (g)),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM ok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM ok a JOIN ok b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairsized AS (
+        SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b
+    ),
+    directed AS (
+        SELECT id_a AS contained_id, id_b AS container_id,
+               round(CAST(inter AS DOUBLE) / sz_a, 6) AS containment,
+               round(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6) AS jaccard
+        FROM pairsized
+        UNION ALL
+        SELECT id_b, id_a,
+               round(CAST(inter AS DOUBLE) / sz_b, 6),
+               round(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6)
+        FROM pairsized
+    )
+    SELECT * FROM directed WHERE containment >= 0.8
+    """,
+    "ASYMMETRIC near-duplication — Jaccard containment |A∩B|/|A| "
+    "(quote/subsumption detection: a short doc fully quoted inside a "
+    "long one scores C≈1.0 while symmetric J stays tiny, invisible to "
+    "near-dup dedup; subsumed docs are pure repetition for training "
+    "data). Shared inverted-index machinery with ngram_jaccard_pairs; "
+    "intersections computed once per unordered pair, both directed "
+    "ratios are a projection (operators/dedup.py:"
+    "ngram_containment_pairs).",
+)
+def ngram_containment_pairs_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(docs, threshold=0.8)
+
+
+@q(
     "bigram_collocations",
     """
     WITH dw AS (
@@ -5193,7 +5251,6 @@ _R6_WINDOW = [
     "set_union_segments",
     "set_intersect_buyers",
     "set_except_nonbuyers",
-    "scalar_string_funcs",
     "scalar_date_funcs",
     "scalar_math_funcs",
     "having_supplier_qty",
@@ -5212,6 +5269,7 @@ _R6_WINDOW = [
     "phrase_search_docs_indexed",
     "proximity_search_docs",
     "bigram_collocations",
+    "ngram_containment_pairs",
 ]
 
 assert len(_R6_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R6_WINDOW)}"

@@ -486,3 +486,28 @@ def test_ngram_jaccard_capped_equals_uncapped_when_no_stop_grams(spark, sf_dir):
         for r in D.ngram_jaccard_pairs(docs, threshold=0.3, max_df=None).collect()
     }
     assert capped == uncapped and capped
+
+
+def test_containment_detects_quoted_subset(spark):
+    """A short doc fully quoted inside a long one: containment ~1.0,
+    jaccard small — the asymmetric signal symmetric dedup misses."""
+    import aws_dms_cdc_data_pipeline_spark.operators.dedup as D
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [
+        (1, quote),                      # contained
+        (2, filler + " " + quote + " " + filler.replace("w", "z")),  # container
+        (3, "completely unrelated text about other things entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["contained_id"], r["container_id"]): r
+        for r in D.ngram_containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["containment"] >= 0.8          # nearly all of doc1's grams in doc2
+    assert r["jaccard"] < 0.2               # symmetric similarity stays low
+    assert (2, 1) not in out                # the big doc is NOT contained in the small
+    assert all(3 not in k for k in out)
