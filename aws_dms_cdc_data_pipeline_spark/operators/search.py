@@ -164,6 +164,87 @@ def _bm25_rank(
     )
 
 
+def bm25_search_many(
+    spark,
+    idx_table: str,
+    dl_table: str,
+    queries: dict[str, list[str]],
+    *,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    textbook: bool = False,
+) -> DataFrame:
+    """Score a BATCH of keyword queries against the token index in ONE
+    job — the production serving shape (a search/eval workload is
+    thousands of queries, not one; per-query jobs pay the scheduling
+    floor thousands of times).
+
+    Returns (query_id, id, score, n_terms_hit, rank), rank 1..top_k
+    per query by (score DESC, id ASC). Per-query results are
+    bit-identical to :func:`bm25_search_indexed` run one query at a
+    time (asserted in tests).
+
+    Shape: the index prunes ONCE to the union of all queries' terms
+    (bucket-pruned); the (query_id, term) map is a broadcast literal
+    relation, so each hit row fans out only to the queries containing
+    its term; df-per-term and corpus stats are computed once and
+    shared; the per-query top-k cut is a rank window that
+    WindowGroupLimit trims map-side — no per-query jobs, no global
+    sort.
+    """
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("bm25_search_many needs at least one query")
+    qmap = sorted(
+        {(qid, t.lower()) for qid, terms in queries.items() for t in terms}
+    )
+    if not qmap:
+        raise ValueError("bm25_search_many: no query terms")
+    qdf = spark.createDataFrame(qmap, "query_id string, term string")
+    all_terms = sorted({t for _, t in qmap})
+
+    hits = spark.table(idx_table).filter(F.col("term").isin(all_terms))
+    dl = spark.table(dl_table)
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    df_per_term = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = (
+        hits.join(F.broadcast(qdf), "term")
+        .join(df_per_term, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    if textbook:
+        idf = F.log(F.lit(1.0) + idf)
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    contrib_q = F.round(idf * tf_part * F.lit(float(_FP)), 0).cast("long")
+    per_doc = scored.groupBy("query_id", id_col).agg(
+        (F.sum(contrib_q).cast("decimal(38,0)") / F.lit(_FP))
+        .cast("double")
+        .alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", id_col, "score", "n_terms_hit", "rank")
+    )
+
+
 def tokenize_positions(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, term, pos): the POSITIONAL token relation (0-based token
     offsets) — the index shape phrase/proximity search needs, where
@@ -627,6 +708,7 @@ __all__ = [
     "append_to_token_index",
     "bm25_search",
     "bm25_search_indexed",
+    "bm25_search_many",
     "bm25_oracle_sql",
     "ensure_position_index",
     "ensure_token_index",

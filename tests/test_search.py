@@ -329,3 +329,35 @@ def test_collocations_planted_pmi(spark):
     # ranking: the always-adjacent pair beats the generic "the X" pairs
     top = max(out.values(), key=lambda r: (r["pmi"], ))
     assert (top["term_a"], top["term_b"]) == ("tick", "tock")
+
+
+def test_bm25_multi_query_matches_single_query(spark, sf_dir):
+    """Batch scoring is bit-identical per query to the single-query
+    indexed path."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bm25_search_indexed,
+        bm25_search_many,
+        ensure_token_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx, dl = ensure_token_index(spark, docs, "t_many_parity")
+    qs = {
+        "qa": ["spark", "shuffle", "broadcast"],
+        "qb": ["window", "fast"],
+        "qc": ["spark"],  # overlapping term with qa
+    }
+    batch = bm25_search_many(spark, idx, dl, qs, top_k=15).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"], r["n_terms_hit"])
+        )
+    for qid, terms in qs.items():
+        single = [
+            (i + 1, r["doc_id"], r["score"], r["n_terms_hit"])
+            for i, r in enumerate(
+                bm25_search_indexed(spark, idx, dl, terms, top_k=15).collect()
+            )
+        ]
+        assert sorted(by_q.get(qid, [])) == sorted(single), qid
