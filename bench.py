@@ -52,6 +52,7 @@ HEADLINE = (
     "bm25_keyword_search_indexed",
     "tfidf_top_terms_indexed",
     "phrase_search_docs",
+    "bm25_multi_query",
 )
 
 
