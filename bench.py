@@ -77,6 +77,8 @@ SCALE_SUBSET = (
     "bm25_keyword_search",
     "bm25_keyword_search_indexed",
     "tfidf_top_terms_indexed",
+    "phrase_search_docs",
+    "proximity_search_docs",
     "ann_brute_force_topk",
     "event_transition_matrix",
 )
