@@ -350,22 +350,26 @@ def proximity_search(
     term_b: str,
     *,
     slop: int = 5,
+    in_order: bool = False,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Two-term proximity search (OpenSearch ``span_near`` / Lucene
-    SpanNearQuery parity, unordered): documents where ``term_a`` and
-    ``term_b`` occur within ``slop`` token positions of each other,
-    scored by the number of qualifying position pairs.
+    SpanNearQuery parity): documents where ``term_a`` and ``term_b``
+    occur within ``slop`` token positions of each other, scored by
+    the number of qualifying position pairs. ``in_order=True`` is the
+    DIRECTIONAL variant (span_near in_order): only pairs where
+    ``term_a`` strictly precedes ``term_b`` qualify — "error ...
+    before ... rollback" is not "rollback ... before ... error".
 
     Returns (id, n_pairs, min_distance), ordered (n_pairs DESC, id
     ASC). Execution: the positional relation prunes to the two terms'
     postings at the scan, then a per-doc postings join with the
-    ``|pos_a − pos_b| ≤ slop`` band predicate — worst-case work per
-    doc is tf_a × tf_b, bounded by the terms' own frequencies (a
-    stop-word probe is the caller's to avoid, same contract as BM25's
-    term list). One exchange on the doc id; nothing document-sized
-    moves.
+    ``|pos_a − pos_b| ≤ slop`` band predicate (plus ``pos_a < pos_b``
+    when ordered) — worst-case work per doc is tf_a × tf_b, bounded
+    by the terms' own frequencies (a stop-word probe is the caller's
+    to avoid, same contract as BM25's term list). One exchange on the
+    doc id; nothing document-sized moves.
     """
     a, b = term_a.lower(), term_b.lower()
     if not a or not b or a == b:
@@ -373,7 +377,7 @@ def proximity_search(
     toks = tokenize_positions(docs, text_col, id_col).filter(
         F.col("term").isin([a, b])
     )
-    return _proximity_pairs(toks, a, b, slop, id_col)
+    return _proximity_pairs(toks, a, b, slop, id_col, in_order=in_order)
 
 
 def proximity_search_indexed(
@@ -383,6 +387,7 @@ def proximity_search_indexed(
     term_b: str,
     *,
     slop: int = 5,
+    in_order: bool = False,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """:func:`proximity_search` from the materialized positional index
@@ -391,17 +396,19 @@ def proximity_search_indexed(
     if not a or not b or a == b:
         raise ValueError("proximity_search needs two distinct terms")
     toks = spark.table(pos_table).filter(F.col("term").isin([a, b]))
-    return _proximity_pairs(toks, a, b, slop, id_col)
+    return _proximity_pairs(toks, a, b, slop, id_col, in_order=in_order)
 
 
 def _proximity_pairs(
-    toks: DataFrame, a: str, b: str, slop: int, id_col: str
+    toks: DataFrame, a: str, b: str, slop: int, id_col: str,
+    *, in_order: bool = False
 ) -> DataFrame:
     pa = toks.filter(F.col("term") == a).select(id_col, F.col("pos").alias("pa"))
     pb = toks.filter(F.col("term") == b).select(id_col, F.col("pos").alias("pb"))
-    pairs = pa.join(pb, id_col).filter(
-        F.abs(F.col("pa") - F.col("pb")) <= slop
-    )
+    cond = F.abs(F.col("pa") - F.col("pb")) <= slop
+    if in_order:
+        cond = cond & (F.col("pa") < F.col("pb"))
+    pairs = pa.join(pb, id_col).filter(cond)
     return (
         pairs.groupBy(F.col(id_col))
         .agg(

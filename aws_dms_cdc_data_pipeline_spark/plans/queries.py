@@ -3994,6 +3994,44 @@ def bm25_multi_query_q(spark, sf_dir):
 
 
 @q(
+    "proximity_search_ordered",
+    f"""
+    WITH dw AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS term
+        FROM dw, UNNEST(generate_series(1, len(ws))) AS s(i)
+    ),
+    pa AS (SELECT doc_id, pos AS p_a FROM toks WHERE term = '{_PROX[0]}'),
+    pb AS (SELECT doc_id, pos AS p_b FROM toks WHERE term = '{_PROX[1]}'),
+    pairs AS (
+        SELECT pa.doc_id, abs(p_a - p_b) AS d
+        FROM pa JOIN pb USING (doc_id)
+        WHERE abs(p_a - p_b) <= {_PROX[2]} AND p_a < p_b
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(d) AS BIGINT) AS min_distance
+    FROM pairs GROUP BY doc_id
+    ORDER BY n_pairs DESC, doc_id ASC
+    """,
+    "DIRECTIONAL span_near (in_order=true): only pairs where the "
+    "first term strictly precedes the second within the slop window "
+    "qualify — order-sensitive pattern search the unordered variant "
+    "cannot express (operators/search.py:proximity_search).",
+)
+def proximity_search_ordered_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import proximity_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return proximity_search(docs, _PROX[0], _PROX[1], slop=_PROX[2],
+                            in_order=True)
+
+
+@q(
     "phrase_search_docs_indexed",
     _phrase_oracle(),
     "Phrase search served from the MATERIALIZED positional index "
@@ -5317,7 +5355,6 @@ _R6_WINDOW = [
     "set_union_segments",
     "set_intersect_buyers",
     "set_except_nonbuyers",
-    "scalar_math_funcs",
     "having_supplier_qty",
     "scalar_subquery_above_avg",
     "distinct_user_event_pairs",
@@ -5336,6 +5373,7 @@ _R6_WINDOW = [
     "bigram_collocations",
     "ngram_containment_pairs",
     "bm25_multi_query",
+    "proximity_search_ordered",
 ]
 
 assert len(_R6_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R6_WINDOW)}"

@@ -361,3 +361,21 @@ def test_bm25_multi_query_matches_single_query(spark, sf_dir):
             )
         ]
         assert sorted(by_q.get(qid, [])) == sorted(single), qid
+
+
+def test_proximity_in_order_is_directional(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import proximity_search
+
+    rows = [
+        (1, "alpha x beta"),      # a before b -> ordered match
+        (2, "beta x alpha"),      # b before a -> unordered only
+        (3, "beta alpha x beta"), # one ordered pair (alpha@1 -> beta@3)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    unordered = {r["doc_id"]: r["n_pairs"]
+                 for r in proximity_search(docs, "alpha", "beta", slop=3).collect()}
+    ordered = {r["doc_id"]: r["n_pairs"]
+               for r in proximity_search(docs, "alpha", "beta", slop=3,
+                                         in_order=True).collect()}
+    assert unordered == {1: 1, 2: 1, 3: 2}
+    assert ordered == {1: 1, 3: 1}
