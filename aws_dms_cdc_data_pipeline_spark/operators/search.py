@@ -538,6 +538,22 @@ def append_to_token_index(
     dl = tok.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     write_bucketed(dl, dl_table, bucket_col=id_col,
                    num_buckets=num_buckets, mode="append")
+    # this session's relation cache now reflects the append; OTHER
+    # sessions that already read the tables (e.g. the interactive
+    # session driving a streaming maintainer) must call
+    # refresh_token_index themselves — Spark's table-relation cache
+    # is per-session and silently serves the stale file listing.
+    refresh_token_index(spark, idx_table, dl_table)
+
+
+def refresh_token_index(spark, *tables: str) -> None:
+    """Invalidate this session's cached file listings for index
+    tables appended by ANOTHER session (a streaming maintainer, a
+    parallel job). Call before serving queries from a session that
+    read the tables before the append; skipping it is not an error —
+    it is silently stale results, which is worse."""
+    for t in tables:
+        spark.catalog.refreshTable(t)
 
 
 _CACHE_DB = "tokcache"
@@ -721,6 +737,7 @@ __all__ = [
     "ensure_token_index",
     "phrase_search",
     "phrase_search_indexed",
+    "refresh_token_index",
     "proximity_search",
     "proximity_search_indexed",
     "tfidf_top_terms_indexed",

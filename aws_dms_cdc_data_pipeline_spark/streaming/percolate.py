@@ -112,4 +112,58 @@ def start_percolator(
     return writer.start()
 
 
-__all__ = ["percolate", "start_percolator"]
+def start_index_maintainer(
+    docs_stream: DataFrame,
+    idx_table: str,
+    dl_table: str,
+    checkpoint_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+    available_now: bool = True,
+    trigger_seconds: int | None = None,
+):
+    """Keep the corpus token index current from a document STREAM:
+    each micro-batch appends its postings + lengths via
+    ``append_to_token_index`` — O(batch) per trigger, the index is
+    never rebuilt, and every indexed query (bm25/tfidf, single or
+    batch) immediately sees the union corpus (stream ≡ full-rebuild
+    parity asserted in tests).
+
+    The checkpoint gives exactly-once batch tracking on the SOURCE
+    side; the append itself is at-least-once on replay after a crash
+    INSIDE a batch (same caveat as any non-transactional foreachBatch
+    sink — a Delta/Iceberg swap makes the append idempotent via
+    txn ids; documented, not hidden). New-ids-only contract matches
+    ``append_to_token_index``: route documents through the CDC
+    dedup/current-state path first if the stream can re-deliver.
+    """
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        append_to_token_index,
+    )
+
+    def deliver(batch: DataFrame, epoch_id: int) -> None:
+        append_to_token_index(
+            batch.sparkSession,
+            batch,
+            idx_table,
+            dl_table,
+            text_col=text_col,
+            id_col=id_col,
+            num_buckets=num_buckets,
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(deliver)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now or trigger_seconds is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+__all__ = ["percolate", "start_percolator", "start_index_maintainer"]

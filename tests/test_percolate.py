@@ -79,3 +79,57 @@ def test_percolator_stream_equals_batch(spark, tmp_path):
     assert got == batch
     # multiple epochs actually ran (per-epoch idempotent layout)
     assert alerts.select("batch_id").distinct().count() >= 2
+
+
+def test_streaming_index_maintainer_equals_rebuild(spark, tmp_path, sf_dir):
+    """Streamed appends produce a token index identical to a one-shot
+    full-corpus build: bm25 over both is bit-identical."""
+    from pyspark.sql import functions as F
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bm25_search_indexed,
+        ensure_token_index,
+    )
+    from aws_dms_cdc_data_pipeline_spark.streaming.percolate import (
+        start_index_maintainer,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    # seed the streamed index with an empty corpus, then stream 2 files
+    empty = docs.filter(F.lit(False))
+    idx_s, dl_s = ensure_token_index(spark, empty, "t_stream_maint")
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    for fname, chunk in (("f1.jsonl", rows[::2]), ("f2.jsonl", rows[1::2])):
+        with open(src / fname, "w") as f:
+            for doc_id, text in chunk:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_index_maintainer(
+        stream, idx_s, dl_s, str(tmp_path / "ckpt_idx")
+    )
+    q.awaitTermination()
+    # the appends ran in the micro-batch session; this session read
+    # the tables before them and must drop its stale file listings
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        refresh_token_index,
+    )
+
+    refresh_token_index(spark, idx_s, dl_s)
+
+    idx_f, dl_f = ensure_token_index(spark, docs, "t_full_rebuild")
+    terms = ["spark", "shuffle", "broadcast"]
+    streamed = [
+        tuple(r)
+        for r in bm25_search_indexed(spark, idx_s, dl_s, terms, top_k=20).collect()
+    ]
+    rebuilt = [
+        tuple(r)
+        for r in bm25_search_indexed(spark, idx_f, dl_f, terms, top_k=20).collect()
+    ]
+    assert streamed == rebuilt and streamed
