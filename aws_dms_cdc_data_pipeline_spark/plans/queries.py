@@ -3993,6 +3993,64 @@ def bm25_multi_query_q(spark, sf_dir):
     return bm25_search_many(spark, idx_t, dl_t, dict(_BM25_BATCH), top_k=10)
 
 
+_STANDING = [('q_stream', 'stream table hash'), ('q_sort', 'row column sort'), ('q_spark', 'spark')]
+
+
+@q(
+    "percolate_standing_queries",
+    """
+    WITH dw AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS term
+        FROM dw, UNNEST(generate_series(1, len(ws))) AS s(i)
+    )
+    
+    SELECT 'q_stream' AS query_id, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM (
+        SELECT doc_id, (term = 'stream' AND lead(term, 1) OVER w = 'table' AND lead(pos, 1) OVER w = pos + 1 AND lead(term, 2) OVER w = 'hash' AND lead(pos, 2) OVER w = pos + 2) AS hit
+        FROM (SELECT * FROM toks WHERE term IN ('stream', 'table', 'hash'))
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE hit GROUP BY doc_id
+    UNION ALL
+
+    SELECT 'q_sort' AS query_id, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM (
+        SELECT doc_id, (term = 'row' AND lead(term, 1) OVER w = 'column' AND lead(pos, 1) OVER w = pos + 1 AND lead(term, 2) OVER w = 'sort' AND lead(pos, 2) OVER w = pos + 2) AS hit
+        FROM (SELECT * FROM toks WHERE term IN ('row', 'column', 'sort'))
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE hit GROUP BY doc_id
+    UNION ALL
+
+    SELECT 'q_spark' AS query_id, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM (
+        SELECT doc_id, (term = 'spark') AS hit
+        FROM (SELECT * FROM toks WHERE term IN ('spark'))
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE hit GROUP BY doc_id
+    """,
+    "Percolator as a verifiable batch query (OpenSearch percolate "
+    "parity — registered queries matched against every document): "
+    "one positional tokenization pruned to the union of all standing "
+    "terms, per-query phrase windows over the shared pruned relation "
+    "— document text read once regardless of query count; the "
+    "streaming leg (streaming/percolate.py) reuses this exact "
+    "operator per micro-batch, stream ≡ batch asserted in tests.",
+)
+def percolate_standing_queries_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.streaming.percolate import percolate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return percolate(docs, _STANDING)
+
+
 @q(
     "proximity_search_ordered",
     f"""
@@ -5355,7 +5413,6 @@ _R6_WINDOW = [
     "set_union_segments",
     "set_intersect_buyers",
     "set_except_nonbuyers",
-    "having_supplier_qty",
     "scalar_subquery_above_avg",
     "distinct_user_event_pairs",
     "exact_dedup_docs",
@@ -5374,6 +5431,7 @@ _R6_WINDOW = [
     "ngram_containment_pairs",
     "bm25_multi_query",
     "proximity_search_ordered",
+    "percolate_standing_queries",
 ]
 
 assert len(_R6_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R6_WINDOW)}"
