@@ -549,23 +549,32 @@ def ngram_containment_pairs(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     both = inter.join(sa, "id_a").join(sb, "id_b")
-    ab = both.select(
-        F.col("id_a").alias("contained_id"),
-        F.col("id_b").alias("container_id"),
-        F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment"),
-        F.round(
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-        ).alias("jaccard"),
+    # both directed ratios come out of ONE projection: each unordered
+    # pair explodes into its two directions map-side (a union of two
+    # re-derived branches would compute the whole index+join tree
+    # twice — it doubled this query's plan before r7).
+    jac = F.round(
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
     )
-    ba = both.select(
-        F.col("id_b").alias("contained_id"),
-        F.col("id_a").alias("container_id"),
-        F.round(F.col("inter") / F.col("sz_b"), 6).alias("containment"),
-        F.round(
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-        ).alias("jaccard"),
+    directions = F.array(
+        F.struct(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+            F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment"),
+            jac.alias("jaccard"),
+        ),
+        F.struct(
+            F.col("id_b").alias("contained_id"),
+            F.col("id_a").alias("container_id"),
+            F.round(F.col("inter") / F.col("sz_b"), 6).alias("containment"),
+            jac.alias("jaccard"),
+        ),
     )
-    return ab.unionByName(ba).filter(F.col("containment") >= threshold)
+    return (
+        both.select(F.explode(directions).alias("_d"))
+        .select("_d.*")
+        .filter(F.col("containment") >= threshold)
+    )
 
 
 def edit_distance_pairs(

@@ -198,11 +198,17 @@ def bm25_search_many(
 
     if not queries:
         raise ValueError("bm25_search_many needs at least one query")
+    # per-query validation, mirroring bm25_search_indexed's contract:
+    # an empty term list would otherwise silently return no rows for
+    # that query_id — indistinguishable from "no hits".
+    empty = sorted(qid for qid, terms in queries.items() if not terms)
+    if empty:
+        raise ValueError(
+            f"bm25_search_many: queries with no terms: {empty}"
+        )
     qmap = sorted(
         {(qid, t.lower()) for qid, terms in queries.items() for t in terms}
     )
-    if not qmap:
-        raise ValueError("bm25_search_many: no query terms")
     qdf = spark.createDataFrame(qmap, "query_id string, term string")
     all_terms = sorted({t for _, t in qmap})
 
@@ -319,6 +325,82 @@ def phrase_search_indexed(
         F.col("term").isin(sorted(set(terms)))
     )
     return _phrase_match(toks, terms, id_col)
+
+
+def phrase_search_many(
+    spark,
+    pos_table: str,
+    phrases: dict[str, str],
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Match a BATCH of phrase queries against the positional index in
+    ONE job — the positional companion of :func:`bm25_search_many`
+    (an alerting/eval workload is hundreds of phrases; per-query jobs
+    pay the scheduling floor per phrase).
+
+    Returns (query_id, id, n_matches), n_matches > 0, per-query
+    results bit-identical to :func:`phrase_search_indexed` run one
+    phrase at a time (asserted in tests).
+
+    Shape: the index prunes ONCE to the union of all phrases' tokens
+    (bucket-pruned read); a broadcast (query_id, term, offset) literal
+    relation fans each posting row out only to the queries containing
+    its term; phrase occurrences then fall out of one ANCHOR
+    aggregation — a posting (doc, term, pos) joined at offset ``off``
+    votes for anchor ``pos − off``, and an anchor with all
+    ``n_terms`` offsets present is exactly a full-phrase match
+    (positions are unique per doc, so each (term, offset) map entry
+    contributes at most one vote per anchor). No per-query window
+    branches, no per-query scans — corpus work is independent of the
+    query count.
+    """
+    parsed = []
+    for qid, phrase in phrases.items():
+        terms = _split_phrase(phrase)
+        if not terms:
+            raise ValueError(f"phrase query {qid!r} has no tokens")
+        parsed.append((qid, terms))
+    if not parsed:
+        raise ValueError("phrase_search_many needs at least one phrase")
+    all_terms = sorted({t for _, terms in parsed for t in terms})
+    toks = spark.table(pos_table).filter(F.col("term").isin(all_terms))
+    return _phrase_match_many(toks, parsed, id_col)
+
+
+def _phrase_match_many(
+    toks: DataFrame, queries: list[tuple[str, list[str]]], id_col: str
+) -> DataFrame:
+    """Shared anchor-vote phrase matcher over a PRUNED (id, term, pos)
+    relation: one broadcast join + two aggregations for ANY number of
+    phrase queries. A single-term phrase degrades to a term query
+    (every occurrence is an anchor, n_matches = tf). Counts are
+    identical to :func:`_phrase_match` per query: an anchor ``a``
+    collects one vote per satisfied (term, offset) map entry, and
+    ``votes == n_terms`` iff every phrase token sits at ``a + off`` —
+    the same consecutive-positions condition the window form checks."""
+    spark = toks.sparkSession
+    rows = sorted(
+        {
+            (qid, t, i, len(terms))
+            for qid, terms in queries
+            for i, t in enumerate(terms)
+        }
+    )
+    qdf = spark.createDataFrame(
+        rows, "query_id string, term string, off long, n_terms long"
+    )
+    votes = toks.join(F.broadcast(qdf), "term").groupBy(
+        "query_id",
+        F.col(id_col),
+        (F.col("pos") - F.col("off")).alias("_anchor"),
+        "n_terms",
+    ).agg(F.count(F.lit(1)).alias("_votes"))
+    return (
+        votes.filter(F.col("_votes") == F.col("n_terms"))
+        .groupBy("query_id", id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    )
 
 
 def _phrase_match(toks: DataFrame, terms: list[str], id_col: str) -> DataFrame:
@@ -737,6 +819,7 @@ __all__ = [
     "ensure_token_index",
     "phrase_search",
     "phrase_search_indexed",
+    "phrase_search_many",
     "refresh_token_index",
     "proximity_search",
     "proximity_search_indexed",

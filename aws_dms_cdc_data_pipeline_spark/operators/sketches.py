@@ -152,18 +152,32 @@ def bottomk_value_sketches(
             (F.lit(-(2.0**63)) + frac * F.lit(2.0**64)).cast("long")
         ),
     )
-    kept = base.join(F.broadcast(thr), bucket_alias).filter(
-        F.col("_h") <= F.col("_t")
+    # every bucket join below is NULL-SAFE: groupBy treats NULL as a
+    # group (counts and the prefilter=False path both emit it), so a
+    # null-rejecting equi-join here would silently drop the NULL
+    # bucket — breaking the bit-identical-to-prefilter=False contract.
+    thr_r = thr.select(
+        F.col(bucket_alias).alias("_tb"), "n_rows", "_t"
     )
+    kept = base.join(
+        F.broadcast(thr_r), F.col(bucket_alias).eqNullSafe(F.col("_tb"))
+    ).filter(F.col("_h") <= F.col("_t"))
     sk = kept.groupBy(bucket_alias, "n_rows").agg(
         F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("entries")
     )
     good = sk.filter(F.size("entries") == F.least(F.lit(k), F.col("n_rows")))
     # buckets the probabilistic cut shorted (or dropped entirely):
     # rebuilt exactly; empty in practice, so AQE prunes this branch.
-    bad = counts.join(good.select(bucket_alias), bucket_alias, "left_anti")
+    bad = counts.join(
+        good.select(F.col(bucket_alias).alias("_gb")),
+        F.col(bucket_alias).eqNullSafe(F.col("_gb")),
+        "left_anti",
+    )
+    bad_r = bad.select(F.col(bucket_alias).alias("_bb"), "n_rows")
     exact_bad = (
-        base.join(F.broadcast(bad), bucket_alias)
+        base.join(
+            F.broadcast(bad_r), F.col(bucket_alias).eqNullSafe(F.col("_bb"))
+        )
         .groupBy(bucket_alias, "n_rows")
         .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("entries"))
     )

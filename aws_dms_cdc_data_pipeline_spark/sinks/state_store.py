@@ -208,11 +208,36 @@ class StateStore:
         staging — and committing would silently publish an empty
         bucket: raise instead. Erasure passes ``allow_empty=True``;
         an emptied bucket is then dropped from the manifest (readers
-        simply never visit it) and all its versions are GC'd.
+        simply never visit it) and ALL its versions are GC'd
+        IMMEDIATELY. ``allow_empty=True`` (the erasure path) also
+        eagerly GCs every touched bucket's just-superseded version —
+        deliberately skipping the keep-one-generation grace the merge
+        path gives in-flight readers, because superseded versions of
+        erasure-touched buckets hold the erased PII and erasure's
+        contract is physical removal NOW, not at the next touch. The
+        accepted cost (documented, not hidden): a reader holding the
+        pre-erasure manifest may hit FileNotFound mid-scan on an
+        erasure-touched bucket; merge retains its grace generation
+        and is unaffected.
         """
         staging = os.path.join(self.path, f"_staging-{new_gen}")
         latest.write.mode("overwrite").partitionBy("_b").parquet(staging)
-        if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        # interference check (concurrent fsck clean removing the
+        # in-flight staging): the _SUCCESS marker is the strongest
+        # signal, but it only exists when the committer's
+        # marksuccessfuljobs convention is on (the default; commonly
+        # disabled in deployments) — fall back to the staging dir
+        # itself, which is the actual thing fsck would have removed.
+        marks = (
+            self.spark.sparkContext._jsc.hadoopConfiguration()
+            .get("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+        )
+        probe = (
+            os.path.join(staging, "_SUCCESS")
+            if str(marks).lower() == "true"
+            else staging
+        )
+        if not os.path.exists(probe):
             raise RuntimeError(
                 f"state store staging dir {staging} vanished or is "
                 "incomplete after write (concurrent fsck clean?); "
@@ -246,16 +271,23 @@ class StateStore:
                 shutil.rmtree(dst)  # crashed earlier attempt of same gen
             os.rename(src, dst)
             if prev is not None:
+                # merge keeps v=prev one extra generation for in-flight
+                # readers; erasure (allow_empty) removes it now — it
+                # still contains the erased rows (see docstring).
+                keep_floor = prev + 1 if allow_empty else prev
                 gc_dirs.extend(
                     self._bdir(b, v)
-                    for v in _versions_below(os.path.join(self.path, f"b={b}"), prev)
+                    for v in _versions_below(
+                        os.path.join(self.path, f"b={b}"), keep_floor
+                    )
                 )
             manifest["buckets"][str(b)] = new_gen
         shutil.rmtree(staging, ignore_errors=True)
         manifest["generation"] = new_gen
         self._write_manifest(manifest)
         # GC: drop versions older than the just-superseded one (which is
-        # kept one more generation for in-flight readers).
+        # kept one more generation for in-flight readers — except on the
+        # erasure path, which removes superseded PII immediately).
         for d in gc_dirs:
             shutil.rmtree(d, ignore_errors=True)
         return new_gen

@@ -15,10 +15,16 @@ This is that capability Spark-first:
   bit-identical to running the same phrase query ad hoc over the
   batch (asserted in tests — stream ≡ batch).
 
-Standing queries are (query_id, phrase) pairs; a document matches a
-query when it contains the full token sequence (match_phrase
-semantics, alnum tokenization). Single-term phrases degrade to plain
-term alerts.
+Standing queries are phrase / term / proximity ("near") alert
+definitions — the three OpenSearch percolation shapes
+(``match_phrase``, ``match``/term, ``span_near``). The list accepts
+plain ``(query_id, phrase)`` tuples (back-compat; single-term
+phrases degrade to term alerts) or dicts::
+
+    {"query_id": "q1", "type": "phrase", "phrase": "quick brown fox"}
+    {"query_id": "q2", "type": "term",   "term": "rollback"}
+    {"query_id": "q3", "type": "near",   "term_a": "error",
+     "term_b": "rollback", "slop": 5, "in_order": True}
 """
 
 from __future__ import annotations
@@ -29,7 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from aws_dms_cdc_data_pipeline_spark.operators.search import (
-    _phrase_match,
+    _phrase_match_many,
+    _proximity_pairs,
     _split_phrase,
     tokenize_positions,
 )
@@ -37,37 +44,91 @@ from aws_dms_cdc_data_pipeline_spark.operators.search import (
 
 def percolate(
     docs: DataFrame,
-    standing: list[tuple[str, str]],
+    standing: list,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Match every document against every standing phrase query.
+    """Match every document against every standing query.
 
-    Returns (query_id, id, n_matches), n_matches > 0. One positional
-    tokenization of the batch, pruned once to the UNION of all
-    standing terms; each query then filters its own terms from the
-    shared pruned relation — the batch text is read exactly once no
-    matter how many queries stand.
+    Returns (query_id, id, n_matches), n_matches > 0 (for ``near``
+    queries n_matches counts qualifying position pairs, the
+    span_near hit count). One positional tokenization of the batch,
+    pruned once to the UNION of all standing terms; ALL phrase/term
+    queries then resolve in a single shared anchor-vote pass against
+    a broadcast (query_id, term, offset) map
+    (operators/search.py:_phrase_match_many) — no per-query plan
+    branches, so the batch text is scanned exactly once and corpus
+    work is independent of how many queries stand. ``near`` queries
+    reuse the same pruned relation (persisted when present, so they
+    cost per-query postings joins, never extra corpus scans);
+    per-query hits stay bit-identical to the ad-hoc single-query
+    operators (asserted in tests).
     """
     if not standing:
         raise ValueError("percolate needs at least one standing query")
-    parsed = []
-    for qid, phrase in standing:
-        terms = _split_phrase(phrase)
-        if not terms:
-            raise ValueError(f"standing query {qid!r} has no tokens")
-        parsed.append((qid, terms))
-    all_terms = sorted({t for _, terms in parsed for t in terms})
+    phrase_qs: list[tuple[str, list[str]]] = []
+    near_qs: list[tuple[str, str, str, int, bool]] = []
+    seen: set[str] = set()
+    for entry in standing:
+        if isinstance(entry, dict):
+            qid = entry["query_id"]
+            qtype = entry.get("type", "phrase")
+        else:
+            qid, _phrase = entry
+            qtype, entry = "phrase", {"phrase": _phrase}
+        if qid in seen:
+            raise ValueError(f"duplicate standing query id {qid!r}")
+        seen.add(qid)
+        if qtype in ("phrase", "term"):
+            text = entry.get("phrase") if qtype == "phrase" else entry.get("term")
+            terms = _split_phrase(text or "")
+            if not terms:
+                raise ValueError(f"standing query {qid!r} has no tokens")
+            if qtype == "term" and len(terms) != 1:
+                raise ValueError(
+                    f"term query {qid!r} must be a single token, got {terms}"
+                )
+            phrase_qs.append((qid, terms))
+        elif qtype == "near":
+            a = (entry.get("term_a") or "").lower()
+            b = (entry.get("term_b") or "").lower()
+            if not a or not b or a == b:
+                raise ValueError(
+                    f"near query {qid!r} needs two distinct terms"
+                )
+            near_qs.append(
+                (qid, a, b, int(entry.get("slop", 5)),
+                 bool(entry.get("in_order", False)))
+            )
+        else:
+            raise ValueError(f"unknown standing query type {qtype!r}")
+    all_terms = sorted(
+        {t for _, terms in phrase_qs for t in terms}
+        | {t for _, a, b, _, _ in near_qs for t in (a, b)}
+    )
     toks = tokenize_positions(docs, text_col, id_col).filter(
         F.col("term").isin(all_terms)
     )
+    if near_qs:
+        # near queries are per-query postings joins; persist the pruned
+        # relation so they read the (small) pruned rows, not the corpus.
+        toks = toks.persist()
     outs = []
-    for qid, terms in parsed:
-        m = _phrase_match(
-            toks.filter(F.col("term").isin(sorted(set(terms)))), terms, id_col
+    if phrase_qs:
+        outs.append(_phrase_match_many(toks, phrase_qs, id_col))
+    for qid, a, b, slop, in_order in near_qs:
+        m = _proximity_pairs(
+            toks.filter(F.col("term").isin([a, b])), a, b, slop, id_col,
+            in_order=in_order,
         )
-        outs.append(m.select(F.lit(qid).alias("query_id"), id_col, "n_matches"))
+        outs.append(
+            m.select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col),
+                F.col("n_pairs").alias("n_matches"),
+            )
+        )
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)
@@ -86,19 +147,25 @@ def start_percolator(
     trigger_seconds: int | None = None,
 ):
     """Run the percolator over a streaming document source; matches
-    append to ``alerts_path`` as parquet (query_id, id, n_matches,
-    batch_id). Each epoch writes under ``batch_id=N`` so a replayed
-    epoch overwrites its own previous attempt — the same idempotent
-    layout as the CDC DLQ/archive sinks (streaming/pipeline.py).
+    append to ``alerts_path`` as parquet (query_id, id, n_matches),
+    with ``batch_id`` recoverable via partition discovery (read the
+    alerts ROOT: ``spark.read.parquet(alerts_path)``). Each epoch
+    writes under ``batch_id=N`` so a replayed epoch overwrites its
+    own previous attempt — the same idempotent layout as the CDC
+    DLQ/archive sinks (streaming/pipeline.py).
     """
 
     def deliver(batch: DataFrame, epoch_id: int) -> None:
         matches = percolate(
             batch, standing, text_col=text_col, id_col=id_col
         )
-        matches.withColumn("batch_id", F.lit(epoch_id)).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(alerts_path, f"batch_id={epoch_id}"))
+        # batch_id is carried by the key=value DIRECTORY alone: a data
+        # column of the same name would collide with root-level
+        # partition discovery (spark.read.parquet(alerts_path) would
+        # see the column twice).
+        matches.write.mode("overwrite").parquet(
+            os.path.join(alerts_path, f"batch_id={epoch_id}")
+        )
 
     writer = (
         docs_stream.writeStream.foreachBatch(deliver)

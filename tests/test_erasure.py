@@ -54,6 +54,28 @@ def test_store_erasure_removes_only_requested_keys(spark, tmp_path):
             assert manifest_after[b] == v
 
 
+def test_erasure_removes_superseded_pii_version_immediately(spark, tmp_path):
+    """Erasure must not leave the erased rows readable in the touched
+    bucket's superseded version dir: unlike merge (which keeps v=prev
+    one extra generation for in-flight readers), erasure's contract is
+    physical PII removal NOW."""
+    store = _build_store(spark, tmp_path)
+    victims = [r["trans_id"] for r in store.table().limit(2).collect()]
+    manifest_before = dict(store._manifest()["buckets"])
+    probe = spark.createDataFrame([(k,) for k in victims], "_k long")
+    touched = {
+        str(r["_b"])
+        for r in probe.select(F.expr("pmod(hash(_k), 8)").alias("_b")).collect()
+    }
+    erase_keys(spark, store, victims)
+    for b in touched:
+        prev = manifest_before[b]
+        stale = os.path.join(store.path, f"b={b}", f"v={prev}")
+        assert not os.path.exists(stale), (
+            f"superseded version {stale} still holds erased rows"
+        )
+
+
 def test_erase_missing_key_is_noop(spark, tmp_path):
     store = _build_store(spark, tmp_path)
     gen = store.version()

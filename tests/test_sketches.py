@@ -118,11 +118,23 @@ def test_bottomk_prefilter_is_bit_identical_and_fallback_exact(spark, sf_dir):
         bottomk_value_sketches,
     )
 
+    from pyspark.sql import functions as F
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # a NULL-bucket group: groupBy keeps NULL as a group, so the
+    # prefilter's bucket joins must be null-safe or the whole group
+    # silently vanishes (the r6 ADVICE hazard).
+    ev = ev.withColumn(
+        "ts", F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(F.col("ts"))
+    )
 
     def canon(df):
         return sorted(
-            (r["bucket"], tuple(map(tuple, r["entries"])), r["n_rows"])
+            (
+                (r["bucket"] is None, r["bucket"]),
+                tuple(map(tuple, r["entries"])),
+                r["n_rows"],
+            )
             for r in df.collect()
         )
 
@@ -130,5 +142,6 @@ def test_bottomk_prefilter_is_bit_identical_and_fallback_exact(spark, sf_dir):
     naive = canon(bottomk_value_sketches(*args, k=64, prefilter=False))
     fast = canon(bottomk_value_sketches(*args, k=64))
     starved = canon(bottomk_value_sketches(*args, k=64, margin=0))
+    assert any(b[0] for b, _, _ in naive), "fixture must include a NULL bucket"
     assert fast == naive
     assert starved == naive
