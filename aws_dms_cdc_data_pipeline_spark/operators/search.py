@@ -501,6 +501,78 @@ def _proximity_pairs(
     )
 
 
+def proximity_search_many(
+    spark,
+    pos_table: str,
+    queries: dict[str, tuple],
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch span_near search against the positional index in ONE job:
+    ``queries`` maps query_id → (term_a, term_b, slop[, in_order]).
+    Returns (query_id, id, n_pairs, min_distance); per-query results
+    bit-identical to :func:`proximity_search_indexed` (tested).
+
+    Shape: the index prunes once to the union of all queries' terms;
+    a broadcast (query_id, term_a, term_b, slop, in_order) relation
+    fans the A-side postings to their queries, then ONE doc-keyed
+    join against the shared pruned postings evaluates every query's
+    band predicate — per-query work is its own postings rows, never
+    an extra scan or plan branch.
+    """
+    parsed = []
+    for qid, spec in queries.items():
+        a, b = spec[0].lower(), spec[1].lower()
+        slop = int(spec[2]) if len(spec) > 2 else 5
+        in_order = bool(spec[3]) if len(spec) > 3 else False
+        if not a or not b or a == b:
+            raise ValueError(f"near query {qid!r} needs two distinct terms")
+        parsed.append((qid, a, b, slop, in_order))
+    if not parsed:
+        raise ValueError("proximity_search_many needs at least one query")
+    all_terms = sorted({t for _, a, b, _, _ in parsed for t in (a, b)})
+    toks = spark.table(pos_table).filter(F.col("term").isin(all_terms))
+    return _proximity_pairs_many(toks, parsed, id_col)
+
+
+def _proximity_pairs_many(
+    toks: DataFrame, queries: list[tuple[str, str, str, int, bool]],
+    id_col: str,
+) -> DataFrame:
+    """Shared batched span_near over a pruned (id, term, pos) relation:
+    broadcast query map onto the A-side postings, one doc-keyed join
+    against the B-side postings, every query's band predicate in the
+    join condition."""
+    spark = toks.sparkSession
+    qdf = spark.createDataFrame(
+        sorted(set(queries)),
+        "query_id string, _ta string, _tb string, _slop long, _ord boolean",
+    )
+    pa = toks.join(
+        F.broadcast(qdf), F.col("term") == F.col("_ta")
+    ).select("query_id", "_tb", "_slop", "_ord", F.col(id_col),
+             F.col("pos").alias("_pa"))
+    pb = toks.select(
+        F.col(id_col).alias("_idb"), F.col("term").alias("_termb"),
+        F.col("pos").alias("_pb"),
+    )
+    pairs = pa.join(
+        pb,
+        (F.col(id_col) == F.col("_idb"))
+        & (F.col("_tb") == F.col("_termb"))
+        & (F.abs(F.col("_pa") - F.col("_pb")) <= F.col("_slop"))
+        & (~F.col("_ord") | (F.col("_pa") < F.col("_pb"))),
+    )
+    return (
+        pairs.groupBy("query_id", F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min(F.abs(F.col("_pa") - F.col("_pb"))).cast("long")
+            .alias("min_distance"),
+        )
+    )
+
+
 def ensure_position_index(
     spark,
     docs: DataFrame,
@@ -823,6 +895,7 @@ __all__ = [
     "refresh_token_index",
     "proximity_search",
     "proximity_search_indexed",
+    "proximity_search_many",
     "tfidf_top_terms_indexed",
     "tokenize",
     "tokenize_positions",

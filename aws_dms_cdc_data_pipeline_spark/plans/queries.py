@@ -4055,6 +4055,131 @@ def percolate_standing_queries_q(spark, sf_dir):
     return percolate(docs, _STANDING)
 
 
+_TOKS_CTE = """
+    WITH dw AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS term
+        FROM dw, UNNEST(generate_series(1, len(ws))) AS s(i)
+    )
+"""
+
+
+def _phrase_leg_sql(qid: str, terms: list[str]) -> str:
+    """One UNION leg of a multi-phrase oracle: the per-query window
+    formulation (the INDEPENDENT check of the engine's shared
+    anchor-vote pass — deliberately a different algorithm)."""
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    conds = [f"term = '{terms[0]}'"]
+    for i, t in enumerate(terms[1:], start=1):
+        conds.append(
+            f"lead(term, {i}) OVER w = '{t}' "
+            f"AND lead(pos, {i}) OVER w = pos + {i}"
+        )
+    cond = " AND ".join(conds)
+    return f"""
+    SELECT '{qid}' AS query_id, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM (
+        SELECT doc_id, ({cond}) AS hit
+        FROM (SELECT * FROM toks WHERE term IN ({in_list}))
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE hit GROUP BY doc_id"""
+
+
+def _near_leg_sql(qid: str, a: str, b: str, slop: int, in_order: bool) -> str:
+    order_cond = " AND p_a < p_b" if in_order else ""
+    return f"""
+    SELECT '{qid}' AS query_id, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM (
+        SELECT pa.doc_id
+        FROM (SELECT doc_id, pos AS p_a FROM toks WHERE term = '{a}') pa
+        JOIN (SELECT doc_id, pos AS p_b FROM toks WHERE term = '{b}') pb
+          USING (doc_id)
+        WHERE abs(p_a - p_b) <= {slop}{order_cond}
+    ) GROUP BY doc_id"""
+
+
+_TYPED_STANDING = [
+    {"query_id": "a_phrase", "type": "phrase", "phrase": "stream table hash"},
+    {"query_id": "a_term", "type": "term", "term": "spark"},
+    {"query_id": "a_near", "type": "near", "term_a": "stream",
+     "term_b": "hash", "slop": 6},
+    {"query_id": "a_near_ord", "type": "near", "term_a": "row",
+     "term_b": "sort", "slop": 8, "in_order": True},
+]
+
+
+@q(
+    "percolate_typed_alerts",
+    _TOKS_CTE
+    + "\n    UNION ALL\n".join(
+        [
+            _phrase_leg_sql("a_phrase", "stream table hash".split()),
+            _phrase_leg_sql("a_term", ["spark"]),
+            _near_leg_sql("a_near", "stream", "hash", 6, False),
+            _near_leg_sql("a_near_ord", "row", "sort", 8, True),
+        ]
+    ),
+    "Percolator with the full OpenSearch alert-type surface — "
+    "match_phrase, term, and span_near (unordered + in_order) "
+    "standing queries in ONE batch call: phrase/term queries share "
+    "the single anchor-vote corpus pass, near queries reuse the same "
+    "pruned positional relation (persisted — no extra corpus scans); "
+    "per-query hits bit-identical to the ad-hoc single-query "
+    "operators (streaming/percolate.py:percolate).",
+)
+def percolate_typed_alerts_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.streaming.percolate import percolate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return percolate(docs, _TYPED_STANDING)
+
+
+_PHRASE_BATCH = {
+    "p_sth": "stream table hash",
+    "p_rcs": "row column sort",
+    "p_spark": "spark",
+    "p_sb": "shuffle broadcast",
+}
+
+
+@q(
+    "phrase_search_multi",
+    _TOKS_CTE
+    + "\n    UNION ALL\n".join(
+        _phrase_leg_sql(qid, p.split()) for qid, p in sorted(_PHRASE_BATCH.items())
+    ),
+    "Batch multi-phrase search against the materialized positional "
+    "index (operators/search.py:phrase_search_many) — the positional "
+    "completion of the E133 batch-BM25 story: the index prunes ONCE "
+    "to the union of all phrases' tokens, a broadcast (query_id, "
+    "term, offset) map fans postings to their queries, and one "
+    "anchor-vote aggregation resolves every phrase — corpus work "
+    "independent of query count, per-query results bit-identical to "
+    "the single-phrase indexed path (parity-tested). Oracle is the "
+    "per-query window formulation — a different algorithm checking "
+    "the same semantics.",
+)
+def phrase_search_multi_q(spark, sf_dir):
+    import re as _re
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_position_index,
+        phrase_search_many,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    name = _re.sub(r"[^a-zA-Z0-9]+", "_", sf_dir.strip("/")).lower()
+    pos = ensure_position_index(spark, docs, name)
+    return phrase_search_many(spark, pos, _PHRASE_BATCH)
+
+
 @q(
     "proximity_search_ordered",
     f"""

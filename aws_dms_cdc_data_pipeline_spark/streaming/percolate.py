@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from aws_dms_cdc_data_pipeline_spark.operators.search import (
     _phrase_match_many,
-    _proximity_pairs,
+    _proximity_pairs_many,
     _split_phrase,
     tokenize_positions,
 )
@@ -60,8 +60,9 @@ def percolate(
     (operators/search.py:_phrase_match_many) — no per-query plan
     branches, so the batch text is scanned exactly once and corpus
     work is independent of how many queries stand. ``near`` queries
-    reuse the same pruned relation (persisted when present, so they
-    cost per-query postings joins, never extra corpus scans);
+    batch the same way through one shared span_near pass
+    (_proximity_pairs_many) over the same pruned relation (persisted
+    when both groups are present — still one corpus scan total);
     per-query hits stay bit-identical to the ad-hoc single-query
     operators (asserted in tests).
     """
@@ -110,21 +111,21 @@ def percolate(
     toks = tokenize_positions(docs, text_col, id_col).filter(
         F.col("term").isin(all_terms)
     )
-    if near_qs:
-        # near queries are per-query postings joins; persist the pruned
-        # relation so they read the (small) pruned rows, not the corpus.
+    if phrase_qs and near_qs:
+        # both passes read the pruned relation; persist it so the
+        # corpus tokenizes once (1 scan + an InMemoryTableScan reuse).
         toks = toks.persist()
     outs = []
     if phrase_qs:
         outs.append(_phrase_match_many(toks, phrase_qs, id_col))
-    for qid, a, b, slop, in_order in near_qs:
-        m = _proximity_pairs(
-            toks.filter(F.col("term").isin([a, b])), a, b, slop, id_col,
-            in_order=in_order,
-        )
+    if near_qs:
+        # ALL near queries share one batched span_near pass too — a
+        # per-query branch would grow the plan (and the tokenize work
+        # without the persist) linearly in the alert count.
+        m = _proximity_pairs_many(toks, near_qs, id_col)
         outs.append(
             m.select(
-                F.lit(qid).alias("query_id"),
+                "query_id",
                 F.col(id_col),
                 F.col("n_pairs").alias("n_matches"),
             )

@@ -53,6 +53,9 @@ HEADLINE = (
     "tfidf_top_terms_indexed",
     "phrase_search_docs",
     "bm25_multi_query",
+    # r7: the rewritten one-scan percolator + batch positional search
+    "percolate_standing_queries",
+    "phrase_search_multi",
 )
 
 
@@ -79,6 +82,7 @@ SCALE_SUBSET = (
     "tfidf_top_terms_indexed",
     "phrase_search_docs",
     "proximity_search_docs",
+    "phrase_search_multi",
     "ann_brute_force_topk",
     "event_transition_matrix",
 )
@@ -214,6 +218,18 @@ def main() -> None:
             )
         except Exception as e:  # optional tier — never fail the bench
             print(f"cdc tier skipped: {e}", file=sys.stderr)
+
+    # search-serving tier: percolator query-count scaling (shared
+    # anchor-vote pass — wall at 100 standing queries should be far
+    # under 10× the wall at 10) + streaming token-index maintenance
+    # (append docs/s through the maintainer + freshness-to-searchable)
+    if not os.environ.get("SPARK_GRAFT_SKIP_SERVING"):
+        try:
+            from tools.bench_serving import run as serving_run
+
+            payload["search_serving"] = serving_run(spark=spark, sf_dir=sf_dir)
+        except Exception as e:  # optional tier — never fail the bench
+            print(f"serving tier skipped: {e}", file=sys.stderr)
 
     print(json.dumps(payload))
 

@@ -137,6 +137,36 @@ def test_phrase_search_many_matches_single(spark, tmp_path, sf_dir):
     assert got == expect and got
 
 
+def test_proximity_search_many_matches_single(spark, tmp_path, sf_dir):
+    """Batch span_near ≡ per-query indexed span_near, bit-for-bit."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_position_index,
+        proximity_search_indexed,
+        proximity_search_many,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    pos_t = ensure_position_index(spark, docs, "t_prox_many")
+    queries = {
+        "n1": ("data", "pipeline", 4),
+        "n2": ("the", "of", 3, True),
+        "n3": ("spark", "stream", 8),
+    }
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_pairs"], r["min_distance"])
+        for r in proximity_search_many(spark, pos_t, queries).collect()
+    }
+    expect = {}
+    for qid, spec in queries.items():
+        a, b, slop = spec[0], spec[1], spec[2]
+        ordered = bool(spec[3]) if len(spec) > 3 else False
+        for r in proximity_search_indexed(
+            spark, pos_t, a, b, slop=slop, in_order=ordered
+        ).collect():
+            expect[(qid, r["doc_id"])] = (r["n_pairs"], r["min_distance"])
+    assert got == expect and got
+
+
 def test_percolator_stream_equals_batch(spark, tmp_path):
     src = tmp_path / "docs_in"
     src.mkdir()

@@ -1,0 +1,185 @@
+"""Search-serving benches: percolator query-count scaling + streaming
+token-index maintenance.
+
+Two measurements the per-query bench sweep can't see:
+
+1. **Percolator scaling** — the whole point of the r7 shared
+   anchor-vote pass (streaming/percolate.py:percolate) is that corpus
+   work is independent of how many queries stand. Measured directly:
+   wall time at 10 vs 100 standing phrase/term queries over the same
+   corpus. A per-query-scan implementation scales ~10×; the shared
+   pass should scale well under 2× (the only per-query cost is
+   anchor-group rows for matching terms).
+
+2. **Token-index maintenance** — the streaming maintainer
+   (streaming/percolate.py:start_index_maintainer) keeps the E126
+   index current from a document stream. Measured: append throughput
+   (docs/s through availableNow micro-batches, full tokenize +
+   bucketed append per batch) and FRESHNESS — seconds from "stream
+   drained" to "an indexed BM25 query over the union corpus
+   returns", i.e. what a just-ingested document costs to become
+   searchable (refresh + bucket-pruned query, no rebuild).
+
+Standing queries are generated from the corpus's own frequent terms
+(deterministic: top unigrams by df), so they genuinely match — an
+alerting workload over live vocabulary, not synthetic misses.
+
+Usage: python tools/bench_serving.py [sf_dir]   (or imported by bench.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _standing_queries(spark, docs, n: int) -> list[dict]:
+    """Deterministic standing-query set from the corpus's own top-df
+    unigrams: alternating two-term phrases, single terms, and a few
+    span_near alerts — the OpenSearch alert-mix shape."""
+    from pyspark.sql import functions as F
+
+    terms = [
+        r["term"]
+        for r in (
+            docs.select(
+                F.explode(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                        lambda x: x != F.lit(""),
+                    )
+                ).alias("term")
+            )
+            .groupBy("term")
+            .count()
+            .orderBy(F.col("count").desc(), "term")
+            .limit(max(40, n))
+            .collect()
+        )
+    ]
+    out: list[dict] = []
+    for i in range(n):
+        a = terms[i % len(terms)]
+        b = terms[(i * 7 + 3) % len(terms)]
+        if i % 5 == 4 and a != b:
+            out.append(
+                {"query_id": f"near_{i}", "type": "near", "term_a": a,
+                 "term_b": b, "slop": 5, "in_order": i % 2 == 0}
+            )
+        elif i % 3 == 2 or a == b:
+            out.append({"query_id": f"term_{i}", "type": "term", "term": a})
+        else:
+            out.append(
+                {"query_id": f"ph_{i}", "type": "phrase", "phrase": f"{a} {b}"}
+            )
+    return out
+
+
+def percolator_scaling(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from aws_dms_cdc_data_pipeline_spark.streaming.percolate import percolate
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    qs = _standing_queries(spark, docs, 100)
+    out: dict = {"corpus_docs": docs.count()}
+    for n in (10, 100):
+        sub = qs[:n]
+        # steady-state like the query bench: run twice, record second
+        percolate(docs, sub).write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        percolate(docs, sub).write.format("noop").mode("overwrite").save()
+        out[f"wall_sec_{n}q"] = round(time.time() - t0, 3)
+    out["scaling_10x_queries"] = round(
+        out["wall_sec_100q"] / out["wall_sec_10q"], 2
+    )
+    return out
+
+
+def index_maintenance(spark, sf_dir: str, *, n_batches: int = 8) -> dict:
+    """Stream the corpus through the index maintainer in ``n_batches``
+    availableNow micro-batches; report append throughput + freshness."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bm25_search_indexed,
+        ensure_token_index,
+        refresh_token_index,
+    )
+    from aws_dms_cdc_data_pipeline_spark.streaming.percolate import (
+        start_index_maintainer,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    tmp = tempfile.mkdtemp(prefix="idx_maint_bench_")
+    src = os.path.join(tmp, "stream")
+    # split the corpus into n_batches JSON files OFF the clock
+    (
+        docs.select("doc_id", "text")
+        .repartition(n_batches)
+        .write.mode("overwrite")
+        .json(src)
+    )
+    # fresh empty index (drop any previous bench run's tables)
+    for t in ("tokidx_bench_maint", "toklen_bench_maint"):
+        spark.sql(f"DROP TABLE IF EXISTS tokcache.{t}")
+    idx_t, dl_t = ensure_token_index(
+        spark, docs.filter(F.lit(False)), "bench_maint"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    t0 = time.time()
+    q = start_index_maintainer(stream, idx_t, dl_t, os.path.join(tmp, "ckpt"))
+    q.awaitTermination()
+    drain = time.time() - t0
+    # freshness: stream just drained — how long until an indexed query
+    # over the union corpus answers (session refresh + pruned read)?
+    t1 = time.time()
+    refresh_token_index(spark, idx_t, dl_t)
+    hits = bm25_search_indexed(
+        spark, idx_t, dl_t, ["data", "pipeline"], top_k=10
+    ).collect()
+    fresh = time.time() - t1
+    indexed = spark.table(dl_t).count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "n_docs": n_docs,
+        "n_batches": n_batches,
+        "indexed_docs": indexed,
+        "append_wall_sec": round(drain, 3),
+        "append_docs_per_sec": round(n_docs / drain, 1),
+        "freshness_query_sec": round(fresh, 3),
+        "probe_hits": len(hits),
+    }
+
+
+def run(spark=None, sf_dir: str | None = None) -> dict:
+    if spark is None:
+        from aws_dms_cdc_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("bench-serving")
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    return {
+        "percolator": percolator_scaling(spark, sf_dir),
+        "token_index_maintenance": index_maintenance(spark, sf_dir),
+    }
+
+
+if __name__ == "__main__":
+    out = run(sf_dir=sys.argv[1] if len(sys.argv) > 1 else None)
+    print(json.dumps(out))

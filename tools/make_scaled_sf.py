@@ -17,8 +17,13 @@ amortizes and per-query times measure real work:
   dims grow slower than facts, and fixed dims keep broadcast-join
   plan shapes honest at scale.
 - ``documents``: replicas get a per-replica TOKEN SALT (every word
-  suffixed with ``~r<i>`` for i>0), so replicas share NO n-grams /
-  shingles with each other or the originals. Naive replication would
+  suffixed with ``saltr<i>`` for i>0 — alnum-contiguous, so the salt
+  survives BOTH the whitespace shingle split AND the ``[^a-z0-9]+``
+  alnum tokenizer; the earlier ``~r<i>`` form split apart under the
+  alnum tokenizer, leaving bm25/tfidf/phrase sf1 numbers measuring
+  volume only, not vocabulary growth), so replicas share NO
+  n-grams / shingles / tokens with each other or the originals.
+  Naive replication would
   make every replica a near-dup of its original — candidate pairs
   would grow ×factor² (an adversarial workload, not a scale-up);
   salting preserves each replica's INTERNAL dup structure, so pair
@@ -112,7 +117,7 @@ def build(src: str, dst: str, factor: int) -> None:
                CASE WHEN r.i = 0 THEN text
                     ELSE array_to_string(
                         list_transform(string_split(text, ' '),
-                                       x -> x || '~r' || r.i), ' ')
+                                       x -> x || 'saltr' || r.i), ' ')
                END AS text,
                lang, source, n_chars
         FROM read_parquet('{src}/documents.parquet')
