@@ -1,0 +1,392 @@
+"""Retrieval-serving operators completing the OpenSearch query surface.
+
+The reference's terminal store is an OpenSearch index (firehose.py:
+114-155); beyond plain ranked search (operators/search.py) its
+serving surface includes hybrid lexical+dense ranking, more-like-this
+expansion, hit highlighting, and search-as-you-type completion. Each
+is re-expressed Spark-first here, exactly-reproducible (quantized
+rational arithmetic, deterministic tie-breaks) so every operator is
+oracle-checkable cross-engine:
+
+- :func:`rrf_fuse` — reciprocal-rank fusion of ANY ranked lists
+  (the standard hybrid-search combiner: OpenSearch hybrid query /
+  Cormack & Clarke 2009). Rank-only, so heterogeneous scores
+  (BM25 vs cosine) need no calibration.
+- :func:`more_like_this` — seed-document similarity query: the
+  seed's top TF-IDF terms become a BM25 query (Lucene MoreLikeThis
+  parity).
+- :func:`search_snippets` — best highlight window per document:
+  the fixed-width token window containing the most query-term hits
+  (earliest such window on ties).
+- :func:`autocomplete_prefix` — prefix completion over the
+  materialized token index ranked by document frequency.
+
+Scale shapes: every operator is a bounded prune/join over the
+materialized token index or the pruned positional relation — no
+corpus re-tokenization, no data-sized collects, no cross joins
+beyond broadcast literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_FP = 1_000_000  # 6-decimal fixed point (shared with operators/search.py)
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    top_k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion: ``score(d) = Σ_legs 1/(k + rank_leg(d))``.
+
+    Each leg is a ranked list carrying (id, rank) — ranks 1-based,
+    missing documents contribute nothing. Returns
+    (id, rrf_score, n_legs_hit) ordered (rrf_score DESC, id ASC),
+    limited to ``top_k``. Per-term contributions quantize to 6
+    decimals as integers before the order-independent sum, so the
+    result is bit-identical across engines and partitionings.
+
+    Execution: legs union by name (no barrier — each leg is already
+    a top-k-sized relation), one hash aggregate on the id, and the
+    final cut compiles to TakeOrderedAndProject. Fusing k-sized
+    lists costs O(Σ|legs|), independent of corpus size.
+    """
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one ranked leg")
+    contrib = F.round(F.lit(float(_FP)) / (F.lit(k_const) + F.col(rank_col)), 0)
+    tagged = [
+        leg.select(F.col(id_col), contrib.cast("long").alias("_c"))
+        for leg in legs
+    ]
+    allc = tagged[0]
+    for t in tagged[1:]:
+        allc = allc.unionByName(t)
+    return (
+        allc.groupBy(id_col)
+        .agg(
+            (F.sum("_c").cast("decimal(38,0)") / F.lit(_FP))
+            .cast("double")
+            .alias("rrf_score"),
+            F.count(F.lit(1)).cast("long").alias("n_legs_hit"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def more_like_this(
+    spark,
+    idx_table: str,
+    dl_table: str,
+    seed_id,
+    *,
+    id_col: str = "doc_id",
+    m_terms: int = 8,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Documents most similar to a SEED document (Lucene MoreLikeThis
+    / OpenSearch ``more_like_this`` parity): the seed's ``m_terms``
+    most characteristic terms (highest smoothed TF-IDF against the
+    whole index, ties by term ASC) form a BM25 query; the seed itself
+    is excluded. Returns (id, score, n_terms_hit) ordered
+    (score DESC, id ASC).
+
+    Deliberate, documented semantics: the per-term ``df`` used in the
+    BM25 scoring counts matching documents EXCLUDING the seed (the
+    seed is removed from the hit relation before scoring), while the
+    TF-IDF term selection uses the full-corpus df — both choices are
+    mirrored exactly by the oracle SQL.
+
+    Execution: term selection needs the seed's postings and
+    corpus-level df — the index is bucketed BY TERM, so the doc-id
+    probe and the df aggregate are each one full index pass (cheap
+    relative to re-tokenizing the corpus, which never happens, but
+    not pruned; a deployment serving MLT at rate keeps the forward
+    projection — the same (id, term, tf) rows bucketed by id, as the
+    dl table already is — making the seed probe a bucket-pruned
+    lookup, and materializes df alongside). The m selected terms then
+    broadcast-join back onto the index, so SCORING work is the
+    selected terms' postings only.
+    """
+    from aws_dms_cdc_data_pipeline_spark.operators.search import _bm25_rank
+
+    from pyspark.sql import Window
+
+    tf = spark.table(idx_table)
+    dl = spark.table(dl_table)
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = dl.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    seed = (
+        tf.filter(F.col(id_col) == F.lit(seed_id))
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("_n") + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("_tfidf").desc(), "term")
+    top_terms = (
+        seed.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= m_terms)
+        .select("term")
+    )
+    hits = tf.join(F.broadcast(top_terms), "term").filter(
+        F.col(id_col) != F.lit(seed_id)
+    )
+    return _bm25_rank(hits, dl, id_col=id_col, k1=k1, b=b, top_k=top_k)
+
+
+def search_snippets(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    width: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Best highlight window per matching document (OpenSearch
+    highlighter parity, deterministic form): among all windows of
+    ``width`` token positions starting at a query-term hit, pick the
+    one containing the MOST query-term occurrences; earliest window
+    wins ties. Returns (id, start_pos, end_pos, n_hits) for documents
+    with ≥1 hit, ordered (n_hits DESC, id ASC).
+
+    Execution: the positional relation prunes to the query terms at
+    the scan; each doc's candidate windows are a RANGE-frame count
+    over its pruned hit rows (``pos`` range [0, width)), then one
+    rank picks the per-doc winner — work per doc is its own hit
+    count, nothing document-sized moves, one exchange on the id.
+    """
+    from pyspark.sql import Window
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        tokenize_positions,
+    )
+
+    if not query_terms:
+        raise ValueError("search_snippets needs at least one query term")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = tokenize_positions(docs, text_col, id_col).filter(
+        F.col("term").isin(terms)
+    )
+    wr = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rangeBetween(0, width - 1)
+    )
+    cand = toks.withColumn("_hits", F.count(F.lit(1)).over(wr))
+    wpick = Window.partitionBy(id_col).orderBy(
+        F.col("_hits").desc(), F.col("pos").asc()
+    )
+    return (
+        cand.withColumn("_r", F.row_number().over(wpick))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("start_pos"),
+            (F.col("pos") + width - 1).cast("long").alias("end_pos"),
+            F.col("_hits").cast("long").alias("n_hits"),
+        )
+        .orderBy(F.col("n_hits").desc(), F.col(id_col).asc())
+    )
+
+
+def autocomplete_prefix(
+    spark,
+    idx_table: str,
+    prefix: str,
+    *,
+    top_k: int = 10,
+) -> DataFrame:
+    """Search-as-you-type completion from the materialized token
+    index: terms starting with ``prefix`` ranked by document
+    frequency (ties by term ASC). Returns (term, df, total_tf).
+
+    Execution: one filtered aggregate over the index — df per term is
+    shuffle-free (the index is bucketed BY TERM, so a term's postings
+    are co-located). The hash bucketing cannot prune a PREFIX
+    predicate the way it prunes equality probes; a deployment serving
+    heavy autocomplete traffic should range-cluster the index on term
+    (maintenance/layout.py:rewrite_range_clustered) so the scan skips
+    row groups by min/max term stats — the same data, a
+    prefix-prunable layout.
+    """
+    p = prefix.lower()
+    if not p:
+        raise ValueError("autocomplete_prefix needs a non-empty prefix")
+    return (
+        spark.table(idx_table)
+        .filter(F.col("term").startswith(p))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(top_k)
+    )
+
+
+def spell_suggest(
+    spark,
+    idx_table: str,
+    query_terms: list[str],
+    *,
+    max_dist: int = 2,
+    top_k: int = 3,
+) -> DataFrame:
+    """Did-you-mean suggestions (OpenSearch term suggester / Lucene
+    DirectSpellChecker parity): for each query term, the corpus
+    vocabulary terms within ``max_dist`` Levenshtein edits, ranked
+    (distance ASC, df DESC, term ASC), top ``top_k`` per query term.
+    Returns (query_term, suggestion, distance, df). A query term that
+    IS a vocabulary term suggests itself at distance 0 (callers
+    typically filter those client-side; keeping them makes the
+    operator a pure function of (vocab, terms)).
+
+    Execution: the vocabulary relation is df-per-term over the token
+    index (shuffle-free — the index is term-bucketed); the query
+    terms ride in as a broadcast literal relation, so the edit
+    distance evaluates scan-side against each vocab term exactly once
+    per query term — O(|vocab| × |query|) JVM-side `levenshtein`
+    calls, no Python, no shuffle of anything vocabulary-sized (the
+    rank window moves only rows that passed the distance cut).
+    A real deployment bounds the scan further with the standard
+    length-band prefilter (|len(v) − len(q)| ≤ max_dist), applied
+    here too since it is free.
+    """
+    if not query_terms:
+        raise ValueError("spell_suggest needs at least one query term")
+    from pyspark.sql import Window
+
+    terms = sorted({t.lower() for t in query_terms})
+    qdf = spark.createDataFrame(
+        [(t,) for t in terms], "query_term string"
+    )
+    vocab = (
+        spark.table(idx_table)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    cand = (
+        vocab.crossJoin(F.broadcast(qdf))
+        .filter(
+            F.abs(F.length("term") - F.length("query_term")) <= max_dist
+        )
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col("term"), F.col("query_term")).cast("long"),
+        )
+        .filter(F.col("distance") <= max_dist)
+    )
+    w = Window.partitionBy("query_term").orderBy(
+        F.col("distance").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= top_k)
+        .select(
+            "query_term", F.col("term").alias("suggestion"),
+            "distance", "df",
+        )
+    )
+
+
+def retrieval_eval(
+    results: DataFrame,
+    gold: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Ranking-quality metrics per query — the eval loop of a
+    retrieval/training-data pipeline: given ranked ``results``
+    (query_id, id, rank; rank 1-based, ≤ one row per (query, id))
+    and a ``gold`` relevance set (query_id, id), computes per query:
+
+    - ``recall_at_k``  = |retrieved@k ∩ gold| / |gold|
+    - ``mrr``          = 1 / rank of the first relevant hit (0 if none)
+    - ``ndcg_at_k``    = DCG@k / ideal-DCG@k with binary gains,
+      ``DCG = Σ_relevant 1/log2(rank+1)``
+
+    Every metric is quantized to 6 decimals through integer sums, so
+    the output is bit-identical across engines and partitionings
+    (recall/MRR are exact rationals; the nDCG log terms round to 6
+    before an order-independent fixed-point sum — a libm ulp cannot
+    move the 6th decimal of log2 on rank-sized integers). Queries
+    with gold but no results still emit a row (all-zero metrics);
+    queries without gold are undefined and omitted.
+
+    Execution: one outer join of two (query, id)-keyed relations +
+    one aggregate per query — both sides are top-k/gold-sized, never
+    corpus-sized.
+    """
+    res = results.select(
+        F.col(query_id_col), F.col(id_col), F.col(rank_col).alias("_rank")
+    ).filter(F.col("_rank") <= k)
+    g = gold.select(F.col(query_id_col), F.col(id_col), F.lit(1).alias("_rel"))
+    joined = g.join(res, [query_id_col, id_col], "left")
+    gain_q = F.when(
+        F.col("_rank").isNotNull(),
+        F.round(F.lit(float(_FP)) / F.log2(F.col("_rank") + F.lit(1.0)), 0),
+    ).otherwise(F.lit(0.0)).cast("long")
+    per_q = joined.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_gold"),
+        F.sum(F.when(F.col("_rank").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("_n_hit"),
+        F.min("_rank").alias("_first_rank"),
+        F.sum(gain_q).cast("long").alias("_dcg_q"),
+    )
+    # ideal DCG@k for n_gold binary-relevant docs: ranks 1..min(n, k)
+    idcg_q = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("_n_gold"), F.lit(k)).cast("int")),
+        F.lit(0).cast("long"),
+        lambda acc, r: acc
+        + F.round(
+            F.lit(float(_FP)) / F.log2(r.cast("double") + F.lit(1.0)), 0
+        ).cast("long"),
+    )
+    return per_q.select(
+        F.col(query_id_col),
+        F.round(F.col("_n_hit") / F.col("_n_gold"), 6).alias("recall_at_k"),
+        F.when(F.col("_first_rank").isNotNull(),
+               F.round(F.lit(1.0) / F.col("_first_rank"), 6))
+        .otherwise(F.lit(0.0)).alias("mrr"),
+        F.round(
+            (F.col("_dcg_q").cast("double") / idcg_q.cast("double")), 6
+        ).alias("ndcg_at_k"),
+    )
+
+
+__all__ = [
+    "autocomplete_prefix",
+    "more_like_this",
+    "retrieval_eval",
+    "rrf_fuse",
+    "search_snippets",
+    "spell_suggest",
+]

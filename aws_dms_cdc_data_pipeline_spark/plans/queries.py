@@ -4180,6 +4180,403 @@ def phrase_search_multi_q(spark, sf_dir):
     return phrase_search_many(spark, pos, _PHRASE_BATCH)
 
 
+_BM25_SUB_SQL = """
+    WITH tok AS (
+        SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM documents,
+             LATERAL (SELECT unnest(string_split_regex(lower(text),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+        GROUP BY doc_id, t.term
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tok GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+    hits AS (SELECT * FROM tok
+             WHERE term IN ('broadcast', 'shuffle', 'spark')),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM hits GROUP BY term),
+    contrib AS (
+        SELECT h.doc_id,
+               CAST(round(
+                   ((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * ((h.tf * (1.2 + 1)) /
+                      (h.tf + 1.2 * ((1 - 0.75) + 0.75 * l.dl
+                                     / (CAST(s.total_dl AS DOUBLE) / s.n_docs))))
+                   * 1000000, 0) AS BIGINT) AS cq
+        FROM hits h JOIN dfs d USING (term)
+                    JOIN dl l USING (doc_id)
+                    CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(CAST(SUM(cq) AS DECIMAL(38,0)) / 1000000 AS DOUBLE) AS score
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 30
+"""
+
+
+@q(
+    "hybrid_search_rrf",
+    f"""
+    WITH lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM ({_BM25_SUB_SQL})
+    ),
+    dense AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+        FROM (
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+            FROM embeddings e
+            CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                        FROM embeddings WHERE vec_id = 0) q
+            ORDER BY cosine DESC, vec_id LIMIT 30
+        )
+    ),
+    c AS (
+        SELECT doc_id,
+               CAST(round(1000000.0 / (60 + rank), 0) AS BIGINT) AS cq
+        FROM lex
+        UNION ALL
+        SELECT doc_id,
+               CAST(round(1000000.0 / (60 + rank), 0) AS BIGINT) AS cq
+        FROM dense
+    )
+    SELECT doc_id,
+           CAST(CAST(SUM(cq) AS DECIMAL(38,0)) / 1000000 AS DOUBLE)
+               AS rrf_score,
+           CAST(COUNT(*) AS BIGINT) AS n_legs_hit
+    FROM c GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 15
+    """,
+    "Hybrid lexical+dense retrieval fused by reciprocal-rank fusion "
+    "(OpenSearch hybrid query / Cormack & Clarke 2009 — "
+    "operators/retrieval.py:rrf_fuse): BM25 top-30 from the "
+    "materialized token index and exact-cosine top-30 against a "
+    "query embedding fuse rank-only (no score calibration), "
+    "quantized-exact so the fused ranking is bit-identical "
+    "cross-engine. Fusion cost is O(sum of leg sizes), independent "
+    "of corpus size; the doc/vec id spaces align in the fixtures "
+    "(documented assumption of the composed query, not the fuser).",
+)
+def hybrid_search_rrf_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import rrf_fuse
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bm25_search_indexed,
+    )
+
+    idx_t, dl_t = _token_index_for(spark, sf_dir)
+    wlex = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = (
+        bm25_search_indexed(
+            spark, idx_t, dl_t, ["spark", "shuffle", "broadcast"], top_k=30
+        )
+        .withColumn("rank", F.row_number().over(wlex))
+        .select("doc_id", "rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dense = V.brute_force_topk(emb, qdf, k=30).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").cast("int").alias("rank")
+    )
+    return rrf_fuse([lex, dense], top_k=15)
+
+
+@q(
+    "more_like_this_doc",
+    """
+    WITH tok AS (
+        SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM documents,
+             LATERAL (SELECT unnest(string_split_regex(lower(text),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+        GROUP BY doc_id, t.term
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tok GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tok GROUP BY term),
+    seed AS (
+        SELECT tok.term,
+               round(tf * (ln(CAST(n_docs + 1 AS DOUBLE)
+                              / CAST(df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf
+        FROM tok JOIN dfreq USING (term) CROSS JOIN stats
+        WHERE doc_id = 7
+    ),
+    sel AS (
+        SELECT term FROM (
+            SELECT term, row_number() OVER (ORDER BY tfidf DESC, term) AS r
+            FROM seed
+        ) WHERE r <= 8
+    ),
+    hits AS (SELECT tok.* FROM tok JOIN sel USING (term)
+             WHERE doc_id <> 7),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM hits GROUP BY term),
+    contrib AS (
+        SELECT h.doc_id,
+               CAST(round(
+                   ((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * ((h.tf * (1.2 + 1)) /
+                      (h.tf + 1.2 * ((1 - 0.75) + 0.75 * l.dl
+                                     / (CAST(s.total_dl AS DOUBLE) / s.n_docs))))
+                   * 1000000, 0) AS BIGINT) AS cq
+        FROM hits h JOIN dfs d USING (term)
+                    JOIN dl l USING (doc_id)
+                    CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(CAST(SUM(cq) AS DECIMAL(38,0)) / 1000000 AS DOUBLE) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+    "More-like-this: the seed document's 8 highest-TF-IDF terms "
+    "become a BM25 query, seed excluded (Lucene MoreLikeThis / "
+    "OpenSearch more_like_this parity — "
+    "operators/retrieval.py:more_like_this). Term selection reads "
+    "ONE doc's postings (bucket-pruned); scoring work is the "
+    "selected terms' postings only; per-term df in scoring counts "
+    "matching docs excluding the seed (documented choice, mirrored "
+    "by the oracle); the seed probe and df stats are full index "
+    "passes (term-bucketed index can't doc-prune — the operator "
+    "docstring names the id-bucketed forward projection as the "
+    "serving-rate shape). The corpus text is never re-read.",
+)
+def more_like_this_doc_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        more_like_this,
+    )
+
+    idx_t, dl_t = _token_index_for(spark, sf_dir)
+    return more_like_this(spark, idx_t, dl_t, 7, m_terms=8, top_k=10)
+
+
+@q(
+    "search_snippets_docs",
+    _TOKS_CTE
+    + """
+    , pruned AS (SELECT * FROM toks
+                 WHERE term IN ('spark', 'stream', 'table')),
+    cand AS (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                              RANGE BETWEEN CURRENT ROW
+                              AND 7 FOLLOWING) AS hits
+        FROM pruned
+    ),
+    pick AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY hits DESC, pos ASC) AS r
+        FROM cand
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS start_pos,
+           CAST(pos + 7 AS BIGINT) AS end_pos,
+           CAST(hits AS BIGINT) AS n_hits
+    FROM pick WHERE r = 1
+    ORDER BY n_hits DESC, doc_id ASC
+    """,
+    "Best highlight window per matching document (OpenSearch "
+    "highlighter parity, deterministic form — "
+    "operators/retrieval.py:search_snippets): among width-8 token "
+    "windows starting at a query-term hit, the one with the most "
+    "query-term occurrences wins (earliest on ties). Positional "
+    "relation prunes to the query terms at the scan; candidate "
+    "windows are a RANGE-frame count over each doc's own hit rows — "
+    "one exchange on the id, nothing document-sized moves.",
+)
+def search_snippets_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        search_snippets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return search_snippets(docs, ["spark", "stream", "table"], width=8)
+
+
+@q(
+    "autocomplete_prefix_s",
+    """
+    WITH tok AS (
+        SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM documents,
+             LATERAL (SELECT unnest(string_split_regex(lower(text),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+        GROUP BY doc_id, t.term
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf
+    FROM tok WHERE term LIKE 's%'
+    GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+    """,
+    "Search-as-you-type prefix completion from the materialized "
+    "token index ranked by document frequency "
+    "(operators/retrieval.py:autocomplete_prefix): one filtered "
+    "aggregate — df per term is shuffle-free on the term-bucketed "
+    "index. Hash buckets can't prune a prefix predicate; the "
+    "docstring names the range-clustered layout "
+    "(maintenance/layout.py) as the prefix-prunable deployment "
+    "shape for heavy autocomplete traffic.",
+)
+def autocomplete_prefix_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        autocomplete_prefix,
+    )
+
+    idx_t, _ = _token_index_for(spark, sf_dir)
+    return autocomplete_prefix(spark, idx_t, "s", top_k=10)
+
+
+@q(
+    "spell_suggest_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM documents,
+             LATERAL (SELECT unnest(string_split_regex(lower(text),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+        GROUP BY doc_id, t.term
+    ),
+    vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tok GROUP BY term),
+    qt AS (SELECT * FROM (VALUES ('spak'), ('strem'), ('tble'),
+                                 ('windoow')) v(query_term)),
+    cand AS (
+        SELECT query_term, term AS suggestion,
+               CAST(levenshtein(term, query_term) AS BIGINT) AS distance,
+               df
+        FROM vocab CROSS JOIN qt
+        WHERE abs(length(term) - length(query_term)) <= 2
+          AND levenshtein(term, query_term) <= 2
+    )
+    SELECT query_term, suggestion, distance, df
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_term
+                    ORDER BY distance ASC, df DESC, suggestion ASC) AS r
+          FROM cand)
+    WHERE r <= 3
+    """,
+    "Did-you-mean spelling suggestions (OpenSearch term suggester / "
+    "Lucene DirectSpellChecker parity — "
+    "operators/retrieval.py:spell_suggest): corpus-vocabulary terms "
+    "within 2 Levenshtein edits of each query term, ranked (distance "
+    "ASC, df DESC, term ASC), top-3 per term. Vocabulary df is "
+    "shuffle-free on the term-bucketed index; query terms ride a "
+    "broadcast literal; the free length-band prefilter bounds the "
+    "edit-distance work.",
+)
+def spell_suggest_terms_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        spell_suggest,
+    )
+
+    idx_t, _ = _token_index_for(spark, sf_dir)
+    return spell_suggest(
+        spark, idx_t, ["spak", "strem", "tble", "windoow"],
+        max_dist=2, top_k=3,
+    )
+
+
+@q(
+    "retrieval_eval_ann",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS ql
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            q.qv), 6) AS cosine
+        FROM embeddings e CROSS JOIN q
+    ),
+    res AS (
+        SELECT query_id, vec_id, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored)
+        WHERE rank <= 10
+    ),
+    gold AS (SELECT q.query_id, e.vec_id
+             FROM embeddings e JOIN q ON e.label = q.ql),
+    j AS (
+        SELECT g.query_id, g.vec_id, r.rank
+        FROM gold g LEFT JOIN res r
+          ON g.query_id = r.query_id AND g.vec_id = r.vec_id
+    ),
+    per AS (
+        SELECT query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_gold,
+               CAST(SUM(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               MIN(rank) AS first_rank,
+               CAST(SUM(CASE WHEN rank IS NOT NULL
+                        THEN CAST(round(1000000.0 / log2(rank + 1.0), 0)
+                                  AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS dcg_q
+        FROM j GROUP BY query_id
+    ),
+    ideal AS (
+        SELECT per.query_id,
+               CAST(SUM(CAST(round(1000000.0 / log2(s.r + 1.0), 0)
+                             AS BIGINT)) AS BIGINT) AS idcg_q
+        FROM per, UNNEST(generate_series(1, LEAST(n_gold, 10))) s(r)
+        GROUP BY per.query_id
+    )
+    SELECT per.query_id,
+           round(CAST(n_hit AS DOUBLE) / n_gold, 6) AS recall_at_k,
+           CASE WHEN first_rank IS NOT NULL
+                THEN round(1.0 / first_rank, 6) ELSE 0.0 END AS mrr,
+           round(CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE), 6)
+               AS ndcg_at_k
+    FROM per JOIN ideal ON per.query_id = ideal.query_id
+    """,
+    "Retrieval-quality evaluation (recall@10 / MRR / nDCG@10) of the "
+    "exact-cosine top-10 against a label-relevance gold set — the "
+    "eval loop of a retrieval/training-data pipeline as ONE query "
+    "(operators/retrieval.py:retrieval_eval): gold and result "
+    "relations are top-k/label-sized, one outer join + one aggregate "
+    "per query; every metric quantizes through integer sums so the "
+    "output is bit-identical cross-engine (nDCG's log2 terms round "
+    "to 6 before an order-independent fixed-point sum). "
+    "Self-retrieval counts as a hit (documented choice, mirrored by "
+    "the oracle).",
+)
+def retrieval_eval_ann_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        retrieval_eval,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    res = V.brute_force_topk(emb, qdf, k=10).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rank")
+    )
+    qlab = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    gold = emb.join(
+        F.broadcast(qlab), emb["label"] == qlab["_ql"]
+    ).select("query_id", F.col("vec_id").alias("doc_id"))
+    return retrieval_eval(res, gold, k=10)
+
+
 @q(
     "proximity_search_ordered",
     f"""
@@ -5503,70 +5900,70 @@ def dormant_high_value_customers_q(spark, sf_dir):
 # embedding_similarity_pairs, json_extract_props — lead that list).
 # ===========================================================================
 
-_R6_WINDOW = [
-    # pinned CDC smoke + flagship relational (green every round)
-    "cdc_current_state",
-    "cdc_event_time_range",
-    "cdc_envelope_roundtrip",
-    "cdc_selection_filter",
-    "cdc_dedup_replay",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    # the 9 never-driver-checked late-r5 additions (r6 queue)
-    "window_value_funcs",
-    "training_export_wide",
-    "lineitem_quarantine",
-    "temperature_mixture_sample",
-    "error_then_purchase_sessions",
-    "duplicated_char_spans",
-    "embedded_doc_neighbors",
-    "weekly_value_quantiles_from_sketches",
-    "quality_weighted_sample",
-    # r5-green continuity anchor (flagship relational, also in bench)
-    "regional_revenue",
-    # code paths changed in r6: sampling thresholds + sketches
-    "domain_mixture_sample",
-    "hash_sample_quarter",
-    "weekly_users_from_sketches",
-    # stalest green rows (last checked r3) — continuity re-checks
-    "join_semi_high_qty",
-    "join_anti_no_orders",
-    "join_left_order_counts",
-    "agg_distinct_customers",
-    "agg_rollup_qty",
-    "agg_cube_status_priority",
-    "pivot_returnflag_linestatus",
-    "window_rank_orders",
-    "window_running_qty",
-    "window_lag_price",
-    "set_union_segments",
-    "set_intersect_buyers",
-    "set_except_nonbuyers",
-    "scalar_subquery_above_avg",
-    "distinct_user_event_pairs",
-    "exact_dedup_docs",
-    "ngram_jaccard_pairs",
-    "text_token_counts",
-    "text_quality_scores",
-    "text_lang_id",
-    # new in r6: the materialized-token-index production paths +
-    # positional phrase search
-    "bm25_keyword_search_indexed",
-    "tfidf_top_terms_indexed",
-    "phrase_search_docs",
-    "phrase_search_docs_indexed",
-    "proximity_search_docs",
-    "bigram_collocations",
+# Driver-gate rotation: the external correctness gate samples the FIRST
+# 50 registry entries, so each round reorders REGISTRY to put that
+# round's window up front. r7 window = the 6 new retrieval/percolator
+# queries + 9 queries whose implementation changed in r6/r7 after their
+# last driver row (minhash size-prefilter, containment/percolator
+# rewrites, bottom-k null-safe joins, bm25 batch validation) + the
+# stalest green rows (r3/r4 vintage) by CORRECTNESS_r0N age.
+_R7_WINDOW = [
+    "percolate_typed_alerts",
+    "phrase_search_multi",
+    "hybrid_search_rrf",
+    "more_like_this_doc",
+    "search_snippets_docs",
+    "autocomplete_prefix_s",
+    "minhash_lsh_pairs",
+    "near_dedup_canonical",
+    "simhash_pairs",
+    "tfidf_top_terms",
+    "bm25_keyword_search",
     "ngram_containment_pairs",
-    "bm25_multi_query",
-    "proximity_search_ordered",
     "percolate_standing_queries",
+    "weekly_value_quantiles_from_sketches",
+    "bm25_multi_query",
+    "ann_lsh_topk",
+    "array_agg_devices",
+    "embedding_near_dup_lsh",
+    "embedding_similarity_pairs",
+    "filtered_aggregates",
+    "having_supplier_qty",
+    "json_extract_props",
+    "multimodal_media_stats",
+    "regexp_part_names",
+    "salted_supplier_qty",
+    "scalar_conditional_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "text_fingerprints",
+    "ann_brute_force_topk",
+    "ann_ivf_topk",
+    "approx_distinct_users",
+    "asof_purchase_last_visit",
+    "balanced_domain_sample",
+    "benchmark_contamination",
+    "cdc_scd2_history",
+    "cdc_schema_drift",
+    "cdc_state_as_of",
+    "centroid_label_confusion",
+    "chunk_documents",
+    "corpus_shuffle_order",
+    "curate_training_corpus",
+    "dataset_split_assignment",
+    "doc_length_histogram",
+    "grouping_sets_revenue",
+    "join_full_nation_activity",
+    "label_centroids",
+    "spell_suggest_terms",
+    "retrieval_eval_ann",
 ]
 
-assert len(_R6_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R6_WINDOW)}"
-assert len(set(_R6_WINDOW)) == 50, "duplicate entries in window"
-assert all(name in REGISTRY for name in _R6_WINDOW), "window list drifted"
+assert len(_R7_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R7_WINDOW)}"
+assert len(set(_R7_WINDOW)) == 50, "duplicate entries in window"
+assert all(name in REGISTRY for name in _R7_WINDOW), "window list drifted"
 REGISTRY = {
-    **{k: REGISTRY[k] for k in _R6_WINDOW},
-    **{k: v for k, v in REGISTRY.items() if k not in _R6_WINDOW},
+    **{k: REGISTRY[k] for k in _R7_WINDOW},
+    **{k: v for k, v in REGISTRY.items() if k not in _R7_WINDOW},
 }

@@ -1,0 +1,176 @@
+"""Retrieval-serving operators: RRF fusion, more-like-this, snippets,
+prefix autocomplete (operators/retrieval.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+    autocomplete_prefix,
+    more_like_this,
+    rrf_fuse,
+    search_snippets,
+)
+
+
+def test_rrf_fuse_math_and_missing_docs(spark):
+    """Hand-checked RRF: doc in both legs beats doc in one; missing
+    leg contributes nothing; ties break by id."""
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    dense = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id long, rank int"
+    )
+    rows = {
+        r["doc_id"]: (r["rrf_score"], r["n_legs_hit"])
+        for r in rrf_fuse([lex, dense], k_const=60, top_k=10).collect()
+    }
+    # doc 2: 1/62 + 1/61 -> quantized sum
+    assert rows[2] == (round((round(1e6 / 62) + round(1e6 / 61)) / 1e6, 6), 2)
+    assert rows[1] == (round(round(1e6 / 61) / 1e6, 6), 1)
+    assert rows[4][1] == 1
+    assert rows[2][0] > rows[1][0] > rows[3][0]
+    order = [
+        r["doc_id"] for r in rrf_fuse([lex, dense], top_k=10).collect()
+    ]
+    assert order[0] == 2  # both legs
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_rrf_fuse_single_leg_is_rank_order(spark):
+    leg = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    got = [r["doc_id"] for r in rrf_fuse([leg], top_k=2).collect()]
+    assert got == [10, 20]
+
+
+def test_more_like_this_excludes_seed_and_finds_twin(spark):
+    """A near-duplicate of the seed must rank first; the seed itself
+    never appears."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quantum flux capacitor resonance chamber design"),
+            (2, "quantum flux capacitor resonance chamber design notes"),
+            (3, "cooking pasta with tomato sauce and basil"),
+            (4, "flux measurements in a resonance chamber"),
+        ],
+        "doc_id long, text string",
+    )
+    idx, dl = ensure_token_index(spark, docs, "t_mlt")
+    out = more_like_this(spark, idx, dl, 1, m_terms=5, top_k=5).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 1 not in ids
+    assert ids[0] == 2  # the twin
+    assert 3 not in ids or ids[-1] == 3  # unrelated doc never outranks
+
+
+def test_search_snippets_picks_densest_window(spark):
+    docs = spark.createDataFrame(
+        [
+            # hits at 0 and 1 and 2 (window [0,3] has 3) vs lone hit at 9
+            (1, "cat dog cat x x x x x x dog"),
+            (2, "x x x x x x x x x x"),
+            (3, "x cat x x x x dog cat dog x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["start_pos"], r["end_pos"], r["n_hits"])
+        for r in search_snippets(docs, ["cat", "dog"], width=4).collect()
+    }
+    assert out[1] == (0, 3, 3)
+    assert 2 not in out  # no hits, no snippet
+    assert out[3] == (6, 9, 3)  # dog@6 cat@7 dog@8 densest
+    with pytest.raises(ValueError):
+        search_snippets(docs, [])
+
+
+def test_spell_suggest_ranking_and_bands(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        spell_suggest,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark sparks apple"),
+            (2, "spark shark apple"),
+            (3, "stark apple"),
+        ],
+        "doc_id long, text string",
+    )
+    idx, _ = ensure_token_index(spark, docs, "t_spell")
+    got = [
+        (r["query_term"], r["suggestion"], r["distance"], r["df"])
+        for r in spell_suggest(spark, idx, ["spak"], max_dist=2, top_k=3)
+        .orderBy("distance", F.col("df").desc(), "suggestion")
+        .collect()
+    ]
+    # spark d=1 df=2 beats shark/stark d=2; ties at d=2 by df then term
+    assert got[0] == ("spak", "spark", 1, 2)
+    assert {g[1] for g in got[1:]} <= {"shark", "stark", "sparks"}
+    with pytest.raises(ValueError):
+        spell_suggest(spark, idx, [])
+
+
+def test_retrieval_eval_hand_checked(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        retrieval_eval,
+    )
+
+    # q1: gold {10, 20, 30}; retrieved ranks: 10@1, 20@3 (30 missed)
+    # q2: gold {40}; nothing retrieved
+    res = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 99, 2), ("q1", 20, 3)],
+        "query_id string, doc_id long, rank long",
+    )
+    gold = spark.createDataFrame(
+        [("q1", 10), ("q1", 20), ("q1", 30), ("q2", 40)],
+        "query_id string, doc_id long",
+    )
+    out = {
+        r["query_id"]: (r["recall_at_k"], r["mrr"], r["ndcg_at_k"])
+        for r in retrieval_eval(res, gold, k=10).collect()
+    }
+    import math
+
+    q = lambda r: round(1e6 / math.log2(r + 1))
+    dcg = q(1) + q(3)
+    idcg = q(1) + q(2) + q(3)
+    assert out["q1"] == (
+        round(2 / 3, 6),
+        1.0,
+        round(dcg / idcg, 6),
+    )
+    assert out["q2"] == (0.0, 0.0, 0.0)
+
+
+def test_autocomplete_prefix_ranks_by_df(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "stream stream stone apple"),
+            (2, "stream stone apple"),
+            (3, "stream strike apple"),
+        ],
+        "doc_id long, text string",
+    )
+    idx, _ = ensure_token_index(spark, docs, "t_auto")
+    got = [
+        (r["term"], r["df"], r["total_tf"])
+        for r in autocomplete_prefix(spark, idx, "st").collect()
+    ]
+    assert got == [("stream", 3, 4), ("stone", 2, 2), ("strike", 1, 1)]
+    with pytest.raises(ValueError):
+        autocomplete_prefix(spark, idx, "")
