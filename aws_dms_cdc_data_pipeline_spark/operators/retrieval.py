@@ -91,6 +91,7 @@ def more_like_this(
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int = 10,
+    fwd_table: str | None = None,
 ) -> DataFrame:
     """Documents most similar to a SEED document (Lucene MoreLikeThis
     / OpenSearch ``more_like_this`` parity): the seed's ``m_terms``
@@ -106,15 +107,17 @@ def more_like_this(
     mirrored exactly by the oracle SQL.
 
     Execution: term selection needs the seed's postings and
-    corpus-level df — the index is bucketed BY TERM, so the doc-id
-    probe and the df aggregate are each one full index pass (cheap
-    relative to re-tokenizing the corpus, which never happens, but
-    not pruned; a deployment serving MLT at rate keeps the forward
-    projection — the same (id, term, tf) rows bucketed by id, as the
-    dl table already is — making the seed probe a bucket-pruned
-    lookup, and materializes df alongside). The m selected terms then
-    broadcast-join back onto the index, so SCORING work is the
-    selected terms' postings only.
+    corpus-level df. The index is bucketed BY TERM, so with only the
+    index the doc-id probe is one full index pass (cheap relative to
+    re-tokenizing the corpus, which never happens, but not pruned);
+    pass ``fwd_table`` (the id-bucketed forward projection from
+    :func:`~aws_dms_cdc_data_pipeline_spark.operators.search.
+    ensure_forward_index`) and the seed probe becomes a bucket-pruned
+    lookup — the serving-rate shape (results identical either way;
+    parity-tested). The df aggregate stays one shuffle-free pass over
+    the term-bucketed index. The m selected terms then broadcast-join
+    back onto the index, so SCORING work is the selected terms'
+    postings only.
     """
     from aws_dms_cdc_data_pipeline_spark.operators.search import _bm25_rank
 
@@ -126,8 +129,9 @@ def more_like_this(
         F.count(F.lit(1)).cast("long").alias("df")
     )
     n_docs = dl.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    seed_src = spark.table(fwd_table) if fwd_table else tf
     seed = (
-        tf.filter(F.col(id_col) == F.lit(seed_id))
+        seed_src.filter(F.col(id_col) == F.lit(seed_id))
         .join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(

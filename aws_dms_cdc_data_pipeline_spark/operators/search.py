@@ -600,6 +600,42 @@ def ensure_position_index(
     return pos_table
 
 
+def ensure_forward_index(
+    spark,
+    idx_table: str,
+    name: str,
+    *,
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> str:
+    """Materialize the FORWARD projection of the token index — the
+    same (id, term, tf) rows bucketed BY ID as ``tokfwd_<name>`` —
+    so doc-keyed probes (more-like-this seed lookup, per-doc vector
+    assembly) bucket-prune instead of scanning the term-bucketed
+    index. Derived from the existing index, so the corpus text is
+    not re-tokenized. Idempotent per session.
+
+    Caveat that matters in practice: Spark's auto-bucketed-scan
+    heuristic keeps a bucketed scan only when some operator needs the
+    bucket distribution — a bare point probe has none, so it falls
+    back to a full (filter-pushed) scan. A session serving point
+    probes should set
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false``,
+    after which the probe plan shows ``SelectedBucketsCount: 1 out
+    of N`` (asserted in tests). Joins/aggregations on the bucket key
+    prune either way."""
+    fwd_table = f"{_cache_db(spark)}.tokfwd_{name}"
+    if not spark.catalog.tableExists(fwd_table):
+        from aws_dms_cdc_data_pipeline_spark.sinks.bucketed import write_bucketed
+
+        _drop_stale_location(spark, fwd_table)
+        write_bucketed(
+            spark.table(idx_table), fwd_table, bucket_col=id_col,
+            num_buckets=num_buckets,
+        )
+    return fwd_table
+
+
 def _split_phrase(phrase: str) -> list[str]:
     import re
 
@@ -698,6 +734,34 @@ def append_to_token_index(
     # refresh_token_index themselves — Spark's table-relation cache
     # is per-session and silently serves the stale file listing.
     refresh_token_index(spark, idx_table, dl_table)
+
+
+def append_to_position_index(
+    spark,
+    new_docs: DataFrame,
+    pos_table: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> None:
+    """Incrementally maintain the POSITIONAL index
+    (:func:`ensure_position_index`): tokenize only the new batch and
+    append its (id, term, pos) rows under the same term bucketing —
+    phrase/proximity/indexed-percolation queries see the union corpus
+    exactly as if the index had been rebuilt (bit-parity tested).
+    Same new-ids-only contract and O(batch) cost as
+    :func:`append_to_token_index`."""
+    from aws_dms_cdc_data_pipeline_spark.sinks.bucketed import write_bucketed
+
+    write_bucketed(
+        tokenize_positions(new_docs, text_col, id_col),
+        pos_table,
+        bucket_col="term",
+        num_buckets=num_buckets,
+        mode="append",
+    )
+    refresh_token_index(spark, pos_table)
 
 
 def refresh_token_index(spark, *tables: str) -> None:
@@ -882,11 +946,13 @@ def bm25_oracle_sql(
 
 
 __all__ = [
+    "append_to_position_index",
     "append_to_token_index",
     "bm25_search",
     "bm25_search_indexed",
     "bm25_search_many",
     "bm25_oracle_sql",
+    "ensure_forward_index",
     "ensure_position_index",
     "ensure_token_index",
     "phrase_search",

@@ -189,6 +189,7 @@ def start_index_maintainer(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 16,
+    pos_table: str | None = None,
     available_now: bool = True,
     trigger_seconds: int | None = None,
 ):
@@ -206,8 +207,14 @@ def start_index_maintainer(
     txn ids; documented, not hidden). New-ids-only contract matches
     ``append_to_token_index``: route documents through the CDC
     dedup/current-state path first if the stream can re-deliver.
+
+    Pass ``pos_table`` (an :func:`ensure_position_index` table) to
+    keep the POSITIONAL index current too — phrase / proximity /
+    indexed-percolation queries then also see the union corpus with
+    no rebuild (stream ≡ rebuild bit-parity asserted in tests).
     """
     from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        append_to_position_index,
         append_to_token_index,
     )
 
@@ -221,6 +228,15 @@ def start_index_maintainer(
             id_col=id_col,
             num_buckets=num_buckets,
         )
+        if pos_table is not None:
+            append_to_position_index(
+                batch.sparkSession,
+                batch,
+                pos_table,
+                text_col=text_col,
+                id_col=id_col,
+                num_buckets=num_buckets,
+            )
 
     writer = (
         docs_stream.writeStream.foreachBatch(deliver)

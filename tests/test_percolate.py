@@ -206,6 +206,85 @@ def test_percolator_stream_equals_batch(spark, tmp_path):
     assert alerts.select("batch_id").distinct().count() >= 2
 
 
+def test_streaming_positional_index_maintainer(spark, tmp_path, sf_dir):
+    """With pos_table given, the maintainer keeps the POSITIONAL index
+    current too: phrase search over the streamed index ≡ a one-shot
+    rebuild, bit-for-bit."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_position_index,
+        ensure_token_index,
+        phrase_search_indexed,
+        refresh_token_index,
+    )
+    from aws_dms_cdc_data_pipeline_spark.streaming.percolate import (
+        start_index_maintainer,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    empty = docs.filter(F.lit(False))
+    idx_s, dl_s = ensure_token_index(spark, empty, "t_pos_maint")
+    pos_s = ensure_position_index(spark, empty, "t_pos_maint")
+    src = tmp_path / "docs_pos_stream"
+    src.mkdir()
+    rows = [
+        (r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()
+    ]
+    for fname, chunk in (("f1.jsonl", rows[::2]), ("f2.jsonl", rows[1::2])):
+        with open(src / fname, "w") as f:
+            for doc_id, text in chunk:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_index_maintainer(
+        stream, idx_s, dl_s, str(tmp_path / "ckpt_pos"), pos_table=pos_s
+    )
+    q.awaitTermination()
+    refresh_token_index(spark, pos_s)
+    pos_f = ensure_position_index(spark, docs, "t_pos_rebuild")
+    streamed = [
+        tuple(r)
+        for r in phrase_search_indexed(spark, pos_s, "spark").collect()
+    ]
+    rebuilt = [
+        tuple(r)
+        for r in phrase_search_indexed(spark, pos_f, "spark").collect()
+    ]
+    assert streamed == rebuilt and streamed
+
+
+def test_percolator_stream_typed_queries(spark, tmp_path):
+    """The streaming leg passes typed (phrase|term|near) standing
+    queries through unchanged: streamed alerts ≡ batch percolate."""
+    standing = [
+        {"query_id": "p", "type": "phrase", "phrase": "quick brown fox"},
+        {"query_id": "n", "type": "near", "term_a": "quick",
+         "term_b": "spark", "slop": 6},
+    ]
+    src = tmp_path / "docs_typed"
+    src.mkdir()
+    with open(src / "a.jsonl", "w") as f:
+        for doc_id, text in DOCS:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = start_percolator(
+        stream, standing, str(tmp_path / "alerts_t"), str(tmp_path / "ckpt_t")
+    )
+    q.awaitTermination()
+    alerts = spark.read.parquet(str(tmp_path / "alerts_t"))
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_matches"] for r in alerts.collect()
+    }
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    batch = {
+        (r["query_id"], r["doc_id"]): r["n_matches"]
+        for r in percolate(docs, standing).collect()
+    }
+    assert got == batch and got
+
+
 def test_streaming_index_maintainer_equals_rebuild(spark, tmp_path, sf_dir):
     """Streamed appends produce a token index identical to a one-shot
     full-corpus build: bm25 over both is bit-identical."""

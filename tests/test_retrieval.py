@@ -70,6 +70,44 @@ def test_more_like_this_excludes_seed_and_finds_twin(spark):
     assert 3 not in ids or ids[-1] == 3  # unrelated doc never outranks
 
 
+def test_more_like_this_forward_index_parity_and_pruning(spark, sf_dir):
+    """The id-bucketed forward projection gives identical MLT results
+    and actually prunes the seed probe to its bucket's files."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_forward_index,
+        ensure_token_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    idx, dl = ensure_token_index(spark, docs, "t_mlt_fwd")
+    fwd = ensure_forward_index(spark, idx, "t_mlt_fwd")
+    base = [
+        tuple(r)
+        for r in more_like_this(spark, idx, dl, 7, m_terms=6).collect()
+    ]
+    via_fwd = [
+        tuple(r)
+        for r in more_like_this(
+            spark, idx, dl, 7, m_terms=6, fwd_table=fwd
+        ).collect()
+    ]
+    assert base == via_fwd and base
+    # pruning proof: the physical scan selects 1 of the 16 buckets
+    # for the id probe. Spark's autoBucketedScan heuristic only keeps
+    # a bucketed scan when an operator needs the distribution — a
+    # bare point probe has none, so pruning requires the auto scan
+    # off (documented in ensure_forward_index / more_like_this).
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        probe = spark.table(fwd).filter(F.col("doc_id") == 7)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 16" in plan, plan
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_search_snippets_picks_densest_window(spark):
     docs = spark.createDataFrame(
         [
