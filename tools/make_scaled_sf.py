@@ -16,13 +16,22 @@ amortizes and per-query times measure real work:
 - Dimensions (``region nation customer supplier part``) copy as-is:
   dims grow slower than facts, and fixed dims keep broadcast-join
   plan shapes honest at scale.
-- ``documents``: replicas get a per-replica TOKEN SALT (every word
-  suffixed with ``saltr<i>`` for i>0 — alnum-contiguous, so the salt
-  survives BOTH the whitespace shingle split AND the ``[^a-z0-9]+``
-  alnum tokenizer; the earlier ``~r<i>`` form split apart under the
-  alnum tokenizer, leaving bm25/tfidf/phrase sf1 numbers measuring
-  volume only, not vocabulary growth), so replicas share NO
-  n-grams / shingles / tokens with each other or the originals.
+- ``documents``: replica tokens are WORD-WISE HASH REPLACEMENTS
+  (word → ``md5(word|i)[:4]`` for i>0). The mapping is a per-replica
+  bijection (whp), so each replica's INTERNAL near-dup structure is
+  preserved exactly, while replicas share NO tokens with each other
+  or the originals. Three properties, all load-bearing and all
+  violated by earlier salt forms: (1) tokens are alnum-contiguous
+  (hex), so the ``[^a-z0-9]+`` tokenizer sees 10× vocabulary growth
+  — the ``~r<i>`` suffix split apart under it, making bm25/tfidf
+  sf1 numbers measure volume only; (2) CHARACTER k-shingles carry no
+  shared salt substrings — a constant suffix (``saltr<i>``) put
+  identical 5-grams like ``saltr`` inside every salted word, driving
+  cross-replica char-shingle Jaccard to ~0.45 and exploding minhash
+  LSH candidates 50× (measured); hash replacement measures J=0.000
+  cross-replica; (3) 4 hex chars ≈ the mean word length, so
+  within-replica char-shingle similarity tracks the base corpus
+  (measured 0.09–0.18 vs base 0.09–0.24) instead of inflating.
   Naive replication would
   make every replica a near-dup of its original — candidate pairs
   would grow ×factor² (an adversarial workload, not a scale-up);
@@ -117,7 +126,8 @@ def build(src: str, dst: str, factor: int) -> None:
                CASE WHEN r.i = 0 THEN text
                     ELSE array_to_string(
                         list_transform(string_split(text, ' '),
-                                       x -> x || 'saltr' || r.i), ' ')
+                                       x -> substr(md5(x || '|' || r.i),
+                                                   1, 4)), ' ')
                END AS text,
                lang, source, n_chars
         FROM read_parquet('{src}/documents.parquet')
