@@ -764,6 +764,50 @@ def append_to_position_index(
     refresh_token_index(spark, pos_table)
 
 
+def compact_token_index(
+    spark,
+    table: str,
+    *,
+    bucket_col: str,
+    num_buckets: int = 16,
+) -> dict:
+    """Compact an appended index table: every streaming-maintainer
+    trigger / incremental append adds one file per written bucket, so
+    a long-lived maintained index accumulates small files and every
+    query pays their open/footer overhead (the classic small-files
+    tax; the archive sink has the same hygiene job in
+    maintenance/compact.py). Rewrites the table's rows once under the
+    SAME bucketing spec — bucket pruning, shuffle-free term
+    aggregation, and co-located joins keep working, and query results
+    are bit-identical (tested) — via a staging table + catalog
+    rename, so a crash mid-compaction leaves the original table
+    intact (the stale staging table is dropped on retry). Returns
+    ``{"files_before": N, "files_after": M, "rows": R}``.
+
+    Run it off the query path on a cadence keyed to trigger rate —
+    e.g. hourly for a 60 s-trigger maintainer (≈60 files/bucket/hour
+    at 16 buckets). O(index) I/O, zero corpus work.
+    """
+    from aws_dms_cdc_data_pipeline_spark.sinks.bucketed import write_bucketed
+
+    src = spark.table(table)
+    files_before = len(src.inputFiles())
+    rows = src.count()
+    tmp = f"{table}_compact_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    _drop_stale_location(spark, tmp)
+    write_bucketed(src, tmp, bucket_col=bucket_col, num_buckets=num_buckets)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    refresh_token_index(spark, table)
+    files_after = len(spark.table(table).inputFiles())
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows,
+    }
+
+
 def refresh_token_index(spark, *tables: str) -> None:
     """Invalidate this session's cached file listings for index
     tables appended by ANOTHER session (a streaming maintainer, a
@@ -952,6 +996,7 @@ __all__ = [
     "bm25_search_indexed",
     "bm25_search_many",
     "bm25_oracle_sql",
+    "compact_token_index",
     "ensure_forward_index",
     "ensure_position_index",
     "ensure_token_index",

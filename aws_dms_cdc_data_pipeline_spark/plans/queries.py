@@ -1389,7 +1389,7 @@ def regexp_part_names(spark, sf_dir):
 
 
 @q(
-    "grouping_sets_revenue",
+    "proximity_search_docs_indexed",
     f"""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
            {_dsum_sql('o_totalprice', 'total')}
@@ -3927,6 +3927,31 @@ def proximity_search_docs_q(spark, sf_dir):
     return proximity_search(docs, _PROX[0], _PROX[1], slop=_PROX[2])
 
 
+@q(
+    "proximity_search_docs_indexed",
+    REGISTRY["proximity_search_docs"].oracle,
+    "Proximity search served from the MATERIALIZED positional index "
+    "(operators/search.py:proximity_search_indexed): the two probe "
+    "terms' postings bucket-prune at the read, the corpus text is "
+    "never re-tokenized — the production serving shape beside the "
+    "ad-hoc form (same oracle, bit-identical results).",
+)
+def proximity_search_docs_indexed_q(spark, sf_dir):
+    import re as _re
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_position_index,
+        proximity_search_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    name = _re.sub(r"[^a-zA-Z0-9]+", "_", sf_dir.strip("/")).lower()
+    pos = ensure_position_index(spark, docs, name)
+    return proximity_search_indexed(
+        spark, pos, _PROX[0], _PROX[1], slop=_PROX[2]
+    )
+
+
 _BM25_BATCH = [('q_core', ['spark', 'shuffle', 'broadcast']), ('q_win', ['window', 'fast', 'query']), ('q_io', ['scan', 'table'])]
 
 
@@ -5953,7 +5978,7 @@ _R7_WINDOW = [
     "curate_training_corpus",
     "dataset_split_assignment",
     "doc_length_histogram",
-    "grouping_sets_revenue",
+    "proximity_search_docs_indexed",
     "join_full_nation_activity",
     "label_centroids",
     "spell_suggest_terms",

@@ -81,7 +81,9 @@ SCALE_SUBSET = (
     "bm25_keyword_search_indexed",
     "tfidf_top_terms_indexed",
     "phrase_search_docs",
+    "phrase_search_docs_indexed",
     "proximity_search_docs",
+    "proximity_search_docs_indexed",
     "phrase_search_multi",
     "ann_brute_force_topk",
     "event_transition_matrix",

@@ -337,3 +337,46 @@ def test_streaming_index_maintainer_equals_rebuild(spark, tmp_path, sf_dir):
         for r in bm25_search_indexed(spark, idx_f, dl_f, terms, top_k=20).collect()
     ]
     assert streamed == rebuilt and streamed
+
+
+def test_compact_token_index_reduces_files_preserves_results(spark, sf_dir):
+    """After several appends the index holds one file per (bucket,
+    append); compaction rewrites to one file per bucket with
+    bit-identical query results and working bucket pruning."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        append_to_token_index,
+        bm25_search_indexed,
+        compact_token_index,
+        ensure_token_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+    chunks = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    empty = docs.filter(F.lit(False))
+    idx, dl = ensure_token_index(spark, empty, "t_compact")
+    for c in chunks:
+        append_to_token_index(spark, c, idx, dl)
+    before = [
+        tuple(r)
+        for r in bm25_search_indexed(spark, idx, dl, ["spark", "table"]).collect()
+    ]
+    stats = compact_token_index(spark, idx, bucket_col="term")
+    assert stats["files_after"] < stats["files_before"], stats
+    after = [
+        tuple(r)
+        for r in bm25_search_indexed(spark, idx, dl, ["spark", "table"]).collect()
+    ]
+    assert before == after and before
+    # bucketing spec survived the staging rename: a term-key aggregate
+    # over the compacted table still reads a bucketed scan
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        plan = (
+            spark.table(idx).filter(F.col("term") == "spark")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SelectedBucketsCount: 1 out of 16" in plan, plan
+    finally:
+        spark.conf.set(key, prev)
