@@ -386,8 +386,93 @@ def retrieval_eval(
     )
 
 
+def facet_counts(
+    hits: DataFrame,
+    docs: DataFrame,
+    facet_cols: list[str],
+    *,
+    id_col: str = "doc_id",
+    stat_col: str | None = None,
+) -> DataFrame:
+    """Facet aggregations over a search hit set (OpenSearch
+    aggregations-on-query parity — the Discover sidebar counts):
+    group the hits' documents by ``facet_cols``, count per bucket,
+    and (when ``stat_col`` is given) add exact min/max/avg of that
+    numeric column (avg exact via decimal accumulation — bit-stable
+    across partitionings). Returns (facet..., n_hits, and
+    ``<stat>_min/_max/_avg``), ordered (n_hits DESC, facets ASC).
+
+    Execution: the hit set is top-k-sized, so it BROADCASTS into the
+    documents join — the corpus never shuffles and only the hits'
+    rows leave the scan; one facet-keyed aggregate follows. At 100 TB
+    the join is a broadcast-hash probe over the pruned doc scan.
+    """
+    if not facet_cols:
+        raise ValueError("facet_counts needs at least one facet column")
+    j = docs.join(F.broadcast(hits.select(id_col)), id_col)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_hits")]
+    if stat_col is not None:
+        aggs += [
+            F.min(stat_col).alias(f"{stat_col}_min"),
+            F.max(stat_col).alias(f"{stat_col}_max"),
+            F.round(
+                (
+                    F.sum(F.col(stat_col).cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                6,
+            ).alias(f"{stat_col}_avg"),
+        ]
+    return (
+        j.groupBy(*facet_cols)
+        .agg(*aggs)
+        .orderBy(F.col("n_hits").desc(), *[F.col(c).asc() for c in facet_cols])
+    )
+
+
+def keyset_page(
+    ranked: DataFrame,
+    cursor: DataFrame,
+    *,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    page_size: int = 10,
+) -> DataFrame:
+    """Deep pagination without OFFSET (OpenSearch ``search_after`` /
+    keyset pagination): the page strictly AFTER ``cursor`` — a 1-row
+    relation carrying the last-seen (score, id) — in the total order
+    (score DESC, id ASC). OFFSET-based paging re-ranks and discards
+    N·page rows per page (and skips/duplicates rows when the data
+    moves underneath); the keyset filter is stateless, O(page) output
+    per request, and stable under concurrent appends.
+
+    Execution: the cursor broadcasts (1 row) into a scan-side filter
+    — ``score < s0 OR (score = s0 AND id > i0)`` — so each page costs
+    one pruned pass + TakeOrderedAndProject; no global sort, no
+    offset scan.
+    """
+    cur = cursor.select(
+        F.col(score_col).alias("_cs"), F.col(id_col).alias("_ci")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cur))
+        .filter(
+            (F.col(score_col) < F.col("_cs"))
+            | (
+                (F.col(score_col) == F.col("_cs"))
+                & (F.col(id_col) > F.col("_ci"))
+            )
+        )
+        .drop("_cs", "_ci")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(page_size)
+    )
+
+
 __all__ = [
     "autocomplete_prefix",
+    "facet_counts",
+    "keyset_page",
     "more_like_this",
     "retrieval_eval",
     "rrf_fuse",

@@ -704,6 +704,7 @@ def append_to_token_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 16,
+    fwd_table: str | None = None,
 ) -> None:
     """Incrementally maintain the token index: tokenize ONLY the new
     batch and append its postings + lengths (same bucketing spec, so
@@ -719,6 +720,11 @@ def append_to_token_index(
     never O(corpus): the existing index is not read, let alone
     rewritten — the maintenance shape that makes a 100 TB corpus
     index affordable to keep current from the CDC stream.
+
+    Pass ``fwd_table`` (from :func:`ensure_forward_index`) to keep
+    the doc-keyed forward projection current in the same append —
+    otherwise a forward index built before the append silently misses
+    the new docs (derived tables don't maintain themselves).
     """
     tok = tokenize(new_docs, text_col, id_col)
     from aws_dms_cdc_data_pipeline_spark.sinks.bucketed import write_bucketed
@@ -728,6 +734,10 @@ def append_to_token_index(
     dl = tok.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     write_bucketed(dl, dl_table, bucket_col=id_col,
                    num_buckets=num_buckets, mode="append")
+    if fwd_table is not None:
+        write_bucketed(tok, fwd_table, bucket_col=id_col,
+                       num_buckets=num_buckets, mode="append")
+        refresh_token_index(spark, fwd_table)
     # this session's relation cache now reflects the append; OTHER
     # sessions that already read the tables (e.g. the interactive
     # session driving a streaming maintainer) must call

@@ -1389,7 +1389,7 @@ def regexp_part_names(spark, sf_dir):
 
 
 @q(
-    "proximity_search_docs_indexed",
+    "grouping_sets_revenue",
     f"""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
            {_dsum_sql('o_totalprice', 'total')}
@@ -4205,7 +4205,10 @@ def phrase_search_multi_q(spark, sf_dir):
     return phrase_search_many(spark, pos, _PHRASE_BATCH)
 
 
-_BM25_SUB_SQL = """
+def _bm25_sub_sql(top_k: int) -> str:
+    """BM25 ranking subquery (terms spark/shuffle/broadcast) shared by
+    the hybrid / facet / pagination oracles."""
+    return f"""
     WITH tok AS (
         SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
         FROM documents,
@@ -4239,7 +4242,7 @@ _BM25_SUB_SQL = """
     FROM contrib
     GROUP BY doc_id
     ORDER BY score DESC, doc_id ASC
-    LIMIT 30
+    LIMIT {top_k}
 """
 
 
@@ -4249,7 +4252,7 @@ _BM25_SUB_SQL = """
     WITH lex AS (
         SELECT doc_id,
                row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-        FROM ({_BM25_SUB_SQL})
+        FROM ({_bm25_sub_sql(30)})
     ),
     dense AS (
         SELECT vec_id AS doc_id,
@@ -4464,6 +4467,93 @@ def autocomplete_prefix_q(spark, sf_dir):
 
     idx_t, _ = _token_index_for(spark, sf_dir)
     return autocomplete_prefix(spark, idx_t, "s", top_k=10)
+
+
+@q(
+    "faceted_search_stats",
+    f"""
+    WITH hits AS (
+        SELECT doc_id FROM ({_bm25_sub_sql(100)})
+    )
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           MIN(n_chars) AS n_chars_min,
+           MAX(n_chars) AS n_chars_max,
+           round(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS n_chars_avg
+    FROM documents JOIN hits USING (doc_id)
+    GROUP BY lang, source
+    ORDER BY n_hits DESC, lang ASC, source ASC
+    """,
+    "Facet aggregations over a search hit set (OpenSearch "
+    "aggregations-on-query parity — the Discover sidebar counts: "
+    "operators/retrieval.py:facet_counts): the BM25 top-100 hit set "
+    "BROADCASTS into the documents join (the corpus never shuffles), "
+    "then one facet-keyed aggregate yields per-(lang, source) counts "
+    "+ exact n_chars min/max/avg (decimal-accumulated — bit-stable "
+    "across partitionings, mirrored by the oracle).",
+)
+def faceted_search_stats_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        facet_counts,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bm25_search_indexed,
+    )
+
+    idx_t, dl_t = _token_index_for(spark, sf_dir)
+    hits = bm25_search_indexed(
+        spark, idx_t, dl_t, ["spark", "shuffle", "broadcast"], top_k=100
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return facet_counts(hits, docs, ["lang", "source"], stat_col="n_chars")
+
+
+@q(
+    "search_after_page",
+    f"""
+    WITH b AS (
+        SELECT doc_id, score FROM ({_bm25_sub_sql(200)})
+    ),
+    ranked AS (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM b
+    ),
+    cur AS (SELECT score AS cs, doc_id AS ci FROM ranked WHERE rn = 10)
+    SELECT doc_id, score
+    FROM b, cur
+    WHERE score < cs OR (score = cs AND doc_id > ci)
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+    "Deep pagination without OFFSET (OpenSearch search_after / keyset "
+    "pagination — operators/retrieval.py:keyset_page): the page "
+    "strictly after the rank-10 cursor in the (score DESC, id ASC) "
+    "total order. The 1-row cursor broadcasts into a scan-side "
+    "filter, the page cut compiles to TakeOrderedAndProject — "
+    "O(page) output, no offset scan, stable under concurrent "
+    "appends (OFFSET paging re-ranks and discards N·page rows and "
+    "skips/duplicates when data moves underneath).",
+)
+def search_after_page_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        keyset_page,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bm25_search_indexed,
+    )
+
+    idx_t, dl_t = _token_index_for(spark, sf_dir)
+    ranked = bm25_search_indexed(
+        spark, idx_t, dl_t, ["spark", "shuffle", "broadcast"], top_k=200
+    ).select("doc_id", "score")
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    cursor = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 10)
+        .select("doc_id", "score")
+    )
+    return keyset_page(ranked, cursor, page_size=10)
 
 
 @q(
@@ -5977,9 +6067,9 @@ _R7_WINDOW = [
     "corpus_shuffle_order",
     "curate_training_corpus",
     "dataset_split_assignment",
-    "doc_length_histogram",
+    "faceted_search_stats",
     "proximity_search_docs_indexed",
-    "join_full_nation_activity",
+    "search_after_page",
     "label_centroids",
     "spell_suggest_terms",
     "retrieval_eval_ann",

@@ -191,6 +191,67 @@ def test_retrieval_eval_hand_checked(spark):
     assert out["q2"] == (0.0, 0.0, 0.0)
 
 
+def test_facet_counts_and_stats(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        facet_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a", 100), (2, "en", "a", 200), (3, "de", "b", 50),
+         (4, "en", "b", 10)],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    hits = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    got = {
+        (r["lang"], r["source"]): (
+            r["n_hits"], r["n_chars_min"], r["n_chars_max"], r["n_chars_avg"]
+        )
+        for r in facet_counts(
+            hits, docs, ["lang", "source"], stat_col="n_chars"
+        ).collect()
+    }
+    # doc 4 not in the hit set -> no (en, b) bucket
+    assert got == {("en", "a"): (2, 100, 200, 150.0),
+                   ("de", "b"): (1, 50, 50, 50.0)}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        facet_counts(hits, docs, [])
+
+
+def test_keyset_page_after_cursor(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        keyset_page,
+    )
+
+    ranked = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 8.0), (4, 8.0), (5, 7.0)],
+        "doc_id long, score double",
+    )
+    # cursor at (8.0, doc 3): page = same-score doc 4, then score 7
+    cursor = spark.createDataFrame([(3, 8.0)], "doc_id long, score double")
+    got = [
+        (r["doc_id"], r["score"])
+        for r in keyset_page(ranked, cursor, page_size=2).collect()
+    ]
+    assert got == [(4, 8.0), (5, 7.0)]
+    # pages chain: the union of page-walks is the full ranking, no
+    # skips/duplicates
+    seen, cur = [], spark.createDataFrame(
+        [(0, 1e9)], "doc_id long, score double"
+    )
+    while True:
+        page = keyset_page(ranked, cur, page_size=2).collect()
+        if not page:
+            break
+        seen += [(r["doc_id"], r["score"]) for r in page]
+        last = page[-1]
+        cur = spark.createDataFrame(
+            [(last["doc_id"], last["score"])], "doc_id long, score double"
+        )
+    assert seen == [(1, 9.0), (2, 8.0), (3, 8.0), (4, 8.0), (5, 7.0)]
+
+
 def test_autocomplete_prefix_ranks_by_df(spark):
     from aws_dms_cdc_data_pipeline_spark.operators.search import (
         ensure_token_index,
