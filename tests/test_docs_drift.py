@@ -43,6 +43,30 @@ def test_plans_md_covers_registry():
     )
 
 
+def test_no_duplicate_query_registrations():
+    """REGISTRY is a dict, so a duplicate @q name silently OVERWRITES
+    an earlier query — the earlier one vanishes from the driver gate
+    with no error (this bit during r7: a careless rename collided
+    three names). Source-level audit: every @q decorator name is
+    unique."""
+    import re
+    from collections import Counter
+
+    src = open(
+        os.path.join(
+            REPO, "aws_dms_cdc_data_pipeline_spark", "plans", "queries.py"
+        )
+    ).read()
+    names = re.findall(r'@q\(\s*\n?\s*"([a-z0-9_]+)"', src)
+    dups = {k: v for k, v in Counter(names).items() if v > 1}
+    assert not dups, f"duplicate @q registrations: {dups}"
+    from aws_dms_cdc_data_pipeline_spark.plans.queries import REGISTRY
+
+    assert len(names) == len(REGISTRY), (
+        f"{len(names)} @q decorators but {len(REGISTRY)} registry entries"
+    )
+
+
 def test_docs_have_no_ghost_queries():
     """Names present in the docs but gone from the registry are just
     as misleading as missing ones."""
