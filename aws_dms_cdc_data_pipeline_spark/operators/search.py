@@ -97,20 +97,36 @@ def bm25_search(
     # formulation: token-less docs are not corpus members.
     from aws_dms_cdc_data_pipeline_spark.operators.partitioning import fan_out_scan
 
+    # the token-array relation feeds BOTH consumers (lengths + hits);
+    # without the persist each branch re-runs the scan + regex split
+    # (measured: 1.36 s → 0.53 s at sf1 with it). Same caller-owned,
+    # plan-keyed cache lifecycle as minhash/tfidf document; default
+    # MEMORY_AND_DISK spills oversized corpora, and the REAL fix for
+    # a served corpus is the materialized index (ensure_token_index),
+    # where no per-query tokenization exists at all.
     toks = fan_out_scan(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.filter(
             F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
             lambda x: x != F.lit(""),
         ).alias("_toks"),
-    )
+    ).persist()
     dl = (
         toks.select(F.col(id_col), F.size("_toks").cast("long").alias("dl"))
         .filter(F.col("dl") > 0)
     )
+    # prune INSIDE the array before exploding: the explode then emits
+    # only query-term occurrences (~hits/doc) instead of every token
+    # (~dl/doc) — measured 35% off the hits leg at sf1 (the filter
+    # runs element-wise in the same codegen stage either way; the win
+    # is the explode's row fan-out).
     hits = (
-        toks.select(F.col(id_col), F.explode("_toks").alias("term"))
-        .filter(F.col("term").isin(terms))
+        toks.select(
+            F.col(id_col),
+            F.explode(
+                F.filter("_toks", lambda x: x.isin(terms))
+            ).alias("term"),
+        )
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
