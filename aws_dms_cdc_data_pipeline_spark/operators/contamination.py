@@ -50,7 +50,20 @@ def flag_contaminated(
     probe. Clean documents don't appear; semi-join the output against
     the corpus to drop flagged docs.
     """
-    d_grams = docs.select(
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    # building n word-grams per position costs ~n string copies per
+    # token — an order heavier per source byte than tokenization, so
+    # the fan-out guard runs with a proportionally lower bytes bar
+    # (the default 2 MB bar left the whole gram build on ONE task for
+    # a single-row-group 0.6 MB corpus: measured 3.4 s of this
+    # query's 4.0 s).
+    d_grams = fan_out_scan(
+        docs.select(id_col, text_col),
+        min_bytes_per_partition=128 * 1024,
+    ).select(
         id_col, F.explode(_word_ngrams(F.col(text_col), n)).alias("_g")
     ).distinct()
     p_grams = probes.select(

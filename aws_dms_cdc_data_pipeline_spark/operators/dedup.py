@@ -346,7 +346,21 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: 16-bit-chunk banding (pigeonhole:
     hamming ≤ 3 ⇒ at least one of 4 chunks equal) then exact Hamming
     verification via bit_count(xor)."""
-    sh = with_simhash(df, text_col).select(id_col, "simhash")
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    # the simhash fold (per-token hash + 64 bit-position tallies) is
+    # per-row heavy; restore parallelism on poorly-split sources
+    # before it (lower bytes bar than tokenize-weight ops — see
+    # contamination.py for the measurement pattern)
+    sh = with_simhash(
+        fan_out_scan(
+            df.select(id_col, text_col),
+            min_bytes_per_partition=128 * 1024,
+        ),
+        text_col,
+    ).select(id_col, "simhash")
     chunks = sh.select(
         id_col,
         "simhash",
@@ -888,9 +902,17 @@ def duplicated_spans(
     """
     from pyspark.sql import Window
 
-    t = df.select(F.col(id_col), F.col(text_col).alias("_t")).filter(
-        F.length("_t") >= gram_len
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
     )
+
+    # per-POSITION char-gram hashing is the heaviest per-source-byte
+    # pass in the package (one substr+hash per character) — fan out
+    # aggressively before it
+    t = fan_out_scan(
+        df.select(F.col(id_col), F.col(text_col).alias("_t")),
+        min_bytes_per_partition=128 * 1024,
+    ).filter(F.length("_t") >= gram_len)
     pos = t.select(
         F.col(id_col),
         F.explode(
