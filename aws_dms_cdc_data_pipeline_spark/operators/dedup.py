@@ -124,7 +124,10 @@ def _hashed_shingles(
     from aws_dms_cdc_data_pipeline_spark.operators.partitioning import fan_out_scan
 
     norm = fan_out_scan(
-        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
+        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")),
+        # per-CHARACTER substr+hash — the same weight class as the
+        # duplicated-spans pass; fan out at the lower bar
+        min_bytes_per_partition=128 * 1024,
     )
     n = F.length(F.col("_norm"))
     sh = norm.select(
@@ -427,7 +430,11 @@ def _word_gram_index(
     words = fan_out_scan(
         df.select(
             F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
-        )
+        ),
+        # word-n-gram construction is ~n string copies per token —
+        # heavier per source byte than tokenize, so the fan-out bar
+        # drops accordingly (measured 2x on the gram-index build)
+        min_bytes_per_partition=128 * 1024,
     )
     cnt = F.size(F.col("_w"))
     gram_arr = F.when(cnt < n, F.array(F.concat_ws(" ", F.col("_w")))).otherwise(
