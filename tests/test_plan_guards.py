@@ -82,3 +82,52 @@ def test_blas_brute_force_has_no_pre_scoring_exchange(spark, sf_dir):
     assert plan.count("MapInPandas") == 1
     assert plan.count("Exchange hashpartitioning(query_id") <= 1
     assert plan.count("Exchange") <= 2
+
+
+def test_heavy_text_passes_fan_out_on_poorly_split_sources(spark, tmp_path):
+    """The r7 straggler class: per-row-heavy text passes inheriting a
+    single-task scan from a single-row-group source. Each heavy
+    operator's plan must contain the fan-out's ROUNDROBIN exchange
+    when fed a 1-partition source big enough to matter (>=128 KB per
+    partition, the heavy-pass bar) — if the guard's threshold or
+    wiring regresses, this fails before a 30x serial stage ships."""
+    from pyspark.sql import functions as F
+
+    # ~1 MB of INCOMPRESSIBLE text in ONE partition (hash-derived
+    # words — repeated literals compress so hard the parquet stats
+    # estimate drops below the guard's bar and the test tests nothing)
+    src = str(tmp_path / "one_part")
+    words = [F.md5((F.col("id") * 31 + F.lit(k)).cast("string")) for k in range(20)]
+    spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *words).alias("text"),
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    docs = spark.read.parquet(src)
+    assert docs.rdd.getNumPartitions() == 1
+
+    from aws_dms_cdc_data_pipeline_spark.operators.contamination import (
+        flag_contaminated,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    probes = spark.createDataFrame(
+        [(1, "lorem ipsum dolor sit amet consectetur lorem ipsum")],
+        "probe_id long, probe_text string",
+    )
+    cases = {
+        "contamination": flag_contaminated(docs, probes, n=8),
+        "simhash": simhash_pairs(docs),
+        "duplicated_spans": duplicated_spans(docs),
+        "ngram_jaccard": ngram_jaccard_pairs(docs),
+        "minhash": minhash_lsh_pairs(docs),
+    }
+    for name, df in cases.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ROUND_ROBIN" in plan.upper() or "RoundRobin" in plan, (
+            f"{name}: no fan-out exchange on a 1-partition 400 KB source"
+        )
