@@ -6017,11 +6017,13 @@ def dormant_high_value_customers_q(spark, sf_dir):
 
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
-# round's window up front. r7 window = the 6 new retrieval/percolator
-# queries + 9 queries whose implementation changed in r6/r7 after their
-# last driver row (minhash size-prefilter, containment/percolator
-# rewrites, bottom-k null-safe joins, bm25 batch validation) + the
-# stalest green rows (r3/r4 vintage) by CORRECTNESS_r0N age.
+# round's window up front. r7 window = the 11 new retrieval/percolator/
+# serving queries + every query whose implementation changed in r6/r7
+# after its last driver row (minhash size-prefilter, containment/
+# percolator rewrites, bottom-k null-safe joins, bm25 batch validation,
+# the late-r7 persist/fan-out perf passes: jaccard, collocations,
+# cluster closure, spans) + the stalest green rows by CORRECTNESS_r0N
+# age. All 50 verified green by the local DuckDB gate at close.
 _R7_WINDOW = [
     "percolate_typed_alerts",
     "phrase_search_multi",
@@ -6046,11 +6048,11 @@ _R7_WINDOW = [
     "having_supplier_qty",
     "json_extract_props",
     "multimodal_media_stats",
-    "regexp_part_names",
+    "duplicated_char_spans",
     "salted_supplier_qty",
-    "scalar_conditional_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
+    "near_dup_clusters",
+    "bigram_collocations",
+    "ngram_jaccard_pairs",
     "scalar_string_funcs",
     "text_fingerprints",
     "ann_brute_force_topk",
