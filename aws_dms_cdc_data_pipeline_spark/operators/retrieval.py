@@ -332,7 +332,10 @@ def retrieval_eval(
     and a ``gold`` relevance set (query_id, id), computes per query:
 
     - ``recall_at_k``  = |retrieved@k ∩ gold| / |gold|
-    - ``mrr``          = 1 / rank of the first relevant hit (0 if none)
+    - ``mrr``          = MRR@k: 1 / rank of the first relevant hit
+      WITHIN the top k (0 if none ranks <= k — a relevant hit at rank
+      k+1 scores 0, not 1/(k+1); results are cut to rank <= k before
+      scoring, matching the oracle)
     - ``ndcg_at_k``    = DCG@k / ideal-DCG@k with binary gains,
       ``DCG = Σ_relevant 1/log2(rank+1)``
 

@@ -805,9 +805,16 @@ def compact_token_index(
     maintenance/compact.py). Rewrites the table's rows once under the
     SAME bucketing spec — bucket pruning, shuffle-free term
     aggregation, and co-located joins keep working, and query results
-    are bit-identical (tested) — via a staging table + catalog
-    rename, so a crash mid-compaction leaves the original table
-    intact (the stale staging table is dropped on retry). Returns
+    are bit-identical (tested) — via a staging table + a
+    backup-rename commit: original → ``_compact_bak``, staging →
+    serving name, drop backup. Every intermediate state is
+    recoverable — a failure before the first rename leaves the
+    original untouched (stale staging dropped on retry); a failure
+    between the renames leaves the original intact under the backup
+    name (retry restores it before recompacting); a failure after the
+    second rename leaves the already-compacted table serving (retry
+    just drops the stale backup). At no point is the only copy of the
+    index data deleted. Returns
     ``{"files_before": N, "files_after": M, "rows": R}``.
 
     Run it off the query path on a cadence keyed to trigger rate —
@@ -816,15 +823,25 @@ def compact_token_index(
     """
     from aws_dms_cdc_data_pipeline_spark.sinks.bucketed import write_bucketed
 
+    tmp = f"{table}_compact_tmp"
+    bak = f"{table}_compact_bak"
+    # retry recovery: a prior attempt that failed between its two
+    # renames left the data under the backup name — restore it first
+    # so this attempt starts from the serving-name invariant.
+    if spark.catalog.tableExists(bak) and not spark.catalog.tableExists(table):
+        spark.sql(f"ALTER TABLE {bak} RENAME TO {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {bak}")
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    _drop_stale_location(spark, tmp)
+    _drop_stale_location(spark, bak)
+
     src = spark.table(table)
     files_before = len(src.inputFiles())
     rows = src.count()
-    tmp = f"{table}_compact_tmp"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    _drop_stale_location(spark, tmp)
     write_bucketed(src, tmp, bucket_col=bucket_col, num_buckets=num_buckets)
-    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {bak}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {bak}")
     refresh_token_index(spark, table)
     files_after = len(spark.table(table).inputFiles())
     return {

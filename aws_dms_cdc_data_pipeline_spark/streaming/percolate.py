@@ -48,6 +48,7 @@ def percolate(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _cache_out: list | None = None,
 ) -> DataFrame:
     """Match every document against every standing query.
 
@@ -65,6 +66,13 @@ def percolate(
     when both groups are present — still one corpus scan total);
     per-query hits stay bit-identical to the ad-hoc single-query
     operators (asserted in tests).
+
+    ``_cache_out``: streaming callers pass a list to receive the
+    persisted token relation (if one was created) so they can
+    unpersist it once the epoch's write completes — each micro-batch
+    builds a NEW source plan, so the plan-keyed cache that batch
+    callers legitimately reuse would otherwise accumulate one
+    never-freed entry per epoch on a long-running stream.
     """
     if not standing:
         raise ValueError("percolate needs at least one standing query")
@@ -111,10 +119,13 @@ def percolate(
     toks = tokenize_positions(docs, text_col, id_col).filter(
         F.col("term").isin(all_terms)
     )
+    cached = None
     if phrase_qs and near_qs:
         # both passes read the pruned relation; persist it so the
         # corpus tokenizes once (1 scan + an InMemoryTableScan reuse).
         toks = toks.persist()
+        if _cache_out is not None:
+            _cache_out.append(toks)
     outs = []
     if phrase_qs:
         outs.append(_phrase_match_many(toks, phrase_qs, id_col))
@@ -157,16 +168,26 @@ def start_percolator(
     """
 
     def deliver(batch: DataFrame, epoch_id: int) -> None:
+        cache_out: list = []
         matches = percolate(
-            batch, standing, text_col=text_col, id_col=id_col
+            batch, standing, text_col=text_col, id_col=id_col,
+            _cache_out=cache_out,
         )
         # batch_id is carried by the key=value DIRECTORY alone: a data
         # column of the same name would collide with root-level
         # partition discovery (spark.read.parquet(alerts_path) would
         # see the column twice).
-        matches.write.mode("overwrite").parquet(
-            os.path.join(alerts_path, f"batch_id={epoch_id}")
-        )
+        try:
+            matches.write.mode("overwrite").parquet(
+                os.path.join(alerts_path, f"batch_id={epoch_id}")
+            )
+        finally:
+            # epoch-local cache hygiene (streaming/pipeline.py batch
+            # .unpersist() precedent): each epoch's source is a new
+            # plan, so the persisted token relation is never reused
+            # across epochs and must be freed here.
+            for df in cache_out:
+                df.unpersist()
 
     writer = (
         docs_stream.writeStream.foreachBatch(deliver)

@@ -380,3 +380,38 @@ def test_compact_token_index_reduces_files_preserves_results(spark, sf_dir):
         assert "SelectedBucketsCount: 1 out of 16" in plan, plan
     finally:
         spark.conf.set(key, prev)
+
+
+def test_compact_token_index_recovers_from_rename_crash(spark, sf_dir):
+    """Crash-window recovery: the commit is original→backup, staging→
+    serving, drop backup. Simulate a failure between the two renames
+    (serving name gone, data under the backup name) and assert a
+    retry restores the original and completes the compaction with
+    results intact — the index data is never lost."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        append_to_token_index,
+        bm25_search_indexed,
+        compact_token_index,
+        ensure_token_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    empty = docs.filter(F.lit(False))
+    idx, dl = ensure_token_index(spark, empty, "t_crash")
+    for i in range(2):
+        append_to_token_index(spark, docs.filter(F.col("doc_id") % 2 == i), idx, dl)
+    before = [
+        tuple(r)
+        for r in bm25_search_indexed(spark, idx, dl, ["spark", "table"]).collect()
+    ]
+    # simulate the mid-commit crash state of a prior attempt
+    spark.sql(f"ALTER TABLE {idx} RENAME TO {idx}_compact_bak")
+    assert not spark.catalog.tableExists(idx)
+    stats = compact_token_index(spark, idx, bucket_col="term")
+    assert stats["rows"] > 0
+    assert not spark.catalog.tableExists(f"{idx}_compact_bak")
+    after = [
+        tuple(r)
+        for r in bm25_search_indexed(spark, idx, dl, ["spark", "table"]).collect()
+    ]
+    assert before == after and before
