@@ -518,8 +518,17 @@ def _gram_pair_intersections(df, text_col, id_col, n, max_df):
     gdf = grams.groupBy("g").agg(F.count("*").alias("_df"))
     if max_df is not None:
         gdf = gdf.filter(F.col("_df") <= max_df)
-        ok = grams.join(gdf.select("g"), "g")
-        sizes = ok.groupBy(id_col).agg(F.count("*").alias("sz"))
+        # ok (df-capped index) has two consumers (sizes + posting) and
+        # sizes has two (the sa/sb lookups in every caller) — without
+        # a persist each consuming plan branch re-runs the gram join /
+        # the size agg (branch-recompute rule; same caller-owned
+        # plan-keyed policy as the gram index itself). Both relations
+        # are index-sized (≤ one row per distinct (doc, gram) / per
+        # doc), far below the corpus.
+        ok = grams.join(gdf.select("g"), "g").persist()
+        sizes = (
+            ok.groupBy(id_col).agg(F.count("*").alias("sz")).persist()
+        )
         posting = ok.groupBy("g").agg(F.collect_list(id_col).alias("_ids"))
         pairs = (
             posting.filter(F.size("_ids") > 1)
@@ -528,7 +537,9 @@ def _gram_pair_intersections(df, text_col, id_col, n, max_df):
             .filter(F.col("id_a") < F.col("id_b"))
         )
     else:
-        sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+        sizes = (
+            grams.groupBy(id_col).agg(F.count("*").alias("sz")).persist()
+        )
         ga, gb = grams.alias("ga"), grams.alias("gb")
         pairs = ga.join(
             gb,
