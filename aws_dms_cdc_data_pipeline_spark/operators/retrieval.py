@@ -433,6 +433,101 @@ def facet_counts(
     )
 
 
+# the OpenSearch auto_date_histogram interval ladder (seconds): the
+# histogram picks the SMALLEST rung that keeps the bucket count at or
+# under the target, so zooming a Discover time range re-buckets from
+# seconds up to years without the caller choosing an interval.
+_HISTO_LADDER = [
+    1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200,
+    86400, 604800, 2592000, 31536000,
+]
+
+
+def date_histogram(
+    hits: DataFrame,
+    ts_col: str = "ts",
+    *,
+    target_buckets: int = 30,
+) -> DataFrame:
+    """Date-histogram aggregation over a search hit set — the
+    Discover histogram-above-results panel (OpenSearch
+    ``auto_date_histogram``; reference README.md:376-390 renders it
+    over the ingested ``trans`` index).
+
+    Auto-interval: a 2-row min/max aggregate (a 1-row broadcast)
+    fixes the hit set's time span; the smallest ladder rung whose
+    bucket count stays under ``target_buckets`` becomes the interval;
+    buckets are fixed-width epoch-second floors (timezone-free, so
+    the arithmetic is engine-portable). Returns
+    (bucket_start timestamp, n_hits, interval_sec) ordered by
+    bucket_start.
+
+    Execution shape: two passes over the hit relation — a
+    column-pruned min/max (its filter and ``ts`` projection reach the
+    scan) and the bucket aggregate, joined by a 1-row broadcast. The
+    hit set is deliberately NOT persisted: for a Discover-style query
+    it is a pushed-filter scan of a fact table, and at 100 TB
+    re-scanning two pruned columns beats caching a corpus-sized hit
+    set (the branch-recompute rule applies to EXPENSIVE relations;
+    this one is a scan).
+    """
+    if target_buckets < 1:
+        raise ValueError("date_histogram needs target_buckets >= 1")
+    uts = F.unix_timestamp(F.col(ts_col))
+    stats = hits.agg(
+        F.min(uts).alias("_tmin"), F.max(uts).alias("_tmax")
+    )
+    span = F.col("_tmax") - F.col("_tmin")
+    iv = F.lit(_HISTO_LADDER[-1]).cast("long")
+    for rung in reversed(_HISTO_LADDER[:-1]):
+        iv = F.when(
+            span < F.lit(rung) * target_buckets, F.lit(rung).cast("long")
+        ).otherwise(iv)
+    return (
+        hits.crossJoin(F.broadcast(stats.select(iv.alias("interval_sec"))))
+        .groupBy(
+            # integer-exact floor: uts − uts % iv (uts is post-1970
+            # positive, so % matches floor division in both engines)
+            F.timestamp_seconds(
+                uts - uts % F.col("interval_sec")
+            ).alias("bucket_start"),
+            "interval_sec",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .select("bucket_start", "n_hits", "interval_sec")
+        .orderBy("bucket_start")
+    )
+
+
+def date_histogram_oracle_sql(
+    hits_sql: str,
+    ts_col: str = "ts",
+    *,
+    target_buckets: int = 30,
+) -> str:
+    """DuckDB SQL computing the identical histogram over
+    ``hits_sql`` (a query yielding the hit rows) — same epoch-second
+    floors, same interval ladder."""
+    case = "CASE "
+    for rung in _HISTO_LADDER[:-1]:
+        case += f"WHEN (tmax - tmin) < {rung} * {target_buckets} THEN {rung} "
+    case += f"ELSE {_HISTO_LADDER[-1]} END"
+    return f"""
+    WITH hit_rows AS ({hits_sql}),
+    h AS (SELECT CAST(floor(epoch({ts_col})) AS BIGINT) AS uts
+          FROM hit_rows),
+    stats AS (SELECT MIN(uts) AS tmin, MAX(uts) AS tmax FROM h),
+    iv AS (SELECT CAST({case} AS BIGINT) AS interval_sec FROM stats)
+    SELECT epoch_ms((uts // interval_sec) * interval_sec * 1000)
+               AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           interval_sec
+    FROM h CROSS JOIN iv
+    GROUP BY 1, 3
+    ORDER BY bucket_start
+    """
+
+
 def keyset_page(
     ranked: DataFrame,
     cursor: DataFrame,
@@ -474,6 +569,8 @@ def keyset_page(
 
 __all__ = [
     "autocomplete_prefix",
+    "date_histogram",
+    "date_histogram_oracle_sql",
     "facet_counts",
     "keyset_page",
     "more_like_this",

@@ -267,6 +267,317 @@ def bm25_search_many(
     )
 
 
+def _normalize_bool_query(qid: str, spec: dict) -> tuple[list, int, int, list]:
+    """Validate one bool-query spec → ((term, kind, boost) rows,
+    n_must, min_should, (field, op, value) filters)."""
+
+    def clause(kind):
+        out = []
+        for c in spec.get(kind, []):
+            term, boost = (c, 1.0) if isinstance(c, str) else c
+            if boost <= 0:
+                raise ValueError(f"bool query {qid!r}: boost must be > 0")
+            out.append((term.lower(), kind, float(boost)))
+        return out
+
+    rows = clause("must") + clause("should") + clause("must_not")
+    seen: dict[str, str] = {}
+    for term, kind, _ in rows:
+        if term in seen and seen[term] != kind:
+            raise ValueError(
+                f"bool query {qid!r}: term {term!r} appears in both "
+                f"{seen[term]!r} and {kind!r}"
+            )
+        seen[term] = kind
+    n_must = len([r for r in rows if r[1] == "must"])
+    n_should = len([r for r in rows if r[1] == "should"])
+    min_should = int(spec.get("minimum_should_match", 0 if n_must else 1))
+    if n_must == 0 and n_should == 0:
+        raise ValueError(
+            f"bool query {qid!r}: needs must clauses or "
+            "minimum_should_match >= 1 (must_not/filter alone would "
+            "match the whole corpus)"
+        )
+    if min_should > n_should:
+        raise ValueError(
+            f"bool query {qid!r}: minimum_should_match={min_should} "
+            f"exceeds the {n_should} should clauses"
+        )
+    if n_must == 0 and min_should < 1:
+        raise ValueError(
+            f"bool query {qid!r}: needs must clauses or "
+            "minimum_should_match >= 1 (must_not/filter alone would "
+            "match the whole corpus)"
+        )
+    filters = []
+    for field, op, value in spec.get("filter", []):
+        if op not in ("eq", "gte", "lte"):
+            raise ValueError(
+                f"bool query {qid!r}: filter op {op!r} not in eq/gte/lte"
+            )
+        filters.append((field, op, str(value)))
+    return rows, n_must, min_should, filters
+
+
+def bool_search_many(
+    spark,
+    idx_table: str,
+    dl_table: str,
+    queries: dict[str, dict],
+    *,
+    attrs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    textbook: bool = False,
+) -> DataFrame:
+    """Compound BOOLEAN search — the OpenSearch/Discover ``bool``
+    query (reference README.md:451-492; Discover issues compound DQL:
+    must/should/must_not term clauses with boosts plus structured
+    filters) — for a BATCH of queries in one job.
+
+    Each ``queries[query_id]`` spec:
+
+    - ``must``: term clauses that ALL have to match; each contributes
+      its (boosted) BM25 score. A clause is ``"term"`` or
+      ``("term", boost)``.
+    - ``should``: optional clauses; matches add score. At least
+      ``minimum_should_match`` of them must hit (default 1 when there
+      are no must clauses, else 0 — the OpenSearch default).
+    - ``must_not``: any match excludes the document; never scores.
+    - ``filter``: ``(field, op, value)`` predicates on the ``attrs``
+      relation (``op`` in eq/gte/lte; eq compares as string, the
+      range ops as double) — match-but-don't-score, the Discover
+      sidebar facet / time-range leg.
+
+    Returns (query_id, id, score, n_terms_hit, rank), rank 1..top_k
+    per query by (score DESC, id ASC); score is the quantized-exact
+    sum of per-term BM25 contributions × clause boost (same rational
+    idf + fixed-point contract as :func:`bm25_search`).
+
+    Shape (scales like :func:`bm25_search_many`): the token index
+    prunes ONCE to the union of all queries' terms (bucket-pruned
+    ``term IN``); the (query_id, term, kind, boost) map is a
+    broadcast literal relation, so each index row fans out only to
+    the queries referencing its term; must_not resolves on the HIT
+    SET (a conditional aggregate over index rows — the corpus is
+    never scanned for absences); filters evaluate on the already
+    must/should-pruned candidate set against a broadcast predicate
+    relation; the per-query top-k is a rank window WindowGroupLimit
+    trims map-side. No per-query jobs, no corpus shuffle, no global
+    sort.
+    """
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("bool_search_many needs at least one query")
+    qrows, reqs, frows = [], [], []
+    for qid in sorted(queries):
+        rows, n_must, min_should, filters = _normalize_bool_query(
+            qid, queries[qid]
+        )
+        qrows += [(qid, t, k, w) for t, k, w in rows]
+        reqs.append((qid, n_must, min_should))
+        frows += [(qid, f, op, v) for f, op, v in filters]
+    if frows and attrs is None:
+        raise ValueError("bool queries have filter clauses but attrs=None")
+    qdf = spark.createDataFrame(
+        sorted(qrows), "query_id string, term string, kind string, boost double"
+    )
+    qreq = spark.createDataFrame(
+        reqs, "query_id string, n_must long, min_should long"
+    )
+    all_terms = sorted({t for _, t, _, _ in qrows})
+
+    hits = spark.table(idx_table).filter(F.col("term").isin(all_terms))
+    dl = spark.table(dl_table)
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    df_per_term = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = (
+        hits.join(F.broadcast(qdf), "term")
+        .join(df_per_term, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    if textbook:
+        idf = F.log(F.lit(1.0) + idf)
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    contrib_q = F.round(
+        idf * tf_part * F.col("boost") * F.lit(float(_FP)), 0
+    ).cast("long")
+    scoring = F.col("kind") != "must_not"
+    per_doc = scored.groupBy("query_id", id_col).agg(
+        F.sum(F.when(scoring, contrib_q)).alias("_sq"),
+        F.count(F.when(F.col("kind") == "must", 1)).alias("_n_must_hit"),
+        F.count(F.when(F.col("kind") == "should", 1)).alias("_n_should_hit"),
+        F.count(F.when(scoring, 1)).cast("long").alias("n_terms_hit"),
+        F.max(F.when(F.col("kind") == "must_not", 1)).alias("_ex"),
+    )
+    cand = (
+        per_doc.join(F.broadcast(qreq), "query_id")
+        .filter(
+            F.col("_ex").isNull()
+            & (F.col("_n_must_hit") == F.col("n_must"))
+            & (F.col("_n_should_hit") >= F.col("min_should"))
+        )
+        .select(
+            "query_id",
+            id_col,
+            (F.col("_sq").cast("decimal(38,0)") / F.lit(_FP))
+            .cast("double")
+            .alias("score"),
+            "n_terms_hit",
+        )
+    )
+    if frows:
+        fdf = spark.createDataFrame(
+            sorted(frows),
+            "query_id string, _field string, _op string, _value string",
+        )
+        fields = sorted({f for _, f, _, _ in frows})
+        attr_map = F.create_map(
+            *[x for f in fields for x in (F.lit(f), F.col(f).cast("string"))]
+        )
+        av = F.element_at(F.col("_attrs"), F.col("_field"))
+        ok = F.coalesce(
+            F.when(F.col("_field").isNull(), F.lit(True))
+            .when(F.col("_op") == "eq", av == F.col("_value"))
+            .when(
+                F.col("_op") == "gte",
+                av.cast("double") >= F.col("_value").cast("double"),
+            )
+            .when(
+                F.col("_op") == "lte",
+                av.cast("double") <= F.col("_value").cast("double"),
+            ),
+            F.lit(False),
+        )
+        cand = (
+            cand.join(
+                attrs.select(F.col(id_col), attr_map.alias("_attrs")), id_col
+            )
+            .join(F.broadcast(fdf), "query_id", "left")
+            .groupBy("query_id", id_col, "score", "n_terms_hit")
+            .agg(F.min(ok).alias("_ok"))
+            .filter(F.col("_ok"))
+            .drop("_ok")
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", id_col, "score", "n_terms_hit", "rank")
+    )
+
+
+def bool_oracle_sql(
+    queries: dict[str, dict],
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> str:
+    """DuckDB SQL computing the identical bool-query ranking (same
+    rational idf, same left-associated boost multiply, same
+    fixed-point quantization as :func:`bool_search_many`)."""
+    qrows, reqs, fconds = [], [], []
+    for qid in sorted(queries):
+        rows, n_must, min_should, filters = _normalize_bool_query(
+            qid, queries[qid]
+        )
+        qrows += [(qid, t, k, w) for t, k, w in rows]
+        reqs.append(f"('{qid}', {n_must}, {min_should})")
+        conj = " AND ".join(
+            f"d.{f} = '{v}'" if op == "eq"
+            else f"CAST(d.{f} AS DOUBLE) "
+                 f"{'>=' if op == 'gte' else '<='} CAST('{v}' AS DOUBLE)"
+            for f, op, v in filters
+        )
+        fconds.append(
+            f"(c.query_id = '{qid}'" + (f" AND {conj})" if conj else ")")
+        )
+    qvals = ", ".join(
+        f"('{q}', '{t}', '{k}', {w!r})" for q, t, k, w in sorted(qrows)
+    )
+    in_list = ", ".join(f"'{t}'" for t in sorted({t for _, t, _, _ in qrows}))
+    return f"""
+    WITH tok AS (
+        SELECT {id_col}, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM {table},
+             LATERAL (SELECT unnest(string_split_regex(lower({text_col}),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+        GROUP BY {id_col}, t.term
+    ),
+    dl AS (SELECT {id_col}, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tok GROUP BY {id_col}),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+    qmap(query_id, term, kind, boost) AS (VALUES {qvals}),
+    qreq(query_id, n_must, min_should) AS (VALUES {", ".join(reqs)}),
+    hits AS (SELECT * FROM tok WHERE term IN ({in_list})),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM hits GROUP BY term),
+    contrib AS (
+        SELECT q.query_id, h.{id_col}, q.kind,
+               CAST(round(
+                   ((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * ((h.tf * ({k1} + 1)) /
+                      (h.tf + {k1} * ((1 - {b}) + {b} * l.dl
+                                      / (CAST(s.total_dl AS DOUBLE) / s.n_docs))))
+                   * q.boost * 1000000, 0) AS BIGINT) AS cq
+        FROM hits h JOIN qmap q USING (term)
+                    JOIN dfs d USING (term)
+                    JOIN dl l USING ({id_col})
+                    CROSS JOIN stats s
+    ),
+    per_doc AS (
+        SELECT query_id, {id_col},
+               SUM(CASE WHEN kind <> 'must_not' THEN cq END) AS sq,
+               COUNT(CASE WHEN kind = 'must' THEN 1 END) AS n_must_hit,
+               COUNT(CASE WHEN kind = 'should' THEN 1 END) AS n_should_hit,
+               CAST(COUNT(CASE WHEN kind <> 'must_not' THEN 1 END)
+                    AS BIGINT) AS n_terms_hit,
+               MAX(CASE WHEN kind = 'must_not' THEN 1 END) AS ex
+        FROM contrib GROUP BY query_id, {id_col}
+    ),
+    cand AS (
+        SELECT p.query_id, p.{id_col},
+               CAST(CAST(p.sq AS DECIMAL(38,0)) / 1000000 AS DOUBLE) AS score,
+               p.n_terms_hit
+        FROM per_doc p JOIN qreq r USING (query_id)
+        WHERE p.ex IS NULL AND p.n_must_hit = r.n_must
+          AND p.n_should_hit >= r.min_should
+    ),
+    filt AS (
+        SELECT c.* FROM cand c JOIN {table} d USING ({id_col})
+        WHERE {" OR ".join(fconds)}
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, {id_col} ASC) AS BIGINT) AS rank
+        FROM filt
+    )
+    SELECT query_id, {id_col}, score, n_terms_hit, rank
+    FROM ranked WHERE rank <= {top_k}
+    """
+
+
 def tokenize_positions(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, term, pos): the POSITIONAL token relation (0-based token
     offsets) — the index shape phrase/proximity search needs, where
@@ -1039,6 +1350,8 @@ __all__ = [
     "bm25_search_indexed",
     "bm25_search_many",
     "bm25_oracle_sql",
+    "bool_oracle_sql",
+    "bool_search_many",
     "compact_token_index",
     "ensure_forward_index",
     "ensure_position_index",

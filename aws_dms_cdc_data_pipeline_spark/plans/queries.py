@@ -4026,6 +4026,51 @@ def bm25_multi_query_q(spark, sf_dir):
     return bm25_search_many(spark, idx_t, dl_t, dict(_BM25_BATCH), top_k=10)
 
 
+_BOOL_BATCH = {
+    "q_and": {"must": ["spark", "window"], "must_not": ["hash"]},
+    "q_boost": {"must": ["stream"], "should": [("scan", 2.0), ("fast", 0.5)]},
+    "q_filter": {
+        "must": ["table"],
+        "filter": [("lang", "eq", "en"), ("n_chars", "gte", "200")],
+    },
+    "q_should": {
+        "should": ["query", ("spark", 1.5)],
+        "minimum_should_match": 2,
+    },
+}
+
+
+def _bool_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.search import bool_oracle_sql
+
+    return bool_oracle_sql(_BOOL_BATCH, top_k=10)
+
+
+@q(
+    "bool_search_docs",
+    _bool_oracle(),
+    "Compound boolean search — the OpenSearch/Discover bool query "
+    "(must/should/must_not term clauses with per-clause boosts plus "
+    "structured eq/range filters; reference README.md:451-492): a "
+    "4-query batch resolves in ONE shared pass over the bucket-pruned "
+    "token index, the clause map rides a broadcast, must_not is a "
+    "conditional aggregate on the hit set (the corpus is never "
+    "scanned for absences), filters evaluate on the pruned candidate "
+    "set, per-query top-k via WindowGroupLimit "
+    "(operators/search.py:bool_search_many).",
+)
+def bool_search_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bool_search_many,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx_t, dl_t = _token_index_for(spark, sf_dir)
+    return bool_search_many(
+        spark, idx_t, dl_t, _BOOL_BATCH, attrs=docs, top_k=10
+    )
+
+
 _STANDING = [('q_stream', 'stream table hash'), ('q_sort', 'row column sort'), ('q_spark', 'spark')]
 
 
@@ -4514,6 +4559,41 @@ def faceted_search_stats_q(spark, sf_dir):
     )
     docs = load_table(spark, sf_dir, "documents")
     return facet_counts(hits, docs, ["lang", "source"], stat_col="n_chars")
+
+
+def _date_histogram_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        date_histogram_oracle_sql,
+    )
+
+    return date_histogram_oracle_sql(
+        "SELECT ts FROM events WHERE event_type = 'error' AND value >= 5.0",
+        target_buckets=24,
+    )
+
+
+@q(
+    "search_date_histogram",
+    _date_histogram_oracle(),
+    "Date-histogram aggregation over a search hit set — the Discover "
+    "histogram-above-results panel (OpenSearch auto_date_histogram; "
+    "reference README.md:376-390 renders it over the ingested trans "
+    "index): the hit set is a pushed-filter match on the event "
+    "stream (Discover's KQL bar), a 2-row min/max agg broadcasts the "
+    "time span, the smallest interval-ladder rung keeping <=24 "
+    "buckets is chosen, and buckets are integer-exact epoch-second "
+    "floors (operators/retrieval.py:date_histogram).",
+)
+def search_date_histogram_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        date_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hits = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= 5.0)
+    )
+    return date_histogram(hits, "ts", target_buckets=24)
 
 
 @q(

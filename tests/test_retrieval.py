@@ -273,3 +273,52 @@ def test_autocomplete_prefix_ranks_by_df(spark):
     assert got == [("stream", 3, 4), ("stone", 2, 2), ("strike", 1, 1)]
     with pytest.raises(ValueError):
         autocomplete_prefix(spark, idx, "")
+
+
+def test_date_histogram_buckets_and_auto_interval(spark):
+    from datetime import datetime
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        date_histogram,
+    )
+
+    # 4 hits over ~100 s: with target 30 the ladder picks 5 s rungs
+    rows = [
+        (datetime(2024, 1, 1, 0, 0, 0),),
+        (datetime(2024, 1, 1, 0, 0, 3),),   # same 5 s bucket as t=0
+        (datetime(2024, 1, 1, 0, 0, 7),),   # next bucket
+        (datetime(2024, 1, 1, 0, 1, 40),),  # t=100 s
+    ]
+    hits = spark.createDataFrame(rows, "ts timestamp")
+    out = date_histogram(hits, "ts", target_buckets=30).collect()
+    assert all(r["interval_sec"] == 5 for r in out)
+    got = {(r["bucket_start"].isoformat(), r["n_hits"]) for r in out}
+    assert got == {
+        ("2024-01-01T00:00:00", 2),
+        ("2024-01-01T00:00:05", 1),
+        ("2024-01-01T00:01:40", 1),
+    }
+    # ordered by bucket_start
+    starts = [r["bucket_start"] for r in out]
+    assert starts == sorted(starts)
+    # a tighter bucket budget walks UP the ladder: span 100 s with
+    # target 3 needs >= 34 s rungs -> 60 s
+    coarse = date_histogram(hits, "ts", target_buckets=3).collect()
+    assert all(r["interval_sec"] == 60 for r in coarse)
+    assert sum(r["n_hits"] for r in coarse) == 4
+
+    # single-instant hit set: span 0 picks the finest rung, 1 bucket
+    one = date_histogram(
+        spark.createDataFrame(rows[:1], "ts timestamp"), "ts"
+    ).collect()
+    assert len(one) == 1 and one[0]["interval_sec"] == 1
+
+    # empty hit set: empty histogram, stable schema
+    empty = date_histogram(hits.filter(F.lit(False)), "ts")
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == [
+        "bucket_start", "n_hits", "interval_sec",
+    ]
+
+    with pytest.raises(ValueError, match="target_buckets"):
+        date_histogram(hits, "ts", target_buckets=0)

@@ -379,3 +379,183 @@ def test_proximity_in_order_is_directional(spark):
                                          in_order=True).collect()}
     assert unordered == {1: 1, 2: 1, 3: 2}
     assert ordered == {1: 1, 3: 1}
+
+
+def test_bool_search_must_parity_with_bm25(spark, sf_dir):
+    """A must-only bool query (boost 1) is bit-identical to the BM25
+    batch path restricted to all-terms-hit docs and re-ranked."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bm25_search_many,
+        bool_search_many,
+        ensure_token_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx, dl = ensure_token_index(spark, docs, "t_bool_parity")
+    terms = ["spark", "window"]
+    got = sorted(
+        (r["rank"], r["doc_id"], r["score"], r["n_terms_hit"])
+        for r in bool_search_many(
+            spark, idx, dl, {"q": {"must": terms}}, top_k=10
+        ).collect()
+    )
+    full = bm25_search_many(
+        spark, idx, dl, {"q": terms}, top_k=10**6
+    ).collect()
+    want = sorted(
+        (i + 1, r["doc_id"], r["score"], r["n_terms_hit"])
+        for i, r in enumerate(
+            sorted(
+                (r for r in full if r["n_terms_hit"] == len(terms)),
+                key=lambda r: (-r["score"], r["doc_id"]),
+            )[:10]
+        )
+    )
+    assert got == want and got
+
+
+def test_bool_search_must_not_excludes(spark, sf_dir):
+    """must_not drops exactly the docs containing the excluded term —
+    the remaining docs' scores are untouched (exclusion never scores)."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bool_search_many,
+        ensure_token_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx, dl = ensure_token_index(spark, docs, "t_bool_parity")
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bool_search_many(
+            spark, idx, dl, {"q": {"must": ["spark"]}}, top_k=10**6
+        ).collect()
+    }
+    neg = {
+        r["doc_id"]: r["score"]
+        for r in bool_search_many(
+            spark,
+            idx,
+            dl,
+            {"q": {"must": ["spark"], "must_not": ["hash"]}},
+            top_k=10**6,
+        ).collect()
+    }
+    has_hash = {
+        r["doc_id"]
+        for r in spark.table(idx).filter("term = 'hash'").collect()
+    }
+    assert set(neg) == set(base) - has_hash and neg
+    assert all(neg[d] == base[d] for d in neg)
+
+
+def test_bool_search_boost_and_should_semantics(spark):
+    """Planted corpus: boost multiplies the should contribution, and
+    minimum_should_match gates matches when there are no must terms."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bool_search_many,
+        ensure_token_index,
+    )
+
+    rows = [
+        (1, "alpha beta"),
+        (2, "alpha gamma"),
+        (3, "beta gamma"),
+        (4, "delta only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx, dl = ensure_token_index(spark, docs, "t_bool_planted")
+    out = {
+        r["doc_id"]: (r["score"], r["n_terms_hit"])
+        for r in bool_search_many(
+            spark,
+            idx,
+            dl,
+            {"q": {"should": ["alpha", "beta"], "minimum_should_match": 2}},
+            top_k=10,
+        ).collect()
+    }
+    assert set(out) == {1}  # only doc 1 has both should terms
+    # doubling a boost doubles that term's quantized contribution
+    one = {
+        r["doc_id"]: r["score"]
+        for r in bool_search_many(
+            spark, idx, dl, {"q": {"must": [("delta", 1.0)]}}, top_k=10
+        ).collect()
+    }
+    two = {
+        r["doc_id"]: r["score"]
+        for r in bool_search_many(
+            spark, idx, dl, {"q": {"must": [("delta", 2.0)]}}, top_k=10
+        ).collect()
+    }
+    assert set(one) == set(two) == {4}
+    assert two[4] == pytest.approx(2 * one[4], abs=2e-6)
+
+
+def test_bool_search_filter_clause(spark):
+    """eq/gte/lte filters gate matches without changing scores."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bool_search_many,
+        ensure_token_index,
+    )
+
+    rows = [
+        (1, "alpha beta", "en", 100),
+        (2, "alpha beta", "fr", 300),
+        (3, "alpha beta", "en", 300),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    idx, dl = ensure_token_index(spark, docs, "t_bool_filter")
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bool_search_many(
+            spark, idx, dl, {"q": {"must": ["alpha"]}}, top_k=10
+        ).collect()
+    }
+    out = {
+        r["doc_id"]: r["score"]
+        for r in bool_search_many(
+            spark,
+            idx,
+            dl,
+            {
+                "q": {
+                    "must": ["alpha"],
+                    "filter": [("lang", "eq", "en"), ("n_chars", "gte", 200)],
+                }
+            },
+            attrs=docs,
+            top_k=10,
+        ).collect()
+    }
+    assert set(out) == {3}
+    assert out[3] == base[3]
+
+
+def test_bool_search_validation(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bool_search_many,
+        ensure_token_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx, dl = ensure_token_index(spark, docs, "t_bool_parity")
+    with pytest.raises(ValueError, match="both 'must' and 'must_not'"):
+        bool_search_many(
+            spark, idx, dl,
+            {"q": {"must": ["spark"], "must_not": ["spark"]}},
+        )
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        bool_search_many(
+            spark, idx, dl,
+            {"q": {"should": ["spark"], "minimum_should_match": 2}},
+        )
+    with pytest.raises(ValueError, match="whole corpus"):
+        bool_search_many(spark, idx, dl, {"q": {"must_not": ["spark"]}})
+    with pytest.raises(ValueError, match="attrs=None"):
+        bool_search_many(
+            spark, idx, dl,
+            {"q": {"must": ["spark"], "filter": [("lang", "eq", "en")]}},
+        )
