@@ -63,20 +63,34 @@ def fk_orphan_audit(
     """
     if not relations:
         raise ValueError("fk_orphan_audit: no relations given")
+    import re as _re
+
+    # the audit generates _pk_<i>/_hit_<i>/_null_<i>/_orph_<i>/_n_child
+    # working columns alongside the (un-aliased) FK columns — an input
+    # column spelled like one of them would silently collide
+    reserved = _re.compile(r"^(_pk_\d+|_hit_\d+|_null_\d+|_orph_\d+|_n_child)$")
     for name, child, fk, parent, pk in relations:
         if fk not in child.columns:
             raise ValueError(f"{name}: child column {fk!r} missing")
         if pk not in parent.columns:
             raise ValueError(f"{name}: parent column {pk!r} missing")
+        for col in (fk, pk):
+            if reserved.match(col):
+                raise ValueError(
+                    f"{name}: column {col!r} collides with the audit's "
+                    "reserved _pk_N/_hit_N/_null_N/_orph_N/_n_child "
+                    "working names — rename it first"
+                )
 
     # One projection per distinct input DataFrame, spanning every
     # column any of its roles needs; persisted when 2+ plan BRANCHES
     # would otherwise each re-scan it. A branch is a child group (all
     # of one child's FKs share one annotated relation, so lineitem's
     # three FKs are ONE consumer) or a distinct (parent, key) set —
-    # nation consumed as region's child plus customer's and
-    # supplier's parent is three branches and persists; lineitem,
-    # child-only, is one branch and does not.
+    # parent roles dedup by (parent, pk), so nation consumed as
+    # region's child plus customer's and supplier's parent is TWO
+    # branches (child role + one shared parent key set) and persists;
+    # lineitem, child-only, is one branch and does not.
     needed: dict[int, set[str]] = {}
     dfs: dict[int, DataFrame] = {}
     branches: dict[int, set[tuple]] = {}

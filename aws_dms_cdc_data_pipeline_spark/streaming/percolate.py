@@ -119,7 +119,6 @@ def percolate(
     toks = tokenize_positions(docs, text_col, id_col).filter(
         F.col("term").isin(all_terms)
     )
-    cached = None
     if phrase_qs and near_qs:
         # both passes read the pruned relation; persist it so the
         # corpus tokenizes once (1 scan + an InMemoryTableScan reuse).

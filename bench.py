@@ -240,6 +240,18 @@ def main() -> None:
         except Exception as e:  # optional tier — never fail the bench
             print(f"serving tier skipped: {e}", file=sys.stderr)
 
+    # sf10 scale probe: dedup/text one decade past the scale tier
+    # (500 k docs, documents-only build off the clock) — candidate
+    # volume must grow linearly and walls stay disk-bound
+    # (tools/bench_probe.py); skip with SPARK_GRAFT_SKIP_PROBE=1
+    if not os.environ.get("SPARK_GRAFT_SKIP_PROBE"):
+        try:
+            from tools.bench_probe import run as probe_run
+
+            payload["scale_probe_sf10"] = probe_run(spark)
+        except Exception as e:  # optional tier — never fail the bench
+            print(f"sf10 probe skipped: {e}", file=sys.stderr)
+
     # full payload → committed artifact (self-contained, no tail cap);
     # stdout → one slim line the driver can always capture whole
     full_path = os.path.join(

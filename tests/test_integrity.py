@@ -54,3 +54,14 @@ def test_validation(rel):
         fk_orphan_audit([("x", child, "nope", parent, "pk")])
     with pytest.raises(ValueError, match="parent column"):
         fk_orphan_audit([("x", child, "fk", parent, "nope")])
+
+
+def test_reserved_working_names_rejected(spark):
+    child = spark.createDataFrame([(1, 1)], "_pk_0 long, other long")
+    parent = spark.createDataFrame([(1,)], "pk long")
+    with pytest.raises(ValueError, match="reserved"):
+        fk_orphan_audit([("c->p", child, "_pk_0", parent, "pk")])
+    parent2 = spark.createDataFrame([(1,)], "_n_child long")
+    child2 = spark.createDataFrame([(1,)], "fk long")
+    with pytest.raises(ValueError, match="reserved"):
+        fk_orphan_audit([("c->p", child2, "fk", parent2, "_n_child")])

@@ -1,0 +1,91 @@
+"""sf10 scale probe: the dedup/text operators one decade past the
+scale tier (500 k docs, documents-only — tools/make_scaled_sf.py with
+``tables=["documents"]``), answering the question the sf1 tier can't:
+does candidate volume keep growing LINEARLY and do the walls stay
+disk-bound rather than exploding? Design numbers (PERF.md): raw band
+candidates ~10× the sf1 count (~8 M; pair work grows linearly with
+the corpus because replicas share no shingles), and the minhash
+verify join is the quantified irreducible term (spills local disk on
+one box — fine on a cluster).
+
+Runs each probe query cold (fresh cache) and steady (plan-keyed
+caches warm); records walls, the raw LSH band-candidate count, and
+result sizes. Invoked per-round from bench.py into
+``BENCH_LOCAL.json["scale_probe_sf10"]``; skip with
+SPARK_GRAFT_SKIP_PROBE=1.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(spark, src: str = "/root/testdata/sf0.1", dst: str | None = None,
+        factor: int = 100) -> dict:
+    from pyspark.sql import functions as F
+
+    from aws_dms_cdc_data_pipeline_spark.operators import dedup as D
+    from aws_dms_cdc_data_pipeline_spark.plans.queries import REGISTRY
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = dst or os.path.join(repo, ".benchdata", "sf10")
+    docs_path = os.path.join(dst, "documents.parquet")
+    if not os.path.exists(docs_path):  # build OFF the clock
+        from tools.make_scaled_sf import build
+
+        build(src, dst, factor, tables=["documents"])
+
+    docs = spark.read.parquet(docs_path)
+    out: dict = {"dir": dst, "factor": factor, "n_docs": docs.count()}
+
+    def timed(key: str, name: str, count_rows: bool = False) -> None:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        df = REGISTRY[name].fn(spark, dst)
+        if count_rows:
+            out[f"{key}_rows"] = df.count()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+        out[f"{key}_cold_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        REGISTRY[name].fn(spark, dst).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[f"{key}_sec"] = round(time.time() - t0, 3)
+
+    timed("minhash", "minhash_lsh_pairs", count_rows=True)
+    # raw band-join candidate volume (pre size-filter): the number the
+    # LSH design bounds; rides the still-warm shingle cache
+    hashed = D._hashed_shingles(docs, "text", "doc_id", 5).persist()
+    banded = D._bands_of(
+        D._with_signature(hashed, 32).withColumn(
+            "_n", F.size("_bh").cast("long")
+        ),
+        "doc_id", 32, 8, carry=("_n",),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    out["minhash_candidates"] = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).count()
+    )
+
+    timed("near_dedup", "near_dedup_canonical", count_rows=True)
+    timed("bm25_indexed", "bm25_keyword_search_indexed")
+    spark.catalog.clearCache()
+    return out
+
+
+if __name__ == "__main__":
+    from aws_dms_cdc_data_pipeline_spark.session import get_spark
+
+    import json
+
+    print(json.dumps(run(get_spark("bench-probe")), indent=2))
