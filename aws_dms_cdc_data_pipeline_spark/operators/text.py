@@ -105,6 +105,23 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     Deterministic tie-break: higher score wins, then lexicographically
     smaller language code. Padded-occurrence counting ≈ unigram model;
     at scale this is a pure map — no shuffle, no UDF.
+
+    HONESTY CONTRACT (asserted by
+    tests/test_text.py::test_lang_id_planted_multilingual_accuracy):
+    this is a 3-marker-per-language heuristic, not a trained model.
+    It is reliable exactly when the text contains the language's top
+    function words, and it has two documented failure modes: (1)
+    marker-free text scores 0 everywhere and falls to the
+    lexicographic default ``de`` (the first code in the marker set);
+    (2) cross-language marker collisions
+    (French ``le`` is also a pinyin ``zh`` marker; Spanish prose
+    containing ``le`` pronouns can leak score to fr/zh). PRODUCTION
+    SWAP-IN POINT: replace the score map with a real public LID model
+    (e.g. fastText lid.176 or CLD3) applied as a broadcast model
+    inside ``mapInPandas`` — the surrounding plan shape (pure
+    per-row map, no shuffle) is unchanged; only the scorer widens
+    from 15 markers to a trained classifier. The model file is not in
+    this container, so the heuristic is the tested default.
     """
     padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
     scores = {

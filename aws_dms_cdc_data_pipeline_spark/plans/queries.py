@@ -6105,70 +6105,76 @@ def dormant_high_value_customers_q(spark, sf_dir):
 
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
-# round's window up front. r7 window = the 11 new retrieval/percolator/
-# serving queries + every query whose implementation changed in r6/r7
-# after its last driver row (minhash size-prefilter, containment/
-# percolator rewrites, bottom-k null-safe joins, bm25 batch validation,
-# the late-r7 persist/fan-out perf passes: jaccard, collocations,
-# cluster closure, spans) + the stalest green rows by CORRECTNESS_r0N
-# age. All 50 verified green by the local DuckDB gate at close.
-_R7_WINDOW = [
-    "percolate_typed_alerts",
-    "phrase_search_multi",
-    "hybrid_search_rrf",
-    "more_like_this_doc",
-    "search_snippets_docs",
-    "autocomplete_prefix_s",
-    "minhash_lsh_pairs",
+# round's window up front. r9 window = the 2 new Discover-parity
+# queries (bool search, date histogram) + every query whose
+# implementation changed after its last driver row (the r9 dedup
+# persist pass: near_dedup_canonical/clusters, jaccard/containment;
+# the r8 fk_integrity_audit rewrite, whose only driver row predated
+# it; the percolator cache-hygiene edits) + the full r3/r4 stale tail
+# (24 queries — after this round no registry query's latest external
+# row is older than r5) + the stalest r5 rows as filler. All 50
+# verified green by the local DuckDB gate at close.
+_R9_WINDOW = [
+    # new in r9
+    "bool_search_docs",
+    "search_date_histogram",
+    # code changed after last driver row
     "near_dedup_canonical",
-    "simhash_pairs",
-    "tfidf_top_terms",
-    "bm25_keyword_search",
-    "ngram_containment_pairs",
-    "percolate_standing_queries",
-    "weekly_value_quantiles_from_sketches",
-    "bm25_multi_query",
-    "ann_lsh_topk",
-    "array_agg_devices",
-    "embedding_near_dup_lsh",
-    "embedding_similarity_pairs",
-    "filtered_aggregates",
-    "having_supplier_qty",
-    "json_extract_props",
-    "multimodal_media_stats",
-    "duplicated_char_spans",
-    "salted_supplier_qty",
     "near_dup_clusters",
-    "bigram_collocations",
     "ngram_jaccard_pairs",
-    "scalar_string_funcs",
-    "text_fingerprints",
-    "ann_brute_force_topk",
-    "ann_ivf_topk",
-    "approx_distinct_users",
-    "asof_purchase_last_visit",
-    "balanced_domain_sample",
-    "benchmark_contamination",
-    "cdc_scd2_history",
-    "cdc_schema_drift",
-    "cdc_state_as_of",
-    "centroid_label_confusion",
-    "chunk_documents",
-    "corpus_shuffle_order",
-    "curate_training_corpus",
-    "dataset_split_assignment",
-    "faceted_search_stats",
-    "proximity_search_docs_indexed",
-    "search_after_page",
-    "label_centroids",
-    "spell_suggest_terms",
-    "retrieval_eval_ann",
+    "ngram_containment_pairs",
+    "fk_integrity_audit",
+    "percolate_standing_queries",
+    "percolate_typed_alerts",
+    # r3/r4 stale tail (complete)
+    "regexp_part_names",
+    "scalar_conditional_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "doc_length_histogram",
+    "grouping_sets_revenue",
+    "join_full_nation_activity",
+    "min_cost_supplier",
+    "multimodal_features",
+    "percentile_order_prices",
+    "promo_revenue_share",
+    "range_join_promo_events",
+    "redact_pii_docs",
+    "session_window_stats",
+    "sessionize_events",
+    "set_except_all_orders",
+    "source_overlap_matrix",
+    "text_repetition_scores",
+    "time_rollup_events",
+    "topk_customers_by_revenue",
+    "unigram_logprob_scores",
+    "vocab_top_terms",
+    "window_distribution_funcs",
+    "window_range_7day_spend",
+    # stalest r5 filler
+    "doc_novelty_scores",
+    "ann_quantized_topk",
+    "asof_next_visit_tolerance",
+    "boilerplate_line_removal",
+    "bpe_learned_merges",
+    "bpe_merge_candidates",
+    "cdc_backfill_reconcile",
+    "cdc_rate_anomalies",
+    "cdc_snapshot_diff",
+    "cohort_retention",
+    "contrastive_negative_samples",
+    "daily_streaks_users",
+    "dormant_high_value_customers",
+    "edit_distance_pairs",
+    "event_transition_matrix",
+    "events_value_outliers",
+    "events_value_outliers_robust",
 ]
 
-assert len(_R7_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R7_WINDOW)}"
-assert len(set(_R7_WINDOW)) == 50, "duplicate entries in window"
-assert all(name in REGISTRY for name in _R7_WINDOW), "window list drifted"
+assert len(_R9_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R9_WINDOW)}"
+assert len(set(_R9_WINDOW)) == 50, "duplicate entries in window"
+assert all(name in REGISTRY for name in _R9_WINDOW), "window list drifted"
 REGISTRY = {
-    **{k: REGISTRY[k] for k in _R7_WINDOW},
-    **{k: v for k, v in REGISTRY.items() if k not in _R7_WINDOW},
+    **{k: REGISTRY[k] for k in _R9_WINDOW},
+    **{k: v for k, v in REGISTRY.items() if k not in _R9_WINDOW},
 }
