@@ -18,6 +18,15 @@ uses. Reported numbers:
 Generation happens OFF the clock and is reused across runs (the
 backlog dir is keyed by N and kept under ``.benchdata/``).
 
+Two full drains run back-to-back (fresh sink/checkpoint each) and the
+SECOND is recorded — the same steady-state protocol as every other
+bench tier. A single drain measured whatever JVM state ~200 prior
+bench queries left behind: r7→r9 single-run numbers walked 76.3 →
+68.0 → 65.6 k env/s on UNCHANGED code while back-to-back runs in one
+session measured 44.8 k cold then 79.8/81.3 k warm — the walk was
+first-run noise, not a regression. The cold number is still reported
+as ``first_run`` for the delta-watchers.
+
 Usage: python tools/bench_cdc.py [N]    (or imported by bench.py)
 """
 
@@ -64,9 +73,27 @@ def _ensure_backlog(n_envelopes: int, files: int) -> str:
 
 
 def run(n_envelopes: int = 1_000_000, *, spark=None, files: int = 16,
-        files_per_trigger: int = 4) -> dict:
-    import aws_dms_cdc_data_pipeline_spark.sinks.state_store as SS
+        files_per_trigger: int = 4, runs: int = 2) -> dict:
     from aws_dms_cdc_data_pipeline_spark.session import get_spark
+
+    own_spark = spark is None
+    if own_spark:
+        spark = get_spark("bench-cdc")
+    out = {}
+    for i in range(max(runs, 1)):
+        res = _drain_once(n_envelopes, spark, files, files_per_trigger)
+        if i == 0:
+            out["first_run"] = {
+                k: res[k] for k in ("wall_sec", "envelopes_per_sec",
+                                    "merge_sec")
+            }
+    out.update(res)  # steady state (last run) is the headline
+    return out
+
+
+def _drain_once(n_envelopes: int, spark, files: int,
+                files_per_trigger: int) -> dict:
+    import aws_dms_cdc_data_pipeline_spark.sinks.state_store as SS
     from aws_dms_cdc_data_pipeline_spark.streaming.pipeline import (
         CdcStreamConfig,
         start_cdc_stream,
@@ -75,10 +102,6 @@ def run(n_envelopes: int = 1_000_000, *, spark=None, files: int = 16,
     backlog = _ensure_backlog(n_envelopes, files)
     with open(os.path.join(backlog, "_COMPLETE")) as f:
         n_actual = json.load(f)["n_envelopes"]
-
-    own_spark = spark is None
-    if own_spark:
-        spark = get_spark("bench-cdc")
 
     sink_root = os.path.join(REPO, ".benchdata", "_cdc_sink")
     shutil.rmtree(sink_root, ignore_errors=True)
