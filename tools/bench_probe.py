@@ -24,6 +24,30 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _spill_totals(spark) -> tuple[int, int]:
+    """Cumulative (memoryBytesSpilled, diskBytesSpilled) across every
+    stage this session has run, from the AppStatusStore — per-phase
+    spill is the delta around the phase. Spill is the probe's third
+    axis: at sf10 the minhash verify join is EXPECTED to spill on one
+    box (PERF.md) — the number quantifies by how much, so a future
+    plan change that silently turns a disk-bound join into an OOM-
+    bound one shows up in the artifact."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    store = sc._jsc.sc().statusStore()
+    stages = store.stageList(
+        jvm.java.util.ArrayList(), False, False,
+        sc._gateway.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+    )
+    it = stages.iterator()
+    mem = disk = 0
+    while it.hasNext():
+        sd = it.next()
+        mem += sd.memoryBytesSpilled()
+        disk += sd.diskBytesSpilled()
+    return mem, disk
+
+
 def run(spark, src: str = "/root/testdata/sf0.1", dst: str | None = None,
         factor: int = 100) -> dict:
     from pyspark.sql import functions as F
@@ -44,6 +68,7 @@ def run(spark, src: str = "/root/testdata/sf0.1", dst: str | None = None,
 
     def timed(key: str, name: str, count_rows: bool = False) -> None:
         spark.catalog.clearCache()
+        m0, d0 = _spill_totals(spark)
         t0 = time.time()
         df = REGISTRY[name].fn(spark, dst)
         if count_rows:
@@ -56,6 +81,9 @@ def run(spark, src: str = "/root/testdata/sf0.1", dst: str | None = None,
             "overwrite"
         ).save()
         out[f"{key}_sec"] = round(time.time() - t0, 3)
+        m1, d1 = _spill_totals(spark)
+        out[f"{key}_spill_mem_mb"] = round((m1 - m0) / 2**20, 1)
+        out[f"{key}_spill_disk_mb"] = round((d1 - d0) / 2**20, 1)
 
     timed("minhash", "minhash_lsh_pairs", count_rows=True)
     # raw band-join candidate volume (pre size-filter): the number the
