@@ -528,6 +528,88 @@ def date_histogram_oracle_sql(
     """
 
 
+# 1-2-5 decade ladder in micro-units (1e-6 .. 5e6), the numeric
+# sibling of _HISTO_LADDER: OpenSearch's histogram agg takes an
+# explicit interval; the auto form picks the smallest "nice" rung
+# keeping the bucket count under budget.
+_NUM_LADDER = [
+    m * 10**k for k in range(13) for m in (1, 2, 5)
+]
+
+
+def numeric_histogram(
+    hits: DataFrame,
+    value_col: str,
+    *,
+    target_buckets: int = 30,
+) -> DataFrame:
+    """Numeric-field histogram over a search hit set — the Discover
+    numeric facet panel (OpenSearch ``histogram`` aggregation, auto
+    interval). Same two-pass shape as :func:`date_histogram`: a 1-row
+    min/max broadcast fixes the span, the smallest 1-2-5 decade rung
+    under ``target_buckets`` wins, and buckets are integer-exact on
+    6-decimal fixed point (values quantize via ``floor(v·1e6)`` — the
+    repo-wide ``_q6`` portability pattern — so bucket edges never
+    depend on float division). Returns
+    (bucket_start double, n_hits, interval double) ordered by
+    bucket_start; negative values floor toward −∞ in both engines.
+    """
+    if target_buckets < 1:
+        raise ValueError("numeric_histogram needs target_buckets >= 1")
+    uv = F.floor(F.col(value_col).cast("double") * 1000000.0).cast("long")
+    stats = hits.agg(F.min(uv).alias("_vmin"), F.max(uv).alias("_vmax"))
+    span = F.col("_vmax") - F.col("_vmin")
+    iv = F.lit(_NUM_LADDER[-1]).cast("long")
+    for rung in reversed(_NUM_LADDER[:-1]):
+        iv = F.when(
+            span < F.lit(rung) * target_buckets, F.lit(rung).cast("long")
+        ).otherwise(iv)
+    ivc = F.col("_ivu")
+    # floor-division bucketing, portable for negatives:
+    # uv − ((uv % iv + iv) % iv)
+    lo = uv - ((uv % ivc + ivc) % ivc)
+    return (
+        hits.crossJoin(F.broadcast(stats.select(iv.alias("_ivu"))))
+        .groupBy(
+            (lo.cast("double") / F.lit(1000000.0)).alias("bucket_start"),
+            (ivc.cast("double") / F.lit(1000000.0)).alias("interval"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .select("bucket_start", "n_hits", "interval")
+        .orderBy("bucket_start")
+    )
+
+
+def numeric_histogram_oracle_sql(
+    hits_sql: str,
+    value_col: str,
+    *,
+    target_buckets: int = 30,
+) -> str:
+    """DuckDB SQL computing the identical numeric histogram."""
+    case = "CASE "
+    for rung in _NUM_LADDER[:-1]:
+        case += (
+            f"WHEN (vmax - vmin) < {rung} * {target_buckets} THEN {rung} "
+        )
+    case += f"ELSE {_NUM_LADDER[-1]} END"
+    return f"""
+    WITH hit_rows AS ({hits_sql}),
+    h AS (SELECT CAST(floor(CAST({value_col} AS DOUBLE) * 1000000.0)
+                      AS BIGINT) AS uv
+          FROM hit_rows),
+    stats AS (SELECT MIN(uv) AS vmin, MAX(uv) AS vmax FROM h),
+    iv AS (SELECT CAST({case} AS BIGINT) AS ivu FROM stats)
+    SELECT CAST(uv - ((uv % ivu + ivu) % ivu) AS DOUBLE) / 1000000.0
+               AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(ivu AS DOUBLE) / 1000000.0 AS interval
+    FROM h CROSS JOIN iv
+    GROUP BY 1, 3
+    ORDER BY bucket_start
+    """
+
+
 def keyset_page(
     ranked: DataFrame,
     cursor: DataFrame,
@@ -574,6 +656,8 @@ __all__ = [
     "facet_counts",
     "keyset_page",
     "more_like_this",
+    "numeric_histogram",
+    "numeric_histogram_oracle_sql",
     "retrieval_eval",
     "rrf_fuse",
     "search_snippets",

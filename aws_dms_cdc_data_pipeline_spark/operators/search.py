@@ -482,6 +482,108 @@ def bool_search_many(
     )
 
 
+def _wildcard_to_like(pattern: str) -> str:
+    """``*``-wildcard → SQL LIKE with ``\\`` escaping (identical
+    semantics in Spark and DuckDB). Only ``*`` is a wildcard; literal
+    ``%``/``_``/``\\`` in the pattern are escaped."""
+    parts = pattern.lower().split("*")
+    esc = [
+        p.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        for p in parts
+    ]
+    return "%".join(esc)
+
+
+def wildcard_search(
+    spark,
+    idx_table: str,
+    pattern: str,
+    *,
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Wildcard term query — the OpenSearch/Discover ``field: foo*``
+    search-bar shape (reference README.md:451-492): documents whose
+    token set matches a ``*``-wildcard pattern, ranked by total
+    matching occurrences (OpenSearch wildcard scores constant; total
+    tf then id is the deterministic analogue), with the sorted
+    matching-term set per doc.
+
+    Returns (id, terms array<string>, n_terms, total_tf, rank).
+
+    Scale shape: the LIKE predicate evaluates on the token index's
+    term column — hash buckets cannot prune an infix wildcard (same
+    caveat as autocomplete, operators/retrieval.py): the scan is
+    index-wide but column-pruned and whole-stage-codegen'd, and a
+    PREFIX pattern becomes range-prunable under the range-clustered
+    layout (maintenance/layout.py). One doc-keyed aggregate over the
+    matching rows follows; nothing corpus-sized shuffles. The rank
+    window is global but runs AFTER the top-k cut — its input is k
+    rows, not the corpus.
+    """
+    if not pattern.strip("*"):
+        raise ValueError(
+            "wildcard_search needs at least one literal character "
+            "(a bare '*' would match the whole index)"
+        )
+    like = _wildcard_to_like(pattern)
+    hits = spark.table(idx_table).filter(
+        F.like(F.col("term"), F.lit(like), F.lit("\\"))
+    )
+    ranked = (
+        hits.groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_set("term")).alias("terms"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .orderBy(F.col("total_tf").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("total_tf").desc(), F.col(id_col).asc())
+    return ranked.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(id_col, "terms", "n_terms", "total_tf", "rank")
+
+
+def wildcard_oracle_sql(
+    pattern: str,
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> str:
+    """DuckDB SQL computing the identical wildcard ranking."""
+    like = _wildcard_to_like(pattern).replace("'", "''")
+    return f"""
+    WITH tok AS (
+        SELECT {id_col}, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM {table},
+             LATERAL (SELECT unnest(string_split_regex(lower({text_col}),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+        GROUP BY {id_col}, t.term
+    ),
+    hits AS (SELECT * FROM tok WHERE term LIKE '{like}' ESCAPE '\\'),
+    ranked AS (
+        SELECT {id_col},
+               list_sort(list(term)) AS terms,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(tf) AS BIGINT) AS total_tf
+        FROM hits GROUP BY {id_col}
+        ORDER BY total_tf DESC, {id_col} ASC
+        LIMIT {top_k}
+    )
+    SELECT {id_col}, terms, n_terms, total_tf,
+           CAST(row_number() OVER (ORDER BY total_tf DESC, {id_col} ASC)
+                AS BIGINT) AS rank
+    FROM ranked
+    """
+
+
 def bool_oracle_sql(
     queries: dict[str, dict],
     *,
@@ -1366,4 +1468,6 @@ __all__ = [
     "tfidf_top_terms_indexed",
     "tokenize",
     "tokenize_positions",
+    "wildcard_oracle_sql",
+    "wildcard_search",
 ]

@@ -4561,6 +4561,69 @@ def faceted_search_stats_q(spark, sf_dir):
     return facet_counts(hits, docs, ["lang", "source"], stat_col="n_chars")
 
 
+def _numeric_histogram_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        numeric_histogram_oracle_sql,
+    )
+
+    return numeric_histogram_oracle_sql(
+        "SELECT value FROM events WHERE event_type = 'purchase'",
+        "value",
+        target_buckets=20,
+    )
+
+
+@q(
+    "search_value_histogram",
+    _numeric_histogram_oracle(),
+    "Numeric-field histogram over a search hit set — the Discover "
+    "numeric facet panel (OpenSearch histogram aggregation, auto "
+    "interval): purchase-event values bucket on the smallest 1-2-5 "
+    "decade rung keeping <=20 buckets; values quantize to 6-decimal "
+    "fixed point before integer-exact floor bucketing, so bucket "
+    "edges are bit-identical cross-engine "
+    "(operators/retrieval.py:numeric_histogram).",
+)
+def search_value_histogram_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        numeric_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hits = ev.filter(F.col("event_type") == "purchase")
+    return numeric_histogram(hits, "value", target_buckets=20)
+
+
+def _wildcard_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        wildcard_oracle_sql,
+    )
+
+    return wildcard_oracle_sql("s*a*", top_k=15)
+
+
+@q(
+    "wildcard_search_docs",
+    _wildcard_oracle(),
+    "Wildcard term query — the Discover 'field: foo*' search-bar "
+    "shape (OpenSearch wildcard query; reference README.md:451-492): "
+    "docs whose token set matches 's*a*' (an INFIX pattern — scan/"
+    "small/spark/stream), ranked by total matching occurrences with "
+    "the sorted matching-term set per doc. The LIKE predicate "
+    "evaluates on the token index's term column (hash buckets can't "
+    "prune an infix; prefix patterns range-prune under the "
+    "range-clustered layout), then one doc-keyed aggregate "
+    "(operators/search.py:wildcard_search).",
+)
+def wildcard_search_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        wildcard_search,
+    )
+
+    idx_t, _ = _token_index_for(spark, sf_dir)
+    return wildcard_search(spark, idx_t, "s*a*", top_k=15)
+
+
 def _date_histogram_oracle() -> str:
     from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
         date_histogram_oracle_sql,
@@ -6118,6 +6181,8 @@ _R9_WINDOW = [
     # new in r9
     "bool_search_docs",
     "search_date_histogram",
+    "wildcard_search_docs",
+    "search_value_histogram",
     # code changed after last driver row
     "near_dedup_canonical",
     "near_dup_clusters",
@@ -6167,8 +6232,6 @@ _R9_WINDOW = [
     "dormant_high_value_customers",
     "edit_distance_pairs",
     "event_transition_matrix",
-    "events_value_outliers",
-    "events_value_outliers_robust",
 ]
 
 assert len(_R9_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R9_WINDOW)}"

@@ -322,3 +322,33 @@ def test_date_histogram_buckets_and_auto_interval(spark):
 
     with pytest.raises(ValueError, match="target_buckets"):
         date_histogram(hits, "ts", target_buckets=0)
+
+
+def test_numeric_histogram_ladder_and_negatives(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        numeric_histogram,
+    )
+
+    # span 0..9.5 with target 10 → 1-unit rungs; negatives floor to -∞
+    rows = [(-1.5,), (-0.2,), (0.3,), (0.9,), (1.1,), (9.5,)]
+    hits = spark.createDataFrame(rows, "value double")
+    out = {(r["bucket_start"], r["n_hits"]) for r in
+           numeric_histogram(hits, "value", target_buckets=12).collect()}
+    got_iv = {r["interval"] for r in
+              numeric_histogram(hits, "value", target_buckets=12).collect()}
+    assert got_iv == {1.0}
+    assert out == {(-2.0, 1), (-1.0, 1), (0.0, 2), (1.0, 1), (9.0, 1)}
+    # tighter budget walks the 1-2-5 ladder: span 11 with target 3
+    # needs >= 3.67 → 5-unit rungs
+    coarse = numeric_histogram(hits, "value", target_buckets=3).collect()
+    assert {r["interval"] for r in coarse} == {5.0}
+    assert sum(r["n_hits"] for r in coarse) == 6
+    # ordering + stable schema on empty input
+    empty = numeric_histogram(hits.filter(F.lit(False)), "value")
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == [
+        "bucket_start", "n_hits", "interval",
+    ]
+
+    with pytest.raises(ValueError, match="target_buckets"):
+        numeric_histogram(hits, "value", target_buckets=0)

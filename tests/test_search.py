@@ -559,3 +559,44 @@ def test_bool_search_validation(spark, sf_dir):
             spark, idx, dl,
             {"q": {"must": ["spark"], "filter": [("lang", "eq", "en")]}},
         )
+
+
+def test_wildcard_search_semantics_and_escaping(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        _wildcard_to_like,
+        ensure_token_index,
+        wildcard_search,
+    )
+
+    # translation: * -> %, literal LIKE specials escaped
+    assert _wildcard_to_like("foo*") == "foo%"
+    assert _wildcard_to_like("*o_o*") == "%o\\_o%"
+    assert _wildcard_to_like("50%*") == "50\\%%"
+    assert _wildcard_to_like("A*B") == "a%b"
+
+    rows = [
+        (1, "spark spark stream"),
+        (2, "scan sort"),
+        (3, "slow small"),
+        (4, "nothing here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx, _ = ensure_token_index(spark, docs, "t_wildcard")
+    out = {
+        r["doc_id"]: (list(r["terms"]), r["n_terms"], r["total_tf"], r["rank"])
+        for r in wildcard_search(spark, idx, "s*a*", top_k=10).collect()
+    }
+    # s*a* matches spark/stream/scan/small — not sort/slow (no a after)
+    assert set(out) == {1, 2, 3}
+    assert out[1] == (["spark", "stream"], 2, 3, 1)  # tf 2+1, top by tf
+    assert out[2] == (["scan"], 1, 1, 2)             # id tie-break vs 3
+    assert out[3] == (["small"], 1, 1, 3)
+    # prefix form
+    pre = {r["doc_id"] for r in
+           wildcard_search(spark, idx, "sp*", top_k=10).collect()}
+    assert pre == {1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="whole index"):
+        wildcard_search(spark, idx, "**")
