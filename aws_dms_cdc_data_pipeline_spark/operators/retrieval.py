@@ -20,6 +20,14 @@ oracle-checkable cross-engine:
   (earliest such window on ties).
 - :func:`autocomplete_prefix` — prefix completion over the
   materialized token index ranked by document frequency.
+- :func:`spell_suggest`, :func:`retrieval_eval`,
+  :func:`facet_counts`, :func:`keyset_page` — term suggester, eval
+  metrics (recall/MRR/nDCG), aggregations-on-query, search_after.
+- :func:`date_histogram`, :func:`numeric_histogram`,
+  :func:`significant_terms`, :func:`top_hits_per_facet` — the
+  Discover analytics panels over a hit set: auto-interval time and
+  numeric bucketing, over-represented-terms scoring (JLH), and
+  best-matches-per-category.
 
 Scale shapes: every operator is a bounded prune/join over the
 materialized token index or the pruned positional relation — no
@@ -433,6 +441,189 @@ def facet_counts(
     )
 
 
+def significant_terms(
+    spark,
+    idx_table: str,
+    dl_table: str,
+    hits: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    top_k: int = 10,
+    min_doc_count: int = 2,
+) -> DataFrame:
+    """Significant-terms aggregation over a search hit set — the
+    OpenSearch ``significant_terms`` / Discover "significant terms"
+    visualization: terms OVER-REPRESENTED in the hits relative to the
+    whole corpus (what distinguishes the matching documents, not just
+    what's frequent in them).
+
+    Scoring is the JLH heuristic on rational arithmetic:
+    ``(fg_share − bg_share) · (fg_share / bg_share)`` with
+    fg_share = fg_df/n_hits and bg_share = bg_df/n_docs — every step
+    +,−,×,÷ on exact integers, rounded once to 6 decimals, so the
+    oracle reproduces it bit-for-bit. Terms must appear in at least
+    ``min_doc_count`` hit documents and be genuinely over-represented
+    (fg_share > bg_share). Returns
+    (term, fg_df, bg_df, score) ordered (score DESC, term ASC),
+    limited to ``top_k``.
+
+    Execution shape: the hit set is top-k-sized and BROADCASTS into a
+    semi-join against the term-bucketed index (foreground df — only
+    hit docs' rows survive the scan filter); background df is the
+    shuffle-free term aggregate the bucketing gives for free; n_docs
+    is a 1-row broadcast off the dl table. The corpus never shuffles.
+    """
+    if top_k < 1 or min_doc_count < 1:
+        raise ValueError(
+            "significant_terms needs top_k >= 1 and min_doc_count >= 1"
+        )
+    idx = spark.table(idx_table)
+    hit_ids = hits.select(id_col)
+    n_hits_df = hit_ids.agg(F.count(F.lit(1)).cast("long").alias("n_fg"))
+    n_docs_df = spark.table(dl_table).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bg")
+    )
+    fg = (
+        idx.join(F.broadcast(hit_ids), id_col, "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+    )
+    bg = idx.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("bg_df")
+    )
+    fg_share = F.col("fg_df") / F.col("n_fg")
+    bg_share = F.col("bg_df") / F.col("n_bg")
+    score = F.round(
+        (fg_share - bg_share) * (fg_share / bg_share), 6
+    )
+    return (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(n_hits_df))
+        .crossJoin(F.broadcast(n_docs_df))
+        .filter(
+            (F.col("fg_df") >= min_doc_count) & (fg_share > bg_share)
+        )
+        .select("term", "fg_df", "bg_df", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(top_k)
+    )
+
+
+def top_hits_per_facet(
+    hits: DataFrame,
+    docs: DataFrame,
+    facet_cols: list[str],
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    hits_per_bucket: int = 3,
+) -> DataFrame:
+    """Top-N hits WITHIN each facet bucket — the OpenSearch
+    ``top_hits`` sub-aggregation (Discover's "best matches per
+    category" panel): group the hit set by the documents'
+    ``facet_cols`` and keep the ``hits_per_bucket`` best-scoring
+    documents per bucket, deterministic ties on id. Returns
+    (facet..., id, score, bucket_rank) ordered
+    (facet... ASC, bucket_rank ASC).
+
+    Execution: the hit set is top-k-sized, so it BROADCASTS into the
+    documents join (the corpus never shuffles — same shape as
+    :func:`facet_counts`); the per-bucket cut is a rank window over
+    hit-set-sized data that WindowGroupLimit trims map-side.
+    """
+    from pyspark.sql import Window
+
+    if not facet_cols:
+        raise ValueError("top_hits_per_facet needs at least one facet column")
+    if hits_per_bucket < 1:
+        raise ValueError("top_hits_per_facet needs hits_per_bucket >= 1")
+    j = docs.select(id_col, *facet_cols).join(
+        F.broadcast(hits.select(id_col, score_col)), id_col
+    )
+    w = Window.partitionBy(*facet_cols).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("bucket_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("bucket_rank") <= hits_per_bucket)
+        .select(*facet_cols, id_col, score_col, "bucket_rank")
+        .orderBy(*[F.col(c).asc() for c in facet_cols], "bucket_rank")
+    )
+
+
+def top_hits_oracle_sql(
+    hits_sql: str,
+    facet_cols: list[str],
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    hits_per_bucket: int = 3,
+) -> str:
+    """DuckDB SQL computing the identical per-facet top hits."""
+    facets = ", ".join(facet_cols)
+    order_facets = ", ".join(f"{c} ASC" for c in facet_cols)
+    return f"""
+    WITH hit_rows AS ({hits_sql}),
+    j AS (
+        SELECT {facets}, d.{id_col}, h.{score_col}
+        FROM {table} d JOIN hit_rows h USING ({id_col})
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY {facets}
+                   ORDER BY {score_col} DESC, {id_col} ASC)
+               AS BIGINT) AS bucket_rank
+        FROM j
+    )
+    SELECT {facets}, {id_col}, {score_col}, bucket_rank
+    FROM ranked WHERE bucket_rank <= {hits_per_bucket}
+    ORDER BY {order_facets}, bucket_rank
+    """
+
+
+def significant_terms_oracle_sql(
+    hits_sql: str,
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+    min_doc_count: int = 2,
+) -> str:
+    """DuckDB SQL computing the identical significant-terms ranking
+    over ``hits_sql`` (a query yielding hit ``id_col`` rows)."""
+    return f"""
+    WITH tok AS (
+        SELECT {id_col}, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM {table},
+             LATERAL (SELECT unnest(string_split_regex(lower({text_col}),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+        GROUP BY {id_col}, t.term
+    ),
+    hit_ids AS (SELECT {id_col} FROM ({hits_sql})),
+    n_fg_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_fg FROM hit_ids),
+    n_bg_t AS (SELECT CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_bg
+               FROM tok),
+    fg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS fg_df
+           FROM tok SEMI JOIN hit_ids USING ({id_col})
+           GROUP BY term),
+    bg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS bg_df
+           FROM tok GROUP BY term)
+    SELECT term, fg_df, bg_df,
+           round((fg_df / CAST(n_fg AS DOUBLE) - bg_df / CAST(n_bg AS DOUBLE))
+                 * ((fg_df / CAST(n_fg AS DOUBLE))
+                    / (bg_df / CAST(n_bg AS DOUBLE))), 6) AS score
+    FROM fg JOIN bg USING (term)
+            CROSS JOIN n_fg_t CROSS JOIN n_bg_t
+    WHERE fg_df >= {min_doc_count}
+      AND fg_df / CAST(n_fg AS DOUBLE) > bg_df / CAST(n_bg AS DOUBLE)
+    ORDER BY score DESC, term ASC
+    LIMIT {top_k}
+    """
+
+
 # the OpenSearch auto_date_histogram interval ladder (seconds): the
 # histogram picks the SMALLEST rung that keeps the bucket count at or
 # under the target, so zooming a Discover time range re-buckets from
@@ -661,5 +852,9 @@ __all__ = [
     "retrieval_eval",
     "rrf_fuse",
     "search_snippets",
+    "significant_terms",
+    "significant_terms_oracle_sql",
     "spell_suggest",
+    "top_hits_oracle_sql",
+    "top_hits_per_facet",
 ]

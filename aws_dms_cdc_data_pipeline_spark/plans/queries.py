@@ -4561,6 +4561,84 @@ def faceted_search_stats_q(spark, sf_dir):
     return facet_counts(hits, docs, ["lang", "source"], stat_col="n_chars")
 
 
+def _top_hits_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        top_hits_oracle_sql,
+    )
+
+    return top_hits_oracle_sql(
+        f"SELECT doc_id, score FROM ({_bm25_sub_sql(100)})",
+        ["lang", "source"],
+        hits_per_bucket=2,
+    )
+
+
+@q(
+    "top_hits_per_facet",
+    _top_hits_oracle(),
+    "Top-N hits WITHIN each facet bucket — the OpenSearch top_hits "
+    "sub-aggregation (Discover's best-matches-per-category panel): "
+    "the BM25 top-100 hit set broadcasts into the documents join "
+    "(the corpus never shuffles), then a per-(lang, source) rank "
+    "window keeps the 2 best-scoring docs per bucket, "
+    "WindowGroupLimit-trimmed map-side "
+    "(operators/retrieval.py:top_hits_per_facet).",
+)
+def top_hits_per_facet_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        top_hits_per_facet,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bm25_search_indexed,
+    )
+
+    idx_t, dl_t = _token_index_for(spark, sf_dir)
+    hits = bm25_search_indexed(
+        spark, idx_t, dl_t, ["spark", "shuffle", "broadcast"], top_k=100
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return top_hits_per_facet(
+        hits, docs, ["lang", "source"], hits_per_bucket=2
+    )
+
+
+def _sig_terms_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        significant_terms_oracle_sql,
+    )
+
+    return significant_terms_oracle_sql(
+        f"SELECT doc_id FROM ({_bm25_sub_sql(50)})", top_k=10
+    )
+
+
+@q(
+    "significant_terms_hits",
+    _sig_terms_oracle(),
+    "Significant-terms aggregation over a search hit set — the "
+    "OpenSearch significant_terms / Discover 'significant terms' "
+    "panel: terms OVER-represented in the BM25 top-50 relative to "
+    "the corpus, JLH-scored ((fg-bg)*(fg/bg) on rational shares, "
+    "rounded once). The hit set broadcasts into a semi-join against "
+    "the term-bucketed index (foreground df); background df is the "
+    "shuffle-free term aggregate; the corpus never shuffles "
+    "(operators/retrieval.py:significant_terms).",
+)
+def significant_terms_hits_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        significant_terms,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bm25_search_indexed,
+    )
+
+    idx_t, dl_t = _token_index_for(spark, sf_dir)
+    hits = bm25_search_indexed(
+        spark, idx_t, dl_t, ["spark", "shuffle", "broadcast"], top_k=50
+    )
+    return significant_terms(spark, idx_t, dl_t, hits, top_k=10)
+
+
 def _numeric_histogram_oracle() -> str:
     from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
         numeric_histogram_oracle_sql,
@@ -6183,6 +6261,8 @@ _R9_WINDOW = [
     "search_date_histogram",
     "wildcard_search_docs",
     "search_value_histogram",
+    "significant_terms_hits",
+    "top_hits_per_facet",
     # code changed after last driver row
     "near_dedup_canonical",
     "near_dup_clusters",
@@ -6230,8 +6310,6 @@ _R9_WINDOW = [
     "contrastive_negative_samples",
     "daily_streaks_users",
     "dormant_high_value_customers",
-    "edit_distance_pairs",
-    "event_transition_matrix",
 ]
 
 assert len(_R9_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R9_WINDOW)}"

@@ -352,3 +352,75 @@ def test_numeric_histogram_ladder_and_negatives(spark):
 
     with pytest.raises(ValueError, match="target_buckets"):
         numeric_histogram(hits, "value", target_buckets=0)
+
+
+def test_significant_terms_hand_checked(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        significant_terms,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+    )
+
+    # 6 docs; "rare" appears only in the 2 hit docs, "common" in all;
+    # "half" in 1 hit + 2 non-hits
+    rows = [
+        (1, "rare common half"),
+        (2, "rare common"),
+        (3, "common half"),
+        (4, "common half"),
+        (5, "common other"),
+        (6, "common other"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx, dl = ensure_token_index(spark, docs, "t_sigterms")
+    hits = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    out = {
+        r["term"]: (r["fg_df"], r["bg_df"], r["score"])
+        for r in significant_terms(
+            spark, idx, dl, hits, top_k=10, min_doc_count=1
+        ).collect()
+    }
+    # common: fg_share 1.0 == bg_share 1.0 -> excluded (not over-rep)
+    # other: fg_df 0 -> excluded; half: fg 1/2 vs bg 3/6 -> equal, excluded
+    # rare: fg 2/2=1.0 vs bg 2/6 -> score (1-1/3)*(1/(1/3)) = 2.0
+    assert set(out) == {"rare"}
+    assert out["rare"] == (2, 2, 2.0)
+    # min_doc_count gates low-support terms
+    one_hit = spark.createDataFrame([(1,)], "doc_id long")
+    gated = significant_terms(
+        spark, idx, dl, one_hit, top_k=10, min_doc_count=2
+    ).collect()
+    assert gated == []
+
+    with pytest.raises(ValueError, match="top_k"):
+        significant_terms(spark, idx, dl, hits, top_k=0)
+
+
+def test_top_hits_per_facet_hand_checked(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        top_hits_per_facet,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "en"), (4, "fr"), (5, "fr")],
+        "doc_id long, lang string",
+    )
+    hits = spark.createDataFrame(
+        [(1, 3.0), (2, 5.0), (3, 5.0), (4, 1.0)],
+        "doc_id long, score double",
+    )
+    out = [
+        (r["lang"], r["doc_id"], r["bucket_rank"])
+        for r in top_hits_per_facet(
+            hits, docs, ["lang"], hits_per_bucket=2
+        ).collect()
+    ]
+    # en: scores 5.0 (doc 2, id tie-break), 5.0 (doc 3); doc 1 cut;
+    # fr: only hit doc 4; doc 5 never hit
+    assert out == [("en", 2, 1), ("en", 3, 2), ("fr", 4, 1)]
+
+    with pytest.raises(ValueError, match="facet column"):
+        top_hits_per_facet(hits, docs, [])
+    with pytest.raises(ValueError, match="hits_per_bucket"):
+        top_hits_per_facet(hits, docs, ["lang"], hits_per_bucket=0)
