@@ -832,6 +832,57 @@ def _phrase_match_many(
     )
 
 
+def _bool_match_many(
+    toks: DataFrame,
+    queries: list[tuple[str, list[tuple[str, str]], int, int]],
+    id_col: str,
+) -> DataFrame:
+    """Shared match-only bool resolver over a PRUNED (id, term, ...)
+    relation: one broadcast join + one aggregation for ANY number of
+    bool queries. ``queries`` rows are (query_id, [(term, kind)],
+    n_must, min_should). A document matches when every must term is
+    present, at least min_should should terms are present, and no
+    must_not term is (must_not resolves on the HIT SET — absences are
+    never scanned for). n_matches = distinct matched must+should
+    terms (> 0 by the match conditions)."""
+    spark = toks.sparkSession
+    rows = sorted(
+        {(qid, t, k) for qid, tks, _, _ in queries for t, k in tks}
+    )
+    qdf = spark.createDataFrame(rows, "query_id string, term string, kind string")
+    qreq = spark.createDataFrame(
+        [(qid, n_must, min_should) for qid, _, n_must, min_should in queries],
+        "query_id string, n_must long, min_should long",
+    )
+    presence = toks.select(F.col(id_col), "term").distinct()
+    per_doc = (
+        presence.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.when(F.col("kind") == "must", 1)).alias("_n_must_hit"),
+            F.count(F.when(F.col("kind") == "should", 1)).alias(
+                "_n_should_hit"
+            ),
+            F.max(F.when(F.col("kind") == "must_not", 1)).alias("_ex"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(qreq), "query_id")
+        .filter(
+            F.col("_ex").isNull()
+            & (F.col("_n_must_hit") == F.col("n_must"))
+            & (F.col("_n_should_hit") >= F.col("min_should"))
+        )
+        .select(
+            "query_id",
+            F.col(id_col),
+            (F.col("_n_must_hit") + F.col("_n_should_hit"))
+            .cast("long")
+            .alias("n_matches"),
+        )
+    )
+
+
 def _phrase_match(toks: DataFrame, terms: list[str], id_col: str) -> DataFrame:
     """Count full-phrase occurrences per doc over a PRUNED (id, term,
     pos) relation containing only the phrase's tokens."""

@@ -4183,6 +4183,74 @@ def _near_leg_sql(qid: str, a: str, b: str, slop: int, in_order: bool) -> str:
     ) GROUP BY doc_id"""
 
 
+def _bool_leg_sql(qid, must, should, must_not, min_should):
+    def in_list(ts):
+        return ", ".join(f"'{t}'" for t in sorted(ts)) if ts else None
+
+    def cnt(ts):
+        il = in_list(ts)
+        if il is None:
+            return "CAST(0 AS BIGINT)"
+        return (
+            "COUNT(DISTINCT CASE WHEN term IN "
+            f"({il}) THEN term END)"
+        )
+
+    ex = (
+        f"MAX(CASE WHEN term IN ({in_list(must_not)}) THEN 1 END)"
+        if must_not
+        else "CAST(NULL AS INTEGER)"
+    )
+    all_terms = in_list(set(must) | set(should) | set(must_not))
+    return f"""
+    SELECT query_id, doc_id, CAST(nm + ns AS BIGINT) AS n_matches
+    FROM (
+        SELECT '{qid}' AS query_id, doc_id,
+               {cnt(must)} AS nm, {cnt(should)} AS ns, {ex} AS ex
+        FROM toks WHERE term IN ({all_terms})
+        GROUP BY doc_id
+    )
+    WHERE ex IS NULL AND nm = {len(must)} AND ns >= {min_should}"""
+
+
+_BOOL_STANDING = [
+    {"query_id": "b_and", "type": "bool", "must": ["spark", "window"],
+     "must_not": ["hash"]},
+    {"query_id": "b_or", "type": "bool", "should": ["scan", "fast"],
+     "minimum_should_match": 2},
+    {"query_id": "b_mix", "type": "bool", "must": ["table"],
+     "should": ["stream", "row"], "minimum_should_match": 1,
+     "must_not": ["column"]},
+]
+
+
+@q(
+    "percolate_bool_alerts",
+    _TOKS_CTE
+    + "\n    UNION ALL\n".join(
+        [
+            _bool_leg_sql("b_and", ["spark", "window"], [], ["hash"], 0),
+            _bool_leg_sql("b_or", [], ["scan", "fast"], [], 2),
+            _bool_leg_sql("b_mix", ["table"], ["stream", "row"],
+                          ["column"], 1),
+        ]
+    ),
+    "Percolator with COMPOUND bool standing queries — the alert "
+    "shape with exclusions (OpenSearch bool percolation: all must "
+    "terms present, >= minimum_should_match should terms, no "
+    "must_not term): bool queries resolve through one presence "
+    "join + aggregation over the same pruned positional relation "
+    "the phrase/near passes share — one corpus scan regardless of "
+    "alert mix (streaming/percolate.py:percolate, "
+    "operators/search.py:_bool_match_many).",
+)
+def percolate_bool_alerts_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.streaming.percolate import percolate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return percolate(docs, _BOOL_STANDING)
+
+
 _TYPED_STANDING = [
     {"query_id": "a_phrase", "type": "phrase", "phrase": "stream table hash"},
     {"query_id": "a_term", "type": "term", "term": "spark"},
@@ -6263,6 +6331,7 @@ _R9_WINDOW = [
     "search_value_histogram",
     "significant_terms_hits",
     "top_hits_per_facet",
+    "percolate_bool_alerts",
     # code changed after last driver row
     "near_dedup_canonical",
     "near_dup_clusters",
@@ -6309,7 +6378,6 @@ _R9_WINDOW = [
     "cohort_retention",
     "contrastive_negative_samples",
     "daily_streaks_users",
-    "dormant_high_value_customers",
 ]
 
 assert len(_R9_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R9_WINDOW)}"

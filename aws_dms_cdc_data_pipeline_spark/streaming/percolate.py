@@ -25,6 +25,15 @@ phrases degrade to term alerts) or dicts::
     {"query_id": "q2", "type": "term",   "term": "rollback"}
     {"query_id": "q3", "type": "near",   "term_a": "error",
      "term_b": "rollback", "slop": 5, "in_order": True}
+    {"query_id": "q4", "type": "bool",   "must": ["error", "timeout"],
+     "should": ["prod"], "must_not": ["test"]}
+
+``bool`` standing queries are the compound alert shape (OpenSearch
+bool percolation): all must terms present, >= minimum_should_match
+should terms present, no must_not term present. Match-only — clause
+boosts are accepted and ignored (percolation emits hits, not
+scores); ``filter`` clauses are rejected (a stream batch carries no
+attrs relation).
 """
 
 from __future__ import annotations
@@ -35,6 +44,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from aws_dms_cdc_data_pipeline_spark.operators.search import (
+    _bool_match_many,
+    _normalize_bool_query,
     _phrase_match_many,
     _proximity_pairs_many,
     _split_phrase,
@@ -78,6 +89,7 @@ def percolate(
         raise ValueError("percolate needs at least one standing query")
     phrase_qs: list[tuple[str, list[str]]] = []
     near_qs: list[tuple[str, str, str, int, bool]] = []
+    bool_qs: list[tuple[str, list[tuple[str, str]], int, int]] = []
     seen: set[str] = set()
     for entry in standing:
         if isinstance(entry, dict):
@@ -110,17 +122,29 @@ def percolate(
                 (qid, a, b, int(entry.get("slop", 5)),
                  bool(entry.get("in_order", False)))
             )
+        elif qtype == "bool":
+            if entry.get("filter"):
+                raise ValueError(
+                    f"bool standing query {qid!r}: filter clauses are "
+                    "not percolatable (no attrs relation in a stream "
+                    "batch) — apply them on the emitted hits instead"
+                )
+            rows, n_must, min_should, _ = _normalize_bool_query(qid, entry)
+            bool_qs.append(
+                (qid, [(t, k) for t, k, _ in rows], n_must, min_should)
+            )
         else:
             raise ValueError(f"unknown standing query type {qtype!r}")
     all_terms = sorted(
         {t for _, terms in phrase_qs for t in terms}
         | {t for _, a, b, _, _ in near_qs for t in (a, b)}
+        | {t for _, tks, _, _ in bool_qs for t, _ in tks}
     )
     toks = tokenize_positions(docs, text_col, id_col).filter(
         F.col("term").isin(all_terms)
     )
-    if phrase_qs and near_qs:
-        # both passes read the pruned relation; persist it so the
+    if sum(map(bool, (phrase_qs, near_qs, bool_qs))) >= 2:
+        # 2+ passes read the pruned relation; persist it so the
         # corpus tokenizes once (1 scan + an InMemoryTableScan reuse).
         toks = toks.persist()
         if _cache_out is not None:
@@ -140,6 +164,11 @@ def percolate(
                 F.col("n_pairs").alias("n_matches"),
             )
         )
+    if bool_qs:
+        # bool queries share the same pruned relation through one
+        # presence join + aggregation (operators/search.py:
+        # _bool_match_many) — still one corpus scan total.
+        outs.append(_bool_match_many(toks, bool_qs, id_col))
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)

@@ -415,3 +415,105 @@ def test_compact_token_index_recovers_from_rename_crash(spark, sf_dir):
         for r in bm25_search_indexed(spark, idx, dl, ["spark", "table"]).collect()
     ]
     assert before == after and before
+
+
+def test_percolate_bool_queries(spark):
+    import pytest
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    standing = [
+        # doc 1 and 4 have quick+brown; doc 4 lacks fox -> still matches
+        # (bool is presence, not phrase); doc 1 excluded by 'jumps'
+        {"query_id": "b1", "type": "bool", "must": ["quick", "brown"],
+         "must_not": ["jumps"]},
+        # should-only with min 2: needs both spark and fox present
+        {"query_id": "b2", "type": "bool",
+         "should": ["spark", "fox"], "minimum_should_match": 2},
+        # must + optional should: n_matches counts matched clauses
+        {"query_id": "b3", "type": "bool", "must": ["system"],
+         "should": ["failure", "escalated"]},
+    ]
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_matches"]
+        for r in percolate(docs, standing).collect()
+    }
+    assert got == {
+        ("b1", 4): 2,            # quick+brown, no jumps
+        ("b2", 1): 2,            # spark + fox
+        ("b3", 2): 3,            # system + failure + escalated
+    }
+
+    # filter clauses are not percolatable
+    with pytest.raises(ValueError, match="not percolatable"):
+        percolate(docs, [{"query_id": "bad", "type": "bool",
+                          "must": ["spark"],
+                          "filter": [("lang", "eq", "en")]}])
+    # bool validation flows through (must/must_not overlap)
+    with pytest.raises(ValueError, match="both"):
+        percolate(docs, [{"query_id": "bad2", "type": "bool",
+                          "must": ["spark"], "must_not": ["spark"]}])
+
+
+def test_percolate_bool_matches_bool_search_hit_set(spark, sf_dir):
+    """Percolating a bool standing query over the corpus emits exactly
+    the docs bool_search_many matches (scores aside) — percolation
+    inverts search without changing its semantics."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bool_search_many,
+        ensure_token_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spec = {"must": ["spark"], "should": [("window", 1.0)],
+            "must_not": ["hash"], "minimum_should_match": 0}
+    perc = {
+        r["doc_id"]
+        for r in percolate(
+            docs, [{"query_id": "q", "type": "bool", **spec}]
+        ).collect()
+    }
+    idx, dl = ensure_token_index(spark, docs, "t_bool_perc_parity")
+    searched = {
+        r["doc_id"]
+        for r in bool_search_many(
+            spark, idx, dl, {"q": spec}, top_k=10**6
+        ).collect()
+    }
+    assert perc == searched and perc
+
+
+def test_percolate_mixed_types_single_scan(spark):
+    """phrase + near + bool standing queries together still read the
+    batch text once (persisted pruned relation, no extra scans)."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    standing = [
+        {"query_id": "p", "type": "phrase", "phrase": "quick brown"},
+        {"query_id": "n", "type": "near", "term_a": "quick",
+         "term_b": "spark", "slop": 10},
+        {"query_id": "b", "type": "bool", "must": ["system"]},
+    ]
+    out = percolate(docs, standing)
+    got = {(r["query_id"], r["doc_id"]) for r in out.collect()}
+    assert ("p", 1) in got and ("p", 4) in got
+    assert ("n", 1) in got
+    assert ("b", 2) in got
+    # the batch TEXT source must be read once: every consumer reads
+    # the persisted pruned relation. Walk the physical tree —
+    # InMemoryTableScan is a LEAF (its printed recipe body is not
+    # executed work), so a text count over toString would overcount
+    # (the same artifact tools/plan_audit.py's tree walk fixes).
+    def text_scans(node):
+        cls = node.getClass().getSimpleName()
+        if cls in ("InMemoryTableScanExec", "ReusedExchangeExec",
+                   "ReusedSubqueryExec"):
+            return 0
+        if cls == "AdaptiveSparkPlanExec":
+            return text_scans(node.executedPlan())
+        n = 1 if (cls == "RDDScanExec"
+                  and "text#" in node.output().mkString(",")) else 0
+        it = node.children().iterator()
+        while it.hasNext():
+            n += text_scans(it.next())
+        return n
+
+    assert text_scans(out._jdf.queryExecution().executedPlan()) <= 1
