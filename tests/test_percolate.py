@@ -257,11 +257,14 @@ def test_streaming_positional_index_maintainer(spark, tmp_path, sf_dir):
 
 def test_percolator_stream_typed_queries(spark, tmp_path):
     """The streaming leg passes typed (phrase|term|near) standing
-    queries through unchanged: streamed alerts ≡ batch percolate."""
+    queries through unchanged (phrase|term|near|bool): streamed
+    alerts ≡ batch percolate."""
     standing = [
         {"query_id": "p", "type": "phrase", "phrase": "quick brown fox"},
         {"query_id": "n", "type": "near", "term_a": "quick",
          "term_b": "spark", "slop": 6},
+        {"query_id": "b", "type": "bool", "must": ["quick", "brown"],
+         "must_not": ["jumps"]},
     ]
     src = tmp_path / "docs_typed"
     src.mkdir()
@@ -283,6 +286,7 @@ def test_percolator_stream_typed_queries(spark, tmp_path):
         for r in percolate(docs, standing).collect()
     }
     assert got == batch and got
+    assert ("b", 4) in got  # the bool standing query actually fired
 
 
 def test_streaming_index_maintainer_equals_rebuild(spark, tmp_path, sf_dir):
