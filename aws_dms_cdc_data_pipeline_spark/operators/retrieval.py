@@ -671,8 +671,11 @@ def date_histogram(
     span = F.col("_tmax") - F.col("_tmin")
     iv = F.lit(_HISTO_LADDER[-1]).cast("long")
     for rung in reversed(_HISTO_LADDER[:-1]):
+        # rung * target as a PYTHON int: a 32-bit Spark int literal
+        # product overflows under ANSI for the large rungs
         iv = F.when(
-            span < F.lit(rung) * target_buckets, F.lit(rung).cast("long")
+            span < F.lit(rung * target_buckets).cast("long"),
+            F.lit(rung).cast("long"),
         ).otherwise(iv)
     return (
         hits.crossJoin(F.broadcast(stats.select(iv.alias("interval_sec"))))
@@ -752,8 +755,11 @@ def numeric_histogram(
     span = F.col("_vmax") - F.col("_vmin")
     iv = F.lit(_NUM_LADDER[-1]).cast("long")
     for rung in reversed(_NUM_LADDER[:-1]):
+        # rung * target as a PYTHON int — see date_histogram: the
+        # 5e12-scale rungs overflow a 32-bit literal product
         iv = F.when(
-            span < F.lit(rung) * target_buckets, F.lit(rung).cast("long")
+            span < F.lit(rung * target_buckets).cast("long"),
+            F.lit(rung).cast("long"),
         ).otherwise(iv)
     ivc = F.col("_ivu")
     # floor-division bucketing, portable for negatives:
