@@ -99,7 +99,9 @@ def bool_specs(draw):
     rest2 = [t for t in rest if t not in should_terms]
     must_not = sorted(draw(st.sets(st.sampled_from(rest2), max_size=1)))
     if not must and not should:
-        must = [draw(st.sampled_from(terms))]
+        # fallback must term may not collide with must_not
+        pool = [t for t in terms if t not in must_not] or ["a"]
+        must = [draw(st.sampled_from(pool))]
     spec = {"must": must, "should": should, "must_not": must_not}
     if should:
         spec["minimum_should_match"] = draw_n(0 if must else 1, len(should))
