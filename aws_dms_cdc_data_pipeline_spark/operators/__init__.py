@@ -21,7 +21,17 @@ from aws_dms_cdc_data_pipeline_spark.operators.checksum import (  # noqa: F401
     table_checksum,
 )
 from aws_dms_cdc_data_pipeline_spark.operators.outliers import flag_outliers  # noqa: F401
-from aws_dms_cdc_data_pipeline_spark.operators.search import bm25_search  # noqa: F401
+from aws_dms_cdc_data_pipeline_spark.operators.search import (  # noqa: F401
+    bm25_search,
+    bool_search_many,
+    wildcard_search,
+)
+from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (  # noqa: F401
+    date_histogram,
+    numeric_histogram,
+    significant_terms,
+    top_hits_per_facet,
+)
 from aws_dms_cdc_data_pipeline_spark.operators.multimodal import (  # noqa: F401
     extract_features,
     resize_images,
