@@ -680,10 +680,17 @@ def date_histogram(
     return (
         hits.crossJoin(F.broadcast(stats.select(iv.alias("interval_sec"))))
         .groupBy(
-            # integer-exact floor: uts − uts % iv (uts is post-1970
-            # positive, so % matches floor division in both engines)
+            # integer-exact floor toward −∞, portable for PRE-1970
+            # (negative-epoch) timestamps too: Spark's % follows the
+            # dividend sign, so the double-mod form is required — the
+            # plain uts − uts % iv would round negative epochs UP
+            # while the oracle's floor division rounds down
             F.timestamp_seconds(
-                uts - uts % F.col("interval_sec")
+                uts
+                - (
+                    (uts % F.col("interval_sec") + F.col("interval_sec"))
+                    % F.col("interval_sec")
+                )
             ).alias("bucket_start"),
             "interval_sec",
         )
@@ -712,7 +719,8 @@ def date_histogram_oracle_sql(
           FROM hit_rows),
     stats AS (SELECT MIN(uts) AS tmin, MAX(uts) AS tmax FROM h),
     iv AS (SELECT CAST({case} AS BIGINT) AS interval_sec FROM stats)
-    SELECT epoch_ms((uts // interval_sec) * interval_sec * 1000)
+    SELECT epoch_ms((uts - ((uts % interval_sec + interval_sec)
+                            % interval_sec)) * 1000)
                AS bucket_start,
            CAST(COUNT(*) AS BIGINT) AS n_hits,
            interval_sec

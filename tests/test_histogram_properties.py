@@ -52,7 +52,11 @@ def _ref_num(vals, target):
                                  HealthCheck.function_scoped_fixture])
 @given(
     uts=st.lists(
-        st.integers(1_500_000_000, 1_500_000_000 + 40_000_000),
+        # spans the epoch: pre-1970 timestamps have NEGATIVE epoch
+        # seconds, where naive dividend-sign modulo would bucket
+        # upward instead of flooring (regression coverage for the
+        # double-mod form; the Python reference's % is floor-mod)
+        st.integers(-40_000_000, 1_500_000_000 + 40_000_000),
         min_size=1, max_size=20,
     ),
     target=st.integers(1, 40),

@@ -424,3 +424,29 @@ def test_top_hits_per_facet_hand_checked(spark):
         top_hits_per_facet(hits, docs, [])
     with pytest.raises(ValueError, match="hits_per_bucket"):
         top_hits_per_facet(hits, docs, ["lang"], hits_per_bucket=0)
+
+
+def test_date_histogram_pre1970_floors_down(spark):
+    """Negative-epoch timestamps floor toward -inf (double-mod form):
+    23:59:57 and 23:59:59 on 1969-12-31 land in the :55 5s bucket,
+    not a bucket above them."""
+    from datetime import datetime
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        date_histogram,
+    )
+
+    rows = [
+        (datetime(1969, 12, 31, 23, 59, 57),),
+        (datetime(1969, 12, 31, 23, 59, 59),),
+        (datetime(1970, 1, 1, 0, 0, 2),),
+    ]
+    hits = spark.createDataFrame(rows, "ts timestamp")
+    got = sorted(
+        (r["bucket_start"].isoformat(), r["n_hits"], r["interval_sec"])
+        for r in date_histogram(hits, "ts", target_buckets=3).collect()
+    )
+    assert got == [
+        ("1969-12-31T23:59:55", 2, 5),
+        ("1970-01-01T00:00:00", 1, 5),
+    ]
