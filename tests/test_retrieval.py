@@ -450,3 +450,52 @@ def test_date_histogram_pre1970_floors_down(spark):
         ("1969-12-31T23:59:55", 2, 5),
         ("1970-01-01T00:00:00", 1, 5),
     ]
+
+
+def test_significant_terms_property_vs_reference(spark):
+    """Randomized-ish sweep (deterministic seeds) of significant_terms
+    vs a Python reference computing the same JLH arithmetic."""
+    import random
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        significant_terms,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+    )
+
+    words = ["a", "b", "c", "d", "e"]
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        docs = [
+            (i, " ".join(rng.choices(words, k=rng.randint(1, 8))))
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        idx, dl = ensure_token_index(spark, df, f"t_sig_prop_{seed}")
+        hit_ids = sorted(rng.sample(range(10), 3))
+        hits = spark.createDataFrame([(i,) for i in hit_ids], "doc_id long")
+        got = {
+            r["term"]: (r["fg_df"], r["bg_df"], r["score"])
+            for r in significant_terms(
+                spark, idx, dl, hits, top_k=100, min_doc_count=1
+            ).collect()
+        }
+        # reference
+        tokd = {i: set(t.split()) for i, t in docs if t.split()}
+        n_bg = len(tokd)
+        hit_with_toks = [i for i in hit_ids if i in tokd]
+        n_fg = len(hit_ids)  # operator counts the hit ROWS
+        want = {}
+        for w in words:
+            bg_df = sum(1 for s in tokd.values() if w in s)
+            fg_df = sum(1 for i in hit_with_toks if w in tokd[i])
+            if not fg_df or not bg_df:
+                continue
+            fg_share, bg_share = fg_df / n_fg, bg_df / n_bg
+            if fg_share > bg_share:
+                want[w] = (
+                    fg_df, bg_df,
+                    round((fg_share - bg_share) * (fg_share / bg_share), 6),
+                )
+        assert got == want, (seed, got, want)

@@ -90,3 +90,52 @@ def test_proximity_search_matches_reference(spark, docs, slop):
         for r in proximity_search(df, "a", "b", slop=slop).collect()
     }
     assert got == _ref_proximity(rows, "a", "b", slop)
+
+
+def _ref_wildcard(docs, pattern):
+    import fnmatch
+
+    out = {}
+    for doc_id, text in docs:
+        toks = _tok(text)
+        matched = sorted(
+            {t for t in toks if fnmatch.fnmatchcase(t, pattern.lower())}
+        )
+        if matched:
+            total = sum(1 for t in toks if t in set(matched))
+            out[doc_id] = (matched, len(matched), total)
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(
+    docs=docs_strategy,
+    pattern=st.lists(
+        st.sampled_from(["a", "b", "c", "1", "*"]), min_size=1, max_size=4
+    ).map("".join).filter(lambda p: p.strip("*")),
+)
+def test_wildcard_search_matches_reference(spark, docs, pattern):
+    """wildcard_search ≡ fnmatch over each doc's token set (our
+    patterns only use *, where LIKE-% and fnmatch-* agree)."""
+    import itertools
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+        wildcard_search,
+    )
+
+    if not hasattr(test_wildcard_search_matches_reference, "_c"):
+        test_wildcard_search_matches_reference._c = itertools.count()
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx, _ = ensure_token_index(
+        spark, df,
+        f"prop_wc_{next(test_wildcard_search_matches_reference._c)}",
+    )
+    got = {
+        r["doc_id"]: (list(r["terms"]), r["n_terms"], r["total_tf"])
+        for r in wildcard_search(spark, idx, pattern, top_k=100).collect()
+    }
+    assert got == _ref_wildcard(rows, pattern), pattern
