@@ -482,6 +482,75 @@ def bool_search_many(
     )
 
 
+def token_index_stats(spark, idx_table: str, dl_table: str) -> DataFrame:
+    """One-row health/capacity view of the materialized token index —
+    the OpenSearch ``_stats`` / ``_cat/indices`` parity surface an
+    operator checks before sizing queries: document count, vocabulary
+    size, total token occurrences, exact average document length
+    (decimal-accumulated, 6-dec), and the maximum per-term document
+    frequency (the stop-term ceiling that bounds posting-list skew —
+    the number the dedup max_df caps and the fan-out guards reason
+    about).
+
+    Execution: one shuffle-free aggregate over the term-bucketed
+    index (df per term needs no exchange — the bucketing IS the term
+    partitioning) + one over the id-bucketed length table, joined as
+    1-row broadcasts. Corpus-size-independent output.
+    """
+    idx = spark.table(idx_table)
+    dl = spark.table(dl_table)
+    df_per_term = idx.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    term_side = df_per_term.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.max("_df").cast("long").alias("max_df"),
+    )
+    tf_side = idx.agg(F.sum("tf").cast("long").alias("total_tf"))
+    doc_side = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.col("dl").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_dl"),
+    )
+    return (
+        doc_side.crossJoin(F.broadcast(term_side))
+        .crossJoin(F.broadcast(tf_side))
+        .select("n_docs", "n_terms", "total_tf", "avg_dl", "max_df")
+    )
+
+
+def token_index_stats_oracle_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL computing the identical stats from the raw corpus."""
+    return f"""
+    WITH tok AS (
+        SELECT {id_col}, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM {table},
+             LATERAL (SELECT unnest(string_split_regex(lower({text_col}),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+        GROUP BY {id_col}, t.term
+    ),
+    dl AS (SELECT {id_col}, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tok GROUP BY {id_col}),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tok GROUP BY term)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dl) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dfs) AS n_terms,
+           (SELECT CAST(SUM(tf) AS BIGINT) FROM tok) AS total_tf,
+           (SELECT round(CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*), 6) FROM dl) AS avg_dl,
+           (SELECT CAST(MAX(df) AS BIGINT) FROM dfs) AS max_df
+    """
+
+
 def _wildcard_to_like(pattern: str) -> str:
     """``*``-wildcard → SQL LIKE with ``\\`` escaping (identical
     semantics in Spark and DuckDB). Only ``*`` is a wildcard; literal
@@ -1517,6 +1586,8 @@ __all__ = [
     "proximity_search_indexed",
     "proximity_search_many",
     "tfidf_top_terms_indexed",
+    "token_index_stats",
+    "token_index_stats_oracle_sql",
     "tokenize",
     "tokenize_positions",
     "wildcard_oracle_sql",

@@ -4740,6 +4740,34 @@ def search_value_histogram_q(spark, sf_dir):
     return numeric_histogram(hits, "value", target_buckets=20)
 
 
+def _index_stats_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        token_index_stats_oracle_sql,
+    )
+
+    return token_index_stats_oracle_sql()
+
+
+@q(
+    "token_index_stats",
+    _index_stats_oracle(),
+    "Index health/capacity stats — the OpenSearch _stats/_cat parity "
+    "surface (doc count, vocabulary size, total occurrences, exact "
+    "decimal-accumulated average doc length, max per-term df = the "
+    "stop-term posting-skew ceiling): one shuffle-free aggregate "
+    "over the term-bucketed index + one over the length table, "
+    "joined as 1-row broadcasts "
+    "(operators/search.py:token_index_stats).",
+)
+def token_index_stats_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        token_index_stats,
+    )
+
+    idx_t, dl_t = _token_index_for(spark, sf_dir)
+    return token_index_stats(spark, idx_t, dl_t)
+
+
 def _wildcard_oracle() -> str:
     from aws_dms_cdc_data_pipeline_spark.operators.search import (
         wildcard_oracle_sql,
@@ -6332,6 +6360,7 @@ _R9_WINDOW = [
     "significant_terms_hits",
     "top_hits_per_facet",
     "percolate_bool_alerts",
+    "token_index_stats",
     # code changed after last driver row
     "near_dedup_canonical",
     "near_dup_clusters",
@@ -6377,7 +6406,6 @@ _R9_WINDOW = [
     "cdc_snapshot_diff",
     "cohort_retention",
     "contrastive_negative_samples",
-    "daily_streaks_users",
 ]
 
 assert len(_R9_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R9_WINDOW)}"

@@ -600,3 +600,24 @@ def test_wildcard_search_semantics_and_escaping(spark):
 
     with _pytest.raises(ValueError, match="whole index"):
         wildcard_search(spark, idx, "**")
+
+
+def test_token_index_stats_hand_checked(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+        token_index_stats,
+    )
+
+    rows = [
+        (1, "a a b"),      # dl 3
+        (2, "a c"),        # dl 2
+        (3, "   "),        # token-less: not a corpus member
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx, dl = ensure_token_index(spark, docs, "t_idx_stats")
+    row = token_index_stats(spark, idx, dl).collect()[0]
+    assert row["n_docs"] == 2
+    assert row["n_terms"] == 3          # a, b, c
+    assert row["total_tf"] == 5
+    assert row["avg_dl"] == 2.5
+    assert row["max_df"] == 2           # 'a' appears in both docs
