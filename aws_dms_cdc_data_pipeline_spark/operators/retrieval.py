@@ -664,6 +664,9 @@ def date_histogram(
     """
     if target_buckets < 1:
         raise ValueError("date_histogram needs target_buckets >= 1")
+    # missing-value semantics match OpenSearch: rows without the
+    # field are ignored, not bucketed as null
+    hits = hits.filter(F.col(ts_col).isNotNull())
     uts = F.unix_timestamp(F.col(ts_col))
     stats = hits.agg(
         F.min(uts).alias("_tmin"), F.max(uts).alias("_tmax")
@@ -716,7 +719,7 @@ def date_histogram_oracle_sql(
     return f"""
     WITH hit_rows AS ({hits_sql}),
     h AS (SELECT CAST(floor(epoch({ts_col})) AS BIGINT) AS uts
-          FROM hit_rows),
+          FROM hit_rows WHERE {ts_col} IS NOT NULL),
     stats AS (SELECT MIN(uts) AS tmin, MAX(uts) AS tmax FROM h),
     iv AS (SELECT CAST({case} AS BIGINT) AS interval_sec FROM stats)
     SELECT epoch_ms((uts - ((uts % interval_sec + interval_sec)
@@ -758,6 +761,10 @@ def numeric_histogram(
     """
     if target_buckets < 1:
         raise ValueError("numeric_histogram needs target_buckets >= 1")
+    # missing-value semantics match OpenSearch: null/NaN values are
+    # ignored (a NaN would otherwise error the ANSI long cast)
+    v = F.col(value_col).cast("double")
+    hits = hits.filter(v.isNotNull() & ~F.isnan(v))
     uv = F.floor(F.col(value_col).cast("double") * 1000000.0).cast("long")
     stats = hits.agg(F.min(uv).alias("_vmin"), F.max(uv).alias("_vmax"))
     span = F.col("_vmax") - F.col("_vmin")
@@ -802,7 +809,9 @@ def numeric_histogram_oracle_sql(
     WITH hit_rows AS ({hits_sql}),
     h AS (SELECT CAST(floor(CAST({value_col} AS DOUBLE) * 1000000.0)
                       AS BIGINT) AS uv
-          FROM hit_rows),
+          FROM hit_rows
+          WHERE {value_col} IS NOT NULL
+            AND NOT isnan(CAST({value_col} AS DOUBLE))),
     stats AS (SELECT MIN(uv) AS vmin, MAX(uv) AS vmax FROM h),
     iv AS (SELECT CAST({case} AS BIGINT) AS ivu FROM stats)
     SELECT CAST(uv - ((uv % ivu + ivu) % ivu) AS DOUBLE) / 1000000.0

@@ -63,6 +63,13 @@ HEADLINE = (
     # r7: the rewritten one-scan percolator + batch positional search
     "percolate_standing_queries",
     "phrase_search_multi",
+    # r9: the completed Discover analytics surface (tracked at sf0.1
+    # only — the sf1 SCALE_SUBSET basket is deliberately unchanged so
+    # the ratio_vs_duckdb trend stays comparable round-over-round)
+    "bool_search_docs",
+    "wildcard_search_docs",
+    "significant_terms_hits",
+    "percolate_bool_alerts",
 )
 
 

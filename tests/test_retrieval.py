@@ -499,3 +499,27 @@ def test_significant_terms_property_vs_reference(spark):
                     round((fg_share - bg_share) * (fg_share / bg_share), 6),
                 )
         assert got == want, (seed, got, want)
+
+
+def test_histograms_ignore_missing_values(spark):
+    """Null timestamps and null/NaN numerics are ignored (OpenSearch
+    missing-value semantics) instead of erroring the ANSI cast or
+    forming a null bucket."""
+    from datetime import datetime
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        date_histogram,
+        numeric_histogram,
+    )
+
+    ts_rows = [(datetime(2024, 1, 1),), (None,), (datetime(2024, 1, 1),)]
+    out = date_histogram(
+        spark.createDataFrame(ts_rows, "ts timestamp"), "ts"
+    ).collect()
+    assert len(out) == 1 and out[0]["n_hits"] == 2
+
+    num_rows = [(1.0,), (None,), (float("nan"),), (1.5,)]
+    out2 = numeric_histogram(
+        spark.createDataFrame(num_rows, "value double"), "value"
+    ).collect()
+    assert sum(r["n_hits"] for r in out2) == 2
