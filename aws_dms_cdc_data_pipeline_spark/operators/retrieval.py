@@ -457,11 +457,14 @@ def significant_terms(
     whole corpus (what distinguishes the matching documents, not just
     what's frequent in them).
 
-    Scoring is the JLH heuristic on rational arithmetic:
+    Scoring is the JLH heuristic:
     ``(fg_share − bg_share) · (fg_share / bg_share)`` with
-    fg_share = fg_df/n_hits and bg_share = bg_df/n_docs — every step
-    +,−,×,÷ on exact integers, rounded once to 6 decimals, so the
-    oracle reproduces it bit-for-bit. Terms must appear in at least
+    fg_share = fg_df/n_hits and bg_share = bg_df/n_docs — computed in
+    DOUBLE arithmetic with a fixed operation order (the shares divide
+    first, then one subtract, one divide, one multiply) and one final
+    round to 6 decimals, so the oracle reproduces the same doubles
+    step-for-step. This is fixed-order float determinism, not the
+    integer-exact ``_q6`` contract the BM25 paths carry. Terms must appear in at least
     ``min_doc_count`` hit documents and be genuinely over-represented
     (fg_share > bg_share). Returns
     (term, fg_df, bg_df, score) ordered (score DESC, term ASC),
@@ -761,10 +764,13 @@ def numeric_histogram(
     """
     if target_buckets < 1:
         raise ValueError("numeric_histogram needs target_buckets >= 1")
-    # missing-value semantics match OpenSearch: null/NaN values are
-    # ignored (a NaN would otherwise error the ANSI long cast)
+    # missing-value semantics match OpenSearch: null/NaN/±Infinity
+    # values are ignored (NaN and ±inf would otherwise error the ANSI
+    # long cast)
     v = F.col(value_col).cast("double")
-    hits = hits.filter(v.isNotNull() & ~F.isnan(v))
+    hits = hits.filter(
+        v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    )
     uv = F.floor(F.col(value_col).cast("double") * 1000000.0).cast("long")
     stats = hits.agg(F.min(uv).alias("_vmin"), F.max(uv).alias("_vmax"))
     span = F.col("_vmax") - F.col("_vmin")
@@ -811,7 +817,8 @@ def numeric_histogram_oracle_sql(
                       AS BIGINT) AS uv
           FROM hit_rows
           WHERE {value_col} IS NOT NULL
-            AND NOT isnan(CAST({value_col} AS DOUBLE))),
+            AND NOT isnan(CAST({value_col} AS DOUBLE))
+            AND NOT isinf(CAST({value_col} AS DOUBLE))),
     stats AS (SELECT MIN(uv) AS vmin, MAX(uv) AS vmax FROM h),
     iv AS (SELECT CAST({case} AS BIGINT) AS ivu FROM stats)
     SELECT CAST(uv - ((uv % ivu + ivu) % ivu) AS DOUBLE) / 1000000.0

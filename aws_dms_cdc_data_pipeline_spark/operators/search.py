@@ -2,9 +2,11 @@
 
 The reference pipeline's terminal store is an OpenSearch index whose
 headline capability is ranked free-text search over the replicated
-documents (reference README.md:451-492 exercises the Discover query
-surface). This is that capability as a Spark query: score every
-document against a bag of query terms and return the top-k.
+documents (reference README.md:451-492 shows the ingested doc being
+browsed in Discover; the query shapes here are the standard OpenSearch
+query-DSL surface that index serves). This is that capability as a
+Spark query: score every document against a bag of query terms and
+return the top-k.
 
 Scoring is BM25 with one deliberate change for cross-engine
 determinism: the idf factor drops the logarithm —
@@ -332,10 +334,11 @@ def bool_search_many(
     top_k: int = 20,
     textbook: bool = False,
 ) -> DataFrame:
-    """Compound BOOLEAN search — the OpenSearch/Discover ``bool``
-    query (reference README.md:451-492; Discover issues compound DQL:
-    must/should/must_not term clauses with boosts plus structured
-    filters) — for a BATCH of queries in one job.
+    """Compound BOOLEAN search — the OpenSearch ``bool`` query (the
+    standard OpenSearch query-DSL compound shape served by the
+    reference's Discover-browsed index: must/should/must_not term
+    clauses with boosts plus structured filters) — for a BATCH of
+    queries in one job.
 
     Each ``queries[query_id]`` spec:
 
@@ -462,9 +465,19 @@ def bool_search_many(
             ),
             F.lit(False),
         )
+        # LEFT join: attrs is a filter-predicate relation, not a
+        # membership gate.  A doc missing from attrs must fail only
+        # queries with real filter clauses (_attrs null -> element_at
+        # null -> every eq/gte/lte when-branch null -> coalesce False);
+        # filterless queries in the same batch keep their full hit set
+        # (their fdf row has _field null -> first when-branch True).
+        # An inner join here silently dropped filterless queries' hits
+        # whose doc_id was absent from attrs.
         cand = (
             cand.join(
-                attrs.select(F.col(id_col), attr_map.alias("_attrs")), id_col
+                attrs.select(F.col(id_col), attr_map.alias("_attrs")),
+                id_col,
+                "left",
             )
             .join(F.broadcast(fdf), "query_id", "left")
             .groupBy("query_id", id_col, "score", "n_terms_hit")
@@ -572,7 +585,8 @@ def wildcard_search(
     top_k: int = 20,
 ) -> DataFrame:
     """Wildcard term query — the OpenSearch/Discover ``field: foo*``
-    search-bar shape (reference README.md:451-492): documents whose
+    search-bar shape (the OpenSearch wildcard query, served over the
+    reference's Discover-browsed index): documents whose
     token set matches a ``*``-wildcard pattern, ranked by total
     matching occurrences (OpenSearch wildcard scores constant; total
     tf then id is the deterministic analogue), with the sorted

@@ -3704,7 +3704,8 @@ def _bm25_oracle() -> str:
     "bm25_keyword_search",
     _bm25_oracle(),
     "Ranked keyword search over documents (the OpenSearch Discover "
-    "parity op, reference README.md:451-492): BM25-family scoring "
+    "parity op — reference README.md:451-492 shows the index browsed "
+    "in Discover; ranked search is its query surface): BM25-family scoring "
     "with a log-free rational idf so Spark and DuckDB produce "
     "bit-identical doubles, per-term contributions quantized into an "
     "order-independent integer sum, ties broken on doc_id. Non-query "
@@ -4049,9 +4050,10 @@ def _bool_oracle() -> str:
 @q(
     "bool_search_docs",
     _bool_oracle(),
-    "Compound boolean search — the OpenSearch/Discover bool query "
-    "(must/should/must_not term clauses with per-clause boosts plus "
-    "structured eq/range filters; reference README.md:451-492): a "
+    "Compound boolean search — the OpenSearch bool query (the "
+    "query-DSL compound shape served by the reference's Discover-"
+    "browsed index: must/should/must_not term clauses with per-clause "
+    "boosts plus structured eq/range filters): a "
     "4-query batch resolves in ONE shared pass over the bucket-pruned "
     "token index, the clause map rides a broadcast, must_not is a "
     "conditional aggregate on the hit set (the corpus is never "
@@ -4773,14 +4775,23 @@ def _wildcard_oracle() -> str:
         wildcard_oracle_sql,
     )
 
-    return wildcard_oracle_sql("s*a*", top_k=15)
+    # The driver's canonicalizer sorts every output column with pandas
+    # and cannot hash list values, so the registry projection flattens
+    # the array<string> terms column to a space-joined string on BOTH
+    # sides (the operator keeps its array return for API users).
+    inner = wildcard_oracle_sql("s*a*", top_k=15)
+    return (
+        "SELECT doc_id, array_to_string(terms, ' ') AS terms, "
+        f"n_terms, total_tf, rank FROM ({inner})"
+    )
 
 
 @q(
     "wildcard_search_docs",
     _wildcard_oracle(),
     "Wildcard term query — the Discover 'field: foo*' search-bar "
-    "shape (OpenSearch wildcard query; reference README.md:451-492): "
+    "shape (the OpenSearch wildcard query, served over the "
+    "reference's Discover-browsed index): "
     "docs whose token set matches 's*a*' (an INFIX pattern — scan/"
     "small/spark/stream), ranked by total matching occurrences with "
     "the sorted matching-term set per doc. The LIKE predicate "
@@ -4795,7 +4806,10 @@ def wildcard_search_docs_q(spark, sf_dir):
     )
 
     idx_t, _ = _token_index_for(spark, sf_dir)
-    return wildcard_search(spark, idx_t, "s*a*", top_k=15)
+    res = wildcard_search(spark, idx_t, "s*a*", top_k=15)
+    # Flatten the array column for the driver canonicalizer (see
+    # _wildcard_oracle); API callers use the operator directly.
+    return res.withColumn("terms", F.array_join("terms", " "))
 
 
 def _date_histogram_oracle() -> str:

@@ -523,3 +523,21 @@ def test_histograms_ignore_missing_values(spark):
         spark.createDataFrame(num_rows, "value double"), "value"
     ).collect()
     assert sum(r["n_hits"] for r in out2) == 2
+
+
+def test_numeric_histogram_ignores_infinities(spark):
+    """±Infinity values are missing values like null/NaN (they would
+    otherwise overflow the ANSI long cast of floor(v*1e6)) — and they
+    must not stretch the min/max span used to pick the interval."""
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        numeric_histogram,
+    )
+
+    rows = [(1.0,), (float("inf"),), (float("-inf"),), (2.0,), (None,)]
+    out = numeric_histogram(
+        spark.createDataFrame(rows, "value double"), "value"
+    ).collect()
+    assert sum(r["n_hits"] for r in out) == 2
+    # span is 1.0 (finite values only), so the interval stays small —
+    # an inf-stretched span would have picked the top ladder rung
+    assert all(r["interval"] <= 1.0 for r in out)
