@@ -1019,8 +1019,15 @@ def proximity_search(
     a, b = term_a.lower(), term_b.lower()
     if not a or not b or a == b:
         raise ValueError("proximity_search needs two distinct terms")
-    toks = tokenize_positions(docs, text_col, id_col).filter(
-        F.col("term").isin([a, b])
+    # persist the PRUNED postings: _proximity_pairs consumes this
+    # relation on both sides of the pair join, and without the cache
+    # each branch re-tokenizes the whole corpus (branch-recompute);
+    # the cached relation is two terms' postings, not the corpus.
+    # Plan-keyed (Spark cache), same policy as the dedup shingles.
+    toks = (
+        tokenize_positions(docs, text_col, id_col)
+        .filter(F.col("term").isin([a, b]))
+        .persist()
     )
     return _proximity_pairs(toks, a, b, slop, id_col, in_order=in_order)
 
