@@ -24,10 +24,13 @@ from aws_dms_cdc_data_pipeline_spark.operators.outliers import flag_outliers  # 
 from aws_dms_cdc_data_pipeline_spark.operators.search import (  # noqa: F401
     bm25_search,
     bool_search_many,
+    fuzzy_search,
     wildcard_search,
 )
 from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (  # noqa: F401
+    composite_agg_page,
     date_histogram,
+    histogram_pipeline,
     numeric_histogram,
     significant_terms,
     top_hits_per_facet,

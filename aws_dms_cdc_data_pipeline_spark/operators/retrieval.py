@@ -37,7 +37,7 @@ beyond broadcast literals.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _FP = 1_000_000  # 6-decimal fixed point (shared with operators/search.py)
@@ -829,6 +829,117 @@ def numeric_histogram_oracle_sql(
     GROUP BY 1, 3
     ORDER BY bucket_start
     """
+
+
+def histogram_pipeline(
+    hist: DataFrame,
+    *,
+    value_col: str = "n_hits",
+    order_col: str = "bucket_start",
+    window: int = 3,
+) -> DataFrame:
+    """Pipeline aggregations over a histogram result — the OpenSearch
+    ``derivative`` / ``cumulative_sum`` / ``moving_fn`` (trailing
+    average) sibling aggs Discover panels stack on a date histogram:
+
+    - ``derivative``: bucket-over-bucket delta (null for the first
+      bucket, the OpenSearch omit-first contract);
+    - ``cumulative_sum``: running total in bucket order;
+    - ``moving_avg``: trailing mean over the last ``window`` buckets
+      (shorter prefix windows average what exists — OpenSearch
+      moving_fn with a partial leading window).
+
+    Determinism: inputs are exact long counts; the only division is
+    the single trailing-mean divide (long sum / long count), so both
+    engines produce identical doubles.
+
+    Execution: the input is a histogram — ≤ target_buckets rows by
+    construction — so the unpartitioned order window is a bounded
+    single-task pass over already-aggregated data, never the corpus
+    (same bounded-result contract as the top-k rank windows).
+    """
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError("histogram_pipeline needs window >= 1")
+    v = F.col(value_col).cast("long")
+    w_lag = Window.orderBy(order_col)
+    w_cum = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_mov = Window.orderBy(order_col).rowsBetween(-(window - 1), 0)
+    return hist.select(
+        *hist.columns,
+        (v - F.lag(v).over(w_lag)).cast("long").alias("derivative"),
+        F.sum(v).over(w_cum).cast("long").alias("cumulative_sum"),
+        (
+            F.sum(v).over(w_mov).cast("double")
+            / F.count(F.lit(1)).over(w_mov).cast("double")
+        ).alias("moving_avg"),
+    )
+
+
+def histogram_pipeline_oracle_sql(
+    hist_sql: str,
+    *,
+    value_col: str = "n_hits",
+    order_col: str = "bucket_start",
+    window: int = 3,
+) -> str:
+    """DuckDB SQL computing the identical pipeline aggs over
+    ``hist_sql`` (a query yielding the histogram rows)."""
+    return f"""
+    WITH h AS ({hist_sql})
+    SELECT h.*,
+           CAST({value_col} - lag({value_col}) OVER (ORDER BY {order_col})
+                AS BIGINT) AS derivative,
+           CAST(SUM({value_col}) OVER (ORDER BY {order_col}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_sum,
+           CAST(SUM({value_col}) OVER w AS DOUBLE)
+               / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg
+    FROM h
+    WINDOW w AS (ORDER BY {order_col}
+                 ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+    """
+
+
+def composite_agg_page(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    *,
+    after: tuple | None = None,
+    size: int = 10,
+) -> DataFrame:
+    """Composite aggregation with keyset paging — the OpenSearch
+    ``composite`` agg (paginate ALL buckets of a grouped aggregation
+    in key order via ``after``, where terms/date_histogram sources
+    cap at the top N): each page returns the next ``size`` buckets
+    strictly after the ``after`` key tuple, ordered by the composite
+    key ASC.
+
+    Execution: one map-side-combined aggregate over the (pushed-
+    filter) input, then the strictly-after keyset predicate and a
+    ``TakeOrderedAndProject`` top-``size`` cut — each page costs one
+    aggregate pass, no global sort, no OFFSET re-rank, stable under
+    concurrent appends (same contract as :func:`keyset_page`).
+    """
+    if not keys:
+        raise ValueError("composite_agg_page needs at least one key")
+    if after is not None and len(after) != len(keys):
+        raise ValueError("after tuple must match the key arity")
+    out = df.groupBy(*keys).agg(
+        *[c.alias(k) for k, c in aggs.items()]
+    )
+    if after is not None:
+        pred = F.lit(False)
+        eq = F.lit(True)
+        for k, a in zip(keys, after):
+            pred = pred | (eq & (F.col(k) > F.lit(a)))
+            eq = eq & (F.col(k) == F.lit(a))
+        out = out.filter(pred)
+    return out.orderBy(*[F.col(k).asc() for k in keys]).limit(size)
 
 
 def keyset_page(

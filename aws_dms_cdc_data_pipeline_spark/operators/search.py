@@ -667,6 +667,151 @@ def wildcard_oracle_sql(
     """
 
 
+def fuzzy_search(
+    spark,
+    idx_table: str,
+    term: str,
+    *,
+    fuzziness: int = 2,
+    prefix_length: int = 0,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Fuzzy term query — the OpenSearch ``fuzzy`` query (the
+    typo-tolerant search-bar shape served over the reference's
+    Discover-browsed index): documents containing vocabulary terms
+    within Levenshtein distance ``fuzziness`` of the probe, ranked by
+    total matching occurrences (OpenSearch down-weights by distance
+    inside BM25; total tf then id is this engine's deterministic
+    constant-score analogue, same contract as
+    :func:`wildcard_search`), with the sorted matching-term set.
+
+    OpenSearch-parity knobs: ``prefix_length`` (expansion terms must
+    share the probe's first N chars — the scale lever: N ≥ 1 turns
+    the vocabulary pass into a prefix-prunable range under the
+    range-clustered layout), ``max_expansions`` (cap on expanded
+    terms, deterministic preference order distance ASC, df DESC,
+    term ASC).
+
+    Returns (id, terms array<string>, n_terms, total_tf, rank).
+
+    Scale shape: distance evaluates on the DISTINCT VOCABULARY, not
+    the corpus — df per term is a shuffle-free aggregate (the index
+    bucketing IS the term partitioning), length-band
+    ``|len(t) − len(probe)| ≤ fuzziness`` and prefix predicates prune
+    before the Levenshtein kernel runs. The ≤ ``max_expansions``
+    surviving terms collect to the driver (bounded, like the IVF
+    centroids) and re-enter as an ``isin`` literal so the postings
+    read is bucket-prunable; one doc-keyed aggregate follows. The
+    rank window runs after the top-k cut — k rows, not the corpus.
+    """
+    probe = term.lower().strip()
+    if not probe:
+        raise ValueError("fuzzy_search needs a non-empty term")
+    if fuzziness < 0 or fuzziness > 2:
+        raise ValueError("fuzziness must be 0..2 (OpenSearch contract)")
+    if prefix_length < 0 or max_expansions < 1:
+        raise ValueError("prefix_length >= 0 and max_expansions >= 1")
+    idx = spark.table(idx_table)
+    vocab = idx.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    cand = vocab.filter(
+        (F.abs(F.length("term") - F.lit(len(probe))) <= fuzziness)
+        & (F.col("term").substr(1, prefix_length) == F.lit(probe[:prefix_length]))
+    )
+    dist = F.levenshtein(F.col("term"), F.lit(probe))
+    expansions = (
+        cand.withColumn("_d", dist)
+        .filter(F.col("_d") <= fuzziness)
+        .orderBy(F.col("_d").asc(), F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+    )
+    # bounded driver state (≤ max_expansions strings) → isin literal,
+    # so the postings scan bucket-prunes like every other term probe
+    terms = [r["term"] for r in expansions.select("term").collect()]
+    if not terms:
+        return (
+            idx.filter(F.lit(False))
+            .groupBy(id_col)
+            .agg(
+                F.sort_array(F.collect_set("term")).alias("terms"),
+                F.count(F.lit(1)).cast("long").alias("n_terms"),
+                F.sum("tf").cast("long").alias("total_tf"),
+            )
+            .withColumn("rank", F.lit(0).cast("long"))
+        )
+    hits = idx.filter(F.col("term").isin(sorted(terms)))
+    ranked = (
+        hits.groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_set("term")).alias("terms"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .orderBy(F.col("total_tf").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("total_tf").desc(), F.col(id_col).asc())
+    return ranked.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(id_col, "terms", "n_terms", "total_tf", "rank")
+
+
+def fuzzy_oracle_sql(
+    term: str,
+    *,
+    fuzziness: int = 2,
+    prefix_length: int = 0,
+    max_expansions: int = 50,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> str:
+    """DuckDB SQL computing the identical fuzzy ranking (same
+    expansion preference order, same constant-score total-tf rank)."""
+    probe = term.lower().strip().replace("'", "''")
+    prefix = probe[:prefix_length]
+    return f"""
+    WITH tok AS (
+        SELECT {id_col}, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM {table},
+             LATERAL (SELECT unnest(string_split_regex(lower({text_col}),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+        GROUP BY {id_col}, t.term
+    ),
+    vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tok GROUP BY term),
+    expansions AS (
+        SELECT term FROM vocab
+        WHERE abs(length(term) - {len(probe)}) <= {fuzziness}
+          AND substr(term, 1, {prefix_length}) = '{prefix}'
+          AND levenshtein(term, '{probe}') <= {fuzziness}
+        ORDER BY levenshtein(term, '{probe}') ASC, df DESC, term ASC
+        LIMIT {max_expansions}
+    ),
+    hits AS (SELECT tok.* FROM tok JOIN expansions USING (term)),
+    ranked AS (
+        SELECT {id_col},
+               list_sort(list(term)) AS terms,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(tf) AS BIGINT) AS total_tf
+        FROM hits GROUP BY {id_col}
+        ORDER BY total_tf DESC, {id_col} ASC
+        LIMIT {top_k}
+    )
+    SELECT {id_col}, terms, n_terms, total_tf,
+           CAST(row_number() OVER (ORDER BY total_tf DESC, {id_col} ASC)
+                AS BIGINT) AS rank
+    FROM ranked
+    """
+
+
 def bool_oracle_sql(
     queries: dict[str, dict],
     *,

@@ -6387,20 +6387,160 @@ def dormant_high_value_customers_q(spark, sf_dir):
 # embedding_similarity_pairs, json_extract_props — lead that list).
 # ===========================================================================
 
+def _fuzzy_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        fuzzy_oracle_sql,
+    )
+
+    # terms flattened to a string for the driver canonicalizer — same
+    # contract as _wildcard_oracle
+    inner = fuzzy_oracle_sql(
+        "cart", fuzziness=2, prefix_length=0, max_expansions=50, top_k=15
+    )
+    return (
+        "SELECT doc_id, array_to_string(terms, ' ') AS terms, "
+        f"n_terms, total_tf, rank FROM ({inner})"
+    )
+
+
+@q(
+    "fuzzy_search_docs",
+    _fuzzy_oracle(),
+    "Fuzzy term query — the OpenSearch fuzzy query (typo-tolerant "
+    "search-bar shape, served over the reference's Discover-browsed "
+    "index): vocabulary terms within Levenshtein distance 2 of the "
+    "probe 'cart' (part/fast/sort in the fixture), expansion order "
+    "(distance, df DESC, term), constant-score docs ranked by total "
+    "matching tf. Distance evaluates on the distinct vocabulary "
+    "(length-band + prefix pruned), the <=max_expansions winners "
+    "re-enter as an isin literal so the postings read bucket-prunes "
+    "(operators/search.py:fuzzy_search).",
+)
+def fuzzy_search_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        fuzzy_search,
+    )
+
+    idx_t, _ = _token_index_for(spark, sf_dir)
+    res = fuzzy_search(
+        spark, idx_t, "cart", fuzziness=2, prefix_length=0,
+        max_expansions=50, top_k=15,
+    )
+    # flatten the array column for the driver canonicalizer (see
+    # _wildcard_oracle); API callers use the operator directly
+    return res.withColumn("terms", F.array_join("terms", " "))
+
+
+def _hist_pipeline_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        date_histogram_oracle_sql,
+        histogram_pipeline_oracle_sql,
+    )
+
+    hist = date_histogram_oracle_sql(
+        "SELECT ts FROM events WHERE event_type = 'error' AND value >= 5.0",
+        target_buckets=24,
+    )
+    return histogram_pipeline_oracle_sql(
+        hist, value_col="n_hits", order_col="bucket_start", window=3
+    )
+
+
+@q(
+    "search_histogram_pipeline",
+    _hist_pipeline_oracle(),
+    "Pipeline aggregations stacked on the Discover date histogram — "
+    "the OpenSearch derivative / cumulative_sum / moving_fn sibling "
+    "aggs: bucket-over-bucket delta (null first bucket), running "
+    "total, and a trailing 3-bucket mean over the same error-event "
+    "hit set as search_date_histogram. The window pass runs on the "
+    "<=24-row histogram result, never the corpus "
+    "(operators/retrieval.py:histogram_pipeline).",
+)
+def search_histogram_pipeline_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        date_histogram,
+        histogram_pipeline,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hits = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= 5.0)
+    )
+    hist = date_histogram(hits, "ts", target_buckets=24)
+    return histogram_pipeline(
+        hist, value_col="n_hits", order_col="bucket_start", window=3
+    )
+
+
+_COMPOSITE_AFTER = ("error", "2100-01-01")
+
+
+@q(
+    "composite_agg_events_page",
+    f"""
+    WITH b AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {_dsum_sql('value', 'value_sum')}
+        FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    )
+    SELECT * FROM b
+    WHERE (event_type, day) > ('{_COMPOSITE_AFTER[0]}',
+                               '{_COMPOSITE_AFTER[1]}')
+    ORDER BY event_type, day LIMIT 12
+    """,
+    "Composite aggregation with keyset paging — the OpenSearch "
+    "composite agg (paginate ALL buckets of a grouped aggregation in "
+    "key order via after, where a terms agg caps at top-N): the next "
+    "12 (event_type, day) buckets strictly after the after-key, one "
+    "map-side-combined aggregate + TakeOrderedAndProject per page, "
+    "no OFFSET re-rank (operators/retrieval.py:composite_agg_page).",
+)
+def composite_agg_events_page_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        composite_agg_page,
+    )
+
+    # the day key is an ISO string (not DateType): lexicographic ==
+    # chronological, and both engines' comparators see identical values
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+    )
+    after = _COMPOSITE_AFTER
+    return composite_agg_page(
+        ev,
+        ["event_type", "day"],
+        {
+            "n_events": F.count(F.lit(1)).cast("long"),
+            "value_sum": F.sum(F.col("value").cast("decimal(18,6)")).cast(
+                "double"
+            ),
+        },
+        after=after,
+        size=12,
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
-# round's window up front. r11 window = the 3 queries whose code or
-# oracle changed this round (the bool_search_many attrs left-join fix,
-# the wildcard array_join projection that un-reds the driver row, the
-# numeric_histogram ±inf missing-value extension, the pre-aggregated
-# topk_customers_by_revenue rewrite) + the COMPLETE r5-stale tail
-# (28 queries — after this round no registry query's latest external
-# row is older than r6; the r10 judge re-verified 24 of them locally,
-# but they need driver rows) + 18 r6 rows as filler, CDC-core and
-# serving paths first (regional_revenue and proximity_search_docs,
-# also rewritten this round, are already among them). All 50 verified
-# green by the local DuckDB gate at close.
+# round's window up front. r11 window = the 3 new queries (fuzzy
+# search, histogram pipeline aggs, composite paging) + the 4 queries
+# whose code or oracle changed this round (the bool_search_many attrs
+# left-join fix, the wildcard array_join projection that un-reds the
+# driver row, the numeric_histogram ±inf missing-value extension, the
+# pre-aggregated topk_customers_by_revenue rewrite) + the COMPLETE
+# r5-stale tail (28 queries — after this round no registry query's
+# latest external row is older than r6; the r10 judge re-verified 24
+# of them locally, but they need driver rows) + 15 r6 rows as filler,
+# CDC-core and serving paths first (regional_revenue and
+# proximity_search_docs, also rewritten this round, are already among
+# them). All 50 verified green by the local DuckDB gate at close.
 _R11_WINDOW = [
+    # new in r11
+    "fuzzy_search_docs",
+    "search_histogram_pipeline",
+    "composite_agg_events_page",
     # code/oracle changed in r11
     "bool_search_docs",
     "wildcard_search_docs",
@@ -6451,9 +6591,6 @@ _R11_WINDOW = [
     "text_lang_id",
     "text_quality_scores",
     "text_token_counts",
-    "tfidf_top_terms_indexed",
-    "window_rank_orders",
-    "pivot_returnflag_linestatus",
 ]
 
 assert len(_R11_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R11_WINDOW)}"

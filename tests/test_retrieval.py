@@ -541,3 +541,67 @@ def test_numeric_histogram_ignores_infinities(spark):
     # span is 1.0 (finite values only), so the interval stays small —
     # an inf-stretched span would have picked the top ladder rung
     assert all(r["interval"] <= 1.0 for r in out)
+
+
+def test_histogram_pipeline_hand_checked(spark):
+    """derivative / cumulative_sum / trailing moving_avg over a tiny
+    histogram, checked against hand-computed values (OpenSearch
+    pipeline-agg semantics: first-bucket derivative omitted/null,
+    partial leading windows average what exists)."""
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        histogram_pipeline,
+    )
+
+    hist = spark.createDataFrame(
+        [(0.0, 2), (1.0, 5), (2.0, 3)], "bucket_start double, n_hits long"
+    )
+    out = {
+        r["bucket_start"]: (
+            r["derivative"], r["cumulative_sum"], r["moving_avg"]
+        )
+        for r in histogram_pipeline(hist, window=2).collect()
+    }
+    assert out == {
+        0.0: (None, 2, 2.0),
+        1.0: (3, 7, 3.5),
+        2.0: (-2, 10, 4.0),
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        histogram_pipeline(hist, window=0)
+
+
+def test_composite_agg_page_chains_all_buckets(spark):
+    """Keyset-paged composite aggregation: pages chain via the last
+    key of the previous page and cover every bucket exactly once, in
+    composite-key order."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        composite_agg_page,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", "d1", 1.0), ("a", "d1", 2.0), ("a", "d2", 3.0),
+        ("b", "d1", 4.0), ("b", "d3", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k1 string, k2 string, v double")
+    aggs = {"n": F.count(F.lit(1)).cast("long")}
+    seen, after = [], None
+    while True:
+        page = composite_agg_page(
+            df, ["k1", "k2"], aggs, after=after, size=2
+        ).collect()
+        if not page:
+            break
+        seen += [(r["k1"], r["k2"], r["n"]) for r in page]
+        after = (page[-1]["k1"], page[-1]["k2"])
+    assert seen == [
+        ("a", "d1", 2), ("a", "d2", 1), ("b", "d1", 1), ("b", "d3", 1),
+    ]
+    with pytest.raises(ValueError):
+        composite_agg_page(df, [], aggs)
+    with pytest.raises(ValueError):
+        composite_agg_page(df, ["k1", "k2"], aggs, after=("a",))

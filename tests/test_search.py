@@ -581,6 +581,78 @@ def test_bool_search_partial_attrs_no_contamination(spark):
     assert plain == solo and set(plain) == {1, 2, 3}
 
 
+def test_fuzzy_search_expansion_and_ranking(spark):
+    """Fuzzy expansion set = vocab terms within the Levenshtein
+    budget; docs ranked by total matching tf; max_expansions keeps
+    the (distance ASC, df DESC, term ASC) winners."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+        fuzzy_search,
+    )
+
+    rows = [
+        (1, "big agg row big"),
+        (2, "row row agg"),
+        (3, "fast part"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx, _ = ensure_token_index(spark, docs, "t_fuzzy_planted")
+    # probe 'bog': big d=1, agg d=2, row d=2 (fast/part are d>2)
+    out = {
+        r["doc_id"]: (r["terms"], r["n_terms"], r["total_tf"], r["rank"])
+        for r in fuzzy_search(spark, idx, "bog", fuzziness=2).collect()
+    }
+    assert out == {
+        1: (["agg", "big", "row"], 3, 4, 1),
+        2: (["agg", "row"], 2, 3, 2),
+    }
+    # max_expansions=1 keeps only the closest term (big, d=1)
+    one = {
+        r["doc_id"]: (r["terms"], r["total_tf"])
+        for r in fuzzy_search(
+            spark, idx, "bog", fuzziness=2, max_expansions=1
+        ).collect()
+    }
+    assert one == {1: (["big"], 2)}
+    # fuzziness=0 degenerates to an exact term probe
+    exact = {
+        r["doc_id"]: r["total_tf"]
+        for r in fuzzy_search(spark, idx, "row", fuzziness=0).collect()
+    }
+    assert exact == {2: 2, 1: 1}
+
+
+def test_fuzzy_search_prefix_and_validation(spark):
+    """prefix_length prunes expansions to shared-prefix terms (the
+    scale lever); bad parameters are rejected."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+        fuzzy_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "big agg row")], "doc_id long, text string"
+    )
+    idx, _ = ensure_token_index(spark, docs, "t_fuzzy_prefix")
+    # 'bog' with prefix_length=1 requires a leading 'b': only big
+    out = fuzzy_search(
+        spark, idx, "bog", fuzziness=2, prefix_length=1
+    ).collect()
+    assert [(r["doc_id"], r["terms"]) for r in out] == [(1, ["big"])]
+    # no expansion survives → empty result, stable schema
+    empty = fuzzy_search(spark, idx, "zzz", fuzziness=1)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "terms", "n_terms", "total_tf", "rank"]
+    with pytest.raises(ValueError):
+        fuzzy_search(spark, idx, "  ")
+    with pytest.raises(ValueError):
+        fuzzy_search(spark, idx, "bog", fuzziness=3)
+    with pytest.raises(ValueError):
+        fuzzy_search(spark, idx, "bog", max_expansions=0)
+
+
 def test_bool_search_validation(spark, sf_dir):
     from aws_dms_cdc_data_pipeline_spark.operators.search import (
         bool_search_many,
