@@ -139,3 +139,79 @@ def test_wildcard_search_matches_reference(spark, docs, pattern):
         for r in wildcard_search(spark, idx, pattern, top_k=100).collect()
     }
     assert got == _ref_wildcard(rows, pattern), pattern
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _ref_fuzzy(docs, probe, fuzz, plen, max_exp):
+    toks_by_doc = {doc_id: _tok(text) for doc_id, text in docs}
+    df = {}
+    for toks in toks_by_doc.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    cand = [
+        t for t in df
+        if t[:plen] == probe[:plen] and _lev(t, probe) <= fuzz
+    ]
+    cand.sort(key=lambda t: (_lev(t, probe), -df[t], t))
+    exp = set(cand[:max_exp])
+    out = {}
+    for doc_id, toks in toks_by_doc.items():
+        matched = sorted(set(toks) & exp)
+        if matched:
+            out[doc_id] = (
+                matched, len(matched),
+                sum(1 for t in toks if t in exp),
+            )
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(
+    docs=docs_strategy,
+    probe=st.sampled_from(["a", "ab", "b1", "xx", "c", "x1"]),
+    fuzz=st.integers(min_value=0, max_value=2),
+    plen=st.integers(min_value=0, max_value=1),
+    max_exp=st.sampled_from([1, 2, 50]),
+)
+def test_fuzzy_search_matches_reference(spark, docs, probe, fuzz, plen,
+                                        max_exp):
+    """fuzzy_search ≡ a Python Levenshtein reference: same expansion
+    selection (distance ASC, df DESC, term ASC, capped), same
+    total-tf ranking over the matched-term set."""
+    import itertools
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+        fuzzy_search,
+    )
+
+    if not hasattr(test_fuzzy_search_matches_reference, "_c"):
+        test_fuzzy_search_matches_reference._c = itertools.count()
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx, _ = ensure_token_index(
+        spark, df,
+        f"prop_fz_{next(test_fuzzy_search_matches_reference._c)}",
+    )
+    got = {
+        r["doc_id"]: (list(r["terms"]), r["n_terms"], r["total_tf"])
+        for r in fuzzy_search(
+            spark, idx, probe, fuzziness=fuzz, prefix_length=plen,
+            max_expansions=max_exp, top_k=100,
+        ).collect()
+    }
+    assert got == _ref_fuzzy(rows, probe, fuzz, plen, max_exp), (
+        probe, fuzz, plen, max_exp,
+    )
