@@ -25,6 +25,8 @@ from aws_dms_cdc_data_pipeline_spark.operators.search import (  # noqa: F401
     bm25_search,
     bool_search_many,
     fuzzy_search,
+    match_phrase_prefix,
+    rare_terms,
     wildcard_search,
 )
 from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (  # noqa: F401

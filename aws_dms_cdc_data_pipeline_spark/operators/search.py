@@ -761,6 +761,182 @@ def fuzzy_search(
     ).select(id_col, "terms", "n_terms", "total_tf", "rank")
 
 
+def rare_terms(
+    spark,
+    idx_table: str,
+    *,
+    max_doc_count: int = 1,
+) -> DataFrame:
+    """Rare-terms bucket aggregation — the OpenSearch ``rare_terms``
+    agg (the long-tail complement of ``terms``: buckets for terms
+    whose DOCUMENT FREQUENCY is at most ``max_doc_count``, where a
+    plain terms agg surfaces only the head). Returns (term, df)
+    ordered (df ASC, term ASC) — rarest first, deterministic ties.
+
+    Execution: one shuffle-free aggregate over the term-bucketed
+    index (df per term needs no exchange — the bucketing IS the term
+    partitioning, same shape as :func:`token_index_stats`), then the
+    threshold filter on the ≤|vocabulary| aggregate. Output is
+    vocabulary-bounded, corpus-size-independent; OpenSearch
+    approximates this with CuckooFilters shard-side — an exact
+    distributed aggregate needs no sketch.
+    """
+    if max_doc_count < 1:
+        raise ValueError("rare_terms needs max_doc_count >= 1")
+    return (
+        spark.table(idx_table)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") <= max_doc_count)
+        .orderBy(F.col("df").asc(), F.col("term").asc())
+    )
+
+
+def rare_terms_oracle_sql(
+    *,
+    max_doc_count: int = 1,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL computing the identical rare-terms buckets."""
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT {id_col}, t.term
+        FROM {table},
+             LATERAL (SELECT unnest(string_split_regex(lower({text_col}),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+    FROM tok GROUP BY term
+    HAVING COUNT(*) <= {max_doc_count}
+    ORDER BY df ASC, term ASC
+    """
+
+
+def match_phrase_prefix(
+    spark,
+    pos_table: str,
+    phrase: str,
+    *,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Search-as-you-type phrase matching — the OpenSearch
+    ``match_phrase_prefix`` query (the Discover query bar mid-typing:
+    all phrase terms must appear consecutively, with the LAST term
+    matched as a PREFIX): ``"stream tab"`` matches documents where
+    ``stream`` is immediately followed by any ``tab…`` vocabulary
+    term. The prefix expands to at most ``max_expansions`` vocabulary
+    terms in term-dictionary order (term ASC — the OpenSearch
+    expansion contract).
+
+    Returns (id, n_matches), n_matches > 0, ordered
+    (n_matches DESC, id ASC) — the :func:`phrase_search` contract.
+
+    Scale shape: the expansion set resolves on the DISTINCT
+    vocabulary (prefix terms range-prune under the range-clustered
+    layout, same caveat stack as :func:`wildcard_search`), collects
+    (bounded by max_expansions) and re-enters as an ``isin`` literal,
+    so the positional read stays bucket-prunable; the consecutive-
+    position check is the same single lead-window pass as
+    :func:`phrase_search` — pruning to phrase terms ∪ expansions
+    preserves its consecutiveness-forcing argument. One exchange on
+    the doc id; nothing document-sized moves.
+    """
+    terms = [t for t in _split_phrase(phrase)]
+    if not terms:
+        raise ValueError("match_phrase_prefix needs at least one token")
+    if max_expansions < 1:
+        raise ValueError("match_phrase_prefix needs max_expansions >= 1")
+    firsts, prefix = terms[:-1], terms[-1]
+    idx = spark.table(pos_table)
+    expansions = (
+        idx.select("term")
+        .filter(F.col("term").startswith(prefix))
+        .distinct()
+        .orderBy(F.col("term").asc())
+        .limit(max_expansions)
+    )
+    exp = sorted(r["term"] for r in expansions.collect())
+    empty = (
+        idx.filter(F.lit(False))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    )
+    if not exp:
+        return empty
+    pruned = idx.filter(F.col("term").isin(sorted(set(firsts) | set(exp))))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cond = F.lit(True)
+    for i, t in enumerate(firsts):
+        cond = cond & (F.lead("term", i).over(w) == F.lit(t)) & (
+            F.lead("pos", i).over(w) == F.col("pos") + F.lit(i)
+        )
+    n = len(firsts)
+    cond = cond & F.lead("term", n).over(w).isin(exp) & (
+        F.lead("pos", n).over(w) == F.col("pos") + F.lit(n)
+    )
+    hits = pruned.withColumn("_m", cond).filter(F.col("_m"))
+    return (
+        hits.groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+        .orderBy(F.col("n_matches").desc(), F.col(id_col).asc())
+    )
+
+
+def match_phrase_prefix_oracle_sql(
+    phrase: str,
+    *,
+    max_expansions: int = 50,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL computing the identical search-as-you-type match
+    (positional self-joins at consecutive offsets; the last offset
+    joins the term-dictionary-ordered expansion set)."""
+    terms = [t for t in _split_phrase(phrase)]
+    firsts, prefix = terms[:-1], terms[-1]
+    n = len(firsts)
+    joins = "".join(
+        f"\n        JOIN toks t{i + 1} ON t{i + 1}.{id_col} = t0.{id_col}"
+        f" AND t{i + 1}.pos = t0.pos + {i + 1}"
+        for i in range(n)
+    )
+    first_conds = "".join(
+        f" AND t{i}.term = '{t}'" for i, t in enumerate(firsts)
+    )
+    return f"""
+    WITH dw AS (
+        SELECT {id_col},
+               list_filter(string_split_regex(lower({text_col}),
+                           '[^a-z0-9]+'), x -> x <> '') AS ws
+        FROM {table}
+    ),
+    toks AS (
+        SELECT {id_col}, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS term
+        FROM dw, UNNEST(generate_series(1, len(ws))) AS s(i)
+    ),
+    exp AS (
+        SELECT DISTINCT term FROM toks WHERE term LIKE '{prefix}%'
+        ORDER BY term LIMIT {max_expansions}
+    ),
+    m AS (
+        SELECT t0.{id_col}
+        FROM toks t0{joins}
+        WHERE TRUE{first_conds}
+          AND t{n}.term IN (SELECT term FROM exp)
+    )
+    SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM m GROUP BY {id_col}
+    ORDER BY n_matches DESC, {id_col} ASC
+    """
+
+
 def fuzzy_oracle_sql(
     term: str,
     *,

@@ -581,6 +581,98 @@ def test_bool_search_partial_attrs_no_contamination(spark):
     assert plain == solo and set(plain) == {1, 2, 3}
 
 
+def test_rare_terms_threshold_and_order(spark):
+    """rare_terms buckets = terms with df <= max_doc_count, rarest
+    first with deterministic term ties."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+        rare_terms,
+    )
+
+    rows = [(1, "x x y"), (2, "x z"), (3, "x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx, _ = ensure_token_index(spark, docs, "t_rare_planted")
+    got = [
+        (r["term"], r["df"])
+        for r in rare_terms(spark, idx, max_doc_count=1).collect()
+    ]
+    assert got == [("y", 1), ("z", 1)]
+    # raising the threshold pulls in the head term last
+    got3 = [
+        (r["term"], r["df"])
+        for r in rare_terms(spark, idx, max_doc_count=3).collect()
+    ]
+    assert got3 == [("y", 1), ("z", 1), ("x", 3)]
+    with pytest.raises(ValueError):
+        rare_terms(spark, idx, max_doc_count=0)
+
+
+def test_match_phrase_prefix_expansion_semantics(spark):
+    """Last-term prefix expansion in term-dictionary order with the
+    max_expansions cap; preceding terms must be exactly consecutive;
+    a single-term phrase is a pure prefix match."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_position_index,
+        match_phrase_prefix,
+    )
+
+    rows = [
+        (1, "a table tab b"),
+        (2, "a tab a table"),
+        (3, "b tabby c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = ensure_position_index(spark, docs, "t_mpp_planted")
+
+    def run(phrase, **kw):
+        return {
+            r["doc_id"]: r["n_matches"]
+            for r in match_phrase_prefix(spark, pos, phrase, **kw).collect()
+        }
+
+    # 'tab' expands to {tab, tabby, table} (dictionary order)
+    assert run("a tab") == {1: 1, 2: 2}
+    # cap=1 keeps only 'tab'; cap=2 adds 'tabby' (not 'table')
+    assert run("a tab", max_expansions=1) == {2: 1}
+    assert run("a tab", max_expansions=2) == {2: 1}
+    # single-term phrase: pure prefix occurrence count
+    assert run("tab") == {1: 2, 2: 2, 3: 1}
+    # no vocabulary term matches the prefix → empty, stable schema
+    empty = match_phrase_prefix(spark, pos, "a zz")
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "n_matches"]
+    with pytest.raises(ValueError):
+        match_phrase_prefix(spark, pos, "   ")
+    with pytest.raises(ValueError):
+        match_phrase_prefix(spark, pos, "a tab", max_expansions=0)
+
+
+def test_match_phrase_prefix_degenerates_to_phrase_search(spark, sf_dir):
+    """A fully-typed phrase whose last term expands only to itself is
+    bit-equal to phrase_search."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_position_index,
+        match_phrase_prefix,
+        phrase_search,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos = ensure_position_index(spark, docs, "t_mpp_parity")
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in match_phrase_prefix(spark, pos, "stream table").collect()
+    }
+    want = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(docs, "stream table").collect()
+    }
+    assert got == want and got
+
+
 def test_fuzzy_search_expansion_and_ranking(spark):
     """Fuzzy expansion set = vocab terms within the Levenshtein
     budget; docs ranked by total matching tf; max_expansions keeps
