@@ -70,6 +70,12 @@ HEADLINE = (
     "wildcard_search_docs",
     "significant_terms_hits",
     "percolate_bool_alerts",
+    # r11: the round's Discover additions (sf0.1 only, same policy)
+    "fuzzy_search_docs",
+    "match_phrase_prefix_docs",
+    "rare_terms_docs",
+    "search_histogram_pipeline",
+    "composite_agg_events_page",
 )
 
 
