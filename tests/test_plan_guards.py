@@ -58,6 +58,25 @@ def test_training_export_broadcasts_all_small_dims(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_typo_tolerant_search_plans_stay_shuffle_light(spark, sf_dir):
+    """The r11 search-bar shapes must keep their pruned-probe plan
+    shape: fuzzy = one vocabulary aggregate + one doc-keyed aggregate
+    (the expansion set is an isin literal, never a join side);
+    match_phrase_prefix = the phrase lead-window's single doc
+    exchange + the expansion vocabulary pass."""
+    for name, budget in (
+        ("fuzzy_search_docs", 3),
+        ("match_phrase_prefix_docs", 3),
+        ("rare_terms_docs", 2),
+    ):
+        plan = _plan(spark, sf_dir, name)
+        shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange SinglePartition"
+        )
+        assert shuffles <= budget, f"{name}: {shuffles} > {budget}"
+        assert "CartesianProduct" not in plan
+
+
 def test_blas_brute_force_has_no_pre_scoring_exchange(spark, sf_dir):
     """The BLAS scorer is a narrow map over the corpus scan: the only
     exchange in the plan is the tiny per-query ranking AFTER scoring
