@@ -27,6 +27,8 @@ phrases degrade to term alerts) or dicts::
      "term_b": "rollback", "slop": 5, "in_order": True}
     {"query_id": "q4", "type": "bool",   "must": ["error", "timeout"],
      "should": ["prod"], "must_not": ["test"]}
+    {"query_id": "q5", "type": "phrase_prefix", "phrase": "stream tab",
+     "max_expansions": 50}
 
 ``bool`` standing queries are the compound alert shape (OpenSearch
 bool percolation): all must terms present, >= minimum_should_match
@@ -34,6 +36,17 @@ should terms present, no must_not term present. Match-only — clause
 boosts are accepted and ignored (percolation emits hits, not
 scores); ``filter`` clauses are rejected (a stream batch carries no
 attrs relation).
+
+``phrase_prefix`` standing queries are the mid-typing alert shape
+(OpenSearch match_phrase_prefix percolation): all phrase terms
+consecutive with the LAST term matched as a prefix. The prefix
+expands against the BATCH vocabulary (the batch IS the percolation
+corpus) in term-dictionary order, capped at ``max_expansions``; each
+expansion variant resolves through the SAME shared anchor-vote pass
+as the phrase queries, and variant hit counts sum per query (variant
+matches are position-disjoint — one concrete last term per anchor —
+so the sum equals operators/search.py:match_phrase_prefix over the
+batch, asserted in tests).
 """
 
 from __future__ import annotations
@@ -90,6 +103,7 @@ def percolate(
     phrase_qs: list[tuple[str, list[str]]] = []
     near_qs: list[tuple[str, str, str, int, bool]] = []
     bool_qs: list[tuple[str, list[tuple[str, str]], int, int]] = []
+    prefix_qs: list[tuple[str, list[str], str, int]] = []
     seen: set[str] = set()
     for entry in standing:
         if isinstance(entry, dict):
@@ -100,6 +114,11 @@ def percolate(
             qtype, entry = "phrase", {"phrase": _phrase}
         if qid in seen:
             raise ValueError(f"duplicate standing query id {qid!r}")
+        if "\x1f" in qid:
+            raise ValueError(
+                f"standing query id {qid!r} contains the reserved "
+                "\\x1f separator"
+            )
         seen.add(qid)
         if qtype in ("phrase", "term"):
             text = entry.get("phrase") if qtype == "phrase" else entry.get("term")
@@ -122,6 +141,16 @@ def percolate(
                 (qid, a, b, int(entry.get("slop", 5)),
                  bool(entry.get("in_order", False)))
             )
+        elif qtype == "phrase_prefix":
+            terms = _split_phrase(entry.get("phrase") or "")
+            if not terms:
+                raise ValueError(f"standing query {qid!r} has no tokens")
+            max_exp = int(entry.get("max_expansions", 50))
+            if max_exp < 1:
+                raise ValueError(
+                    f"phrase_prefix query {qid!r} needs max_expansions >= 1"
+                )
+            prefix_qs.append((qid, terms[:-1], terms[-1], max_exp))
         elif qtype == "bool":
             if entry.get("filter"):
                 raise ValueError(
@@ -139,13 +168,21 @@ def percolate(
         {t for _, terms in phrase_qs for t in terms}
         | {t for _, a, b, _, _ in near_qs for t in (a, b)}
         | {t for _, tks, _, _ in bool_qs for t, _ in tks}
+        | {t for _, firsts, _, _ in prefix_qs for t in firsts}
     )
-    toks = tokenize_positions(docs, text_col, id_col).filter(
-        F.col("term").isin(all_terms)
-    )
-    if sum(map(bool, (phrase_qs, near_qs, bool_qs))) >= 2:
-        # 2+ passes read the pruned relation; persist it so the
-        # corpus tokenizes once (1 scan + an InMemoryTableScan reuse).
+    prune = F.col("term").isin(all_terms)
+    for _, _, pfx, _ in prefix_qs:
+        # prefix standing terms can't enumerate literals up front —
+        # widen the prune; the anchor-vote/bool/near passes key on
+        # exact terms so the extra rows never contaminate them
+        prune = prune | F.col("term").startswith(pfx)
+    toks = tokenize_positions(docs, text_col, id_col).filter(prune)
+    n_groups = sum(map(bool, (phrase_qs, near_qs, bool_qs, prefix_qs)))
+    if n_groups >= 2 or prefix_qs:
+        # 2+ passes read the pruned relation (a prefix group alone
+        # already reads it twice: expansion resolution + match);
+        # persist it so the corpus tokenizes once (1 scan + an
+        # InMemoryTableScan reuse).
         toks = toks.persist()
         if _cache_out is not None:
             _cache_out.append(toks)
@@ -169,6 +206,45 @@ def percolate(
         # presence join + aggregation (operators/search.py:
         # _bool_match_many) — still one corpus scan total.
         outs.append(_bool_match_many(toks, bool_qs, id_col))
+    if prefix_qs:
+        # prefix expansion resolves against the BATCH vocabulary
+        # (bounded collect, <= max_expansions terms per query — it
+        # also materializes the persisted relation, so the match
+        # passes below read cache); each expansion variant rides the
+        # same anchor-vote pass, then variant counts sum per query
+        # (variants are position-disjoint: one concrete last term
+        # per anchor).
+        vocab = toks.select("term").distinct()
+        variants: list[tuple[str, list[str]]] = []
+        for qid, firsts, pfx, max_exp in prefix_qs:
+            exp = [
+                r["term"]
+                for r in vocab.filter(F.col("term").startswith(pfx))
+                .orderBy(F.col("term").asc())
+                .limit(max_exp)
+                .collect()
+            ]
+            variants += [
+                (f"{qid}\x1f{j}", firsts + [e]) for j, e in enumerate(exp)
+            ]
+        if variants:
+            vm = _phrase_match_many(toks, variants, id_col)
+            outs.append(
+                vm.withColumn(
+                    "query_id",
+                    F.substring_index(F.col("query_id"), "\x1f", 1),
+                )
+                .groupBy("query_id", id_col)
+                .agg(F.sum("n_matches").cast("long").alias("n_matches"))
+            )
+    if not outs:
+        # only prefix queries, none of which expanded against this
+        # batch's vocabulary: empty result, stable schema
+        return toks.filter(F.lit(False)).select(
+            F.lit("").alias("query_id"),
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_matches"),
+        )
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)

@@ -521,3 +521,91 @@ def test_percolate_mixed_types_single_scan(spark):
         return n
 
     assert text_scans(out._jdf.queryExecution().executedPlan()) <= 1
+
+
+def test_percolate_phrase_prefix_parity_and_semantics(spark):
+    """phrase_prefix standing queries ≡ match_phrase_prefix over the
+    same batch (the batch IS the percolation corpus): expansion in
+    term-dictionary order, max_expansions cap, variant counts sum."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_position_index,
+        match_phrase_prefix,
+    )
+
+    rows = [
+        (1, "a table tab b"),
+        (2, "a tab a table"),
+        (3, "b tabby c"),
+        (4, "nothing here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = ensure_position_index(spark, docs, "t_perc_mpp")
+    for phrase, cap in (("a tab", 50), ("a tab", 1), ("tab", 50)):
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in percolate(
+                docs,
+                [{"query_id": "q", "type": "phrase_prefix",
+                  "phrase": phrase, "max_expansions": cap}],
+            ).collect()
+        }
+        want = {
+            r["doc_id"]: r["n_matches"]
+            for r in match_phrase_prefix(
+                spark, pos, phrase, max_expansions=cap
+            ).collect()
+        }
+        assert got == want and got, (phrase, cap)
+    # a prefix matching no batch vocabulary emits nothing, stable schema
+    empty = percolate(
+        docs, [{"query_id": "q", "type": "phrase_prefix", "phrase": "a zz"}]
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "doc_id", "n_matches"]
+
+
+def test_percolate_phrase_prefix_mixed_single_scan(spark):
+    """A prefix standing query joining the mixed batch keeps the
+    one-text-scan contract (persisted pruned relation; the expansion
+    collect materializes the cache, the match passes read it)."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    standing = [
+        {"query_id": "p", "type": "phrase", "phrase": "quick brown"},
+        {"query_id": "b", "type": "bool", "must": ["system"]},
+        {"query_id": "sp", "type": "phrase_prefix", "phrase": "quick bro"},
+    ]
+    out = percolate(docs, standing)
+    got = {(r["query_id"], r["doc_id"]) for r in out.collect()}
+    assert ("p", 1) in got and ("sp", 1) in got and ("sp", 4) in got
+    assert ("b", 2) in got
+
+    def text_scans(node):
+        cls = node.getClass().getSimpleName()
+        if cls in ("InMemoryTableScanExec", "ReusedExchangeExec",
+                   "ReusedSubqueryExec"):
+            return 0
+        if cls == "AdaptiveSparkPlanExec":
+            return text_scans(node.executedPlan())
+        n = 1 if (cls == "RDDScanExec"
+                  and "text#" in node.output().mkString(",")) else 0
+        it = node.children().iterator()
+        while it.hasNext():
+            n += text_scans(it.next())
+        return n
+
+    assert text_scans(out._jdf.queryExecution().executedPlan()) <= 1
+
+
+def test_percolate_phrase_prefix_validation(spark):
+    import pytest
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        percolate(docs, [{"query_id": "q", "type": "phrase_prefix",
+                          "phrase": "   "}])
+    with pytest.raises(ValueError, match="max_expansions"):
+        percolate(docs, [{"query_id": "q", "type": "phrase_prefix",
+                          "phrase": "a b", "max_expansions": 0}])
+    with pytest.raises(ValueError, match="reserved"):
+        percolate(docs, [{"query_id": "q\x1fx", "type": "phrase_prefix",
+                          "phrase": "a b"}])
