@@ -76,6 +76,7 @@ HEADLINE = (
     "rare_terms_docs",
     "search_histogram_pipeline",
     "composite_agg_events_page",
+    "percolate_prefix_alerts",
 )
 
 
