@@ -609,3 +609,45 @@ def test_percolate_phrase_prefix_validation(spark):
     with pytest.raises(ValueError, match="reserved"):
         percolate(docs, [{"query_id": "q\x1fx", "type": "phrase_prefix",
                           "phrase": "a b"}])
+
+
+def test_percolator_stream_phrase_prefix_equals_batch(spark, tmp_path):
+    """phrase_prefix standing queries through the STREAMING leg: the
+    per-epoch expansion collect + cache hygiene run inside
+    foreachBatch, and the union of epoch alerts equals batch
+    percolation over the full document set (an uncapped expansion is
+    epoch-local-vocabulary-invariant: a match can only use a last
+    term present in its own document, hence in its epoch)."""
+    src = tmp_path / "docs_pp"
+    src.mkdir()
+    for fname, rows in (("a.jsonl", DOCS[:2]), ("b.jsonl", DOCS[2:])):
+        with open(src / fname, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    standing = [
+        {"query_id": "sp", "type": "phrase_prefix", "phrase": "quick bro"},
+        {"query_id": "t", "type": "term", "term": "spark"},
+    ]
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_percolator(
+        stream,
+        standing,
+        str(tmp_path / "alerts_pp"),
+        str(tmp_path / "ckpt_pp"),
+    )
+    q.awaitTermination()
+    alerts = spark.read.parquet(str(tmp_path / "alerts_pp"))
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_matches"] for r in alerts.collect()
+    }
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    batch = {
+        (r["query_id"], r["doc_id"]): r["n_matches"]
+        for r in percolate(docs, standing).collect()
+    }
+    assert got == batch
+    assert ("sp", 1) in got and ("sp", 4) in got  # quick brown docs
