@@ -207,25 +207,44 @@ def percolate(
         # _bool_match_many) — still one corpus scan total.
         outs.append(_bool_match_many(toks, bool_qs, id_col))
     if prefix_qs:
-        # prefix expansion resolves against the BATCH vocabulary
-        # (bounded collect, <= max_expansions terms per query — it
-        # also materializes the persisted relation, so the match
-        # passes below read cache); each expansion variant rides the
-        # same anchor-vote pass, then variant counts sum per query
-        # (variants are position-disjoint: one concrete last term
-        # per anchor).
-        vocab = toks.select("term").distinct()
+        # prefix expansion resolves against the BATCH vocabulary in
+        # ONE job for ALL prefix queries (a per-query collect would
+        # pay one driver round-trip per standing alert per epoch —
+        # the exact per-query-job scaling failure the shared
+        # anchor-vote pass exists to avoid): the (query_id, prefix,
+        # cap) relation broadcasts into a startswith join against the
+        # distinct pruned vocabulary, a per-query rank window applies
+        # the dictionary-order cap, and the single collect is bounded
+        # by Σ max_expansions. It also materializes the persisted
+        # relation, so the match passes below read cache. Each
+        # expansion variant rides the same anchor-vote pass, then
+        # variant counts sum per query (variants are
+        # position-disjoint: one concrete last term per anchor).
+        from pyspark.sql import Window
+
+        spark = toks.sparkSession
+        pdf = spark.createDataFrame(
+            [(qid, pfx, me) for qid, _, pfx, me in prefix_qs],
+            "query_id string, _pfx string, _me long",
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("term").asc())
+        exp_rows = (
+            toks.select("term")
+            .distinct()
+            .join(F.broadcast(pdf), F.col("term").startswith(F.col("_pfx")))
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= F.col("_me"))
+            .select("query_id", "term")
+            .collect()
+        )
+        by_q: dict[str, list[str]] = {}
+        for r in exp_rows:
+            by_q.setdefault(r["query_id"], []).append(r["term"])
         variants: list[tuple[str, list[str]]] = []
         for qid, firsts, pfx, max_exp in prefix_qs:
-            exp = [
-                r["term"]
-                for r in vocab.filter(F.col("term").startswith(pfx))
-                .orderBy(F.col("term").asc())
-                .limit(max_exp)
-                .collect()
-            ]
             variants += [
-                (f"{qid}\x1f{j}", firsts + [e]) for j, e in enumerate(exp)
+                (f"{qid}\x1f{j}", firsts + [e])
+                for j, e in enumerate(sorted(by_q.get(qid, [])))
             ]
         if variants:
             vm = _phrase_match_many(toks, variants, id_col)
