@@ -34,6 +34,7 @@ from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (  # noqa: F401
     date_histogram,
     histogram_pipeline,
     numeric_histogram,
+    range_buckets,
     significant_terms,
     top_hits_per_facet,
 )

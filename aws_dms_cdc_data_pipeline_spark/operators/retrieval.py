@@ -904,6 +904,112 @@ def histogram_pipeline_oracle_sql(
     """
 
 
+def range_buckets(
+    hits: DataFrame,
+    value_col: str,
+    ranges: list[tuple],
+    *,
+    count_alias: str = "n_hits",
+) -> DataFrame:
+    """Explicit-bounds range aggregation — the OpenSearch ``range``
+    agg (and, via a timestamp-cast value column, ``date_range``):
+    user-declared ``(key, from, to)`` buckets, ``from`` inclusive /
+    ``to`` exclusive / ``None`` unbounded — the OpenSearch bound
+    contract. Unlike a histogram the buckets may OVERLAP or leave
+    gaps, and a document counts into EVERY range it matches.
+    Returns (range_key, range_from, range_to, n_hits) ordered by
+    declaration order (OpenSearch keeps user order; a key column
+    makes it deterministic here) — empty ranges still appear with a
+    zero count (the OpenSearch empty-bucket contract).
+
+    Execution: the range relation is a human-declared literal —
+    it BROADCASTS into a bound-predicate join against the hit set
+    (one pass however many ranges; a CASE stack would silently drop
+    the overlap semantics), then one ≤|ranges| aggregate; the
+    declared relation left-joins the counts so empty buckets
+    survive. Missing values (null/NaN) are ignored, matching the
+    histogram missing-value semantics.
+    """
+    if not ranges:
+        raise ValueError("range_buckets needs at least one range")
+    keys = [r[0] for r in ranges]
+    if len(set(keys)) != len(keys):
+        raise ValueError("range keys must be unique")
+    spark = hits.sparkSession
+    rdf = spark.createDataFrame(
+        [
+            (i, str(k), None if lo is None else float(lo),
+             None if hi is None else float(hi))
+            for i, (k, lo, hi) in enumerate(ranges)
+        ],
+        "_ord long, range_key string, range_from double, range_to double",
+    )
+    v = F.col(value_col).cast("double")
+    vals = hits.select(v.alias("_v")).filter(
+        F.col("_v").isNotNull() & ~F.isnan("_v")
+    )
+    cond = (
+        F.col("range_from").isNull() | (F.col("_v") >= F.col("range_from"))
+    ) & (F.col("range_to").isNull() | (F.col("_v") < F.col("range_to")))
+    counts = (
+        vals.join(F.broadcast(rdf), cond)
+        .groupBy("_ord")
+        .agg(F.count(F.lit(1)).cast("long").alias(count_alias))
+    )
+    return (
+        rdf.join(F.broadcast(counts), "_ord", "left")
+        .select(
+            "range_key",
+            "range_from",
+            "range_to",
+            F.coalesce(F.col(count_alias), F.lit(0).cast("long")).alias(
+                count_alias
+            ),
+            "_ord",
+        )
+        .orderBy("_ord")
+        .drop("_ord")
+    )
+
+
+def range_buckets_oracle_sql(
+    hits_sql: str,
+    value_col: str,
+    ranges: list[tuple],
+    *,
+    count_alias: str = "n_hits",
+) -> str:
+    """DuckDB SQL computing the identical range buckets (values join
+    the declared range relation on the same bound predicate; empty
+    ranges survive via the left join)."""
+    rows = ", ".join(
+        f"({i}, '{k}', "
+        + ("NULL" if lo is None else f"CAST({float(lo)!r} AS DOUBLE)")
+        + ", "
+        + ("NULL" if hi is None else f"CAST({float(hi)!r} AS DOUBLE)")
+        + ")"
+        for i, (k, lo, hi) in enumerate(ranges)
+    )
+    return f"""
+    WITH hit_rows AS ({hits_sql}),
+    vals AS (SELECT CAST({value_col} AS DOUBLE) AS v FROM hit_rows
+             WHERE {value_col} IS NOT NULL
+               AND NOT isnan(CAST({value_col} AS DOUBLE))),
+    r(_ord, range_key, range_from, range_to) AS (VALUES {rows}),
+    counts AS (
+        SELECT _ord, CAST(COUNT(*) AS BIGINT) AS {count_alias}
+        FROM vals JOIN r
+          ON (range_from IS NULL OR v >= range_from)
+         AND (range_to IS NULL OR v < range_to)
+        GROUP BY _ord
+    )
+    SELECT range_key, range_from, range_to,
+           COALESCE({count_alias}, 0) AS {count_alias}
+    FROM r LEFT JOIN counts USING (_ord)
+    ORDER BY _ord
+    """
+
+
 def composite_agg_page(
     df: DataFrame,
     keys: list[str],

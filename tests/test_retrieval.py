@@ -572,6 +572,38 @@ def test_histogram_pipeline_hand_checked(spark):
         histogram_pipeline(hist, window=0)
 
 
+def test_range_buckets_overlap_gaps_and_empty(spark):
+    """OpenSearch range-agg semantics: from inclusive / to exclusive,
+    overlapping ranges double-count, empty ranges appear at zero,
+    unbounded sides work, null/NaN values are ignored."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        range_buckets,
+    )
+
+    rows = [(1.0,), (2.0,), (5.0,), (8.0,), (None,), (float("nan"),)]
+    df = spark.createDataFrame(rows, "value double")
+    got = [
+        (r["range_key"], r["n_hits"])
+        for r in range_buckets(
+            df,
+            "value",
+            [
+                ("lo", None, 5.0),     # 1, 2 (5 excluded: to-exclusive)
+                ("mid", 2.0, 8.0),     # 2 (overlap with lo), 5
+                ("hi", 8.0, None),     # 8 (from-inclusive)
+                ("none", 100.0, None), # empty → zero row
+            ],
+        ).collect()
+    ]
+    assert got == [("lo", 2), ("mid", 2), ("hi", 1), ("none", 0)]
+    with pytest.raises(ValueError):
+        range_buckets(df, "value", [])
+    with pytest.raises(ValueError):
+        range_buckets(df, "value", [("a", None, 1.0), ("a", 1.0, None)])
+
+
 def test_composite_agg_page_chains_all_buckets(spark):
     """Keyset-paged composite aggregation: pages chain via the last
     key of the previous page and cover every bucket exactly once, in
