@@ -77,6 +77,7 @@ HEADLINE = (
     "search_histogram_pipeline",
     "composite_agg_events_page",
     "percolate_prefix_alerts",
+    "range_agg_event_values",
 )
 
 
