@@ -927,8 +927,8 @@ def range_buckets(
     (one pass however many ranges; a CASE stack would silently drop
     the overlap semantics), then one ≤|ranges| aggregate; the
     declared relation left-joins the counts so empty buckets
-    survive. Missing values (null/NaN) are ignored, matching the
-    histogram missing-value semantics.
+    survive. Missing values (null/NaN/±Infinity) are ignored,
+    matching the histogram missing-value semantics exactly.
     """
     if not ranges:
         raise ValueError("range_buckets needs at least one range")
@@ -946,7 +946,9 @@ def range_buckets(
     )
     v = F.col(value_col).cast("double")
     vals = hits.select(v.alias("_v")).filter(
-        F.col("_v").isNotNull() & ~F.isnan("_v")
+        F.col("_v").isNotNull()
+        & ~F.isnan("_v")
+        & (F.abs("_v") != F.lit(float("inf")))
     )
     cond = (
         F.col("range_from").isNull() | (F.col("_v") >= F.col("range_from"))
@@ -994,7 +996,8 @@ def range_buckets_oracle_sql(
     WITH hit_rows AS ({hits_sql}),
     vals AS (SELECT CAST({value_col} AS DOUBLE) AS v FROM hit_rows
              WHERE {value_col} IS NOT NULL
-               AND NOT isnan(CAST({value_col} AS DOUBLE))),
+               AND NOT isnan(CAST({value_col} AS DOUBLE))
+               AND NOT isinf(CAST({value_col} AS DOUBLE))),
     r(_ord, range_key, range_from, range_to) AS (VALUES {rows}),
     counts AS (
         SELECT _ord, CAST(COUNT(*) AS BIGINT) AS {count_alias}
@@ -1087,8 +1090,79 @@ def keyset_page(
     )
 
 
+def bucket_script_selector(
+    buckets: DataFrame,
+    *,
+    script: str,
+    script_alias: str,
+    selector: str | None = None,
+    order_col: str = "bucket_start",
+) -> DataFrame:
+    """``bucket_script`` + ``bucket_selector`` pipeline aggregations —
+    the two OpenSearch parent-pipeline aggs that complete the
+    :func:`histogram_pipeline` family (derivative / cumulative_sum /
+    moving_fn shipped as E153): ``bucket_script`` computes a new
+    per-bucket metric from the bucket's existing metrics;
+    ``bucket_selector`` then drops buckets whose predicate is false
+    (OpenSearch evaluates the selector against the bucket's metric
+    set, the computed script metric included).
+
+    ``script`` and ``selector`` are SQL expressions over the bucket
+    columns in the engine-portable subset (arithmetic, comparisons,
+    CAST, CASE — the same contract the oracle mirrors verbatim); the
+    selector may reference ``script_alias``. A null selector keeps
+    every bucket (bucket_script alone). Rows where the selector
+    evaluates NULL are dropped (SQL WHERE semantics — the OpenSearch
+    gap-policy ``skip`` analogue).
+
+    Determinism: callers keep bucket metrics as exact longs so the
+    script's divisions are the only doubles — same all-long contract
+    as :func:`histogram_pipeline`.
+
+    Execution: the input is a parent aggregation's bucket set —
+    ≤ target_buckets rows by construction — so both steps are plain
+    narrow projections/filters on already-aggregated data (no
+    exchange, no window); order is preserved by re-sorting on
+    ``order_col``, the bucket key.
+    """
+    if not script_alias.isidentifier():
+        raise ValueError("script_alias must be a plain identifier")
+    if script_alias in buckets.columns:
+        raise ValueError(
+            f"script_alias {script_alias!r} collides with a bucket column"
+        )
+    out = buckets.withColumn(script_alias, F.expr(script))
+    if selector is not None:
+        out = out.filter(F.expr(selector))
+    return out.orderBy(order_col)
+
+
+def bucket_script_selector_oracle_sql(
+    buckets_sql: str,
+    *,
+    script: str,
+    script_alias: str,
+    selector: str | None = None,
+    order_col: str = "bucket_start",
+) -> str:
+    """DuckDB SQL computing the identical pipeline result over
+    ``buckets_sql`` (a query yielding the parent agg's buckets): the
+    script projects in an inner query so the selector can reference
+    its alias without lateral-alias semantics."""
+    where = f"WHERE {selector}" if selector is not None else ""
+    return f"""
+    WITH b AS ({buckets_sql}),
+    scripted AS (SELECT b.*, {script} AS {script_alias} FROM b)
+    SELECT * FROM scripted
+    {where}
+    ORDER BY {order_col}
+    """
+
+
 __all__ = [
     "autocomplete_prefix",
+    "bucket_script_selector",
+    "bucket_script_selector_oracle_sql",
     "date_histogram",
     "date_histogram_oracle_sql",
     "facet_counts",

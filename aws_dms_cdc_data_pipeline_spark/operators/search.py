@@ -667,6 +667,127 @@ def wildcard_oracle_sql(
     """
 
 
+def _validate_regexp(pattern: str) -> str:
+    """Validate a term-level regexp for the common Java-regex /
+    DuckDB-RE2 subset (the Lucene ``regexp`` query's syntax is itself
+    a subset of both): literals, ``.``, character classes,
+    ``* + ? {n,m}``, alternation and ``(?:…)`` grouping. Rejected:
+    backreferences and lookaround/inline-flag groups (Lucene's
+    regexp syntax has neither; RE2 cannot execute them), and
+    patterns with no literal alphanumeric at all (a bare ``.*``
+    would match the whole vocabulary — same guard as
+    :func:`wildcard_search`)."""
+    import re as _re
+
+    if not pattern:
+        raise ValueError("regexp_search needs a non-empty pattern")
+    if _re.search(r"\\[0-9]", pattern):
+        raise ValueError("backreferences are not in the regexp subset")
+    if _re.search(r"\(\?(?!:)", pattern):
+        raise ValueError(
+            "lookaround / inline-flag groups are not in the regexp subset"
+        )
+    if not _re.search(r"[a-z0-9]", pattern.lower()):
+        raise ValueError(
+            "regexp_search needs at least one literal character "
+            "(a bare '.*' would match the whole vocabulary)"
+        )
+    try:
+        _re.compile(pattern)
+    except _re.error as exc:
+        raise ValueError(f"invalid regexp pattern: {exc}") from exc
+    return pattern.lower()
+
+
+def regexp_search(
+    spark,
+    idx_table: str,
+    pattern: str,
+    *,
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Regexp term query — the OpenSearch ``regexp`` query (the
+    Lucene ``/regex/`` search-bar syntax in Discover, served over the
+    reference's Discover-browsed index; reference README.md:451-492):
+    documents whose token set contains a term FULLY matching the
+    pattern (Lucene regexps are anchored — ``sp.*k`` matches
+    ``spark``, not ``sparkly``), ranked by total matching occurrences
+    with the sorted matching-term set per doc — the
+    :func:`wildcard_search` contract, completing the term-level query
+    family (wildcard E146 / fuzzy E152 / prefix E156 / regexp).
+
+    Returns (id, terms array<string>, n_terms, total_tf, rank).
+
+    Scale shape: identical to :func:`wildcard_search` — the regexp
+    evaluates JVM-side (``rlike``, whole-stage-codegen'd) on the
+    token index's term column; hash buckets cannot prune an
+    arbitrary regexp so the scan is index-wide but column-pruned
+    (an explicit-literal-prefix pattern becomes range-prunable under
+    the range-clustered layout). One doc-keyed aggregate over the
+    matching rows follows; the rank window runs after the top-k cut.
+    """
+    pat = _validate_regexp(pattern)
+    anchored = f"^(?:{pat})$"
+    hits = spark.table(idx_table).filter(
+        F.col("term").rlike(anchored)
+    )
+    ranked = (
+        hits.groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_set("term")).alias("terms"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .orderBy(F.col("total_tf").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("total_tf").desc(), F.col(id_col).asc())
+    return ranked.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(id_col, "terms", "n_terms", "total_tf", "rank")
+
+
+def regexp_oracle_sql(
+    pattern: str,
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> str:
+    """DuckDB SQL computing the identical regexp ranking
+    (``regexp_full_match`` is DuckDB's anchored form, mirroring the
+    ``^(?:…)$`` wrap on the Spark side)."""
+    pat = _validate_regexp(pattern).replace("'", "''")
+    return f"""
+    WITH tok AS (
+        SELECT {id_col}, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM {table},
+             LATERAL (SELECT unnest(string_split_regex(lower({text_col}),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+        GROUP BY {id_col}, t.term
+    ),
+    hits AS (SELECT * FROM tok WHERE regexp_full_match(term, '{pat}')),
+    ranked AS (
+        SELECT {id_col},
+               list_sort(list(term)) AS terms,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(tf) AS BIGINT) AS total_tf
+        FROM hits GROUP BY {id_col}
+        ORDER BY total_tf DESC, {id_col} ASC
+        LIMIT {top_k}
+    )
+    SELECT {id_col}, terms, n_terms, total_tf,
+           CAST(row_number() OVER (ORDER BY total_tf DESC, {id_col} ASC)
+                AS BIGINT) AS rank
+    FROM ranked
+    """
+
+
 def fuzzy_search(
     spark,
     idx_table: str,

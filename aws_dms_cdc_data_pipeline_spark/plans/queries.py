@@ -6527,7 +6527,7 @@ def _rare_terms_oracle() -> str:
         rare_terms_oracle_sql,
     )
 
-    return rare_terms_oracle_sql(max_doc_count=100)
+    return rare_terms_oracle_sql(max_doc_count=385)
 
 
 @q(
@@ -6538,9 +6538,12 @@ def _rare_terms_oracle() -> str:
     "frequency <= max_doc_count, rarest first, deterministic ties): "
     "one shuffle-free df aggregate over the term-bucketed index, "
     "threshold filter on the vocabulary-bounded result — exact where "
-    "OpenSearch needs shard-side CuckooFilters. The fixture's 31-word "
-    "head vocabulary is uniform; the planted 'dup' tail term is what "
-    "a df<=100 threshold isolates at sf0.01 "
+    "OpenSearch needs shard-side CuckooFilters. A df<=385 threshold "
+    "cuts INSIDE the fixture's head-vocabulary df band at sf0.01 "
+    "(~370-400), so the probe exercises a multi-bucket result — the "
+    "planted 'dup' tail plus the rarer head terms (>=3 buckets; the "
+    "r11 df<=100 probe isolated only 'dup', a 1-row external signal "
+    "the r11 verdict flagged as thin) "
     "(operators/search.py:rare_terms).",
 )
 def rare_terms_docs_q(spark, sf_dir):
@@ -6549,7 +6552,7 @@ def rare_terms_docs_q(spark, sf_dir):
     )
 
     idx_t, _ = _token_index_for(spark, sf_dir)
-    return rare_terms(spark, idx_t, max_doc_count=100)
+    return rare_terms(spark, idx_t, max_doc_count=385)
 
 
 def _mpp_oracle() -> str:
@@ -6670,6 +6673,109 @@ def range_agg_event_values_q(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     hits = ev.filter(F.col("event_type") == "purchase")
     return range_buckets(hits, "value", _RANGE_BUCKETS)
+
+
+def _regexp_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        regexp_oracle_sql,
+    )
+
+    # terms flattened to a string for the driver canonicalizer — same
+    # contract as _wildcard_oracle
+    inner = regexp_oracle_sql("s[cpt][a-z]{2,4}", top_k=15)
+    return (
+        "SELECT doc_id, array_to_string(terms, ' ') AS terms, "
+        f"n_terms, total_tf, rank FROM ({inner})"
+    )
+
+
+@q(
+    "regexp_search_docs",
+    _regexp_oracle(),
+    "Regexp term query — the Lucene /regex/ search-bar syntax "
+    "(OpenSearch regexp query, the last term-level Discover query "
+    "shape after wildcard/fuzzy/prefix; reference README.md:451-492): "
+    "docs whose token set contains a term FULLY matching "
+    "'s[cpt][a-z]{2,4}' (anchored, the Lucene contract — scan/spark/"
+    "stream in the fixture), ranked by total matching occurrences "
+    "with the sorted matching-term set. The pattern evaluates "
+    "JVM-side (rlike) on the token index's term column, then one "
+    "doc-keyed aggregate (operators/search.py:regexp_search).",
+)
+def regexp_search_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        regexp_search,
+    )
+
+    idx_t, _ = _token_index_for(spark, sf_dir)
+    res = regexp_search(spark, idx_t, "s[cpt][a-z]{2,4}", top_k=15)
+    # flatten the array column for the driver canonicalizer (see
+    # _wildcard_oracle); API callers use the operator directly
+    return res.withColumn("terms", F.array_join("terms", " "))
+
+
+_BUCKET_SCRIPT = "CAST(n_errors AS DOUBLE) / CAST(n_hits AS DOUBLE)"
+_BUCKET_SELECTOR = "n_hits >= 25 AND error_rate > 0.195"
+_DAY_BUCKETS_SQL = """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors
+    FROM events GROUP BY 1
+"""
+
+
+def _bucket_script_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        bucket_script_selector_oracle_sql,
+    )
+
+    return bucket_script_selector_oracle_sql(
+        _DAY_BUCKETS_SQL,
+        script=_BUCKET_SCRIPT,
+        script_alias="error_rate",
+        selector=_BUCKET_SELECTOR,
+        order_col="day",
+    )
+
+
+@q(
+    "search_bucket_script",
+    _bucket_script_oracle(),
+    "bucket_script + bucket_selector pipeline aggregations — the two "
+    "parent-pipeline aggs completing the E153 family (OpenSearch "
+    "computes a per-bucket metric from the bucket's existing metrics, "
+    "then drops buckets failing a predicate over the metric set, "
+    "computed metric included): daily event buckets carry exact long "
+    "(n_hits, n_errors); error_rate = n_errors/n_hits is the single "
+    "division, the selector keeps busy high-error days. Both steps "
+    "are narrow projections/filters on the <=|days| bucket relation, "
+    "never the corpus "
+    "(operators/retrieval.py:bucket_script_selector).",
+)
+def search_bucket_script_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        bucket_script_selector,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # the day key is an ISO string: lexicographic == chronological,
+    # identical across both engines (composite_agg precedent)
+    buckets = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("long").alias("n_errors"),
+    )
+    return bucket_script_selector(
+        buckets,
+        script=_BUCKET_SCRIPT,
+        script_alias="error_rate",
+        selector=_BUCKET_SELECTOR,
+        order_col="day",
+    )
 
 
 # Driver-gate rotation: the external correctness gate samples the FIRST

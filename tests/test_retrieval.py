@@ -637,3 +637,70 @@ def test_composite_agg_page_chains_all_buckets(spark):
         composite_agg_page(df, [], aggs)
     with pytest.raises(ValueError):
         composite_agg_page(df, ["k1", "k2"], aggs, after=("a",))
+
+
+def test_range_buckets_ignores_infinities(spark):
+    """±Infinity values are missing per the histogram contract — they
+    match no bucket, including unbounded sides (numeric_histogram
+    sibling semantics, aligned in r12)."""
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        range_buckets,
+    )
+
+    rows = [
+        (1.0,), (float("inf"),), (float("-inf"),), (float("nan"),), (None,),
+    ]
+    df = spark.createDataFrame(rows, "value double")
+    got = [
+        (r["range_key"], r["n_hits"])
+        for r in range_buckets(
+            df,
+            "value",
+            [("all_lo", None, 5.0), ("all_hi", 0.0, None)],
+        ).collect()
+    ]
+    # only the single finite value counts; -inf would otherwise land
+    # in all_lo and +inf in all_hi
+    assert got == [("all_lo", 1), ("all_hi", 1)]
+
+
+def test_bucket_script_selector_semantics(spark):
+    """bucket_script computes a per-bucket metric; bucket_selector
+    filters on the metric set including the computed one; NULL
+    selector results drop (gap-policy skip); validation guards."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        bucket_script_selector,
+    )
+
+    rows = [
+        ("d1", 10, 1),   # rate 0.1  → dropped by selector
+        ("d2", 20, 10),  # rate 0.5  → kept
+        ("d3", 0, 0),    # rate NULL (0/0) → dropped (skip policy)
+        ("d4", 40, 30),  # rate 0.75 → kept
+    ]
+    df = spark.createDataFrame(
+        rows, "bucket_start string, n_hits long, n_errors long"
+    )
+    out = bucket_script_selector(
+        df,
+        script=(
+            "CASE WHEN n_hits = 0 THEN NULL "
+            "ELSE CAST(n_errors AS DOUBLE) / CAST(n_hits AS DOUBLE) END"
+        ),
+        script_alias="rate",
+        selector="rate > 0.2",
+    ).collect()
+    assert [(r["bucket_start"], r["rate"]) for r in out] == [
+        ("d2", 0.5), ("d4", 0.75),
+    ]
+    # script alone (no selector) keeps every bucket, ordered
+    all_rows = bucket_script_selector(
+        df, script="n_hits - n_errors", script_alias="ok_hits"
+    ).collect()
+    assert [r["ok_hits"] for r in all_rows] == [9, 10, 0, 10]
+    with pytest.raises(ValueError, match="identifier"):
+        bucket_script_selector(df, script="1", script_alias="a b")
+    with pytest.raises(ValueError, match="collides"):
+        bucket_script_selector(df, script="1", script_alias="n_hits")

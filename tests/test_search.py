@@ -832,3 +832,90 @@ def test_token_index_stats_hand_checked(spark):
     assert row["total_tf"] == 5
     assert row["avg_dl"] == 2.5
     assert row["max_df"] == 2           # 'a' appears in both docs
+
+
+def test_regexp_search_anchoring_and_validation(spark):
+    """Lucene regexp queries are ANCHORED: the pattern must match the
+    ENTIRE term, not a substring — plus the syntax-subset guards."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+        regexp_search,
+    )
+
+    rows = [
+        (1, "spark spark stream"),
+        (2, "scan sort"),
+        (3, "sparkly slow"),
+        (4, "nothing here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx, _ = ensure_token_index(spark, docs, "t_regexp")
+    out = {
+        r["doc_id"]: (list(r["terms"]), r["n_terms"], r["total_tf"], r["rank"])
+        for r in regexp_search(spark, idx, "s[cpt][a-z]+", top_k=10).collect()
+    }
+    # anchored full match: spark/stream/scan/sparkly — NOT sort (s-o)
+    # and NOT slow (s-l); 'sparkly' matches because the + is greedy to
+    # the term end, proving 'spark' inside it does NOT match doc 3 via
+    # substring semantics (it matches as its own full term only)
+    assert set(out) == {1, 2, 3}
+    assert out[1] == (["spark", "stream"], 2, 3, 1)
+    # anchoring proof: a pattern that would substring-match but not
+    # full-match yields nothing
+    assert regexp_search(spark, idx, "par", top_k=10).count() == 0
+    # alternation + bounded quantifier
+    alt = {r["doc_id"] for r in
+           regexp_search(spark, idx, "s(can|ort)", top_k=10).collect()}
+    assert alt == {2}
+    # case-insensitivity: patterns lower-case like the analyzer
+    up = {r["doc_id"] for r in
+          regexp_search(spark, idx, "SPARK", top_k=10).collect()}
+    assert up == {1}
+    with pytest.raises(ValueError, match="whole vocabulary"):
+        regexp_search(spark, idx, ".*")
+    with pytest.raises(ValueError, match="non-empty"):
+        regexp_search(spark, idx, "")
+    with pytest.raises(ValueError, match="backreferences"):
+        regexp_search(spark, idx, r"(a)\1")
+    with pytest.raises(ValueError, match="lookaround"):
+        regexp_search(spark, idx, "(?=spark)s.*")
+    with pytest.raises(ValueError, match="invalid regexp"):
+        regexp_search(spark, idx, "s[unclosed")
+
+
+def test_regexp_search_oracle_parity(spark):
+    """Spark rlike(^(?:p)$) and DuckDB regexp_full_match(p) agree on
+    the shared pattern subset over the same corpus."""
+    import duckdb
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+        regexp_oracle_sql,
+        regexp_search,
+    )
+
+    rows = [
+        (1, "alpha beta gamma gamma"),
+        (2, "alphabet beta12 g"),
+        (3, "beta betas alp"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx, _ = ensure_token_index(spark, docs, "t_regexp_parity")
+    pdf = docs.toPandas()
+    for pat in ["alpha(bet)?", "beta[0-9]*", "(g|gamma)", "[ab]l[a-z]{1,3}"]:
+        got = sorted(
+            (r["doc_id"], tuple(r["terms"]), r["n_terms"], r["total_tf"])
+            for r in regexp_search(spark, idx, pat, top_k=10).collect()
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        exp = sorted(
+            (int(d), tuple(t), int(n), int(tf))
+            for d, t, n, tf, _rk in con.execute(
+                regexp_oracle_sql(pat, top_k=10)
+            ).fetchall()
+        )
+        con.close()
+        assert got == exp, pat
