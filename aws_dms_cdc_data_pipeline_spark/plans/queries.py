@@ -6714,6 +6714,59 @@ def regexp_search_docs_q(spark, sf_dir):
     return res.withColumn("terms", F.array_join("terms", " "))
 
 
+def _term_set_percolate_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        fuzzy_oracle_sql,
+        regexp_oracle_sql,
+        wildcard_oracle_sql,
+    )
+
+    # percolation emits ALL hits (no top-k): the ad-hoc oracles' rank
+    # cut is disabled with an unreachable limit; n_matches is the
+    # ad-hoc total_tf (the percolate ≡ ad-hoc parity contract,
+    # asserted bit-exact in tests/test_percolate.py)
+    w = wildcard_oracle_sql("s*a*", top_k=10**9)
+    fz = fuzzy_oracle_sql("cart", fuzziness=2, top_k=10**9)
+    r = regexp_oracle_sql("s[cpt][a-z]{2,4}", top_k=10**9)
+    return f"""
+    SELECT 'q_wild' AS query_id, doc_id, total_tf AS n_matches FROM ({w})
+    UNION ALL
+    SELECT 'q_fuzz' AS query_id, doc_id, total_tf AS n_matches FROM ({fz})
+    UNION ALL
+    SELECT 'q_re' AS query_id, doc_id, total_tf AS n_matches FROM ({r})
+    """
+
+
+@q(
+    "percolate_wildcard_alerts",
+    _term_set_percolate_oracle(),
+    "Percolation with wildcard / fuzzy / regexp standing queries — "
+    "the term-level alert shapes completing the percolator matrix "
+    "(phrase/term/near/bool/phrase_prefix shipped E131/E150/E157): "
+    "term-set queries carry no positional semantics, so ONE batched "
+    "vocabulary job resolves every (query_id, term) match with no "
+    "driver round-trip, and the matched pairs broadcast back into "
+    "the same persisted token relation for one occurrence-count "
+    "aggregate — corpus work independent of the standing-query "
+    "count, n_matches = the ad-hoc operator's total_tf "
+    "(streaming/percolate.py).",
+)
+def percolate_wildcard_alerts_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.streaming.percolate import (
+        percolate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    standing = [
+        {"query_id": "q_wild", "type": "wildcard", "pattern": "s*a*"},
+        {"query_id": "q_fuzz", "type": "fuzzy", "term": "cart",
+         "fuzziness": 2},
+        {"query_id": "q_re", "type": "regexp",
+         "pattern": "s[cpt][a-z]{2,4}"},
+    ]
+    return percolate(docs, standing)
+
+
 _BUCKET_SCRIPT = "CAST(n_errors AS DOUBLE) / CAST(n_hits AS DOUBLE)"
 _BUCKET_SELECTOR = "n_hits >= 25 AND error_rate > 0.195"
 _DAY_BUCKETS_SQL = """

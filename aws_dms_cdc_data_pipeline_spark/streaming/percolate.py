@@ -47,6 +47,29 @@ as the phrase queries, and variant hit counts sum per query (variant
 matches are position-disjoint — one concrete last term per anchor —
 so the sum equals operators/search.py:match_phrase_prefix over the
 batch, asserted in tests).
+
+``wildcard`` / ``fuzzy`` / ``regexp`` standing queries are the
+remaining OpenSearch term-level percolator shapes (mid-typing
+wildcard alerts, typo-tolerant alerts, Lucene ``/regex/`` alerts)::
+
+    {"query_id": "q6", "type": "wildcard", "pattern": "s*a*"}
+    {"query_id": "q7", "type": "fuzzy", "term": "cart",
+     "fuzziness": 2, "prefix_length": 0, "max_expansions": 50}
+    {"query_id": "q8", "type": "regexp", "pattern": "s[cpt][a-z]+"}
+
+Term-set queries carry no positional semantics, so they resolve with
+NO driver round-trip at all (leaner than phrase_prefix, whose
+variants must re-enter the anchor-vote pass as literals): ONE
+batched vocabulary job matches every (query_id, term) pair — the
+broadcast query relation joins the distinct pruned vocabulary on the
+per-query predicate (LIKE / length-band + Levenshtein with the
+df-ordered ``max_expansions`` cap / anchored RLIKE) — and the
+matched pairs broadcast-join back into the SAME persisted token
+relation for one occurrence-count aggregate. ``n_matches`` is the
+total matching tf, equal per doc to the ad-hoc
+wildcard_search / fuzzy_search / regexp_search total_tf over the
+batch corpus (fuzzy expansion df-order uses BATCH document
+frequency — the batch IS the index; all three asserted in tests).
 """
 
 from __future__ import annotations
@@ -62,6 +85,8 @@ from aws_dms_cdc_data_pipeline_spark.operators.search import (
     _phrase_match_many,
     _proximity_pairs_many,
     _split_phrase,
+    _validate_regexp,
+    _wildcard_to_like,
     tokenize_positions,
 )
 
@@ -104,6 +129,9 @@ def percolate(
     near_qs: list[tuple[str, str, str, int, bool]] = []
     bool_qs: list[tuple[str, list[tuple[str, str]], int, int]] = []
     prefix_qs: list[tuple[str, list[str], str, int]] = []
+    wild_qs: list[tuple[str, str]] = []
+    fuzzy_qs: list[tuple[str, str, int, int, int]] = []
+    regexp_qs: list[tuple[str, str]] = []
     seen: set[str] = set()
     for entry in standing:
         if isinstance(entry, dict):
@@ -151,6 +179,35 @@ def percolate(
                     f"phrase_prefix query {qid!r} needs max_expansions >= 1"
                 )
             prefix_qs.append((qid, terms[:-1], terms[-1], max_exp))
+        elif qtype == "wildcard":
+            pat = entry.get("pattern") or ""
+            if not pat.strip("*"):
+                raise ValueError(
+                    f"wildcard query {qid!r} needs at least one literal "
+                    "character (a bare '*' would match every document)"
+                )
+            wild_qs.append((qid, _wildcard_to_like(pat)))
+        elif qtype == "fuzzy":
+            probe = (entry.get("term") or "").lower().strip()
+            if not probe:
+                raise ValueError(f"fuzzy query {qid!r} needs a term")
+            fuzz = int(entry.get("fuzziness", 2))
+            if fuzz < 0 or fuzz > 2:
+                raise ValueError(
+                    f"fuzzy query {qid!r}: fuzziness must be 0..2"
+                )
+            plen = int(entry.get("prefix_length", 0))
+            max_exp = int(entry.get("max_expansions", 50))
+            if plen < 0 or max_exp < 1:
+                raise ValueError(
+                    f"fuzzy query {qid!r}: prefix_length >= 0 and "
+                    "max_expansions >= 1"
+                )
+            fuzzy_qs.append((qid, probe, fuzz, plen, max_exp))
+        elif qtype == "regexp":
+            regexp_qs.append(
+                (qid, _validate_regexp(entry.get("pattern") or ""))
+            )
         elif qtype == "bool":
             if entry.get("filter"):
                 raise ValueError(
@@ -176,9 +233,29 @@ def percolate(
         # widen the prune; the anchor-vote/bool/near passes key on
         # exact terms so the extra rows never contaminate them
         prune = prune | F.col("term").startswith(pfx)
+    for _, like in wild_qs:
+        prune = prune | F.like(F.col("term"), F.lit(like), F.lit("\\"))
+    for _, probe, fuzz, plen, _ in fuzzy_qs:
+        # cheap Levenshtein BOUNDS only (length band + shared prefix):
+        # a superset survives pruning, and the exact distance runs on
+        # the pruned DISTINCT vocabulary below, never per occurrence
+        cond = F.abs(F.length("term") - F.lit(len(probe))) <= F.lit(fuzz)
+        if plen:
+            cond = cond & (
+                F.col("term").substr(1, plen) == F.lit(probe[:plen])
+            )
+        prune = prune | cond
+    for _, pat in regexp_qs:
+        prune = prune | F.col("term").rlike(f"^(?:{pat})$")
     toks = tokenize_positions(docs, text_col, id_col).filter(prune)
-    n_groups = sum(map(bool, (phrase_qs, near_qs, bool_qs, prefix_qs)))
-    if n_groups >= 2 or prefix_qs:
+    n_groups = sum(
+        map(
+            bool,
+            (phrase_qs, near_qs, bool_qs, prefix_qs,
+             wild_qs or fuzzy_qs or regexp_qs),
+        )
+    )
+    if n_groups >= 2 or prefix_qs or wild_qs or fuzzy_qs or regexp_qs:
         # 2+ passes read the pruned relation (a prefix group alone
         # already reads it twice: expansion resolution + match);
         # persist it so the corpus tokenizes once (1 scan + an
@@ -256,8 +333,82 @@ def percolate(
                 .groupBy("query_id", id_col)
                 .agg(F.sum("n_matches").cast("long").alias("n_matches"))
             )
+    if wild_qs or fuzzy_qs or regexp_qs:
+        # term-set queries (wildcard / fuzzy / regexp): no positional
+        # semantics, so NO driver round-trip — one batched vocabulary
+        # job resolves every (query_id, term) match, and the matched
+        # pairs broadcast back into the persisted token relation for
+        # one occurrence-count aggregate. Corpus work stays
+        # independent of the standing-query count.
+        spark = toks.sparkSession
+        vocab = toks.groupBy("term").agg(
+            F.count_distinct(F.col(id_col)).alias("_df")
+        )
+        matched = []
+        if wild_qs:
+            wdf = spark.createDataFrame(
+                wild_qs, "query_id string, _like string"
+            )
+            matched.append(
+                vocab.join(
+                    F.broadcast(wdf),
+                    F.like(F.col("term"), F.col("_like"), F.lit("\\")),
+                ).select("query_id", "term")
+            )
+        if fuzzy_qs:
+            from pyspark.sql import Window
+
+            fdf = spark.createDataFrame(
+                fuzzy_qs,
+                "query_id string, _probe string, _fz long, _pl long, "
+                "_me long",
+            )
+            dist = F.levenshtein(F.col("term"), F.col("_probe"))
+            wf = Window.partitionBy("query_id").orderBy(
+                F.col("_d").asc(), F.col("_df").desc(), F.col("term").asc()
+            )
+            matched.append(
+                vocab.join(
+                    F.broadcast(fdf),
+                    (
+                        F.abs(F.length("term") - F.length("_probe"))
+                        <= F.col("_fz")
+                    )
+                    & (
+                        F.col("term").substr(F.lit(1), F.col("_pl"))
+                        == F.col("_probe").substr(F.lit(1), F.col("_pl"))
+                    ),
+                )
+                .withColumn("_d", dist)
+                .filter(F.col("_d") <= F.col("_fz"))
+                # the fuzzy_search expansion contract on the batch
+                # corpus: distance ASC, BATCH df DESC, term ASC,
+                # capped at max_expansions
+                .withColumn("_r", F.row_number().over(wf))
+                .filter(F.col("_r") <= F.col("_me"))
+                .select("query_id", "term")
+            )
+        if regexp_qs:
+            rdf = spark.createDataFrame(
+                [(qid, f"^(?:{pat})$") for qid, pat in regexp_qs],
+                "query_id string, _pat string",
+            )
+            matched.append(
+                vocab.join(
+                    F.broadcast(rdf),
+                    F.regexp_like(F.col("term"), F.col("_pat")),
+                ).select("query_id", "term")
+            )
+        mdf = matched[0]
+        for m in matched[1:]:
+            mdf = mdf.unionByName(m)
+        outs.append(
+            toks.join(F.broadcast(mdf), "term")
+            .groupBy("query_id", id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+        )
     if not outs:
-        # only prefix queries, none of which expanded against this
+        # only prefix/term-set queries, none of which matched this
         # batch's vocabulary: empty result, stable schema
         return toks.filter(F.lit(False)).select(
             F.lit("").alias("query_id"),

@@ -651,3 +651,121 @@ def test_percolator_stream_phrase_prefix_equals_batch(spark, tmp_path):
     }
     assert got == batch
     assert ("sp", 1) in got and ("sp", 4) in got  # quick brown docs
+
+
+def test_percolate_term_set_queries_match_adhoc(spark):
+    """wildcard / fuzzy / regexp standing queries ≡ the ad-hoc
+    term-level operators over the same batch (the batch IS the
+    percolation corpus; fuzzy expansion df-order uses batch df):
+    n_matches per doc equals the ad-hoc total_tf."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+        fuzzy_search,
+        regexp_search,
+        wildcard_search,
+    )
+
+    rows = [
+        (1, "spark spark stream table"),
+        (2, "scan sort cart"),
+        (3, "slow small part"),
+        (4, "nothing here cart part"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    standing = [
+        {"query_id": "q_w", "type": "wildcard", "pattern": "s*a*"},
+        {"query_id": "q_f", "type": "fuzzy", "term": "cart",
+         "fuzziness": 1},
+        {"query_id": "q_fc", "type": "fuzzy", "term": "cart",
+         "fuzziness": 1, "max_expansions": 1},
+        {"query_id": "q_r", "type": "regexp", "pattern": "s[cpt][a-z]+"},
+        {"query_id": "q_p", "type": "phrase", "phrase": "spark stream"},
+    ]
+    out = {
+        (r["query_id"], r["doc_id"]): r["n_matches"]
+        for r in percolate(docs, standing).collect()
+    }
+    idx, _ = ensure_token_index(spark, docs, "t_perc_termset")
+    for qid, adhoc in (
+        ("q_w", wildcard_search(spark, idx, "s*a*", top_k=10**6)),
+        ("q_f", fuzzy_search(spark, idx, "cart", fuzziness=1,
+                             top_k=10**6)),
+        # the max_expansions cap applies with the same preference
+        # order (distance ASC, df DESC, term ASC) — df here is the
+        # batch document frequency
+        ("q_fc", fuzzy_search(spark, idx, "cart", fuzziness=1,
+                              max_expansions=1, top_k=10**6)),
+        ("q_r", regexp_search(spark, idx, "s[cpt][a-z]+", top_k=10**6)),
+    ):
+        want = {r["doc_id"]: r["total_tf"] for r in adhoc.collect()}
+        got = {d: n for (q, d), n in out.items() if q == qid}
+        assert got == want and got, (qid, got, want)
+    # phrase coexists untouched
+    assert out[("q_p", 1)] == 1
+    # a pattern matching no batch vocabulary emits nothing
+    none = percolate(
+        docs, [{"query_id": "q", "type": "wildcard", "pattern": "zz*"}]
+    )
+    assert none.count() == 0
+    assert [f.name for f in none.schema] == ["query_id", "doc_id",
+                                             "n_matches"]
+
+
+def test_percolate_term_set_validation(spark):
+    import pytest
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="literal"):
+        percolate(docs, [{"query_id": "q", "type": "wildcard",
+                          "pattern": "**"}])
+    with pytest.raises(ValueError, match="needs a term"):
+        percolate(docs, [{"query_id": "q", "type": "fuzzy", "term": " "}])
+    with pytest.raises(ValueError, match="fuzziness"):
+        percolate(docs, [{"query_id": "q", "type": "fuzzy",
+                          "term": "cart", "fuzziness": 3}])
+    with pytest.raises(ValueError, match="max_expansions"):
+        percolate(docs, [{"query_id": "q", "type": "fuzzy",
+                          "term": "cart", "max_expansions": 0}])
+    with pytest.raises(ValueError, match="whole vocabulary"):
+        percolate(docs, [{"query_id": "q", "type": "regexp",
+                          "pattern": ".*"}])
+    with pytest.raises(ValueError, match="lookaround"):
+        percolate(docs, [{"query_id": "q", "type": "regexp",
+                          "pattern": "(?=a)b"}])
+
+
+def test_percolate_all_types_single_scan(spark):
+    """ALL seven standing-query types together still read the batch
+    text once: the term-set vocabulary job and every match pass
+    consume the persisted pruned relation."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    standing = [
+        {"query_id": "p", "type": "phrase", "phrase": "quick brown"},
+        {"query_id": "n", "type": "near", "term_a": "quick",
+         "term_b": "spark", "slop": 10},
+        {"query_id": "b", "type": "bool", "must": ["system"]},
+        {"query_id": "pp", "type": "phrase_prefix", "phrase": "quick bro"},
+        {"query_id": "w", "type": "wildcard", "pattern": "qu*"},
+        {"query_id": "f", "type": "fuzzy", "term": "quick"},
+        {"query_id": "r", "type": "regexp", "pattern": "sys[a-z]+"},
+    ]
+    out = percolate(docs, standing)
+    got = {(r["query_id"], r["doc_id"]) for r in out.collect()}
+    assert ("p", 1) in got and ("w", 1) in got and ("f", 1) in got
+    assert ("r", 2) in got and ("pp", 1) in got
+
+    def text_scans(node):
+        cls = node.getClass().getSimpleName()
+        if cls in ("InMemoryTableScanExec", "ReusedExchangeExec",
+                   "ReusedSubqueryExec"):
+            return 0
+        if cls == "AdaptiveSparkPlanExec":
+            return text_scans(node.executedPlan())
+        n = 1 if (cls == "RDDScanExec"
+                  and "text#" in node.output().mkString(",")) else 0
+        it = node.children().iterator()
+        while it.hasNext():
+            n += text_scans(it.next())
+        return n
+
+    assert text_scans(out._jdf.queryExecution().executedPlan()) <= 1
