@@ -667,6 +667,268 @@ def wildcard_oracle_sql(
     """
 
 
+def multi_match(
+    docs: DataFrame,
+    query_terms: list[str],
+    fields: dict[str, float],
+    *,
+    mode: str = "best_fields",
+    tie_breaker: float = 0.0,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Fielded full-text search — the OpenSearch ``multi_match``
+    query (the Discover query bar over ``{data.*, metadata.*}``
+    envelopes with multiple queryable fields, reference
+    README.md:454-492; every other search operator here is
+    single-field): score the SAME bag of query terms against several
+    text fields with per-field boosts, each field scored with ITS OWN
+    BM25 statistics (df, doc length, corpus stats — a doc with an
+    empty title is simply not a member of the title corpus, the
+    OpenSearch per-field-stats contract).
+
+    ``fields`` maps field column → boost. Modes (the two OpenSearch
+    field-centric/term-centric shapes):
+
+    - ``best_fields`` (default): per-doc score = the single best
+      boosted field score, plus ``tie_breaker`` × the sum of the
+      other fields' scores (OpenSearch dis_max; tie_breaker 0 = pure
+      winner-take-all, 1 = sum-all-fields a.k.a. most_fields).
+    - ``cross_fields``: term-centric — each term scores in its best
+      field (max boosted per-term contribution across fields), then
+      term scores SUM. This engine keeps exact per-field df where
+      OpenSearch's BlendedTermQuery approximately blends dfs across
+      fields — exactness is what the cross-engine oracle gate
+      demands, and per-field-df is the documented deterministic
+      analogue.
+
+    Returns (id, score, n_terms_hit) ordered (score DESC, id ASC),
+    n_terms_hit = distinct query terms matching in ANY field; with a
+    single field at boost 1.0 both modes reduce BIT-EXACTLY to
+    :func:`bm25_search` (asserted in tests — the parity anchor).
+
+    Determinism: per-(term, field) contributions quantize to 6-dp
+    fixed-point longs (the repo-wide ``_FP`` contract), the boost
+    multiply re-quantizes to a long, and every cross-field combine
+    (max / sum / tie-breaker blend) runs on exact longs with ONE
+    final double division — no float-sum ordering anywhere.
+
+    Scale shape: ONE corpus scan projects every field's token array
+    (persisted, plan-keyed caller-owned — same lifecycle as
+    :func:`bm25_search`); per-field lengths read array sizes without
+    exploding, and only query-term occurrences explode (the in-array
+    prune). Everything downstream is hit-sized: per-field df
+    aggregates, a ≤|fields|-row broadcast of corpus stats, one
+    doc-keyed aggregate. Nothing document-sized shuffles.
+    """
+    if not query_terms:
+        raise ValueError("multi_match needs at least one query term")
+    if not fields:
+        raise ValueError("multi_match needs at least one field")
+    if mode not in ("best_fields", "cross_fields"):
+        raise ValueError(
+            f"mode must be best_fields or cross_fields, got {mode!r}"
+        )
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError("tie_breaker must be in [0, 1]")
+    if any(boost <= 0 for boost in fields.values()):
+        raise ValueError("field boosts must be positive")
+    terms = sorted({t.lower() for t in query_terms})
+    fnames = sorted(fields)
+
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    toks = fan_out_scan(docs.select(id_col, *fnames)).select(
+        F.col(id_col),
+        *[
+            F.filter(
+                F.split(F.lower(F.col(f)), "[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            ).alias(f"_tk_{i}")
+            for i, f in enumerate(fnames)
+        ],
+    ).persist()
+
+    contribs = None
+    for i, f in enumerate(fnames):
+        col = f"_tk_{i}"
+        dl = toks.select(
+            F.col(id_col), F.size(col).cast("long").alias("dl")
+        ).filter(F.col("dl") > 0)
+        stats = dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_dl"),
+        )
+        hits = (
+            toks.select(
+                F.col(id_col),
+                F.explode(
+                    F.filter(col, lambda x: x.isin(terms))
+                ).alias("term"),
+            )
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+        dfs = hits.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
+        scored = (
+            hits.join(dfs, "term")
+            .join(dl, id_col)
+            .crossJoin(F.broadcast(stats))
+        )
+        avgdl = F.col("total_dl") / F.col("n_docs")
+        idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+            F.col("df") + F.lit(0.5)
+        )
+        tf_part = (F.col("tf") * (k1 + 1)) / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl)
+        )
+        cq = F.round(idf * tf_part * F.lit(float(_FP)), 0).cast("long")
+        # boost re-quantizes to a long so every later combine is exact
+        cbq = F.round(F.lit(float(fields[f])) * cq, 0).cast("long")
+        part = scored.select(
+            F.col(id_col),
+            "term",
+            F.lit(f).alias("field"),
+            cbq.alias("cbq"),
+        )
+        contribs = part if contribs is None else contribs.unionByName(part)
+
+    if mode == "cross_fields":
+        per_term = contribs.groupBy(id_col, "term").agg(
+            F.max("cbq").alias("mq")
+        )
+        ranked = per_term.groupBy(id_col).agg(
+            (F.sum("mq").cast("decimal(38,0)") / F.lit(_FP))
+            .cast("double")
+            .alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+    else:
+        fscores = contribs.groupBy(id_col, "field").agg(
+            F.sum("cbq").alias("fsq")
+        )
+        nt = contribs.groupBy(id_col).agg(
+            F.count_distinct("term").cast("long").alias("n_terms_hit")
+        )
+        best = fscores.groupBy(id_col).agg(
+            F.max("fsq").alias("maxq"), F.sum("fsq").alias("sumq")
+        )
+        score = (
+            F.col("maxq").cast("double")
+            + F.lit(float(tie_breaker))
+            * (F.col("sumq") - F.col("maxq")).cast("double")
+        ) / F.lit(float(_FP))
+        ranked = best.join(nt, id_col).select(
+            F.col(id_col), score.alias("score"), "n_terms_hit"
+        )
+    return ranked.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(top_k)
+
+
+def multi_match_oracle_sql(
+    query_terms: list[str],
+    fields: list[tuple[str, float, str]],
+    *,
+    mode: str = "best_fields",
+    tie_breaker: float = 0.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL computing the identical fielded ranking.
+    ``fields`` is (field_name, boost, sql_text_expression) — the
+    expression form lets oracle callers derive a field (e.g. a title
+    synthesized from metadata columns) exactly as the Spark side
+    did."""
+    terms = sorted({t.lower() for t in query_terms})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    parts = []
+    for i, (fname, boost, expr) in enumerate(sorted(fields)):
+        parts.append(f"""
+    tok{i} AS (
+        SELECT {id_col}, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM {table},
+             LATERAL (SELECT unnest(string_split_regex(lower({expr}),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+        GROUP BY {id_col}, t.term
+    ),
+    dl{i} AS (SELECT {id_col}, CAST(SUM(tf) AS BIGINT) AS dl
+              FROM tok{i} GROUP BY {id_col}),
+    stats{i} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl{i}),
+    hits{i} AS (SELECT * FROM tok{i} WHERE term IN ({in_list})),
+    dfs{i} AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+               FROM hits{i} GROUP BY term),
+    contrib{i} AS (
+        SELECT h.{id_col}, h.term, '{fname}' AS field,
+               CAST(round({float(boost)!r} * round(
+                   ((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * ((h.tf * ({k1} + 1)) /
+                      (h.tf + {k1} * ((1 - {b}) + {b} * l.dl
+                                      / (CAST(s.total_dl AS DOUBLE)
+                                         / s.n_docs))))
+                   * {_FP}, 0), 0) AS BIGINT) AS cbq
+        FROM hits{i} h JOIN dfs{i} d USING (term)
+                       JOIN dl{i} l USING ({id_col})
+                       CROSS JOIN stats{i} s
+    )""")
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT * FROM contrib{i}" for i in range(len(fields))
+    )
+    ctes = ",".join(parts)
+    if mode == "cross_fields":
+        final = f"""
+    per_term AS (
+        SELECT {id_col}, term, MAX(cbq) AS mq
+        FROM contribs GROUP BY {id_col}, term
+    )
+    SELECT {id_col},
+           CAST(CAST(SUM(mq) AS DECIMAL(38,0)) / {_FP} AS DOUBLE) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM per_term
+    GROUP BY {id_col}"""
+    else:
+        final = f"""
+    fscores AS (
+        SELECT {id_col}, field, SUM(cbq) AS fsq
+        FROM contribs GROUP BY {id_col}, field
+    ),
+    nt AS (
+        SELECT {id_col}, CAST(COUNT(DISTINCT term) AS BIGINT)
+               AS n_terms_hit
+        FROM contribs GROUP BY {id_col}
+    ),
+    best AS (
+        SELECT {id_col}, MAX(fsq) AS maxq, SUM(fsq) AS sumq
+        FROM fscores GROUP BY {id_col}
+    )
+    SELECT b.{id_col},
+           (CAST(b.maxq AS DOUBLE)
+            + {float(tie_breaker)!r} * CAST(b.sumq - b.maxq AS DOUBLE))
+               / {_FP} AS score,
+           nt.n_terms_hit
+    FROM best b JOIN nt USING ({id_col})"""
+    return f"""
+    WITH {ctes},
+    contribs AS (
+        {union}
+    ),{final}
+    ORDER BY score DESC, {id_col} ASC
+    LIMIT {top_k}
+    """
+
+
 def _validate_regexp(pattern: str) -> str:
     """Validate a term-level regexp for the common Java-regex /
     DuckDB-RE2 subset (the Lucene ``regexp`` query's syntax is itself

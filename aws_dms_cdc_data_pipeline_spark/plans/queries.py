@@ -6714,6 +6714,90 @@ def regexp_search_docs_q(spark, sf_dir):
     return res.withColumn("terms", F.array_join("terms", " "))
 
 
+# multi_match fielded search: the driver documents fixture has ONE
+# text column, so the second queryable field is DERIVED — title :=
+# source || ' ' || lang, computed identically on both engines (the
+# OpenSearch envelope analogue: metadata fields are queryable text
+# alongside the body; FIXTURES.md documents the convention). Terms
+# chosen so the fields genuinely cross: 'spark' lives in text,
+# 'src3'/'en' only in the title.
+_MM_TERMS = ["spark", "src3", "en"]
+_MM_TITLE_SQL = "source || ' ' || lang"
+
+
+def _mm_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "title", F.concat_ws(" ", F.col("source"), F.col("lang"))
+    )
+
+
+def _mm_oracle(mode: str, tie_breaker: float) -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        multi_match_oracle_sql,
+    )
+
+    return multi_match_oracle_sql(
+        _MM_TERMS,
+        [("title", 2.0, _MM_TITLE_SQL), ("text", 1.0, "text")],
+        mode=mode,
+        tie_breaker=tie_breaker,
+        top_k=20,
+    )
+
+
+@q(
+    "multi_match_best_fields",
+    _mm_oracle("best_fields", 0.3),
+    "Fielded full-text search — the OpenSearch multi_match query in "
+    "best_fields mode (dis_max: per-doc score = best boosted field "
+    "score + 0.3 x the others; reference README.md:454-492 envelopes "
+    "carry multiple queryable fields): title^2 vs text over "
+    "spark/src3/en, each field scored with ITS OWN BM25 stats. One "
+    "corpus scan projects both fields' token arrays; every "
+    "cross-field combine runs on 6-dp-quantized longs with one final "
+    "double division (operators/search.py:multi_match).",
+)
+def multi_match_best_fields_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        multi_match,
+    )
+
+    return multi_match(
+        _mm_docs(spark, sf_dir),
+        _MM_TERMS,
+        {"title": 2.0, "text": 1.0},
+        mode="best_fields",
+        tie_breaker=0.3,
+        top_k=20,
+    )
+
+
+@q(
+    "multi_match_cross_fields",
+    _mm_oracle("cross_fields", 0.0),
+    "Fielded full-text search — the OpenSearch multi_match query in "
+    "cross_fields mode (term-centric: each term scores in its best "
+    "boosted field, term scores sum — exact per-field df where "
+    "OpenSearch's BlendedTermQuery approximates): same title^2/text "
+    "fixture as multi_match_best_fields; with a single field both "
+    "modes reduce bit-exactly to bm25_search (parity test) "
+    "(operators/search.py:multi_match).",
+)
+def multi_match_cross_fields_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        multi_match,
+    )
+
+    return multi_match(
+        _mm_docs(spark, sf_dir),
+        _MM_TERMS,
+        {"title": 2.0, "text": 1.0},
+        mode="cross_fields",
+        top_k=20,
+    )
+
+
 def _term_set_percolate_oracle() -> str:
     from aws_dms_cdc_data_pipeline_spark.operators.search import (
         fuzzy_oracle_sql,

@@ -919,3 +919,132 @@ def test_regexp_search_oracle_parity(spark):
         )
         con.close()
         assert got == exp, pat
+
+
+def test_multi_match_single_field_equals_bm25(spark, sf_dir):
+    """The parity anchor: multi_match over one field at boost 1.0 is
+    BIT-IDENTICAL to bm25_search in both modes."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bm25_search,
+        multi_match,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["spark", "stream", "batch"]
+    want = {
+        r["doc_id"]: (r["score"], r["n_terms_hit"])
+        for r in bm25_search(docs, terms, top_k=10**6).collect()
+    }
+    for mode in ("best_fields", "cross_fields"):
+        got = {
+            r["doc_id"]: (r["score"], r["n_terms_hit"])
+            for r in multi_match(
+                docs, terms, {"text": 1.0}, mode=mode, top_k=10**6
+            ).collect()
+        }
+        assert got == want and got, mode
+
+
+def test_multi_match_fielded_semantics(spark):
+    """Hand-checked per-field stats, boosts, dis_max vs cross_fields
+    blending, and the empty-field corpus-membership contract."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        multi_match,
+    )
+
+    rows = [
+        # (id, title, body)
+        (1, "spark guide", "spark is fast"),
+        (2, "tuning", "spark spark tuning notes"),
+        (3, "", "spark only in body"),       # empty title: not a
+                                             # title-corpus member
+        (4, "unrelated", "nothing here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    fields = {"title": 2.0, "body": 1.0}
+    best = {
+        r["doc_id"]: (r["score"], r["n_terms_hit"])
+        for r in multi_match(
+            docs, ["spark"], fields, mode="best_fields", top_k=10
+        ).collect()
+    }
+    cross = {
+        r["doc_id"]: r["score"]
+        for r in multi_match(
+            docs, ["spark"], fields, mode="cross_fields", top_k=10
+        ).collect()
+    }
+    # all three spark docs hit; doc 4 does not
+    assert set(best) == {1, 2, 3} and set(cross) == {1, 2, 3}
+    # doc 1 matches in the boosted title → outranks body-only docs
+    assert best[1][0] > best[2][0] and best[1][0] > best[3][0]
+    # single term: best_fields(tb=0) == cross_fields (max over fields
+    # per term == max over fields per doc)
+    assert {d: s for d, (s, _) in best.items()} == cross
+    # tie_breaker adds the non-best field's contribution for doc 1
+    tb = {
+        r["doc_id"]: r["score"]
+        for r in multi_match(
+            docs, ["spark"], fields, mode="best_fields",
+            tie_breaker=0.5, top_k=10,
+        ).collect()
+    }
+    assert tb[1] > best[1][0]
+    assert tb[2] == best[2][0] and tb[3] == best[3][0]  # single-field hits
+    # validation
+    with pytest.raises(ValueError, match="at least one query term"):
+        multi_match(docs, [], fields)
+    with pytest.raises(ValueError, match="at least one field"):
+        multi_match(docs, ["spark"], {})
+    with pytest.raises(ValueError, match="mode"):
+        multi_match(docs, ["spark"], fields, mode="most_fields")
+    with pytest.raises(ValueError, match="tie_breaker"):
+        multi_match(docs, ["spark"], fields, tie_breaker=1.5)
+    with pytest.raises(ValueError, match="positive"):
+        multi_match(docs, ["spark"], {"title": 0.0})
+
+
+def test_multi_match_oracle_parity(spark):
+    """Spark and the DuckDB oracle agree bit-exactly on a derived
+    second field across modes and tie-breakers."""
+    import duckdb
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        multi_match,
+        multi_match_oracle_sql,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d2 = docs.withColumn(
+        "title", F.concat_ws(" ", F.col("source"), F.col("lang"))
+    )
+    pdf = docs.select("doc_id", "text", "source", "lang").toPandas()
+    for mode, tb in (
+        ("best_fields", 0.0), ("best_fields", 0.3), ("cross_fields", 0.0)
+    ):
+        got = sorted(
+            (r["doc_id"], r["score"], r["n_terms_hit"])
+            for r in multi_match(
+                d2, ["spark", "src3", "en"],
+                {"title": 2.0, "text": 1.0},
+                mode=mode, tie_breaker=tb, top_k=10**6,
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        exp = sorted(
+            (int(d), float(s), int(n))
+            for d, s, n in con.execute(
+                multi_match_oracle_sql(
+                    ["spark", "src3", "en"],
+                    [("title", 2.0, "source || ' ' || lang"),
+                     ("text", 1.0, "text")],
+                    mode=mode, tie_breaker=tb, top_k=10**9,
+                )
+            ).fetchall()
+        )
+        con.close()
+        assert got == exp and got, (mode, tb)
