@@ -443,9 +443,19 @@ def _word_gram_index(
             lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)),
         )
     )
+    # per-doc IN-ROW dedup (array_distinct) rather than a global
+    # .distinct(): each document is exactly one input row, so
+    # within-row dedup IS (id, gram) distinctness — identical output,
+    # but the index build becomes a pure narrow map with NO aggregate
+    # and NO exchange. The r11 sf10 probe measured the agg-based
+    # distinct as the largest spill source (~27 GB in-memory spill:
+    # the (id, g) partial-agg hashmap overflows 8 g/32-task local
+    # memory, and two consumer branches racing the not-yet-
+    # materialized cache each ran their own map side). PERF.md r12.
     return (
-        words.select(F.col(id_col), F.explode(gram_arr).alias("g"))
-        .distinct()
+        words.select(
+            F.col(id_col), F.explode(F.array_distinct(gram_arr)).alias("g")
+        )
         .persist()
     )
 
@@ -549,7 +559,27 @@ def _gram_pair_intersections(df, text_col, id_col, n, max_df):
             F.col(f"ga.{id_col}").alias("id_a"),
             F.col(f"gb.{id_col}").alias("id_b"),
         )
-    inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+    # Count pair intersections AFTER an explicit wide exchange rather
+    # than through the default partial+final aggregate: candidate-pair
+    # keys are mostly UNIQUE (two docs usually share one random gram),
+    # so the map-side partial agg reduces almost nothing while its
+    # hashmap overflow falls back to sort-based aggregation over the
+    # full pair stream — the r11 sf10 probe's remaining ~22 GB
+    # in-memory spill. Pre-partitioning by the pair key satisfies the
+    # aggregate's distribution (one full agg, no partial pass), and
+    # the 8x width keeps each task's hash state at ~1/8 the default
+    # partition's — sized so Σ(pairs)/width fits the per-task memory
+    # share at the documented Σdf²/2 worst case. Shuffle BYTES are
+    # unchanged (unique keys meant the partial agg saved none).
+    # PERF.md r12 A/B.
+    width = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ) * 8
+    inter = (
+        pairs.repartition(width, "id_a", "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
     return inter, sizes
 
 
