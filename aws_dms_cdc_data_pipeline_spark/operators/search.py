@@ -776,8 +776,10 @@ def multi_match(
         dfs = hits.groupBy("term").agg(
             F.count(F.lit(1)).cast("long").alias("df")
         )
+        # dfs is provably ≤ |query terms| rows — broadcast it (the
+        # planner's stats can't see that bound through the agg)
         scored = (
-            hits.join(dfs, "term")
+            hits.join(F.broadcast(dfs), "term")
             .join(dl, id_col)
             .crossJoin(F.broadcast(stats))
         )

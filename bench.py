@@ -78,6 +78,14 @@ HEADLINE = (
     "composite_agg_events_page",
     "percolate_prefix_alerts",
     "range_agg_event_values",
+    # r12: the round's additions (sf0.1 only, same policy) — the
+    # last term-level query shape, fielded scoring, the completed
+    # pipeline-agg set, and term-set percolation
+    "regexp_search_docs",
+    "multi_match_best_fields",
+    "multi_match_cross_fields",
+    "search_bucket_script",
+    "percolate_wildcard_alerts",
 )
 
 
