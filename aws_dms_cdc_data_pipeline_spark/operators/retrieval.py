@@ -1159,10 +1159,278 @@ def bucket_script_selector_oracle_sql(
     """
 
 
+def filters_agg(
+    hits: DataFrame,
+    filters: list[tuple],
+    *,
+    other_bucket_key: str | None = None,
+) -> DataFrame:
+    """Named-filters bucket aggregation — the OpenSearch ``filters``
+    agg (the Discover multi-pill view: each bucket is an independent
+    user-declared predicate; a document counts into EVERY bucket it
+    matches, buckets may overlap, empty buckets still appear — the
+    E158 range-agg contract generalized to arbitrary predicates).
+    ``filters`` is ``[(key, predicate_sql)]`` in declaration order;
+    predicates are engine-portable SQL boolean expressions (the
+    :func:`bucket_script_selector` contract). ``other_bucket_key``
+    adds the OpenSearch other_bucket: rows matching NO declared
+    filter. NULL predicate results count as non-matching (SQL
+    filter semantics). Returns (filter_key, n_hits) in declaration
+    order, other bucket last.
+
+    Execution: ONE scan, ONE 1-row aggregate — every bucket is a
+    conditional sum in the same aggregate (no per-filter scans, no
+    join, no shuffle beyond the global agg), then the 1-row result
+    unpivots through a ≤|filters|-row literal. Corpus work is
+    independent of the filter count.
+    """
+    if not filters:
+        raise ValueError("filters_agg needs at least one filter")
+    keys = [k for k, _ in filters]
+    if len(set(keys)) != len(keys):
+        raise ValueError("filter keys must be unique")
+    if other_bucket_key is not None and other_bucket_key in keys:
+        raise ValueError("other_bucket_key collides with a filter key")
+    conds = [F.expr(p) for _, p in filters]
+    aggs = [
+        F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"_k{i}")
+        for i, c in enumerate(conds)
+    ]
+    names = list(keys)
+    if other_bucket_key is not None:
+        none_match = F.lit(True)
+        for c in conds:
+            none_match = none_match & ~F.coalesce(c, F.lit(False))
+        aggs.append(
+            F.sum(F.when(none_match, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_k{len(conds)}")
+        )
+        names.append(other_bucket_key)
+    row = hits.agg(*aggs)
+    # stack(n, ord0, key0, cnt0, ...) → rows (ord, filter_key, n_hits)
+    exprs = ", ".join(
+        f"{i}, '{k}', _k{i}" for i, k in enumerate(names)
+    )
+    out = row.select(
+        F.expr(f"stack({len(names)}, {exprs}) AS (_ord, filter_key, n_hits)")
+    )
+    return (
+        out.orderBy("_ord")
+        .select("filter_key", F.col("n_hits").cast("long").alias("n_hits"))
+    )
+
+
+def filters_agg_oracle_sql(
+    hits_sql: str,
+    filters: list[tuple],
+    *,
+    other_bucket_key: str | None = None,
+) -> str:
+    """DuckDB SQL computing the identical named-filter buckets (same
+    single-aggregate + literal-unpivot shape)."""
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN {p} THEN 1 ELSE 0 END) AS BIGINT) AS _k{i}"
+        for i, (_, p) in enumerate(filters)
+    )
+    names = [k for k, _ in filters]
+    if other_bucket_key is not None:
+        none = " AND ".join(
+            f"NOT COALESCE(({p}), FALSE)" for _, p in filters
+        )
+        sums += (
+            f", CAST(SUM(CASE WHEN {none} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS _k{len(filters)}"
+        )
+        names.append(other_bucket_key)
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS _ord, '{k}' AS filter_key, _k{i} AS n_hits FROM agg"
+        for i, k in enumerate(names)
+    )
+    return f"""
+    WITH h AS ({hits_sql}),
+    agg AS (SELECT {sums} FROM h)
+    SELECT filter_key, n_hits FROM ({sel})
+    ORDER BY _ord
+    """
+
+
+def adjacency_matrix(
+    hits: DataFrame,
+    filters: list[tuple],
+    *,
+    separator: str = "&",
+) -> DataFrame:
+    """Adjacency-matrix aggregation — the OpenSearch
+    ``adjacency_matrix`` agg (co-occurrence counts over named
+    filters: one bucket per filter alone plus one per PAIRWISE
+    intersection, keys joined ``a&b`` in key order; OpenSearch omits
+    empty buckets, mirrored here). Returns (bucket_key, n_hits),
+    n_hits > 0, ordered by bucket_key — the deterministic OpenSearch
+    response order.
+
+    Execution: same shape as :func:`filters_agg` — ONE scan, ONE
+    1-row aggregate holding |F| + C(|F|,2) conditional sums (the
+    filter list is human-declared and small; OpenSearch hard-caps at
+    100 filters for the same reason), unpivoted through a literal.
+    No joins, no per-bucket passes.
+    """
+    if not filters:
+        raise ValueError("adjacency_matrix needs at least one filter")
+    keys = [k for k, _ in filters]
+    if len(set(keys)) != len(keys):
+        raise ValueError("filter keys must be unique")
+    if any(separator in k for k in keys):
+        raise ValueError(
+            f"filter keys must not contain the separator {separator!r}"
+        )
+    pairs = sorted(zip(keys, [p for _, p in filters]))
+    buckets: list[tuple[str, object]] = []
+    for i, (ka, pa) in enumerate(pairs):
+        buckets.append((ka, F.coalesce(F.expr(pa), F.lit(False))))
+    for i, (ka, pa) in enumerate(pairs):
+        for kb, pb in pairs[i + 1:]:
+            buckets.append(
+                (
+                    f"{ka}{separator}{kb}",
+                    F.coalesce(F.expr(pa), F.lit(False))
+                    & F.coalesce(F.expr(pb), F.lit(False)),
+                )
+            )
+    aggs = [
+        F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"_k{i}")
+        for i, (_, c) in enumerate(buckets)
+    ]
+    row = hits.agg(*aggs)
+    exprs = ", ".join(
+        f"'{k}', _k{i}" for i, (k, _) in enumerate(buckets)
+    )
+    out = row.select(
+        F.expr(
+            f"stack({len(buckets)}, {exprs}) AS (bucket_key, n_hits)"
+        )
+    )
+    return (
+        out.filter(F.col("n_hits") > 0)
+        .select("bucket_key", F.col("n_hits").cast("long").alias("n_hits"))
+        .orderBy("bucket_key")
+    )
+
+
+def adjacency_matrix_oracle_sql(
+    hits_sql: str,
+    filters: list[tuple],
+    *,
+    separator: str = "&",
+) -> str:
+    """DuckDB SQL computing the identical adjacency matrix."""
+    pairs = sorted(filters)
+    buckets = [
+        (k, f"COALESCE(({p}), FALSE)") for k, p in pairs
+    ]
+    for i, (ka, pa) in enumerate(pairs):
+        for kb, pb in pairs[i + 1:]:
+            buckets.append(
+                (
+                    f"{ka}{separator}{kb}",
+                    f"COALESCE(({pa}), FALSE) AND COALESCE(({pb}), FALSE)",
+                )
+            )
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS _k{i}"
+        for i, (_, c) in enumerate(buckets)
+    )
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT '{k}' AS bucket_key, _k{i} AS n_hits FROM agg"
+        for i, (k, _) in enumerate(buckets)
+    )
+    return f"""
+    WITH h AS ({hits_sql}),
+    agg AS (SELECT {sums} FROM h)
+    SELECT bucket_key, n_hits FROM ({sel})
+    WHERE n_hits > 0
+    ORDER BY bucket_key
+    """
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    sort: list[tuple],
+    *,
+    from_: int = 0,
+    size: int | None = None,
+) -> DataFrame:
+    """``bucket_sort`` pipeline aggregation — the last of the
+    OpenSearch parent-pipeline aggs (with E153's derivative /
+    cumulative_sum / moving_fn and E161's bucket_script /
+    bucket_selector the set is complete): re-order the parent
+    aggregation's buckets by metric(s) and truncate with
+    ``from_``/``size`` — bucket-space paging without re-keying.
+    ``sort`` is ``[(column, "asc"|"desc")]``; buckets with a NULL
+    sort key drop (the OpenSearch ``gap_policy: skip`` default —
+    also what makes NULL ordering engine-agnostic). Ties break by
+    the remaining sort keys, then nothing: callers wanting total
+    determinism include a unique key in ``sort`` (the registry
+    fixture does; OpenSearch leaves ties shard-ordered, we require
+    them resolved).
+
+    Execution: the input is a parent aggregation's bucket set —
+    bounded rows — so the global sort + truncation is a single
+    bounded pass (TakeOrderedAndProject when size caps it), never
+    corpus work.
+    """
+    if not sort:
+        raise ValueError("bucket_sort needs at least one sort key")
+    if from_ < 0 or (size is not None and size < 1):
+        raise ValueError("from_ must be >= 0 and size >= 1")
+    order = []
+    keep = F.lit(True)
+    for col, direction in sort:
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"sort direction must be asc|desc: {direction!r}")
+        keep = keep & F.col(col).isNotNull()
+        order.append(
+            F.col(col).asc() if direction == "asc" else F.col(col).desc()
+        )
+    out = buckets.filter(keep).orderBy(*order)
+    if from_:
+        out = out.offset(from_)
+    if size is not None:
+        out = out.limit(size)
+    return out
+
+
+def bucket_sort_oracle_sql(
+    buckets_sql: str,
+    sort: list[tuple],
+    *,
+    from_: int = 0,
+    size: int | None = None,
+) -> str:
+    """DuckDB SQL computing the identical bucket page."""
+    keep = " AND ".join(f"{c} IS NOT NULL" for c, _ in sort)
+    order = ", ".join(f"{c} {d.upper()}" for c, d in sort)
+    limit = f"LIMIT {size}" if size is not None else "LIMIT ALL"
+    offset = f"OFFSET {from_}" if from_ else ""
+    return f"""
+    WITH b AS ({buckets_sql})
+    SELECT * FROM b
+    WHERE {keep}
+    ORDER BY {order}
+    {limit} {offset}
+    """
+
+
 __all__ = [
+    "adjacency_matrix",
+    "adjacency_matrix_oracle_sql",
     "autocomplete_prefix",
     "bucket_script_selector",
     "bucket_script_selector_oracle_sql",
+    "bucket_sort",
+    "bucket_sort_oracle_sql",
+    "filters_agg",
+    "filters_agg_oracle_sql",
     "date_histogram",
     "date_histogram_oracle_sql",
     "facet_counts",

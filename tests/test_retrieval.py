@@ -704,3 +704,104 @@ def test_bucket_script_selector_semantics(spark):
         bucket_script_selector(df, script="1", script_alias="a b")
     with pytest.raises(ValueError, match="collides"):
         bucket_script_selector(df, script="1", script_alias="n_hits")
+
+
+def test_filters_agg_semantics(spark):
+    """Named-filter buckets: overlap double-counts, empty buckets
+    survive at zero, NULL predicate results don't match, other_bucket
+    collects the remainder, declaration order preserved."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        filters_agg,
+    )
+
+    rows = [
+        ("error", 9.0), ("error", 1.0), ("purchase", 9.5),
+        ("view", 2.0), ("view", None),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = [
+        (r["filter_key"], r["n_hits"])
+        for r in filters_agg(
+            df,
+            [
+                ("errors", "event_type = 'error'"),
+                ("big", "value >= 8.0"),       # overlaps errors
+                ("refunds", "event_type = 'refund'"),  # empty
+            ],
+            other_bucket_key="other",
+        ).collect()
+    ]
+    # error@9 counts in BOTH errors and big; value NULL is non-match;
+    # the two views (one with NULL value) fall to other
+    assert got == [
+        ("errors", 2), ("big", 2), ("refunds", 0), ("other", 2),
+    ]
+    with pytest.raises(ValueError, match="at least one filter"):
+        filters_agg(df, [])
+    with pytest.raises(ValueError, match="unique"):
+        filters_agg(df, [("a", "1=1"), ("a", "1=1")])
+    with pytest.raises(ValueError, match="collides"):
+        filters_agg(df, [("a", "1=1")], other_bucket_key="a")
+
+
+def test_adjacency_matrix_semantics(spark):
+    """Singles + pairwise intersections in key order, empty buckets
+    OMITTED (the OpenSearch contract), separator guarded."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        adjacency_matrix,
+    )
+
+    rows = [("error", 9.0), ("error", 1.0), ("purchase", 9.5), ("view", 2.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = [
+        (r["bucket_key"], r["n_hits"])
+        for r in adjacency_matrix(
+            df,
+            [
+                ("err", "event_type = 'error'"),
+                ("big", "value >= 8.0"),
+                ("buy", "event_type = 'purchase'"),
+            ],
+        ).collect()
+    ]
+    # err∩buy is empty → omitted; keys sort alphabetically
+    assert got == [
+        ("big", 2), ("big&buy", 1), ("big&err", 1), ("buy", 1), ("err", 2),
+    ]
+    with pytest.raises(ValueError, match="separator"):
+        adjacency_matrix(df, [("a&b", "1=1")])
+
+
+def test_bucket_sort_paging_and_gap_policy(spark):
+    """bucket_sort: metric sort with tiebreak, from/size paging,
+    NULL sort keys drop (gap_policy skip)."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        bucket_sort,
+    )
+
+    rows = [
+        ("d1", 5), ("d2", 9), ("d3", 9), ("d4", 1), ("d5", None), ("d6", 7),
+    ]
+    df = spark.createDataFrame(rows, "day string, n long")
+    got = [
+        (r["day"], r["n"])
+        for r in bucket_sort(
+            df, [("n", "desc"), ("day", "asc")], from_=1, size=3
+        ).collect()
+    ]
+    # full order: d2(9) d3(9, day tiebreak) d6(7) d1(5) d4(1); d5 drops
+    assert got == [("d3", 9), ("d6", 7), ("d1", 5)]
+    # no paging: everything but the NULL row
+    assert bucket_sort(df, [("n", "asc")]).count() == 5
+    with pytest.raises(ValueError, match="sort key"):
+        bucket_sort(df, [])
+    with pytest.raises(ValueError, match="asc"):
+        bucket_sort(df, [("n", "up")])
+    with pytest.raises(ValueError, match="from_"):
+        bucket_sort(df, [("n", "asc")], from_=-1)

@@ -100,6 +100,57 @@ def percolator_scaling(spark, sf_dir: str) -> dict:
     out["scaling_10x_queries"] = round(
         out["wall_sec_100q"] / out["wall_sec_10q"], 2
     )
+
+    # term-set percolation scaling (E162: wildcard/fuzzy/regexp
+    # standing queries) — same contract, measured separately so the
+    # phrase/term/near series above stays round-over-round
+    # comparable. The term-set pass adds one batched vocabulary job
+    # however many queries stand; corpus work must stay flat.
+    terms = [
+        r["term"]
+        for r in (
+            docs.select(
+                F.explode(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                        lambda x: x != F.lit(""),
+                    )
+                ).alias("term")
+            )
+            .groupBy("term")
+            .count()
+            .orderBy(F.col("count").desc(), "term")
+            .limit(100)
+            .collect()
+        )
+    ]
+    ts_qs: list[dict] = []
+    for i in range(100):
+        t = terms[i % len(terms)]
+        if i % 3 == 0:
+            ts_qs.append(
+                {"query_id": f"w_{i}", "type": "wildcard",
+                 "pattern": f"{t[:3]}*"}
+            )
+        elif i % 3 == 1:
+            ts_qs.append(
+                {"query_id": f"f_{i}", "type": "fuzzy", "term": t,
+                 "fuzziness": 1}
+            )
+        else:
+            ts_qs.append(
+                {"query_id": f"r_{i}", "type": "regexp",
+                 "pattern": f"{t[:2]}[a-z0-9]*"}
+            )
+    for n in (10, 100):
+        sub = ts_qs[:n]
+        percolate(docs, sub).write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        percolate(docs, sub).write.format("noop").mode("overwrite").save()
+        out[f"termset_wall_sec_{n}q"] = round(time.time() - t0, 3)
+    out["termset_scaling_10x_queries"] = round(
+        out["termset_wall_sec_100q"] / out["termset_wall_sec_10q"], 2
+    )
     return out
 
 
