@@ -642,6 +642,7 @@ def date_histogram(
     ts_col: str = "ts",
     *,
     target_buckets: int = 30,
+    min_doc_count: int = 1,
 ) -> DataFrame:
     """Date-histogram aggregation over a search hit set — the
     Discover histogram-above-results panel (OpenSearch
@@ -656,6 +657,15 @@ def date_histogram(
     (bucket_start timestamp, n_hits, interval_sec) ordered by
     bucket_start.
 
+    ``min_doc_count=0`` is the Discover dense-panel contract
+    (OpenSearch ``min_doc_count: 0``): EMPTY buckets between the
+    first and last occupied bucket appear with a zero count — gaps in
+    sparse hit sets render as zero bars, not missing bars. The spine
+    is a ``sequence`` off the same 1-row min/max broadcast
+    (≤ target_buckets elements by construction of the interval), left
+    joined to the counts — no extra pass over the hits. Default 1
+    keeps the sparse OpenSearch default (occupied buckets only).
+
     Execution shape: two passes over the hit relation — a
     column-pruned min/max (its filter and ``ts`` projection reach the
     scan) and the bucket aggregate, joined by a 1-row broadcast. The
@@ -667,6 +677,10 @@ def date_histogram(
     """
     if target_buckets < 1:
         raise ValueError("date_histogram needs target_buckets >= 1")
+    if min_doc_count not in (0, 1):
+        raise ValueError(
+            "min_doc_count must be 0 (dense) or 1 (occupied buckets only)"
+        )
     # missing-value semantics match OpenSearch: rows without the
     # field are ignored, not bucketed as null
     hits = hits.filter(F.col(ts_col).isNotNull())
@@ -683,7 +697,7 @@ def date_histogram(
             span < F.lit(rung * target_buckets).cast("long"),
             F.lit(rung).cast("long"),
         ).otherwise(iv)
-    return (
+    hist = (
         hits.crossJoin(F.broadcast(stats.select(iv.alias("interval_sec"))))
         .groupBy(
             # integer-exact floor toward −∞, portable for PRE-1970
@@ -702,8 +716,36 @@ def date_histogram(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
         .select("bucket_start", "n_hits", "interval_sec")
-        .orderBy("bucket_start")
     )
+    if min_doc_count == 0:
+        ivc = F.col("interval_sec")
+        flo = F.col("_tmin") - (
+            (F.col("_tmin") % ivc + ivc) % ivc
+        )
+        fhi = F.col("_tmax") - (
+            (F.col("_tmax") % ivc + ivc) % ivc
+        )
+        spine = (
+            stats.select(iv.alias("interval_sec"), "_tmin", "_tmax")
+            .select(
+                "interval_sec",
+                F.explode(F.sequence(flo, fhi, ivc)).alias("_uts"),
+            )
+            .select(
+                F.timestamp_seconds(F.col("_uts")).alias("bucket_start"),
+                "interval_sec",
+            )
+        )
+        hist = spine.join(
+            hist, ["bucket_start", "interval_sec"], "left"
+        ).select(
+            "bucket_start",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+            "interval_sec",
+        )
+    return hist.orderBy("bucket_start")
 
 
 def date_histogram_oracle_sql(
@@ -711,20 +753,52 @@ def date_histogram_oracle_sql(
     ts_col: str = "ts",
     *,
     target_buckets: int = 30,
+    min_doc_count: int = 1,
 ) -> str:
     """DuckDB SQL computing the identical histogram over
     ``hits_sql`` (a query yielding the hit rows) — same epoch-second
-    floors, same interval ladder."""
+    floors, same interval ladder; ``min_doc_count=0`` zero-fills the
+    spine via ``generate_series`` exactly as the engine's
+    ``sequence`` does."""
     case = "CASE "
     for rung in _HISTO_LADDER[:-1]:
         case += f"WHEN (tmax - tmin) < {rung} * {target_buckets} THEN {rung} "
     case += f"ELSE {_HISTO_LADDER[-1]} END"
-    return f"""
+    base = f"""
     WITH hit_rows AS ({hits_sql}),
     h AS (SELECT CAST(floor(epoch({ts_col})) AS BIGINT) AS uts
           FROM hit_rows WHERE {ts_col} IS NOT NULL),
     stats AS (SELECT MIN(uts) AS tmin, MAX(uts) AS tmax FROM h),
-    iv AS (SELECT CAST({case} AS BIGINT) AS interval_sec FROM stats)
+    iv AS (SELECT CAST({case} AS BIGINT) AS interval_sec FROM stats)"""
+    if min_doc_count == 0:
+        return f"""{base},
+    occ AS (
+        SELECT (uts - ((uts % interval_sec + interval_sec)
+                       % interval_sec)) AS b_uts,
+               CAST(COUNT(*) AS BIGINT) AS n_hits,
+               interval_sec
+        FROM h CROSS JOIN iv
+        GROUP BY 1, 3
+    ),
+    spine AS (
+        SELECT s.i AS b_uts, interval_sec
+        FROM stats CROSS JOIN iv,
+             UNNEST(generate_series(
+                 tmin - ((tmin % interval_sec + interval_sec)
+                         % interval_sec),
+                 tmax - ((tmax % interval_sec + interval_sec)
+                         % interval_sec),
+                 interval_sec)) AS s(i)
+        WHERE tmin IS NOT NULL
+    )
+    SELECT epoch_ms(sp.b_uts * 1000) AS bucket_start,
+           COALESCE(o.n_hits, 0) AS n_hits,
+           sp.interval_sec
+    FROM spine sp LEFT JOIN occ o
+      ON o.b_uts = sp.b_uts AND o.interval_sec = sp.interval_sec
+    ORDER BY bucket_start
+    """
+    return f"""{base}
     SELECT epoch_ms((uts - ((uts % interval_sec + interval_sec)
                             % interval_sec)) * 1000)
                AS bucket_start,
@@ -1353,6 +1427,82 @@ def adjacency_matrix_oracle_sql(
     """
 
 
+def percentile_ranks(
+    hits: DataFrame,
+    value_col: str,
+    values: list[float],
+) -> DataFrame:
+    """Percentile-ranks metric aggregation — the OpenSearch
+    ``percentile_ranks`` agg inverted from ``percentiles``: for each
+    user-declared probe value, the percentage of observed values at
+    or below it. OpenSearch estimates this with a t-digest; a
+    distributed exact count needs no sketch, so this engine returns
+    the EXACT rank — ``100·|{x ≤ v}| / N`` as one division of exact
+    longs (the deterministic analogue, same exactness argument as
+    E155 rare_terms vs CuckooFilters). Missing values (null/NaN)
+    are ignored. Returns (value, percentile_rank) in declaration
+    order.
+
+    Execution: the probe list is human-declared and small — ONE scan,
+    ONE 1-row aggregate of conditional sums (the E163 filters_agg
+    shape), literal unpivot. Corpus work independent of probe count.
+    """
+    if not values:
+        raise ValueError("percentile_ranks needs at least one value")
+    if len(set(values)) != len(values):
+        raise ValueError("probe values must be unique")
+    v = F.col(value_col).cast("double")
+    ok = v.isNotNull() & ~F.isnan(v)
+    aggs = [
+        F.sum(F.when(ok & (v <= F.lit(float(x))), 1).otherwise(0))
+        .cast("long")
+        .alias(f"_c{i}")
+        for i, x in enumerate(values)
+    ]
+    aggs.append(
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("_n")
+    )
+    row = hits.agg(*aggs)
+    exprs = ", ".join(
+        f"CAST({float(x)!r} AS DOUBLE), "
+        f"CAST(100 * _c{i} AS DOUBLE) / CAST(_n AS DOUBLE)"
+        for i, x in enumerate(values)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(values)}, {exprs}) AS (value, percentile_rank)"
+        )
+    )
+
+
+def percentile_ranks_oracle_sql(
+    hits_sql: str,
+    value_col: str,
+    values: list[float],
+) -> str:
+    """DuckDB SQL computing the identical exact percentile ranks."""
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN v <= {float(x)!r} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS _c{i}"
+        for i, x in enumerate(values)
+    )
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS _ord, CAST({float(x)!r} AS DOUBLE) AS value, "
+        f"CAST(100 * _c{i} AS DOUBLE) / CAST(_n AS DOUBLE)"
+        f" AS percentile_rank FROM agg"
+        for i, x in enumerate(values)
+    )
+    return f"""
+    WITH hit_rows AS ({hits_sql}),
+    h AS (SELECT CAST({value_col} AS DOUBLE) AS v FROM hit_rows
+          WHERE {value_col} IS NOT NULL
+            AND NOT isnan(CAST({value_col} AS DOUBLE))),
+    agg AS (SELECT {sums}, CAST(COUNT(*) AS BIGINT) AS _n FROM h)
+    SELECT value, percentile_rank FROM ({sel})
+    ORDER BY _ord
+    """
+
+
 def bucket_sort(
     buckets: DataFrame,
     sort: list[tuple],
@@ -1431,6 +1581,8 @@ __all__ = [
     "bucket_sort_oracle_sql",
     "filters_agg",
     "filters_agg_oracle_sql",
+    "percentile_ranks",
+    "percentile_ranks_oracle_sql",
     "date_histogram",
     "date_histogram_oracle_sql",
     "facet_counts",

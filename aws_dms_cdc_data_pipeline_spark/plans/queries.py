@@ -7030,6 +7030,76 @@ def search_bucket_sort_q(spark, sf_dir):
     )
 
 
+def _percentile_ranks_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        percentile_ranks_oracle_sql,
+    )
+
+    return percentile_ranks_oracle_sql(
+        "SELECT value FROM events WHERE event_type = 'purchase'",
+        "value",
+        [1.0, 5.0, 9.0],
+    )
+
+
+@q(
+    "events_percentile_ranks",
+    _percentile_ranks_oracle(),
+    "Percentile-ranks metric aggregation — the OpenSearch "
+    "percentile_ranks agg inverted from percentiles (the percentage "
+    "of observed values at or below each probe): exact "
+    "100*|x<=v|/N where OpenSearch estimates with a t-digest — a "
+    "distributed exact count needs no sketch. One scan, one 1-row "
+    "aggregate of conditional sums, literal unpivot "
+    "(operators/retrieval.py:percentile_ranks).",
+)
+def events_percentile_ranks_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        percentile_ranks,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hits = ev.filter(F.col("event_type") == "purchase")
+    return percentile_ranks(hits, "value", [1.0, 5.0, 9.0])
+
+
+def _dense_histogram_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        date_histogram_oracle_sql,
+    )
+
+    return date_histogram_oracle_sql(
+        "SELECT ts FROM events WHERE event_type = 'purchase' "
+        "AND value >= 9.9",
+        target_buckets=30,
+        min_doc_count=0,
+    )
+
+
+@q(
+    "search_date_histogram_dense",
+    _dense_histogram_oracle(),
+    "Dense date histogram — OpenSearch min_doc_count: 0 (the "
+    "Discover panel contract: gaps in a SPARSE hit set render as "
+    "zero bars, not missing bars): rare high-value purchases "
+    "bucketed with empty buckets zero-filled between the first and "
+    "last occupied bucket. The spine is a sequence off the same "
+    "1-row min/max broadcast (<=target_buckets elements), left "
+    "joined to the counts — no extra hit-relation pass "
+    "(operators/retrieval.py:date_histogram).",
+)
+def search_date_histogram_dense_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        date_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hits = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 9.9)
+    )
+    return date_histogram(hits, "ts", target_buckets=30, min_doc_count=0)
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r12 window = the 5 new queries (regexp

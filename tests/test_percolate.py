@@ -769,3 +769,49 @@ def test_percolate_all_types_single_scan(spark):
         return n
 
     assert text_scans(out._jdf.queryExecution().executedPlan()) <= 1
+
+
+def test_percolator_stream_term_set_equals_batch(spark, tmp_path):
+    """wildcard / fuzzy / regexp standing queries through the
+    STREAMING leg: the batched vocabulary job runs inside
+    foreachBatch per epoch, and the union of epoch alerts equals
+    batch percolation over the full document set (term-set matching
+    is per-document, so epoch-local vocabulary resolution cannot
+    change a doc's own matches — except the fuzzy max_expansions
+    cap, which is epoch-local by the batch-is-the-corpus contract;
+    the cap here is not binding, keeping stream ≡ batch exact)."""
+    src = tmp_path / "docs_ts"
+    src.mkdir()
+    for fname, rows in (("a.jsonl", DOCS[:2]), ("b.jsonl", DOCS[2:])):
+        with open(src / fname, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    standing = [
+        {"query_id": "w", "type": "wildcard", "pattern": "sp*k"},
+        {"query_id": "f", "type": "fuzzy", "term": "spork"},
+        {"query_id": "r", "type": "regexp", "pattern": "qu[a-z]+"},
+        {"query_id": "p", "type": "phrase", "phrase": "quick brown"},
+    ]
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_percolator(
+        stream,
+        standing,
+        str(tmp_path / "alerts_ts"),
+        str(tmp_path / "ckpt_ts"),
+    )
+    q.awaitTermination()
+    alerts = spark.read.parquet(str(tmp_path / "alerts_ts"))
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_matches"] for r in alerts.collect()
+    }
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    batch = {
+        (r["query_id"], r["doc_id"]): r["n_matches"]
+        for r in percolate(docs, standing).collect()
+    }
+    assert got == batch
+    assert ("w", 1) in got and ("r", 1) in got and ("f", 4) in got

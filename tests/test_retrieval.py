@@ -805,3 +805,57 @@ def test_bucket_sort_paging_and_gap_policy(spark):
         bucket_sort(df, [("n", "up")])
     with pytest.raises(ValueError, match="from_"):
         bucket_sort(df, [("n", "asc")], from_=-1)
+
+
+def test_percentile_ranks_exact(spark):
+    """Exact rank = 100·|{x ≤ v}|/N; null/NaN ignored; declaration
+    order; validation."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        percentile_ranks,
+    )
+
+    rows = [(1.0,), (2.0,), (3.0,), (4.0,), (None,), (float("nan"),)]
+    df = spark.createDataFrame(rows, "value double")
+    got = [
+        (r["value"], r["percentile_rank"])
+        for r in percentile_ranks(df, "value", [2.0, 0.5, 4.0]).collect()
+    ]
+    assert got == [(2.0, 50.0), (0.5, 0.0), (4.0, 100.0)]
+    with pytest.raises(ValueError, match="at least one value"):
+        percentile_ranks(df, "value", [])
+    with pytest.raises(ValueError, match="unique"):
+        percentile_ranks(df, "value", [1.0, 1.0])
+
+
+def test_date_histogram_dense_zero_fill(spark):
+    """min_doc_count=0 zero-fills gaps between the first and last
+    occupied bucket; default stays sparse; empty hit sets stay
+    empty."""
+    import datetime as dt
+
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        date_histogram,
+    )
+
+    def t(day, h=0):
+        return dt.datetime(2024, 1, day, h, 0, 0)
+
+    # hits on days 1, 1, 4, 6 → interval lands on 1 day (86400 s)
+    rows = [(t(1),), (t(1, 5),), (t(4),), (t(6),)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    dense = date_histogram(df, "ts", target_buckets=6, min_doc_count=0)
+    out = [(r["bucket_start"].day, r["n_hits"]) for r in dense.collect()]
+    assert out == [(1, 2), (2, 0), (3, 0), (4, 1), (5, 0), (6, 1)]
+    assert all(r["interval_sec"] == 86400 for r in dense.collect())
+    sparse = date_histogram(df, "ts", target_buckets=6)
+    assert [(r["bucket_start"].day, r["n_hits"]) for r in sparse.collect()] \
+        == [(1, 2), (4, 1), (6, 1)]
+    # empty hit set → empty histogram, both modes
+    empty = df.filter("ts IS NULL")
+    assert date_histogram(empty, "ts", min_doc_count=0).count() == 0
+    with pytest.raises(ValueError, match="min_doc_count"):
+        date_histogram(df, "ts", min_doc_count=2)
