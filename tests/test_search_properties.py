@@ -215,3 +215,83 @@ def test_fuzzy_search_matches_reference(spark, docs, probe, fuzz, plen,
     assert got == _ref_fuzzy(rows, probe, fuzz, plen, max_exp), (
         probe, fuzz, plen, max_exp,
     )
+
+
+# --- regexp_search: three regex engines must agree on the validated
+# subset (Spark/Java rlike, DuckDB RE2 regexp_full_match, Python re
+# as the executable reference). Patterns are generated from a safe
+# grammar inside the documented subset: literals, classes,
+# quantifiers, alternation, non-capturing groups.
+
+_RE_ATOMS = st.sampled_from(
+    ["a", "b", "c", "1", "[ab]", "[a-c]", "[b1]", "."]
+)
+_RE_QUANT = st.sampled_from(["", "*", "+", "?", "{1,2}", "{2}"])
+
+
+@st.composite
+def _regexp_pattern(draw):
+    n = draw(st.integers(min_value=1, max_value=3))
+    parts = [draw(_RE_ATOMS) + draw(_RE_QUANT) for _ in range(n)]
+    pat = "".join(parts)
+    if draw(st.booleans()):
+        m = draw(st.integers(min_value=1, max_value=2))
+        alt = "".join(
+            draw(_RE_ATOMS) + draw(_RE_QUANT) for _ in range(m)
+        )
+        pat = f"(?:{pat}|{alt})"
+    return pat
+
+
+_RE_WORDS = ["a", "b", "c", "ab", "abc", "b1", "ca", "1", "aab", "cc1"]
+_re_docs_strategy = st.lists(
+    st.lists(st.sampled_from(_RE_WORDS), min_size=1, max_size=8).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(docs=_re_docs_strategy, pattern=_regexp_pattern())
+def test_regexp_search_matches_python_reference(spark, docs, pattern):
+    from hypothesis import assume
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+        regexp_search,
+    )
+
+    # dot-only patterns ('.', '.+{1,2}', …) carry no literal alnum char
+    # and the validator rejects them by design — discard the example
+    # (a pytest.skip here would abort the WHOLE hypothesis test on the
+    # first such draw)
+    assume(re.search(r"[a-z0-9]", pattern))
+
+    rows = [(i + 1, text) for i, text in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx, _ = ensure_token_index(
+        spark, df, f"t_re_prop_{abs(hash((tuple(docs), pattern))) % 10**8}"
+    )
+    got = {
+        r["doc_id"]: (tuple(r["terms"]), r["n_terms"], r["total_tf"])
+        for r in regexp_search(spark, idx, pattern, top_k=10**6).collect()
+    }
+    anchored = re.compile(f"^(?:{pattern.lower()})$")
+    want = {}
+    for doc_id, text in rows:
+        tf: dict = {}
+        for t in _tok(text):
+            tf[t] = tf.get(t, 0) + 1
+        # ^(?:p)$ + match() ≡ fullmatch on the unanchored pattern
+        hit = {t: c for t, c in tf.items() if anchored.match(t)}
+        if hit:
+            want[doc_id] = (
+                tuple(sorted(hit)),
+                len(hit),
+                sum(hit.values()),
+            )
+    assert got == want, (pattern, got, want)
