@@ -1571,6 +1571,251 @@ def bucket_sort_oracle_sql(
     """
 
 
+_ES_FP = 1_000_000  # 6-decimal fixed point, matches plans/queries._q6
+
+
+def extended_stats(
+    hits: DataFrame,
+    value_col: str,
+    *,
+    sigma: float = 2.0,
+) -> DataFrame:
+    """Extended-stats metric aggregation — the OpenSearch
+    ``extended_stats`` agg (the Discover metric panel's one-shot
+    summary: count, min, max, sum, avg, sum_of_squares, variance,
+    std_deviation and the ``sigma``-scaled std-deviation bounds).
+    Variance/std are POPULATION moments, the figure OpenSearch's
+    ``variance``/``std_deviation`` fields report. Missing values
+    (null/NaN/±inf) are ignored per the histogram missing-value
+    contract (E145/E158).
+
+    Cross-engine determinism: values quantize to 6-dp longs; every
+    sum runs exact (DECIMAL(38,0) — sum-of-squares exceeds BIGINT at
+    corpus scale) and only FINAL expressions touch doubles, each a
+    short IEEE chain (cast, multiply, divide, sqrt — all
+    correctly-rounded ops) mirrored verbatim in the oracle SQL, so
+    both engines produce bit-identical doubles. ``variance`` clamps
+    at zero (the exact moments can land an ulp negative after the
+    double subtraction) — mirrored with ``greatest`` on both sides.
+
+    Execution: ONE scan, ONE 1-row aggregate (map-side partials do
+    all the work; the merge is |partitions| rows). Output is a
+    single row — corpus-size-independent.
+    """
+    if sigma < 0:
+        raise ValueError("sigma must be >= 0")
+    v = F.col(value_col).cast("double")
+    ok = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    qv = F.when(ok, F.round(v * _ES_FP, 0).cast("decimal(19,0)"))
+    row = hits.agg(
+        F.count(qv).cast("long").alias("_n"),
+        F.min(qv).cast("decimal(19,0)").alias("_min"),
+        F.max(qv).cast("decimal(19,0)").alias("_max"),
+        F.sum(qv).cast("decimal(38,0)").alias("_s1"),
+        F.sum(qv * qv).cast("decimal(38,0)").alias("_s2"),
+    )
+    n_d = F.col("_n").cast("double")
+    s1_d = F.col("_s1").cast("double")
+    s2_d = F.col("_s2").cast("double")
+    avg = s1_d / n_d / F.lit(float(_ES_FP))
+    var = F.greatest(
+        (s2_d - s1_d * s1_d / n_d) / n_d / F.lit(float(_ES_FP) ** 2),
+        F.lit(0.0),
+    )
+    std = F.sqrt(var)
+    return row.select(
+        F.col("_n").alias("n"),
+        (F.col("_min").cast("double") / _ES_FP).alias("min_value"),
+        (F.col("_max").cast("double") / _ES_FP).alias("max_value"),
+        (s1_d / F.lit(float(_ES_FP))).alias("sum_value"),
+        avg.alias("avg_value"),
+        (s2_d / F.lit(float(_ES_FP) ** 2)).alias("sum_of_squares"),
+        var.alias("variance"),
+        std.alias("std_deviation"),
+        (avg + F.lit(float(sigma)) * std).alias("std_upper"),
+        (avg - F.lit(float(sigma)) * std).alias("std_lower"),
+    )
+
+
+def extended_stats_oracle_sql(
+    hits_sql: str,
+    value_col: str,
+    *,
+    sigma: float = 2.0,
+) -> str:
+    """DuckDB SQL computing the identical extended stats (same
+    quantization, same exact decimal sums, same final IEEE
+    expressions)."""
+    fp = float(_ES_FP)
+    fp2 = fp * fp
+    return f"""
+    WITH hit_rows AS ({hits_sql}),
+    h AS (SELECT CAST(round(CAST({value_col} AS DOUBLE) * {_ES_FP}, 0)
+                      AS DECIMAL(19,0)) AS qv
+          FROM hit_rows
+          WHERE {value_col} IS NOT NULL
+            AND NOT isnan(CAST({value_col} AS DOUBLE))
+            AND NOT isinf(CAST({value_col} AS DOUBLE))),
+    agg AS (SELECT CAST(COUNT(qv) AS BIGINT) AS _n,
+                   CAST(MIN(qv) AS DECIMAL(19,0)) AS _min,
+                   CAST(MAX(qv) AS DECIMAL(19,0)) AS _max,
+                   CAST(SUM(qv) AS DECIMAL(38,0)) AS _s1,
+                   CAST(SUM(qv * qv) AS DECIMAL(38,0)) AS _s2
+            FROM h)
+    SELECT _n AS n,
+           CAST(_min AS DOUBLE) / {_ES_FP} AS min_value,
+           CAST(_max AS DOUBLE) / {_ES_FP} AS max_value,
+           CAST(_s1 AS DOUBLE) / CAST({fp!r} AS DOUBLE) AS sum_value,
+           CAST(_s1 AS DOUBLE) / CAST(_n AS DOUBLE)
+               / CAST({fp!r} AS DOUBLE) AS avg_value,
+           CAST(_s2 AS DOUBLE) / CAST({fp2!r} AS DOUBLE) AS sum_of_squares,
+           greatest((CAST(_s2 AS DOUBLE)
+                     - CAST(_s1 AS DOUBLE) * CAST(_s1 AS DOUBLE)
+                       / CAST(_n AS DOUBLE))
+                    / CAST(_n AS DOUBLE) / CAST({fp2!r} AS DOUBLE),
+                    CAST(0.0 AS DOUBLE)) AS variance,
+           sqrt(greatest((CAST(_s2 AS DOUBLE)
+                          - CAST(_s1 AS DOUBLE) * CAST(_s1 AS DOUBLE)
+                            / CAST(_n AS DOUBLE))
+                         / CAST(_n AS DOUBLE) / CAST({fp2!r} AS DOUBLE),
+                         CAST(0.0 AS DOUBLE))) AS std_deviation,
+           avg_value + CAST({float(sigma)!r} AS DOUBLE) * std_deviation
+               AS std_upper,
+           avg_value - CAST({float(sigma)!r} AS DOUBLE) * std_deviation
+               AS std_lower
+    FROM agg
+    """
+
+
+def multi_terms(
+    hits: DataFrame,
+    keys: list[str],
+    *,
+    size: int = 10,
+) -> DataFrame:
+    """Multi-terms bucket aggregation — the OpenSearch ``multi_terms``
+    agg: buckets keyed by a TUPLE of field values (the Discover
+    "split series by two fields" shape that a plain ``terms`` agg
+    cannot express without a scripted concat), top-``size`` by
+    document count. Rows with a null in ANY key component drop —
+    OpenSearch's missing-bucket default. Ties order by the key tuple
+    ascending (OpenSearch leaves ties shard-ordered; we require them
+    resolved — the E165 determinism stance).
+
+    Execution: ONE scan, ONE hash aggregate on the composite key
+    (map-side combined), TakeOrderedAndProject for the top-size cut —
+    the same shape as a single-key terms agg; the tuple key only
+    widens the grouping row.
+    """
+    if not keys or len(set(keys)) != len(keys):
+        raise ValueError("multi_terms needs a non-empty unique key list")
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    keep = F.lit(True)
+    for k in keys:
+        keep = keep & F.col(k).isNotNull()
+    order = [F.col("doc_count").desc()] + [F.col(k).asc() for k in keys]
+    return (
+        hits.filter(keep)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy(*order)
+        .limit(size)
+    )
+
+
+def multi_terms_oracle_sql(
+    hits_sql: str,
+    keys: list[str],
+    *,
+    size: int = 10,
+) -> str:
+    """DuckDB SQL computing the identical multi-terms buckets."""
+    cols = ", ".join(keys)
+    keep = " AND ".join(f"{k} IS NOT NULL" for k in keys)
+    order = ", ".join(f"{k} ASC" for k in keys)
+    return f"""
+    WITH hit_rows AS ({hits_sql})
+    SELECT {cols}, CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM hit_rows
+    WHERE {keep}
+    GROUP BY {cols}
+    ORDER BY doc_count DESC, {order}
+    LIMIT {size}
+    """
+
+
+def weighted_avg(
+    hits: DataFrame,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Weighted-average metric aggregation — the OpenSearch
+    ``weighted_avg`` agg: ``Σ(value·weight) / Σ(weight)``. Rows
+    where EITHER side is missing (null/NaN/±inf) drop — the
+    OpenSearch default (``value_count`` reports the surviving rows).
+
+    Cross-engine determinism: both columns quantize to 6-dp longs,
+    the products sum exact in DECIMAL(38,0) (a 6-dp × 6-dp product
+    is 12-dp — BIGINT-overflowable at corpus scale), and ONE final
+    double division chain produces the average — the E160/E166
+    quantized-exact argument.
+
+    Execution: ONE scan, ONE 1-row aggregate — map-side partials
+    carry (Σvw, Σw, n) only.
+    """
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    ok = (
+        v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+        & w.isNotNull() & ~F.isnan(w) & (F.abs(w) != F.lit(float("inf")))
+    )
+    qv = F.when(ok, F.round(v * _ES_FP, 0).cast("decimal(19,0)"))
+    qw = F.when(ok, F.round(w * _ES_FP, 0).cast("decimal(19,0)"))
+    row = hits.agg(
+        F.sum(qv * qw).cast("decimal(38,0)").alias("_svw"),
+        F.sum(qw).cast("decimal(38,0)").alias("_sw"),
+        F.count(qv).cast("long").alias("_n"),
+    )
+    return row.select(
+        (
+            F.col("_svw").cast("double")
+            / F.col("_sw").cast("double")
+            / F.lit(float(_ES_FP))
+        ).alias("weighted_avg"),
+        F.col("_n").alias("value_count"),
+    )
+
+
+def weighted_avg_oracle_sql(
+    hits_sql: str,
+    value_col: str,
+    weight_col: str,
+) -> str:
+    """DuckDB SQL computing the identical weighted average."""
+    fp = float(_ES_FP)
+    return f"""
+    WITH hit_rows AS ({hits_sql}),
+    h AS (SELECT
+            CAST(round(CAST({value_col} AS DOUBLE) * {_ES_FP}, 0)
+                 AS DECIMAL(19,0)) AS qv,
+            CAST(round(CAST({weight_col} AS DOUBLE) * {_ES_FP}, 0)
+                 AS DECIMAL(19,0)) AS qw
+          FROM hit_rows
+          WHERE {value_col} IS NOT NULL
+            AND NOT isnan(CAST({value_col} AS DOUBLE))
+            AND NOT isinf(CAST({value_col} AS DOUBLE))
+            AND {weight_col} IS NOT NULL
+            AND NOT isnan(CAST({weight_col} AS DOUBLE))
+            AND NOT isinf(CAST({weight_col} AS DOUBLE)))
+    SELECT CAST(CAST(SUM(qv * qw) AS DECIMAL(38,0)) AS DOUBLE)
+               / CAST(CAST(SUM(qw) AS DECIMAL(38,0)) AS DOUBLE)
+               / CAST({fp!r} AS DOUBLE) AS weighted_avg,
+           CAST(COUNT(qv) AS BIGINT) AS value_count
+    FROM h
+    """
+
+
 __all__ = [
     "adjacency_matrix",
     "adjacency_matrix_oracle_sql",
@@ -1579,10 +1824,16 @@ __all__ = [
     "bucket_script_selector_oracle_sql",
     "bucket_sort",
     "bucket_sort_oracle_sql",
+    "extended_stats",
+    "extended_stats_oracle_sql",
     "filters_agg",
     "filters_agg_oracle_sql",
+    "multi_terms",
+    "multi_terms_oracle_sql",
     "percentile_ranks",
     "percentile_ranks_oracle_sql",
+    "weighted_avg",
+    "weighted_avg_oracle_sql",
     "date_histogram",
     "date_histogram_oracle_sql",
     "facet_counts",

@@ -7100,6 +7100,106 @@ def search_date_histogram_dense_q(spark, sf_dir):
     return date_histogram(hits, "ts", target_buckets=30, min_doc_count=0)
 
 
+def _extended_stats_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        extended_stats_oracle_sql,
+    )
+
+    return extended_stats_oracle_sql(
+        "SELECT value FROM events WHERE event_type = 'purchase'",
+        "value",
+        sigma=2.0,
+    )
+
+
+@q(
+    "events_extended_stats",
+    _extended_stats_oracle(),
+    "Extended-stats metric aggregation — the OpenSearch "
+    "extended_stats agg (count/min/max/sum/avg/sum_of_squares/"
+    "population variance/std_deviation + sigma bounds in one shot): "
+    "values quantize to 6-dp longs, every sum runs exact in "
+    "DECIMAL(38,0), and only final short IEEE chains (mirrored "
+    "verbatim in the oracle) touch doubles — bit-identical "
+    "cross-engine. One scan, one 1-row aggregate "
+    "(operators/retrieval.py:extended_stats).",
+)
+def events_extended_stats_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        extended_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hits = ev.filter(F.col("event_type") == "purchase")
+    return extended_stats(hits, "value", sigma=2.0)
+
+
+def _multi_terms_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        multi_terms_oracle_sql,
+    )
+
+    return multi_terms_oracle_sql(
+        "SELECT lang, source FROM documents",
+        ["lang", "source"],
+        size=12,
+    )
+
+
+@q(
+    "docs_multi_terms",
+    _multi_terms_oracle(),
+    "Multi-terms bucket aggregation — the OpenSearch multi_terms agg "
+    "(buckets keyed by a TUPLE of fields, the Discover split-by-two-"
+    "fields shape a plain terms agg cannot express): top-12 "
+    "(lang, source) pairs by document count, null-keyed rows "
+    "dropped, ties resolved by the key tuple. One scan, one "
+    "map-side-combined composite-key aggregate, "
+    "TakeOrderedAndProject cut (operators/retrieval.py:multi_terms).",
+)
+def docs_multi_terms_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        multi_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multi_terms(docs, ["lang", "source"], size=12)
+
+
+def _weighted_avg_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        weighted_avg_oracle_sql,
+    )
+
+    return weighted_avg_oracle_sql(
+        "SELECT l_extendedprice, l_quantity FROM lineitem "
+        "WHERE l_returnflag = 'R'",
+        "l_extendedprice",
+        "l_quantity",
+    )
+
+
+@q(
+    "lineitem_weighted_avg_price",
+    _weighted_avg_oracle(),
+    "Weighted-average metric aggregation — the OpenSearch "
+    "weighted_avg agg: mean returned-item price weighted by "
+    "quantity, Σ(v·w)/Σw with both sides quantized to 6-dp longs, "
+    "products summed exact in DECIMAL(38,0), one final double "
+    "division chain — the quantized-exact cross-engine argument. "
+    "One scan, one 1-row aggregate "
+    "(operators/retrieval.py:weighted_avg).",
+)
+def lineitem_weighted_avg_price_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        weighted_avg,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hits = li.filter(F.col("l_returnflag") == "R")
+    return weighted_avg(hits, "l_extendedprice", "l_quantity")
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r12 window = the 5 new queries (regexp

@@ -859,3 +859,82 @@ def test_date_histogram_dense_zero_fill(spark):
     assert date_histogram(empty, "ts", min_doc_count=0).count() == 0
     with pytest.raises(ValueError, match="min_doc_count"):
         date_histogram(df, "ts", min_doc_count=2)
+
+
+def test_extended_stats_exact(spark):
+    """Hand-checked moments on a tiny set; missing values
+    (null/NaN/inf) ignored; variance clamps at zero on a constant
+    column; validation."""
+    import math
+
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        extended_stats,
+    )
+
+    rows = [(2.0,), (4.0,), (4.0,), (4.0,), (5.0,), (5.0,), (7.0,),
+            (9.0,), (None,), (float("nan"),), (float("inf"),)]
+    df = spark.createDataFrame(rows, "value double")
+    r = extended_stats(df, "value", sigma=2.0).collect()[0]
+    # the classic σ=2 example: mean 5, population variance 4, std 2
+    assert r["n"] == 8
+    assert r["min_value"] == 2.0 and r["max_value"] == 9.0
+    assert r["sum_value"] == 40.0
+    assert r["avg_value"] == 5.0
+    assert r["sum_of_squares"] == 232.0
+    assert r["variance"] == 4.0
+    assert r["std_deviation"] == 2.0
+    assert r["std_upper"] == 9.0 and r["std_lower"] == 1.0
+    # constant column: exact moments make variance 0, never negative
+    const = spark.createDataFrame([(3.3,)] * 5, "value double")
+    rc = extended_stats(const, "value").collect()[0]
+    assert rc["variance"] == 0.0 and rc["std_deviation"] == 0.0
+    assert not math.isnan(rc["std_deviation"])
+    with pytest.raises(ValueError, match="sigma"):
+        extended_stats(df, "value", sigma=-1.0)
+
+
+def test_multi_terms_buckets(spark):
+    """Tuple-keyed buckets, count-desc then key-asc order, null keys
+    drop, size cut; validation."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        multi_terms,
+    )
+
+    rows = [
+        ("en", "web"), ("en", "web"), ("en", "book"),
+        ("de", "web"), ("de", "web"), ("fr", "book"),
+        (None, "web"), ("en", None),
+    ]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    got = [
+        (r["lang"], r["source"], r["doc_count"])
+        for r in multi_terms(df, ["lang", "source"], size=3).collect()
+    ]
+    # ties between (de,web) and (en,web) resolve by key tuple asc
+    assert got == [("de", "web", 2), ("en", "web", 2), ("en", "book", 1)]
+    with pytest.raises(ValueError, match="unique"):
+        multi_terms(df, ["lang", "lang"])
+    with pytest.raises(ValueError, match="size"):
+        multi_terms(df, ["lang"], size=0)
+
+
+def test_weighted_avg_exact(spark):
+    """Σ(v·w)/Σw on a hand-checked set; a row missing EITHER side
+    drops entirely (its weight must not count)."""
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        weighted_avg,
+    )
+
+    rows = [
+        (1.0, 1.0), (2.0, 3.0), (10.0, 0.5),
+        (None, 100.0), (5.0, None), (float("nan"), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "v double, w double")
+    r = weighted_avg(df, "v", "w").collect()[0]
+    # (1 + 6 + 5) / (1 + 3 + 0.5) = 12 / 4.5
+    assert r["weighted_avg"] == 12.0 / 4.5
+    assert r["value_count"] == 3
