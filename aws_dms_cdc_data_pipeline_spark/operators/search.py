@@ -90,13 +90,32 @@ def bm25_search(
     if not query_terms:
         raise ValueError("bm25_search needs at least one query term")
     terms = sorted({t.lower() for t in query_terms})
+    hits, dl = _bm25_adhoc_relations(
+        docs, terms, text_col=text_col, id_col=id_col
+    )
+    return _bm25_rank(
+        hits, dl, id_col=id_col, k1=k1, b=b, top_k=top_k, textbook=textbook
+    )
 
-    # One tokenization, two cheap consumers. Document length is the
-    # SIZE of the token array — no explode and no (doc, term) shuffle
-    # for the length branch (the full-vocabulary aggregate was the
-    # query's dominant cost: only query-term rows need to shuffle at
-    # all). dl > 0 keeps the stats contract of the inverted-index
-    # formulation: token-less docs are not corpus members.
+
+def _bm25_adhoc_relations(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    text_col: str,
+    id_col: str,
+) -> tuple:
+    """The ad-hoc (no materialized index) front half shared by
+    :func:`bm25_search` and :func:`function_score`: tokenize once,
+    return pruned ``(id, term, tf)`` hits and ``(id, dl)`` lengths.
+
+    One tokenization, two cheap consumers. Document length is the
+    SIZE of the token array — no explode and no (doc, term) shuffle
+    for the length branch (the full-vocabulary aggregate was the
+    query's dominant cost: only query-term rows need to shuffle at
+    all). dl > 0 keeps the stats contract of the inverted-index
+    formulation: token-less docs are not corpus members.
+    """
     from aws_dms_cdc_data_pipeline_spark.operators.partitioning import fan_out_scan
 
     # the token-array relation feeds BOTH consumers (lengths + hits);
@@ -132,9 +151,198 @@ def bm25_search(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    return _bm25_rank(
-        hits, dl, id_col=id_col, k1=k1, b=b, top_k=top_k, textbook=textbook
+    return hits, dl
+
+
+_FSCORE_MODIFIERS = ("none", "sqrt", "square", "reciprocal")
+_FSCORE_BOOST_MODES = ("multiply", "sum", "max", "min", "replace", "avg")
+
+
+def function_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    field_col: str,
+    factor: float = 1.0,
+    modifier: str = "none",
+    missing: float = 1.0,
+    boost_mode: str = "multiply",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Function-score query — the OpenSearch ``function_score`` with
+    a ``field_value_factor`` function (the Discover relevance-tuning
+    shape: re-rank text relevance by a numeric document signal, e.g.
+    boost longer/fresher/more-popular docs): every doc matching the
+    term bag gets ``func = modifier(factor · field_value)`` and the
+    final score combines BM25 relevance with ``func`` per
+    ``boost_mode`` (multiply | sum | max | min | replace | avg —
+    the OpenSearch set). Docs missing the field use ``missing``.
+
+    Functions re-rank, so the function applies to the FULL matched
+    set before any cut — cutting BM25 first would drop docs the
+    function promotes (the uncut :func:`_bm25_scores` path exists
+    for exactly this).
+
+    Modifier subset: ``none | sqrt | square | reciprocal`` — each a
+    single correctly-rounded IEEE op, so the combined double is
+    bit-identical cross-engine on top of the quantized-exact BM25
+    score. The log-family modifiers (``log1p``/``ln``…) are rejected
+    with a documented reason: libm ``log`` is not guaranteed
+    bit-identical between the JVM and an independent engine — the
+    same determinism stance as ``textbook=False`` idf. ``sqrt``
+    requires ``factor·value ≥ 0`` (it would yield NaN — OpenSearch
+    errors there too); the registry field (``n_chars``) is a count.
+
+    Returns (id, base_score, n_terms_hit, func_value, score) ordered
+    by (score DESC, id ASC), top_k.
+
+    Scale shape: the BM25 legs are unchanged (pruned-explode hits +
+    array-size lengths); the field attaches via ONE id-keyed join
+    that moves only (id, field_value) pairs — never text — and the
+    final order/limit is TakeOrderedAndProject over the matched set.
+    """
+    if not query_terms:
+        raise ValueError("function_score needs at least one query term")
+    if modifier not in _FSCORE_MODIFIERS:
+        raise ValueError(
+            f"modifier must be one of {_FSCORE_MODIFIERS} (log-family "
+            "modifiers are excluded: libm log is not bit-identical "
+            "across engines, breaking the oracle contract)"
+        )
+    if boost_mode not in _FSCORE_BOOST_MODES:
+        raise ValueError(f"boost_mode must be one of {_FSCORE_BOOST_MODES}")
+    terms = sorted({t.lower() for t in query_terms})
+    hits, dl = _bm25_adhoc_relations(
+        docs, terms, text_col=text_col, id_col=id_col
     )
+    scores = _bm25_scores(hits, dl, id_col=id_col, k1=k1, b=b)
+    fields = docs.select(
+        F.col(id_col), F.col(field_col).cast("double").alias("_fv")
+    )
+    joined = scores.join(fields, id_col, "left")
+    raw = F.lit(float(factor)) * F.coalesce(
+        F.col("_fv"), F.lit(float(missing))
+    )
+    func = {
+        "none": raw,
+        "sqrt": F.sqrt(raw),
+        "square": raw * raw,
+        "reciprocal": F.lit(1.0) / raw,
+    }[modifier]
+    s = F.col("base_score")
+    f_ = F.col("func_value")
+    combined = {
+        "multiply": s * f_,
+        "sum": s + f_,
+        "max": F.greatest(s, f_),
+        "min": F.least(s, f_),
+        "replace": f_,
+        "avg": (s + f_) / F.lit(2.0),
+    }[boost_mode]
+    return (
+        joined.select(
+            F.col(id_col),
+            F.col("score").alias("base_score"),
+            F.col("n_terms_hit"),
+            func.alias("func_value"),
+        )
+        .withColumn("score", combined)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def function_score_oracle_sql(
+    query_terms: list[str],
+    *,
+    field_col: str,
+    factor: float = 1.0,
+    modifier: str = "none",
+    missing: float = 1.0,
+    boost_mode: str = "multiply",
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> str:
+    """DuckDB SQL computing the identical function-scored ranking
+    (same quantized-exact BM25, same single-IEEE-op function, same
+    combine)."""
+    terms = sorted({t.lower() for t in query_terms})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    raw = (
+        f"CAST({float(factor)!r} AS DOUBLE) * COALESCE("
+        f"CAST(fv._fv AS DOUBLE), CAST({float(missing)!r} AS DOUBLE))"
+    )
+    func = {
+        "none": raw,
+        "sqrt": f"sqrt({raw})",
+        "square": f"({raw}) * ({raw})",
+        "reciprocal": f"CAST(1.0 AS DOUBLE) / ({raw})",
+    }[modifier]
+    combined = {
+        "multiply": "base_score * func_value",
+        "sum": "base_score + func_value",
+        "max": "greatest(base_score, func_value)",
+        "min": "least(base_score, func_value)",
+        "replace": "func_value",
+        "avg": "(base_score + func_value) / CAST(2.0 AS DOUBLE)",
+    }[boost_mode]
+    return f"""
+    WITH tok AS (
+        SELECT {id_col}, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM {table},
+             LATERAL (SELECT unnest(string_split_regex(lower({text_col}),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+        GROUP BY {id_col}, t.term
+    ),
+    dl AS (SELECT {id_col}, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tok GROUP BY {id_col}),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+    hits AS (SELECT * FROM tok WHERE term IN ({in_list})),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM hits GROUP BY term),
+    contrib AS (
+        SELECT h.{id_col},
+               CAST(round(
+                   ((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * ((h.tf * ({k1} + 1)) /
+                      (h.tf + {k1} * ((1 - {b}) + {b} * l.dl
+                                      / (CAST(s.total_dl AS DOUBLE) / s.n_docs))))
+                   * 1000000, 0) AS BIGINT) AS cq
+        FROM hits h JOIN dfs d USING (term)
+                    JOIN dl l USING ({id_col})
+                    CROSS JOIN stats s
+    ),
+    bm25 AS (
+        SELECT {id_col},
+               CAST(CAST(SUM(cq) AS DECIMAL(38,0)) / 1000000 AS DOUBLE)
+                   AS base_score,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM contrib
+        GROUP BY {id_col}
+    ),
+    fv AS (SELECT {id_col}, CAST({field_col} AS DOUBLE) AS _fv
+           FROM {table}),
+    funced AS (
+        SELECT b2.{id_col}, b2.base_score, b2.n_terms_hit,
+               {func} AS func_value
+        FROM bm25 b2 LEFT JOIN fv USING ({id_col})
+    )
+    SELECT {id_col}, base_score, n_terms_hit, func_value,
+           {combined} AS score
+    FROM funced
+    ORDER BY score DESC, {id_col} ASC
+    LIMIT {top_k}
+    """
 
 
 def _bm25_rank(
@@ -149,6 +357,27 @@ def _bm25_rank(
 ) -> DataFrame:
     """Score + rank given pruned (id, term, tf) hits and (id, dl)
     lengths — the shared back half of the ad-hoc and indexed paths."""
+    scored = _bm25_scores(
+        hits, dl, id_col=id_col, k1=k1, b=b, textbook=textbook
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(top_k)
+
+
+def _bm25_scores(
+    hits: DataFrame,
+    dl: DataFrame,
+    *,
+    id_col: str,
+    k1: float,
+    b: float,
+    textbook: bool = False,
+) -> DataFrame:
+    """UNCUT per-doc BM25 scores — every matching doc, no top-k.
+    :func:`function_score` needs the full matched set (functions
+    re-rank, so cutting first would drop docs the function promotes);
+    :func:`_bm25_rank` is this plus the order/limit."""
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_dl"),
@@ -169,16 +398,11 @@ def _bm25_rank(
         F.col("tf") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl)
     )
     contrib_q = F.round(idf * tf_part * F.lit(float(_FP)), 0).cast("long")
-    return (
-        scored.groupBy(id_col)
-        .agg(
-            (F.sum(contrib_q).cast("decimal(38,0)") / F.lit(_FP))
-            .cast("double")
-            .alias("score"),
-            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
-        )
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(top_k)
+    return scored.groupBy(id_col).agg(
+        (F.sum(contrib_q).cast("decimal(38,0)") / F.lit(_FP))
+        .cast("double")
+        .alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
     )
 
 
@@ -2305,6 +2529,8 @@ __all__ = [
     "ensure_forward_index",
     "ensure_position_index",
     "ensure_token_index",
+    "function_score",
+    "function_score_oracle_sql",
     "phrase_search",
     "phrase_search_indexed",
     "phrase_search_many",

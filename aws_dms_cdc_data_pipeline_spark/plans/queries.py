@@ -7200,6 +7200,51 @@ def lineitem_weighted_avg_price_q(spark, sf_dir):
     return weighted_avg(hits, "l_extendedprice", "l_quantity")
 
 
+def _function_score_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        function_score_oracle_sql,
+    )
+
+    return function_score_oracle_sql(
+        ["spark", "shuffle", "broadcast"],
+        field_col="n_chars",
+        modifier="sqrt",
+        boost_mode="multiply",
+        top_k=25,
+    )
+
+
+@q(
+    "function_score_docs",
+    _function_score_oracle(),
+    "Function-score query — OpenSearch function_score with a "
+    "field_value_factor function (the Discover relevance-tuning "
+    "shape): the bm25_keyword_search term bag re-ranked by "
+    "sqrt(n_chars) under boost_mode multiply, so longer documents "
+    "outrank equally-relevant short ones. The function applies to "
+    "the FULL matched set before any cut (cutting BM25 first would "
+    "drop docs the function promotes); the field attaches via one "
+    "id-keyed join moving only (id, value) pairs; sqrt is a single "
+    "correctly-rounded IEEE op on top of the quantized-exact BM25 "
+    "double — bit-identical cross-engine "
+    "(operators/search.py:function_score).",
+)
+def function_score_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        function_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return function_score(
+        docs,
+        ["spark", "shuffle", "broadcast"],
+        field_col="n_chars",
+        modifier="sqrt",
+        boost_mode="multiply",
+        top_k=25,
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r12 window = the 5 new queries (regexp

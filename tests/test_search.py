@@ -1048,3 +1048,117 @@ def test_multi_match_oracle_parity(spark):
         )
         con.close()
         assert got == exp and got, (mode, tb)
+
+
+# --- function_score (field_value_factor over BM25)
+
+
+def _fs_df(spark):
+    rows = [(i, t, float(len(t))) for i, t in DOCS]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, weight double"
+    )
+
+
+def test_function_score_replace_orders_by_field(spark):
+    """boost_mode=replace ignores relevance entirely: the matched set
+    is BM25's, the order is the function's."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        function_score,
+    )
+
+    out = function_score(
+        _fs_df(spark),
+        ["spark", "shuffle"],
+        field_col="weight",
+        boost_mode="replace",
+        top_k=10,
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 4 not in ids                          # still only matched docs
+    assert ids[0] == 5                           # longest text wins
+    assert all(r["score"] == r["func_value"] for r in out)
+
+
+def test_function_score_neutral_function_is_bm25(spark):
+    """factor=1, modifier=none over a constant-1 field under multiply
+    must reproduce bm25_search bit-exactly (the parity anchor)."""
+    import pyspark.sql.functions as F
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        function_score,
+    )
+
+    df = _fs_df(spark).withColumn("one", F.lit(1.0))
+    got = [
+        (r["doc_id"], r["score"], r["n_terms_hit"])
+        for r in function_score(
+            df, ["spark", "shuffle"], field_col="one", top_k=10
+        ).collect()
+    ]
+    want = [
+        (r["doc_id"], r["score"], r["n_terms_hit"])
+        for r in bm25_search(df, ["spark", "shuffle"], top_k=10).collect()
+    ]
+    assert got == want
+
+
+def test_function_score_modes_and_missing(spark):
+    """Hand-checked combine modes; a doc with a NULL field takes the
+    missing default; sqrt/square/reciprocal modifiers."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        function_score,
+    )
+
+    df = _fs_df(spark).withColumn(
+        "weight", F.when(F.col("doc_id") != 2, F.col("weight"))
+    )  # doc 2's field is NULL
+    out = {
+        r["doc_id"]: r
+        for r in function_score(
+            df,
+            ["spark", "shuffle"],
+            field_col="weight",
+            factor=4.0,
+            modifier="sqrt",
+            missing=9.0,
+            boost_mode="sum",
+            top_k=10,
+        ).collect()
+    }
+    for i, r in out.items():
+        fv = dict((d, float(len(t))) for d, t in DOCS).get(i)
+        expect = math.sqrt(4.0 * (9.0 if i == 2 else fv))
+        assert r["func_value"] == expect, i
+        assert r["score"] == r["base_score"] + r["func_value"]
+    # square and reciprocal, spot-checked on one mode each
+    sq = function_score(
+        df, ["spark"], field_col="weight", modifier="square",
+        boost_mode="max", top_k=10,
+    ).collect()
+    for r in sq:
+        assert r["score"] == max(r["base_score"], r["func_value"])
+    rec = function_score(
+        df, ["spark"], field_col="weight", modifier="reciprocal",
+        boost_mode="avg", top_k=10,
+    ).collect()
+    for r in rec:
+        assert r["score"] == (r["base_score"] + r["func_value"]) / 2.0
+
+
+def test_function_score_validation(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        function_score,
+    )
+
+    df = _fs_df(spark)
+    with pytest.raises(ValueError, match="query term"):
+        function_score(df, [], field_col="weight")
+    with pytest.raises(ValueError, match="log-family"):
+        function_score(df, ["spark"], field_col="weight", modifier="log1p")
+    with pytest.raises(ValueError, match="boost_mode"):
+        function_score(df, ["spark"], field_col="weight", boost_mode="mul")
