@@ -174,3 +174,128 @@ def pack_fixed_blocks(
         (hi - F.col("_start")).cast("long").alias("doc_tok_end"),
         (lo - F.col("block_id") * B).cast("long").alias("block_offset"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking — the RAG / long-context
+    training shape :func:`pack_fixed_blocks` cannot express: cut each
+    document into OVERLAPPING ``size``-token windows every ``stride``
+    tokens (overlap = size − stride), so every token appears in ≥1
+    chunk and boundary context is preserved. The chunk set covers the
+    document and stops at coverage: chunk ``i`` starts at
+    ``i·stride``; the count is ``1 + ceil((n − size)/stride)``
+    (clamped ≥ 1), so no trailing chunk is emitted whose tokens were
+    all covered by its predecessor. Token-less documents vanish.
+
+    Tokens are the engine's standard ``[^a-z0-9]+`` lowercase split —
+    chunk boundaries agree with every other token-counting operator
+    (E9 token counts, E91 packing, the search tokenizer).
+
+    Returns (id, chunk_idx, start_token, n_tokens, chunk_text);
+    ``n_tokens < size`` only on a document's last chunk.
+
+    Scale shape: NO shuffle anywhere — tokenize, a `sequence`
+    explode (≤ ceil(n/stride) rows per doc, map-side), and a
+    `slice` + `concat_ws` projection, all whole-stage-codegen'd
+    JVM expressions; the output stays partitioned like the scan.
+    Pure integer arithmetic decides boundaries → bit-exact
+    cross-engine.
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    if stride > size:
+        raise ValueError(
+            "stride must be <= size (gaps would drop tokens entirely)"
+        )
+    S, T = int(size), int(stride)
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        ).alias("_toks"),
+    ).withColumn("_n", F.size("_toks").cast("long"))
+    # 1 + max(0, ceil((n-S)/T)); integer ceil via (n-S+T-1) DIV T.
+    # DIV truncates and DuckDB // floors, but the two only disagree
+    # on negative quotients, which the greatest(0, ·) clamp erases.
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0).cast("long"),
+        F.expr(f"(_n - {S} + {T - 1}) DIV {T}").cast("long"),
+    )
+    chunks = (
+        toks.filter(F.col("_n") > 0)
+        .select(
+            F.col(id_col),
+            F.col("_toks"),
+            F.col("_n"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), n_chunks - F.lit(1))
+            ).alias("chunk_idx"),
+        )
+    )
+    start = F.col("chunk_idx") * T
+    length = F.least(F.lit(S).cast("long"), F.col("_n") - start)
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_token"),
+        length.cast("long").alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice("_toks", (start + F.lit(1)).cast("int"), S)
+        ).alias("chunk_text"),
+    )
+
+
+def chunk_documents_oracle_sql(
+    *,
+    size: int,
+    stride: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SQL computing the identical chunk set (same tokenizer,
+    same integer boundary arithmetic, same space-joined chunk
+    text)."""
+    S, T = int(size), int(stride)
+    return f"""
+    WITH toks AS (
+        SELECT {id_col},
+               list_filter(string_split_regex(lower({text_col}),
+                                              '[^a-z0-9]+'),
+                           x -> x <> '') AS _toks
+        FROM {table}
+    ),
+    sized AS (
+        SELECT {id_col}, _toks,
+               CAST(len(_toks) AS BIGINT) AS _n
+        FROM toks
+        WHERE len(_toks) > 0
+    ),
+    chunks AS (
+        SELECT {id_col}, _toks, _n, CAST(g.i AS BIGINT) AS chunk_idx
+        FROM sized,
+             LATERAL (SELECT unnest(generate_series(
+                 0,
+                 greatest(CAST(0 AS BIGINT),
+                          (_n - {S} + {T - 1}) // {T})
+             )) AS i) g
+    )
+    SELECT {id_col},
+           chunk_idx,
+           chunk_idx * {T} AS start_token,
+           least(CAST({S} AS BIGINT), _n - chunk_idx * {T}) AS n_tokens,
+           array_to_string(
+               list_slice(_toks,
+                          CAST(chunk_idx * {T} + 1 AS BIGINT),
+                          CAST(chunk_idx * {T} + {S} AS BIGINT)),
+               ' ') AS chunk_text
+    FROM chunks
+    """

@@ -118,3 +118,60 @@ def test_fixed_blocks_partition_layout_invariant(spark):
         )
     )
     assert a == b and a
+
+
+def test_chunk_documents_boundaries(spark):
+    """Hand-checked windows: coverage, overlap, short last chunk, no
+    redundant tail; token-less docs vanish; validation."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    words = " ".join(f"w{i}" for i in range(10))      # 10 tokens
+    rows = [(1, words), (2, "a b c"), (3, "!!! ---"), (4, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_token"], r["n_tokens"],
+         r["chunk_text"])
+        for r in chunk_documents(df, size=4, stride=2).collect()
+    )
+    # doc 1: n=10, S=4, T=2 → 1+ceil(6/2)=4 chunks at 0,2,4,6;
+    # start 8 would be fully covered by the 6..10 chunk and must NOT
+    # appear
+    d1 = [c for c in out if c[0] == 1]
+    assert [(c[1], c[2], c[3]) for c in d1] == [
+        (0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4)]
+    assert d1[0][4] == "w0 w1 w2 w3" and d1[3][4] == "w6 w7 w8 w9"
+    # doc 2: n=3 < S → exactly one (short) chunk
+    assert [c[1:] for c in out if c[0] == 2] == [(0, 0, 3, "a b c")]
+    # doc 3 tokenizes to nothing → vanishes; doc 4: one 1-token chunk
+    assert not [c for c in out if c[0] == 3]
+    assert [c[1:] for c in out if c[0] == 4] == [(0, 0, 1, "solo")]
+    # every token of doc 1 appears in >= 1 chunk (coverage)
+    covered = set()
+    for _, _, s, n, _ in d1:
+        covered.update(range(s, s + n))
+    assert covered == set(range(10))
+    with pytest.raises(ValueError, match=">= 1"):
+        chunk_documents(df, size=0, stride=1)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, size=4, stride=5)
+
+
+def test_chunk_documents_exact_cover_no_overlap(spark):
+    """stride == size degenerates to disjoint fixed blocks."""
+    from aws_dms_cdc_data_pipeline_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(7)))],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r["chunk_idx"], r["start_token"], r["n_tokens"])
+        for r in chunk_documents(df, size=3, stride=3).collect()
+    )
+    assert out == [(0, 0, 3), (1, 3, 3), (2, 6, 1)]
