@@ -154,6 +154,122 @@ def _bm25_adhoc_relations(
     return hits, dl
 
 
+def span_first(
+    docs: DataFrame,
+    term: str,
+    *,
+    end: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-first query — the OpenSearch/Lucene ``span_first``
+    (match a term only within the FIRST ``end`` token positions: the
+    lead-paragraph / title-region constraint the bag-of-terms and
+    phrase shapes cannot express). Returns
+    (id, first_pos, n_in_window) for docs whose token at some
+    position < ``end`` equals ``term``, ordered
+    (n_in_window DESC, id ASC) — the deterministic-tie stance of the
+    term-query family.
+
+    Scale shape: completely EXPLODE-free — one narrow projection per
+    doc (`transform` indexes the token array, `filter` keeps
+    in-window hits, `size`/element_at read the result), all
+    whole-stage-codegen'd; no shuffle at all (the final global sort
+    is on the ≤matched set). The served path is
+    :func:`span_first_indexed`.
+    """
+    if end < 1:
+        raise ValueError("end must be >= 1 (positions are 0-based)")
+    t = term.lower()
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        ).alias("_toks"),
+    )
+    wins = F.filter(
+        F.transform(
+            "_toks",
+            lambda x, i: F.struct(x.alias("t"), i.alias("p")),
+        ),
+        lambda s: (s["t"] == F.lit(t)) & (s["p"] < F.lit(int(end))),
+    )
+    hit = toks.select(
+        F.col(id_col),
+        wins.alias("_w"),
+    ).filter(F.size("_w") > 0)
+    return hit.select(
+        F.col(id_col),
+        F.element_at("_w", 1)["p"].cast("long").alias("first_pos"),
+        F.size("_w").cast("long").alias("n_in_window"),
+    ).orderBy(F.col("n_in_window").desc(), F.col(id_col).asc())
+
+
+def span_first_indexed(
+    spark,
+    pos_table: str,
+    term: str,
+    *,
+    end: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`span_first` served from the materialized positional
+    index (:func:`ensure_position_index`): the term-bucketed
+    (id, term, pos) table bucket-prunes to the ONE probe term, the
+    position predicate cuts the window, and one doc-keyed aggregate
+    finishes — per-query work is the probe term's in-window postings,
+    independent of corpus text. Bit-identical to the ad-hoc path
+    (same tokenizer, same 0-based positions; parity-tested)."""
+    if end < 1:
+        raise ValueError("end must be >= 1 (positions are 0-based)")
+    t = term.lower()
+    hits = spark.table(pos_table).filter(
+        (F.col("term") == F.lit(t)) & (F.col("pos") < F.lit(int(end)))
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.min("pos").cast("long").alias("first_pos"),
+            F.count(F.lit(1)).cast("long").alias("n_in_window"),
+        )
+        .orderBy(F.col("n_in_window").desc(), F.col(id_col).asc())
+    )
+
+
+def span_first_oracle_sql(
+    term: str,
+    *,
+    end: int,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL computing the identical span-first result (same
+    tokenizer, same 0-based positions)."""
+    t = term.lower().replace("'", "''")
+    return f"""
+    WITH dw AS (
+        SELECT {id_col},
+               list_filter(string_split_regex(lower({text_col}),
+                                              '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM {table}
+    ),
+    toks AS (
+        SELECT {id_col}, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS term
+        FROM dw, UNNEST(generate_series(1, len(ws))) AS s(i)
+    )
+    SELECT {id_col},
+           CAST(MIN(pos) AS BIGINT) AS first_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_in_window
+    FROM toks
+    WHERE term = '{t}' AND pos < {int(end)}
+    GROUP BY {id_col}
+    ORDER BY n_in_window DESC, {id_col} ASC
+    """
+
+
 _FSCORE_MODIFIERS = ("none", "sqrt", "square", "reciprocal")
 _FSCORE_BOOST_MODES = ("multiply", "sum", "max", "min", "replace", "avg")
 
@@ -2535,6 +2651,9 @@ __all__ = [
     "phrase_search_indexed",
     "phrase_search_many",
     "refresh_token_index",
+    "span_first",
+    "span_first_indexed",
+    "span_first_oracle_sql",
     "proximity_search",
     "proximity_search_indexed",
     "proximity_search_many",

@@ -1162,3 +1162,53 @@ def test_function_score_validation(spark):
         function_score(df, ["spark"], field_col="weight", modifier="log1p")
     with pytest.raises(ValueError, match="boost_mode"):
         function_score(df, ["spark"], field_col="weight", boost_mode="mul")
+
+
+# --- span_first (term within the first N positions)
+
+
+def test_span_first_semantics(spark):
+    """Window cut, first_pos, in-window counts, case-folding;
+    validation."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        span_first,
+    )
+
+    rows = [
+        (1, "Spark leads: spark spark late spark"),  # pos 0,2,3,5
+        (2, "intro words then spark"),               # pos 3 only
+        (3, "no match here"),
+        (4, "tail only ok fine good spark"),         # pos 5 (outside)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [
+        (r["doc_id"], r["first_pos"], r["n_in_window"])
+        for r in span_first(df, "SPARK", end=4).collect()
+    ]
+    # doc 1: positions 0,2,3 inside [0,4) → 3 hits; doc 2: pos 3 → 1;
+    # doc 4's only hit is at pos 5 → excluded entirely
+    assert out == [(1, 0, 3), (2, 3, 1)]
+    with pytest.raises(ValueError, match="end"):
+        span_first(df, "spark", end=0)
+
+
+def test_span_first_indexed_parity(spark, tmp_path):
+    """Indexed path bit-equal to the ad-hoc path on the same corpus."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_position_index,
+        span_first,
+        span_first_indexed,
+    )
+
+    rows = [
+        (i, f"alpha beta gamma {'spark ' * (i % 4)}delta spark")
+        for i in range(1, 30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = ensure_position_index(spark, df, "t_spanfirst_parity")
+    a = [tuple(r) for r in span_first(df, "spark", end=6).collect()]
+    b = [
+        tuple(r)
+        for r in span_first_indexed(spark, pos, "spark", end=6).collect()
+    ]
+    assert a == b and a
