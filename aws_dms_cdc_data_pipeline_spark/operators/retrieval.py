@@ -1787,6 +1787,165 @@ def weighted_avg(
     )
 
 
+def matrix_stats(
+    hits: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Matrix-stats aggregation — the OpenSearch ``matrix_stats``
+    agg's covariance/correlation surface: for every unordered field
+    pair (x < y in declaration order) the POPULATION covariance and
+    the Pearson correlation over COMPLETE rows (a doc missing ANY of
+    the fields — null/NaN/±inf — drops from the whole matrix, the
+    OpenSearch row-wise contract). Per-field moments are
+    :func:`extended_stats`' job; the pair matrix is what a plain agg
+    cannot express.
+
+    Returns (field_x, field_y, n, mean_x, mean_y, covariance,
+    correlation) ordered by declaration-pair order; ``correlation``
+    is NULL when either side has zero variance.
+
+    Cross-engine determinism: each field quantizes to 6-dp longs;
+    Σx, Σx², Σxy all sum exact in DECIMAL(38,0); covariance and
+    correlation are short IEEE chains over the exact sums, mirrored
+    verbatim in the oracle — the scale factor cancels inside the
+    correlation (both numerator and denominator carry fp², so it is
+    computed in quantized units with no extra rounding steps).
+
+    Execution: ONE scan, ONE 1-row aggregate holding
+    |F| + |F|·(|F|+1)/2 sums (map-side partials carry everything),
+    then a ≤C(|F|,2)-row literal unpivot — corpus-size-independent
+    output.
+    """
+    if len(cols) < 2 or len(set(cols)) != len(cols):
+        raise ValueError("matrix_stats needs >= 2 distinct columns")
+    ok = F.lit(True)
+    for c in cols:
+        v = F.col(c).cast("double")
+        ok = (
+            ok & v.isNotNull() & ~F.isnan(v)
+            & (F.abs(v) != F.lit(float("inf")))
+        )
+    qs = {
+        c: F.when(
+            ok, F.round(F.col(c).cast("double") * _ES_FP, 0)
+        ).cast("decimal(19,0)")
+        for c in cols
+    }
+    aggs = [F.count(qs[cols[0]]).cast("long").alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(qs[c]).cast("decimal(38,0)").alias(f"_s{i}"))
+    pairs = []
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            pairs.append((i, j))
+            aggs.append(
+                F.sum(qs[cols[i]] * qs[cols[j]])
+                .cast("decimal(38,0)")
+                .alias(f"_p{i}_{j}")
+            )
+    row = hits.agg(*aggs)
+    n_d = F.col("_n").cast("double")
+
+    def _cov_q(i, j):
+        return (
+            F.col(f"_p{min(i, j)}_{max(i, j)}").cast("double")
+            - F.col(f"_s{i}").cast("double")
+            * F.col(f"_s{j}").cast("double") / n_d
+        ) / n_d
+
+    out = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            cov_q = _cov_q(i, j)
+            var_i = F.greatest(_cov_q(i, i), F.lit(0.0))
+            var_j = F.greatest(_cov_q(j, j), F.lit(0.0))
+            denom = F.sqrt(var_i * var_j)
+            out.append(
+                F.struct(
+                    F.lit(cols[i]).alias("field_x"),
+                    F.lit(cols[j]).alias("field_y"),
+                    F.col("_n").alias("n"),
+                    (F.col(f"_s{i}").cast("double") / n_d
+                     / F.lit(float(_ES_FP))).alias("mean_x"),
+                    (F.col(f"_s{j}").cast("double") / n_d
+                     / F.lit(float(_ES_FP))).alias("mean_y"),
+                    (cov_q / F.lit(float(_ES_FP) ** 2)).alias("covariance"),
+                    F.when(denom > F.lit(0.0), cov_q / denom)
+                    .alias("correlation"),
+                )
+            )
+    return row.select(
+        F.explode(F.array(*out)).alias("_r")
+    ).select("_r.*")
+
+
+def matrix_stats_oracle_sql(
+    hits_sql: str,
+    cols: list[str],
+) -> str:
+    """DuckDB SQL computing the identical pair matrix (same
+    quantization, same exact decimal sums, same IEEE chains)."""
+    fp = float(_ES_FP)
+    fp2 = fp * fp
+    oks = " AND ".join(
+        f"{c} IS NOT NULL AND NOT isnan(CAST({c} AS DOUBLE)) "
+        f"AND NOT isinf(CAST({c} AS DOUBLE))"
+        for c in cols
+    )
+    qcols = ", ".join(
+        f"CAST(round(CAST({c} AS DOUBLE) * {_ES_FP}, 0) "
+        f"AS DECIMAL(19,0)) AS q{i}"
+        for i, c in enumerate(cols)
+    )
+    sums = ["CAST(COUNT(*) AS BIGINT) AS _n"]
+    for i in range(len(cols)):
+        sums.append(f"CAST(SUM(q{i}) AS DECIMAL(38,0)) AS _s{i}")
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            sums.append(
+                f"CAST(SUM(q{i} * q{j}) AS DECIMAL(38,0)) AS _p{i}_{j}"
+            )
+
+    def cov_q(i, j):
+        a, b = min(i, j), max(i, j)
+        return (
+            f"((CAST(_p{a}_{b} AS DOUBLE) - CAST(_s{i} AS DOUBLE) "
+            f"* CAST(_s{j} AS DOUBLE) / CAST(_n AS DOUBLE)) "
+            f"/ CAST(_n AS DOUBLE))"
+        )
+
+    sel = []
+    k = 0
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            denom = (
+                f"sqrt(greatest({cov_q(i, i)}, CAST(0.0 AS DOUBLE)) "
+                f"* greatest({cov_q(j, j)}, CAST(0.0 AS DOUBLE)))"
+            )
+            sel.append(
+                f"SELECT {k} AS _ord, '{cols[i]}' AS field_x, "
+                f"'{cols[j]}' AS field_y, _n AS n, "
+                f"CAST(_s{i} AS DOUBLE) / CAST(_n AS DOUBLE) "
+                f"/ CAST({fp!r} AS DOUBLE) AS mean_x, "
+                f"CAST(_s{j} AS DOUBLE) / CAST(_n AS DOUBLE) "
+                f"/ CAST({fp!r} AS DOUBLE) AS mean_y, "
+                f"{cov_q(i, j)} / CAST({fp2!r} AS DOUBLE) AS covariance, "
+                f"CASE WHEN {denom} > CAST(0.0 AS DOUBLE) "
+                f"THEN {cov_q(i, j)} / {denom} END AS correlation "
+                f"FROM agg"
+            )
+            k += 1
+    union = "\n    UNION ALL\n    ".join(sel)
+    return f"""
+    WITH hit_rows AS ({hits_sql}),
+    h AS (SELECT {qcols} FROM hit_rows WHERE {oks}),
+    agg AS (SELECT {", ".join(sums)} FROM h)
+    SELECT field_x, field_y, n, mean_x, mean_y, covariance, correlation
+    FROM ({union})
+    ORDER BY _ord
+    """
+
+
 def weighted_avg_oracle_sql(
     hits_sql: str,
     value_col: str,
@@ -1826,6 +1985,8 @@ __all__ = [
     "bucket_sort_oracle_sql",
     "extended_stats",
     "extended_stats_oracle_sql",
+    "matrix_stats",
+    "matrix_stats_oracle_sql",
     "filters_agg",
     "filters_agg_oracle_sql",
     "multi_terms",

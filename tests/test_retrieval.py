@@ -938,3 +938,41 @@ def test_weighted_avg_exact(spark):
     # (1 + 6 + 5) / (1 + 3 + 0.5) = 12 / 4.5
     assert r["weighted_avg"] == 12.0 / 4.5
     assert r["value_count"] == 3
+
+
+def test_matrix_stats_pairs(spark):
+    """Hand-checked covariance/correlation, complete-row drop,
+    zero-variance NULL correlation, validation."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        matrix_stats,
+    )
+
+    # x and y perfectly correlated (y = 2x), z constant; one
+    # incomplete row must drop from the WHOLE matrix
+    rows = [
+        (1.0, 2.0, 5.0),
+        (2.0, 4.0, 5.0),
+        (3.0, 6.0, 5.0),
+        (4.0, None, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {
+        (r["field_x"], r["field_y"]): r
+    for r in matrix_stats(df, ["x", "y", "z"]).collect()
+    }
+    assert set(out) == {("x", "y"), ("x", "z"), ("y", "z")}
+    xy = out[("x", "y")]
+    # complete rows: (1,2),(2,4),(3,6) → mean 2/4, pop cov = 4/3
+    assert xy["n"] == 3
+    assert xy["mean_x"] == 2.0 and xy["mean_y"] == 4.0
+    assert abs(xy["covariance"] - 4.0 / 3.0) < 1e-9
+    assert abs(xy["correlation"] - 1.0) < 1e-12
+    # constant z: zero variance → correlation NULL, covariance 0
+    assert out[("x", "z")]["correlation"] is None
+    assert out[("x", "z")]["covariance"] == 0.0
+    with pytest.raises(ValueError, match="distinct"):
+        matrix_stats(df, ["x"])
+    with pytest.raises(ValueError, match="distinct"):
+        matrix_stats(df, ["x", "x"])
