@@ -1233,6 +1233,168 @@ def bucket_script_selector_oracle_sql(
     """
 
 
+def sibling_bucket_stats(
+    buckets: DataFrame,
+    *,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Sibling pipeline aggregations — the OpenSearch ``max_bucket`` /
+    ``min_bucket`` / ``avg_bucket`` / ``sum_bucket`` / ``stats_bucket``
+    aggs in one pass: given a multi-bucket parent agg's (key, metric)
+    rows, return ONE row with the bucket count, the metric's exact sum
+    / min / max, the mean, and the key set attaining the min and max
+    (OpenSearch's ``keys`` array — max_bucket/min_bucket report EVERY
+    bucket tied at the extreme, which is why the key outputs are
+    sorted space-joined strings, not single keys).
+
+    Determinism: the metric is an exact long (the all-long bucket
+    contract shared with :func:`histogram_pipeline`), so sum/min/max
+    are exact and the mean is the single long/long double division;
+    the key lists sort lexicographically before joining.
+
+    Execution: the input is a parent aggregation's bucket set —
+    ≤ target_buckets rows by construction — so this is one bounded
+    single-task aggregate over already-aggregated data, never the
+    corpus (the same bounded-result contract as the pipeline-agg
+    family); the tie sets ride along as conditional collect_list
+    rebuilt per extreme, still within the one aggregate.
+    """
+    k = F.col(key_col).cast("string")
+    v = F.col(value_col).cast("long")
+    agg = buckets.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(v).cast("long").alias("sum_v"),
+        F.min(v).cast("long").alias("min_v"),
+        F.max(v).cast("long").alias("max_v"),
+        (
+            F.sum(v).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_v"),
+        F.collect_list(F.struct(v.alias("v"), k.alias("k"))).alias("_kv"),
+    )
+    keys_at = lambda extreme: F.array_join(  # noqa: E731
+        F.array_sort(
+            F.transform(
+                F.filter(F.col("_kv"), lambda s: s["v"] == F.col(extreme)),
+                lambda s: s["k"],
+            )
+        ),
+        " ",
+    )
+    return agg.select(
+        "n_buckets",
+        "sum_v",
+        "min_v",
+        "max_v",
+        "avg_v",
+        keys_at("min_v").alias("min_keys"),
+        keys_at("max_v").alias("max_keys"),
+    )
+
+
+def sibling_bucket_stats_oracle_sql(
+    buckets_sql: str,
+    *,
+    key_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB SQL computing the identical one-row sibling stats over
+    ``buckets_sql`` (a query yielding the parent agg's buckets)."""
+    return f"""
+    WITH b AS ({buckets_sql}),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                 CAST(SUM({value_col}) AS BIGINT) AS sum_v,
+                 CAST(MIN({value_col}) AS BIGINT) AS min_v,
+                 CAST(MAX({value_col}) AS BIGINT) AS max_v,
+                 CAST(SUM({value_col}) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS avg_v
+          FROM b)
+    SELECT s.*,
+           (SELECT string_agg(CAST({key_col} AS VARCHAR), ' '
+                              ORDER BY CAST({key_col} AS VARCHAR))
+            FROM b WHERE {value_col} = s.min_v) AS min_keys,
+           (SELECT string_agg(CAST({key_col} AS VARCHAR), ' '
+                              ORDER BY CAST({key_col} AS VARCHAR))
+            FROM b WHERE {value_col} = s.max_v) AS max_keys
+    FROM s
+    """
+
+
+def serial_diff_normalize(
+    hist: DataFrame,
+    *,
+    value_col: str = "n_hits",
+    order_col: str = "bucket_start",
+    lag: int = 1,
+) -> DataFrame:
+    """``serial_diff`` + ``normalize`` pipeline aggregations — the two
+    remaining parent-pipeline aggs after E153/E163: ``serial_diff``
+    is the lag-N difference (seasonal differencing — null for the
+    first N buckets, the OpenSearch omit-short contract; lag=1
+    reduces to ``derivative``), and ``normalize`` rescales the bucket
+    metric with the ``percent_of_sum`` and ``range`` (0-1 min-max)
+    methods.
+
+    Determinism: the metric is an exact long, so the lag-N delta is
+    exact; percent_of_sum is one long/long double division per bucket
+    and range is one (long-long)/(long-long) division; a zero-width
+    range yields NULL on both engines (0/0 guarded to NULL, the
+    OpenSearch single-bucket behavior).
+
+    Execution: the input is a histogram — ≤ target_buckets rows by
+    construction — so the unpartitioned order window and the 1-row
+    global-extremes aggregate are bounded single-task passes over
+    already-aggregated data, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    if lag < 1:
+        raise ValueError("serial_diff_normalize needs lag >= 1")
+    v = F.col(value_col).cast("long")
+    w_lag = Window.orderBy(order_col)
+    w_all = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    total = F.sum(v).over(w_all).cast("long")
+    lo = F.min(v).over(w_all).cast("long")
+    hi = F.max(v).over(w_all).cast("long")
+    return hist.select(
+        *hist.columns,
+        (v - F.lag(v, lag).over(w_lag)).cast("long").alias("serial_diff"),
+        (v.cast("double") / total.cast("double")).alias("percent_of_sum"),
+        F.when(
+            hi > lo,
+            (v - lo).cast("double") / (hi - lo).cast("double"),
+        ).alias("range_norm"),
+    )
+
+
+def serial_diff_normalize_oracle_sql(
+    hist_sql: str,
+    *,
+    value_col: str = "n_hits",
+    order_col: str = "bucket_start",
+    lag: int = 1,
+) -> str:
+    """DuckDB SQL computing the identical serial_diff + normalize
+    columns over ``hist_sql`` (a query yielding the histogram rows)."""
+    return f"""
+    WITH h AS ({hist_sql})
+    SELECT h.*,
+           CAST({value_col} - lag({value_col}, {lag})
+                    OVER (ORDER BY {order_col}) AS BIGINT) AS serial_diff,
+           CAST({value_col} AS DOUBLE)
+               / CAST(SUM({value_col}) OVER () AS DOUBLE)
+               AS percent_of_sum,
+           CASE WHEN MAX({value_col}) OVER () > MIN({value_col}) OVER ()
+                THEN CAST({value_col} - MIN({value_col}) OVER () AS DOUBLE)
+                     / CAST(MAX({value_col}) OVER ()
+                            - MIN({value_col}) OVER () AS DOUBLE)
+           END AS range_norm
+    FROM h
+    """
+
+
 def filters_agg(
     hits: DataFrame,
     filters: list[tuple],

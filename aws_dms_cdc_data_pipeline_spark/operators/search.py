@@ -1007,6 +1007,262 @@ def wildcard_oracle_sql(
     """
 
 
+def terms_set_search(
+    spark,
+    idx_table: str,
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    msm_expr: str,
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Terms-set query — the OpenSearch ``terms_set`` query with
+    ``minimum_should_match_field``: docs containing at least a
+    PER-DOCUMENT number of the probe terms, where the required count
+    is an expression over the document's own attributes (the shape a
+    plain bool/should with a constant ``minimum_should_match`` cannot
+    express — e.g. long documents must match more terms than short
+    ones). Ranked by (n_matched DESC, total_tf DESC, id ASC) — the
+    deterministic analogue of OpenSearch's sum-of-matching-term
+    scores — with the sorted matching-term set per doc.
+
+    ``msm_expr`` is a SQL expression over the docs relation's columns
+    in the engine-portable subset (arithmetic, comparisons, CASE —
+    mirrored verbatim in the oracle). A required count above
+    ``len(terms)`` is unsatisfiable for that doc (OpenSearch
+    contract); a count ≤ 1 degrades to plain term-bag matching.
+
+    Returns (id, terms array<string>, n_matched, total_tf, required,
+    rank).
+
+    Scale shape: the probe terms enter as an ``isin`` literal so the
+    term-bucketed index read prunes to the matching buckets; one
+    doc-keyed aggregate over the ≤|terms|-per-doc hit rows follows,
+    and the required count attaches via ONE id-keyed join moving only
+    (id, required) pairs — never text (the function_score field
+    attach shape). The rank window runs after the top-k cut.
+    """
+    probe = sorted({t.lower() for t in terms})
+    if not probe:
+        raise ValueError("terms_set_search needs at least one term")
+    hits = spark.table(idx_table).filter(F.col("term").isin(probe))
+    per_doc = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("term")).alias("terms"),
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    req = docs.select(
+        F.col(id_col), F.expr(msm_expr).cast("long").alias("required")
+    )
+    ranked = (
+        per_doc.join(req, id_col)
+        .filter(F.col("n_matched") >= F.col("required"))
+        .orderBy(
+            F.col("n_matched").desc(),
+            F.col("total_tf").desc(),
+            F.col(id_col).asc(),
+        )
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("n_matched").desc(),
+        F.col("total_tf").desc(),
+        F.col(id_col).asc(),
+    )
+    return ranked.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(id_col, "terms", "n_matched", "total_tf", "required", "rank")
+
+
+def terms_set_oracle_sql(
+    terms: list[str],
+    *,
+    msm_expr: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> str:
+    """DuckDB SQL computing the identical terms-set ranking."""
+    probe = sorted({t.lower() for t in terms})
+    in_list = ", ".join(f"'{t}'" for t in probe)
+    return f"""
+    WITH tok AS (
+        SELECT {id_col}, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM {table},
+             LATERAL (SELECT unnest(string_split_regex(lower({text_col}),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+        GROUP BY {id_col}, t.term
+    ),
+    hits AS (SELECT * FROM tok WHERE term IN ({in_list})),
+    per_doc AS (
+        SELECT {id_col},
+               list_sort(list(term)) AS terms,
+               CAST(COUNT(*) AS BIGINT) AS n_matched,
+               CAST(SUM(tf) AS BIGINT) AS total_tf
+        FROM hits GROUP BY {id_col}
+    ),
+    req AS (SELECT {id_col}, CAST({msm_expr} AS BIGINT) AS required
+            FROM {table}),
+    ranked AS (
+        SELECT p.{id_col}, p.terms, p.n_matched, p.total_tf, r.required
+        FROM per_doc p JOIN req r USING ({id_col})
+        WHERE p.n_matched >= r.required
+        ORDER BY p.n_matched DESC, p.total_tf DESC, p.{id_col} ASC
+        LIMIT {top_k}
+    )
+    SELECT {id_col}, terms, n_matched, total_tf, required,
+           CAST(row_number() OVER (ORDER BY n_matched DESC, total_tf DESC,
+                                   {id_col} ASC) AS BIGINT) AS rank
+    FROM ranked
+    """
+
+
+def boosting_search(
+    docs: DataFrame,
+    positive_terms: list[str],
+    negative_terms: list[str],
+    *,
+    negative_boost: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Boosting query — the OpenSearch ``boosting`` compound query
+    (demote-without-excluding: docs matching the positive query rank
+    by BM25, and docs ALSO matching the negative query keep their
+    hit but have the score multiplied by ``negative_boost`` < 1 —
+    where bool/must_not would drop them entirely, the Discover
+    "prefer docs not about X" shape).
+
+    Demotion re-ranks, so it applies to the FULL positive-matched set
+    before any cut (the uncut :func:`_bm25_scores` path, the
+    function_score precedent — cutting first would drop docs that
+    out-rank demoted ones). The demotion itself is ONE IEEE multiply
+    on the quantized-exact BM25 double → bit-identical cross-engine.
+
+    Returns (id, base_score, n_terms_hit, negated, score) ordered by
+    (score DESC, id ASC), top_k.
+
+    Scale shape: one tokenization serves both legs — the pruned
+    explode emits positive ∪ negative term occurrences only, the
+    positive subset feeds the BM25 stats (df computed on the positive
+    rows alone, so stats are untouched by the negative leg) and the
+    negative subset reduces to a distinct id set attached via one
+    id-keyed join moving only ids.
+    """
+    if not positive_terms:
+        raise ValueError("boosting_search needs at least one positive term")
+    if not negative_terms:
+        raise ValueError("boosting_search needs at least one negative term")
+    if not (0.0 <= negative_boost <= 1.0):
+        raise ValueError("negative_boost must be in [0, 1]")
+    pos = sorted({t.lower() for t in positive_terms})
+    neg = sorted({t.lower() for t in negative_terms})
+    both = sorted(set(pos) | set(neg))
+    hits, dl = _bm25_adhoc_relations(
+        docs, both, text_col=text_col, id_col=id_col
+    )
+    scores = _bm25_scores(
+        hits.filter(F.col("term").isin(pos)), dl, id_col=id_col, k1=k1, b=b
+    )
+    neg_ids = (
+        hits.filter(F.col("term").isin(neg))
+        .select(id_col)
+        .distinct()
+        .withColumn("_neg", F.lit(True))
+    )
+    joined = scores.join(neg_ids, id_col, "left")
+    negated = F.coalesce(F.col("_neg"), F.lit(False))
+    return (
+        joined.select(
+            F.col(id_col),
+            F.col("score").alias("base_score"),
+            F.col("n_terms_hit"),
+            negated.alias("negated"),
+            F.when(
+                negated, F.col("score") * F.lit(float(negative_boost))
+            ).otherwise(F.col("score")).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def boosting_oracle_sql(
+    positive_terms: list[str],
+    negative_terms: list[str],
+    *,
+    negative_boost: float = 0.5,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> str:
+    """DuckDB SQL computing the identical boosting-query ranking
+    (same quantized-exact BM25 over the positive leg, same single
+    IEEE demotion multiply)."""
+    pos = sorted({t.lower() for t in positive_terms})
+    neg = sorted({t.lower() for t in negative_terms})
+    pos_list = ", ".join(f"'{t}'" for t in pos)
+    neg_list = ", ".join(f"'{t}'" for t in neg)
+    return f"""
+    WITH tok AS (
+        SELECT {id_col}, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM {table},
+             LATERAL (SELECT unnest(string_split_regex(lower({text_col}),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+        GROUP BY {id_col}, t.term
+    ),
+    dl AS (SELECT {id_col}, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tok GROUP BY {id_col}),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+    hits AS (SELECT * FROM tok WHERE term IN ({pos_list})),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM hits GROUP BY term),
+    contrib AS (
+        SELECT h.{id_col},
+               CAST(round(
+                   ((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * ((h.tf * ({k1} + 1)) /
+                      (h.tf + {k1} * ((1 - {b}) + {b} * l.dl
+                                      / (CAST(s.total_dl AS DOUBLE) / s.n_docs))))
+                   * 1000000, 0) AS BIGINT) AS cq
+        FROM hits h JOIN dfs d USING (term)
+                    JOIN dl l USING ({id_col})
+                    CROSS JOIN stats s
+    ),
+    bm25 AS (
+        SELECT {id_col},
+               CAST(CAST(SUM(cq) AS DECIMAL(38,0)) / 1000000 AS DOUBLE)
+                   AS base_score,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM contrib
+        GROUP BY {id_col}
+    ),
+    negdocs AS (SELECT DISTINCT {id_col} FROM tok
+                WHERE term IN ({neg_list}))
+    SELECT b2.{id_col}, b2.base_score, b2.n_terms_hit,
+           (n.{id_col} IS NOT NULL) AS negated,
+           CASE WHEN n.{id_col} IS NOT NULL
+                THEN b2.base_score * CAST({float(negative_boost)!r} AS DOUBLE)
+                ELSE b2.base_score END AS score
+    FROM bm25 b2 LEFT JOIN negdocs n USING ({id_col})
+    ORDER BY score DESC, b2.{id_col} ASC
+    LIMIT {top_k}
+    """
+
+
 def multi_match(
     docs: DataFrame,
     query_terms: list[str],

@@ -976,3 +976,64 @@ def test_matrix_stats_pairs(spark):
         matrix_stats(df, ["x"])
     with pytest.raises(ValueError, match="distinct"):
         matrix_stats(df, ["x", "x"])
+
+
+def test_sibling_bucket_stats_extremes_and_ties(spark):
+    """One-row sibling stats: exact sum/min/max, single-division
+    mean, and the SORTED key sets at each extreme (OpenSearch
+    max_bucket/min_bucket report every tied bucket)."""
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        sibling_bucket_stats,
+    )
+
+    rows = [("b", 9), ("a", 5), ("c", 5), ("d", 9), ("e", 7)]
+    df = spark.createDataFrame(rows, "day string, n_hits long")
+    out = sibling_bucket_stats(df, key_col="day", value_col="n_hits").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_buckets"], r["sum_v"], r["min_v"], r["max_v"]) == (5, 35, 5, 9)
+    assert r["avg_v"] == 7.0
+    assert r["min_keys"] == "a c"
+    assert r["max_keys"] == "b d"
+
+
+def test_serial_diff_normalize_semantics(spark):
+    """Lag-N differencing (null-prefixed), percent_of_sum and 0-1
+    range normalization; zero-width range -> NULL; lag=1 reduces to
+    the derivative; validation."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        histogram_pipeline,
+        serial_diff_normalize,
+    )
+
+    rows = [("d1", 2), ("d2", 4), ("d3", 8), ("d4", 2)]
+    df = spark.createDataFrame(rows, "bucket_start string, n_hits long")
+    out = serial_diff_normalize(
+        df, value_col="n_hits", order_col="bucket_start", lag=2
+    ).orderBy("bucket_start").collect()
+    assert [r["serial_diff"] for r in out] == [None, None, 6, -2]
+    assert [r["percent_of_sum"] for r in out] == [
+        2 / 16, 4 / 16, 8 / 16, 2 / 16
+    ]
+    assert [r["range_norm"] for r in out] == [0.0, 2 / 6, 1.0, 0.0]
+    # lag=1 == the E153 derivative on the same input
+    d1 = [
+        r["serial_diff"]
+        for r in serial_diff_normalize(df, lag=1).orderBy("bucket_start").collect()
+    ]
+    d2 = [
+        r["derivative"]
+        for r in histogram_pipeline(df).orderBy("bucket_start").collect()
+    ]
+    assert d1 == d2
+    # constant metric: zero-width range -> NULL everywhere
+    flat = spark.createDataFrame(
+        [("d1", 3), ("d2", 3)], "bucket_start string, n_hits long"
+    )
+    assert [
+        r["range_norm"] for r in serial_diff_normalize(flat).collect()
+    ] == [None, None]
+    with pytest.raises(ValueError, match="lag"):
+        serial_diff_normalize(df, lag=0)

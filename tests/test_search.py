@@ -1212,3 +1212,84 @@ def test_span_first_indexed_parity(spark, tmp_path):
         for r in span_first_indexed(spark, pos, "spark", end=6).collect()
     ]
     assert a == b and a
+
+
+def test_terms_set_per_doc_required_count(spark):
+    """terms_set with minimum_should_match_field: the required match
+    count is per-document; unsatisfiable counts drop the doc; ranking
+    is (n_matched, total_tf, id); validation."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+        terms_set_search,
+    )
+
+    rows = [
+        (1, "a b", 2),       # 2 matched >= 2 -> kept
+        (2, "a b c", 3),     # 3 matched >= 3 -> kept, ranks first
+        (3, "a a a b", 3),   # only {a,b} matched, 2 < 3 -> dropped
+        (4, "c", 2),         # 1 < 2 -> dropped
+        (5, "a b", 5),       # required > |terms| -> unsatisfiable
+        (6, "a b b", 2),     # 2 matched, tf 3 -> out-ranks doc 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, req long")
+    idx, _ = ensure_token_index(spark, docs, "t_terms_set_planted")
+    out = terms_set_search(
+        spark, idx, docs, ["a", "b", "c"], msm_expr="req", top_k=10
+    ).collect()
+    assert [
+        (r["doc_id"], r["n_matched"], r["total_tf"], r["required"], r["rank"])
+        for r in out
+    ] == [(2, 3, 3, 3, 1), (6, 2, 3, 2, 2), (1, 2, 2, 2, 3)]
+    assert out[0]["terms"] == ["a", "b", "c"]
+    with pytest.raises(ValueError, match="term"):
+        terms_set_search(spark, idx, docs, [], msm_expr="req")
+
+
+def test_boosting_demotes_without_excluding(spark):
+    """boosting keeps negative-matching docs at score x negative_boost
+    (must_not would drop them); demotion applies before the cut; a
+    doc clean of the negative leg scores exactly its bm25_search
+    score; validation."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bm25_search,
+        boosting_search,
+    )
+
+    # equal document lengths (dl=5) so tf alone orders the bases:
+    # base 2 > base 1 > base 3
+    rows = [
+        (1, "apple apple apple pad pad"),
+        (2, "apple apple apple apple sour"),
+        (3, "apple pad pad pad pad"),
+        (4, "banana pad pad pad pad"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boosting_search(
+        docs, ["apple"], ["sour"], negative_boost=0.5, top_k=10
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {1, 2, 3}          # doc 4: no positive match
+    assert by_id[2]["negated"] and not by_id[1]["negated"]
+    # demoted doc keeps exactly half its base score (0.5 is an exact
+    # IEEE multiply), and the demotion reorders: 2's base beats 1's,
+    # but halved it falls below even the weakest clean hit
+    assert by_id[2]["score"] == by_id[2]["base_score"] * 0.5
+    assert by_id[2]["base_score"] > by_id[1]["base_score"]
+    assert [r["doc_id"] for r in out] == [1, 3, 2]
+    # clean docs score bit-identically to plain bm25 over the corpus
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(docs, ["apple"], top_k=10).collect()
+    }
+    assert by_id[1]["score"] == plain[1]
+    assert by_id[3]["score"] == plain[3]
+    with pytest.raises(ValueError, match="positive"):
+        boosting_search(docs, [], ["sour"])
+    with pytest.raises(ValueError, match="negative term"):
+        boosting_search(docs, ["apple"], [])
+    with pytest.raises(ValueError, match="negative_boost"):
+        boosting_search(docs, ["apple"], ["sour"], negative_boost=1.5)
