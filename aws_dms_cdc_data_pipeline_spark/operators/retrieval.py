@@ -37,8 +37,13 @@ beyond broadcast literals.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# the engine-wide tokenizer boundary (operators/search.py contract)
+_SPLIT_RE = _re.compile(r"[^a-z0-9]+")
 
 _FP = 1_000_000  # 6-decimal fixed point (shared with operators/search.py)
 
@@ -323,6 +328,263 @@ def spell_suggest(
             "distance", "df",
         )
     )
+
+
+def phrase_suggest(
+    spark,
+    idx_table: str,
+    docs: DataFrame,
+    phrase: str,
+    *,
+    max_edit: int = 1,
+    max_candidates: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+) -> DataFrame:
+    """Phrase suggester — the OpenSearch ``phrase`` suggester ("did
+    you mean" over WHOLE phrases, where :func:`spell_suggest` is the
+    per-term ``term`` suggester): per-position candidate terms come
+    from the vocabulary within ``max_edit`` Levenshtein edits
+    (expansion order (distance, df DESC, term) — the fuzzy/term-
+    suggester contract, the input term itself qualifying at distance
+    0), and every candidate PHRASE (the per-position cross product)
+    is scored by a Laplace-smoothed bigram language model over the
+    corpus: ``score = Π (count(wᵢ₋₁,wᵢ) + 1)`` — the ranking the
+    OpenSearch phrase suggester's Stupid-Backoff/Laplace smoothing
+    family computes shard-side. Ranked (score DESC, suggestion ASC).
+
+    Determinism: bigram counts are exact longs; each ``count + 1``
+    is an exactly-represented double and the product multiplies in
+    FIXED position order (pos-sorted fold, mirrored by the oracle's
+    left-parenthesized chain) — identical correctly-rounded IEEE
+    sequences on both engines. A position with no candidate within
+    ``max_edit`` yields NO suggestions (cross-product over an empty
+    set — the OpenSearch empty-options analogue).
+
+    Returns (suggestion, total_edits, score, rank), top_k.
+
+    Scale shape: candidate generation is the spell_suggest scan —
+    df-per-term over the term-bucketed index (shuffle-free), k
+    broadcast query rows, length-band + JVM ``levenshtein`` cut, one
+    bounded collect of ≤ k·max_candidates winners (the fuzzy
+    max_expansions precedent). Bigram counting prunes INSIDE the
+    token array before exploding (the _bm25_adhoc_relations pattern:
+    only adjacent pairs whose BOTH sides are candidate terms fan
+    out — ≤ (k−1)·max_candidates² distinct keys, corpus positions
+    only for matching pairs). The ≤ max_candidates^k suggestion
+    relation is driver-built and broadcast; a served deployment
+    materializes the bigram counts as an index the way
+    ensure_token_index does terms.
+    """
+    import itertools
+
+    words = [w for w in _SPLIT_RE.split(phrase.lower()) if w]
+    if len(words) < 2:
+        raise ValueError(
+            "phrase_suggest needs a phrase of >= 2 terms (the term "
+            "suggester spell_suggest covers single terms)"
+        )
+    if max_edit < 0 or max_candidates < 1:
+        raise ValueError("max_edit >= 0 and max_candidates >= 1 required")
+    from pyspark.sql import Window
+
+    k = len(words)
+    out_schema = (
+        "suggestion string, total_edits long, score double, rank long"
+    )
+    pos_rel = spark.createDataFrame(
+        list(enumerate(words)), "pos long, query_term string"
+    )
+    vocab = (
+        spark.table(idx_table)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    cand = (
+        vocab.crossJoin(F.broadcast(pos_rel))
+        .filter(
+            F.abs(F.length("term") - F.length("query_term")) <= max_edit
+        )
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col("term"), F.col("query_term")).cast("long"),
+        )
+        .filter(F.col("distance") <= max_edit)
+    )
+    w_pos = Window.partitionBy("pos").orderBy(
+        F.col("distance").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    # bounded collect: <= k * max_candidates rows (fuzzy precedent)
+    picked = (
+        cand.withColumn("_r", F.row_number().over(w_pos))
+        .filter(F.col("_r") <= max_candidates)
+        .select("pos", "term", "distance")
+        .collect()
+    )
+    by_pos: dict = {i: [] for i in range(k)}
+    for r in picked:
+        by_pos[r["pos"]].append((r["term"], r["distance"]))
+    if any(not by_pos[i] for i in range(k)):
+        return spark.createDataFrame([], out_schema)
+
+    sug_rows, pair_rows = [], []
+    for combo in itertools.product(*(by_pos[i] for i in range(k))):
+        sug = " ".join(t for t, _ in combo)
+        sug_rows.append((sug, sum(d for _, d in combo)))
+        for i in range(1, k):
+            pair_rows.append((sug, i, combo[i - 1][0], combo[i][0]))
+    sug_df = spark.createDataFrame(
+        sug_rows, "suggestion string, total_edits long"
+    )
+    pairs = spark.createDataFrame(
+        pair_rows, "suggestion string, pos long, w1 string, w2 string"
+    )
+    prev_set = sorted({p[2] for p in pair_rows})
+    cur_set = sorted({p[3] for p in pair_rows})
+
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    arr = F.col("_toks")
+    adj = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 1),
+        lambda i: F.struct(
+            F.element_at(arr, i).alias("w1"),
+            F.element_at(arr, i + 1).alias("w2"),
+        ),
+    )
+    bg = (
+        fan_out_scan(docs.select(text_col))
+        .select(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            ).alias("_toks")
+        )
+        .filter(F.size(arr) >= 2)
+        .select(
+            F.explode(
+                F.filter(
+                    adj,
+                    lambda p: p["w1"].isin(prev_set)
+                    & p["w2"].isin(cur_set),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    scored = (
+        F.broadcast(pairs)
+        .join(bg, ["w1", "w2"], "left")
+        .withColumn(
+            "cnt1",
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double"),
+        )
+        .groupBy("suggestion")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("cnt1")))
+                ),
+                F.lit(1.0),
+                lambda acc, s: acc * s["cnt1"],
+            ).alias("score")
+        )
+    )
+    ranked = (
+        scored.join(F.broadcast(sug_df), "suggestion")
+        .orderBy(F.col("score").desc(), F.col("suggestion").asc())
+        .limit(top_k)
+    )
+    w_rank = Window.orderBy(
+        F.col("score").desc(), F.col("suggestion").asc()
+    )
+    return ranked.withColumn(
+        "rank", F.row_number().over(w_rank).cast("long")
+    ).select("suggestion", "total_edits", "score", "rank")
+
+
+def phrase_suggest_oracle_sql(
+    phrase: str,
+    *,
+    max_edit: int = 1,
+    max_candidates: int = 5,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+) -> str:
+    """DuckDB SQL computing the identical phrase suggestions (same
+    per-position expansion order, same left-parenthesized Laplace
+    bigram product)."""
+    words = [w for w in _SPLIT_RE.split(phrase.lower()) if w]
+    k = len(words)
+    assert k >= 2
+    split = (
+        f"list_filter(string_split_regex(lower({text_col}), "
+        f"'[^a-z0-9]+'), x -> x <> '')"
+    )
+    cand_ctes = []
+    for i, wrd in enumerate(words):
+        lit = wrd.replace("'", "''")
+        cand_ctes.append(f"""
+    cand{i} AS (
+        SELECT term, levenshtein(term, '{lit}') AS dist FROM vocab
+        WHERE abs(length(term) - {len(wrd)}) <= {max_edit}
+          AND levenshtein(term, '{lit}') <= {max_edit}
+        ORDER BY dist ASC, df DESC, term ASC
+        LIMIT {max_candidates}
+    )""")
+    sug_terms = " || ' ' || ".join(f"c{i}.term" for i in range(k))
+    total = " + ".join(f"c{i}.dist" for i in range(k))
+    crosses = " CROSS JOIN ".join(f"cand{i} c{i}" for i in range(k))
+    bg_joins, score = [], None
+    for i in range(1, k):
+        bg_joins.append(
+            f"LEFT JOIN bg b{i} ON b{i}.w1 = s.t{i - 1} "
+            f"AND b{i}.w2 = s.t{i}"
+        )
+        factor = f"CAST(COALESCE(b{i}.c, 0) + 1 AS DOUBLE)"
+        score = factor if score is None else f"({score} * {factor})"
+    t_cols = ", ".join(f"c{i}.term AS t{i}" for i in range(k))
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS id, t.term, t.ord
+        FROM {table},
+             LATERAL (SELECT unnest({split}) AS term,
+                             generate_subscripts({split}, 1) AS ord) t
+    ),
+    vocab AS (SELECT term, CAST(COUNT(DISTINCT id) AS BIGINT) AS df
+              FROM toks GROUP BY term),
+    {", ".join(cand_ctes)},
+    sugg AS (
+        SELECT {sug_terms} AS suggestion, {t_cols},
+               CAST({total} AS BIGINT) AS total_edits
+        FROM {crosses}
+    ),
+    bg AS (
+        SELECT a.term AS w1, b.term AS w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks a JOIN toks b ON a.id = b.id AND b.ord = a.ord + 1
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT s.suggestion, s.total_edits, {score} AS score
+        FROM sugg s {" ".join(bg_joins)}
+    ),
+    cut AS (
+        SELECT * FROM scored
+        ORDER BY score DESC, suggestion ASC
+        LIMIT {top_k}
+    )
+    SELECT suggestion, total_edits, score,
+           CAST(row_number() OVER (ORDER BY score DESC, suggestion ASC)
+                AS BIGINT) AS rank
+    FROM cut
+    """
 
 
 def retrieval_eval(

@@ -7504,6 +7504,45 @@ def search_serial_diff_q(spark, sf_dir):
     )
 
 
+def _phrase_suggest_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        phrase_suggest_oracle_sql,
+    )
+
+    return phrase_suggest_oracle_sql(
+        "cart sor tble", max_edit=2, max_candidates=5, top_k=10
+    )
+
+
+@q(
+    "phrase_suggest_docs",
+    _phrase_suggest_oracle(),
+    "Phrase suggester — the OpenSearch phrase suggester (did-you-mean "
+    "over WHOLE phrases, where spell_suggest is the per-term term "
+    "suggester): per-position vocabulary candidates within 2 edits "
+    "(cart->part/fast/sort, sor->sort/row/slow, tble->table/the — an "
+    "18-phrase cross product, so the probe exercises real LM "
+    "ranking), "
+    "every candidate phrase scored by a Laplace-smoothed bigram LM "
+    "over the corpus — exact long counts, the product multiplied in "
+    "fixed position order so both engines walk identical IEEE "
+    "sequences. Candidate scan is the shuffle-free df-per-term index "
+    "aggregate; bigram counting prunes inside the token array before "
+    "exploding (operators/retrieval.py:phrase_suggest).",
+)
+def phrase_suggest_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        phrase_suggest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx_t, _ = _token_index_for(spark, sf_dir)
+    return phrase_suggest(
+        spark, idx_t, docs, "cart sor tble",
+        max_edit=2, max_candidates=5, top_k=10,
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r12 window = the 17 queries that have NEVER
@@ -7564,6 +7603,7 @@ _R12_WINDOW = [
     "boosting_search_docs",
     "search_sibling_buckets",
     "search_serial_diff",
+    "phrase_suggest_docs",
     # code/oracle changed in r12
     "rare_terms_docs",
     "range_agg_event_values",
@@ -7592,7 +7632,6 @@ _R12_WINDOW = [
     "temperature_mixture_sample",
     "text_lang_id",
     "text_quality_scores",
-    "tfidf_top_terms_indexed",
     "training_export_wide",
     "window_rank_orders",
 ]

@@ -1037,3 +1037,66 @@ def test_serial_diff_normalize_semantics(spark):
     ] == [None, None]
     with pytest.raises(ValueError, match="lag"):
         serial_diff_normalize(df, lag=0)
+
+
+def test_phrase_suggest_bigram_lm_ranking(spark):
+    """Hand-checked Laplace bigram LM over candidate phrases: the
+    attested bigram out-ranks the unattested one; k=3 multiplies in
+    position order; empty candidate positions yield no suggestions;
+    validation."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        phrase_suggest,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+    )
+
+    rows = [
+        (1, "steam table steam table"),
+        (2, "stream table stream join stream join"),
+        (3, "steam tab"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx, _ = ensure_token_index(spark, docs, "t_phrase_sugg_planted")
+
+    # pos0 candidates (d=1): steam (df 2) before stream (df 1);
+    # bigram counts: (steam,table)=2, (stream,table)=1
+    out = phrase_suggest(
+        spark, idx, docs, "stram table", max_edit=1, top_k=10
+    ).collect()
+    assert [(r["suggestion"], r["total_edits"], r["score"], r["rank"])
+            for r in out] == [
+        ("steam table", 1, 3.0, 1),
+        ("stream table", 1, 2.0, 2),
+    ]
+    # unattested bigram keeps the Laplace floor and loses:
+    # (stream,join)=2 -> 3.0 ; (steam,join)=0 -> 1.0
+    out2 = phrase_suggest(
+        spark, idx, docs, "stram join", max_edit=1, top_k=10
+    ).collect()
+    assert [(r["suggestion"], r["score"]) for r in out2] == [
+        ("stream join", 3.0), ("steam join", 1.0),
+    ]
+    # k=3: product in position order; (table,steam)=1, (table,stream)=1
+    # -> 3*2=6, 3*2=6, 2*2=4, 2*2=4, ties break on suggestion ASC
+    out3 = phrase_suggest(
+        spark, idx, docs, "stram table stram", max_edit=1, top_k=10
+    ).collect()
+    assert [(r["suggestion"], r["score"]) for r in out3] == [
+        ("steam table steam", 6.0),
+        ("steam table stream", 6.0),
+        ("stream table steam", 4.0),
+        ("stream table stream", 4.0),
+    ]
+    # a position with no candidate within max_edit -> no suggestions
+    empty = phrase_suggest(
+        spark, idx, docs, "zzzzzz table", max_edit=1, top_k=10
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["suggestion", "total_edits", "score", "rank"]
+    with pytest.raises(ValueError, match=">= 2 terms"):
+        phrase_suggest(spark, idx, docs, "steam")
+    with pytest.raises(ValueError, match="max_edit"):
+        phrase_suggest(spark, idx, docs, "a b", max_edit=-1)
