@@ -1657,6 +1657,185 @@ def serial_diff_normalize_oracle_sql(
     """
 
 
+def cumulative_cardinality(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """``cumulative_cardinality`` pipeline aggregation — the
+    OpenSearch x-pack agg stacked on a daily date histogram ("total
+    unique users to date", where a per-bucket ``cardinality`` counts
+    each day independently and a cumulative_sum over those
+    DOUBLE-COUNTS returning users). Rows missing the key or the
+    timestamp drop (the cardinality missing-value contract).
+
+    EXACT, no sketch: an entity contributes to the cumulative count
+    from its FIRST bucket onward, so ``cumulative_distinct(d) =
+    Σ_{d' ≤ d} |{k : first_bucket(k) = d'}|`` — one key-keyed
+    min-aggregate + one bounded bucket-level cumulative sum, where
+    OpenSearch merges per-bucket HLL sketches. Returns (day, n_new,
+    cumulative_distinct) for every day PRESENT in the input (days
+    with no first-seen keys report n_new = 0), day as the ISO string
+    key (lexicographic == chronological, the composite_agg
+    precedent).
+
+    Scale shape: the only corpus-sized exchange is the groupBy(key)
+    min — map-side-combined, carrying (key, day) pairs only; the
+    day-level relations are ≤|days| rows and the cumulative window
+    is a bounded single-task pass (the pipeline-agg family
+    contract).
+    """
+    from pyspark.sql import Window
+
+    day = F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    rows = df.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    first = (
+        rows.select(day.alias("day"), F.col(key_col).alias("_k"))
+        .groupBy("_k")
+        .agg(F.min("day").alias("day"))
+    )
+    new_per_day = first.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    days = rows.select(day.alias("day")).distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(new_per_day, "day", "left")
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)).cast("long"))
+        .select(
+            "day",
+            "n_new",
+            F.sum("n_new").over(w).cast("long").alias("cumulative_distinct"),
+        )
+        .orderBy("day")
+    )
+
+
+def cumulative_cardinality_oracle_sql(
+    *,
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> str:
+    """DuckDB SQL computing the identical exact cumulative distinct
+    count."""
+    return f"""
+    WITH rows_ AS (
+        SELECT strftime({ts_col}, '%Y-%m-%d') AS day, {key_col} AS k
+        FROM {table}
+        WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    ),
+    first_ AS (SELECT k, MIN(day) AS day FROM rows_ GROUP BY k),
+    new_per_day AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
+                    FROM first_ GROUP BY day),
+    days AS (SELECT DISTINCT day FROM rows_)
+    SELECT d.day,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_distinct
+    FROM days d LEFT JOIN new_per_day n USING (day)
+    ORDER BY d.day
+    """
+
+
+def top_metrics(
+    df: DataFrame,
+    *,
+    bucket_col: str,
+    sort_col: str,
+    tie_col: str,
+    metric_col: str,
+    mode: str = "max",
+) -> DataFrame:
+    """``top_metrics`` aggregation — the OpenSearch agg returning,
+    per bucket, the metric value of the document at the extreme of a
+    sort field ("the value of the LATEST event per type" — the
+    argmax shape ``max(metric)`` cannot express). ``mode`` is
+    ``max`` | ``min`` (OpenSearch ``sort`` order). OpenSearch leaves
+    sort ties shard-dependent; ``tie_col`` (a unique id) makes the
+    extreme total — the engine-wide determinism stance. Rows missing
+    the sort field or the tiebreak drop (the missing-sort contract).
+
+    Returns (bucket, sort_us, tie, metric): the sort value rides out
+    as epoch MICROSECONDS when it is a timestamp-typed column
+    (exact long, no cross-engine timestamp canonicalization), else
+    cast long.
+
+    Scale shape: ONE map-side-combined aggregate — the extreme
+    computes as max/min over (sort, tie, metric) STRUCTS whose
+    lexicographic compare never reaches the metric (tie is unique),
+    so no per-bucket sort, no window over the corpus, and partial
+    aggregation halves the shuffle before the bucket exchange.
+    """
+    if mode not in ("max", "min"):
+        raise ValueError("mode must be 'max' or 'min'")
+    sort_t = dict(df.dtypes).get(sort_col)
+    s_expr = (
+        F.unix_micros(F.col(sort_col))
+        if sort_t == "timestamp"
+        else F.col(sort_col).cast("long")
+    )
+    packed = df.filter(
+        F.col(sort_col).isNotNull() & F.col(tie_col).isNotNull()
+    ).select(
+        F.col(bucket_col),
+        F.struct(
+            s_expr.alias("s"),
+            F.col(tie_col).cast("long").alias("t"),
+            F.col(metric_col).alias("m"),
+        ).alias("_p"),
+    )
+    agg = F.max("_p") if mode == "max" else F.min("_p")
+    return (
+        packed.groupBy(bucket_col)
+        .agg(agg.alias("_p"))
+        .select(
+            bucket_col,
+            F.col("_p.s").alias("sort_us"),
+            F.col("_p.t").alias(tie_col),
+            F.col("_p.m").alias(metric_col),
+        )
+        .orderBy(bucket_col)
+    )
+
+
+def top_metrics_oracle_sql(
+    *,
+    table: str = "events",
+    bucket_col: str = "event_type",
+    sort_col: str = "ts",
+    tie_col: str = "event_id",
+    metric_col: str = "value",
+    mode: str = "max",
+    sort_is_timestamp: bool = True,
+) -> str:
+    """DuckDB SQL computing the identical per-bucket argmax/argmin
+    row (row_number over (sort, tie) — reaches the same total-order
+    extreme as the struct compare)."""
+    direction = "DESC" if mode == "max" else "ASC"
+    s_out = (
+        f"epoch_us({sort_col})" if sort_is_timestamp
+        else f"CAST({sort_col} AS BIGINT)"
+    )
+    return f"""
+    SELECT {bucket_col}, CAST({s_out} AS BIGINT) AS sort_us,
+           CAST({tie_col} AS BIGINT) AS {tie_col}, {metric_col}
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY {bucket_col}
+            ORDER BY {sort_col} {direction}, {tie_col} {direction}) AS rn
+        FROM {table}
+        WHERE {sort_col} IS NOT NULL AND {tie_col} IS NOT NULL
+    )
+    WHERE rn = 1
+    ORDER BY {bucket_col}
+    """
+
+
 def filters_agg(
     hits: DataFrame,
     filters: list[tuple],

@@ -7543,6 +7543,67 @@ def phrase_suggest_docs_q(spark, sf_dir):
     )
 
 
+def _cum_card_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        cumulative_cardinality_oracle_sql,
+    )
+
+    return cumulative_cardinality_oracle_sql()
+
+
+@q(
+    "cumulative_unique_users",
+    _cum_card_oracle(),
+    "cumulative_cardinality pipeline aggregation — the OpenSearch "
+    "x-pack agg ('total unique users to date' on the daily "
+    "histogram, where per-bucket cardinality + cumulative_sum "
+    "double-counts returning users): EXACT where OpenSearch merges "
+    "HLL sketches — each user contributes from their FIRST day "
+    "onward, so one map-side-combined groupBy(user) min carrying "
+    "(user, day) pairs + a bounded day-level cumulative window "
+    "(operators/retrieval.py:cumulative_cardinality).",
+)
+def cumulative_unique_users_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        cumulative_cardinality,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return cumulative_cardinality(ev, ts_col="ts", key_col="user_id")
+
+
+def _top_metrics_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        top_metrics_oracle_sql,
+    )
+
+    return top_metrics_oracle_sql(mode="max")
+
+
+@q(
+    "top_metrics_events",
+    _top_metrics_oracle(),
+    "top_metrics aggregation — the OpenSearch agg returning, per "
+    "event_type bucket, the value of the LATEST event (argmax by "
+    "ts, event_id tiebreak making the extreme total where "
+    "OpenSearch leaves ties shard-dependent). ONE map-side-combined "
+    "aggregate: the extreme is max over (sort, tie, metric) structs "
+    "whose compare never reaches the metric — no per-bucket sort, "
+    "no corpus window; ts rides out as exact epoch micros "
+    "(operators/retrieval.py:top_metrics).",
+)
+def top_metrics_events_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        top_metrics,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return top_metrics(
+        ev, bucket_col="event_type", sort_col="ts",
+        tie_col="event_id", metric_col="value", mode="max",
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r12 window = the 17 queries that have NEVER
@@ -7604,6 +7665,8 @@ _R12_WINDOW = [
     "search_sibling_buckets",
     "search_serial_diff",
     "phrase_suggest_docs",
+    "cumulative_unique_users",
+    "top_metrics_events",
     # code/oracle changed in r12
     "rare_terms_docs",
     "range_agg_event_values",
@@ -7624,13 +7687,11 @@ _R12_WINDOW = [
     "join_anti_no_orders",
     "join_semi_high_qty",
     "lineitem_quarantine",
-    "phrase_search_docs_indexed",
     "pivot_returnflag_linestatus",
     "proximity_search_ordered",
     "scalar_subquery_above_avg",
     "set_except_nonbuyers",
     "temperature_mixture_sample",
-    "text_lang_id",
     "text_quality_scores",
     "training_export_wide",
     "window_rank_orders",

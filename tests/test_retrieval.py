@@ -1100,3 +1100,87 @@ def test_phrase_suggest_bigram_lm_ranking(spark):
         phrase_suggest(spark, idx, docs, "steam")
     with pytest.raises(ValueError, match="max_edit"):
         phrase_suggest(spark, idx, docs, "a b", max_edit=-1)
+
+
+def test_cumulative_cardinality_first_seen_exact(spark):
+    """Exact cumulative distinct: users count from their FIRST day
+    only; returning-user-only days report n_new 0 but stay in the
+    series; null keys/timestamps drop."""
+    import datetime as dt
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        cumulative_cardinality,
+    )
+
+    T = dt.datetime
+    rows = [
+        (T(2024, 1, 1, 9), 1), (T(2024, 1, 1, 10), 2),
+        (T(2024, 1, 2, 9), 1),                # returning only
+        (T(2024, 1, 3, 9), 3), (T(2024, 1, 3, 10), 1),
+        (T(2024, 1, 3, 11), None),            # null key drops
+        (None, 9),                            # null ts drops
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = [
+        (r["day"], r["n_new"], r["cumulative_distinct"])
+        for r in cumulative_cardinality(df).collect()
+    ]
+    assert out == [
+        ("2024-01-01", 2, 2),
+        ("2024-01-02", 0, 2),
+        ("2024-01-03", 1, 3),
+    ]
+
+
+def test_top_metrics_argmax_total_order(spark):
+    """Per-bucket argmax by sort with a unique tiebreak: sort ties
+    resolve to the higher tie id under max (lower under min); rows
+    missing the sort drop; the metric never participates in the
+    compare; validation."""
+    import datetime as dt
+
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        top_metrics,
+    )
+
+    T = dt.datetime
+    rows = [
+        ("a", T(2024, 1, 1), 1, 10.0),
+        ("a", T(2024, 1, 2), 2, 99.0),   # latest in a
+        ("b", T(2024, 1, 5), 3, 7.0),
+        ("b", T(2024, 1, 5), 4, 5.0),    # sort tie -> higher id wins max
+        ("b", None, 9, 1000.0),          # null sort drops
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    got = [
+        tuple(r)
+        for r in top_metrics(
+            df, bucket_col="event_type", sort_col="ts",
+            tie_col="event_id", metric_col="value",
+        ).collect()
+    ]
+    us = lambda d: int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)  # noqa: E731
+    assert got == [
+        ("a", us(T(2024, 1, 2)), 2, 99.0),
+        ("b", us(T(2024, 1, 5)), 4, 5.0),
+    ]
+    got_min = [
+        tuple(r)
+        for r in top_metrics(
+            df, bucket_col="event_type", sort_col="ts",
+            tie_col="event_id", metric_col="value", mode="min",
+        ).collect()
+    ]
+    assert got_min == [
+        ("a", us(T(2024, 1, 1)), 1, 10.0),
+        ("b", us(T(2024, 1, 5)), 3, 7.0),
+    ]
+    with pytest.raises(ValueError, match="mode"):
+        top_metrics(
+            df, bucket_col="event_type", sort_col="ts",
+            tie_col="event_id", metric_col="value", mode="median",
+        )
