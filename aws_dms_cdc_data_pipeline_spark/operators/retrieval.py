@@ -1657,6 +1657,77 @@ def serial_diff_normalize_oracle_sql(
     """
 
 
+def moving_percentiles(
+    hist: DataFrame,
+    *,
+    value_col: str = "n_hits",
+    order_col: str = "bucket_start",
+    window: int = 5,
+    percentiles: tuple = (0.5, 0.95),
+) -> DataFrame:
+    """``moving_percentiles`` pipeline aggregation — the OpenSearch
+    x-pack agg (trailing-window percentiles over a histogram metric,
+    the rolling-p95 alerting shape ``moving_fn``'s built-ins don't
+    cover). EXACT nearest-rank percentiles where OpenSearch merges
+    TDigest sketches: the window holds ≤ ``window`` exact longs, so
+    ``p`` is element ``ceil(p·n)`` (1-based) of the sorted window —
+    no interpolation, output stays an exact long. Shorter leading
+    windows use what exists (the moving_fn partial-window contract).
+
+    Determinism: ``ceil(p·n)`` is one IEEE multiply + ceil on a
+    literal and a small integer — identical cross-engine; everything
+    else is integer selection.
+
+    Execution: the input is a histogram — ≤ target_buckets rows — so
+    the unpartitioned order window collecting ≤ ``window``-element
+    arrays is a bounded single-task pass over already-aggregated
+    data, never the corpus (the pipeline-agg family contract).
+    """
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError("moving_percentiles needs window >= 1")
+    if not percentiles or not all(0.0 < p <= 1.0 for p in percentiles):
+        raise ValueError("percentiles must be in (0, 1]")
+    v = F.col(value_col).cast("long")
+    w_mov = Window.orderBy(order_col).rowsBetween(-(window - 1), 0)
+    arr = F.array_sort(F.collect_list(v).over(w_mov))
+    cols = [
+        F.element_at(
+            arr, F.ceil(F.lit(float(p)) * F.size(arr)).cast("int")
+        ).alias(f"p{int(round(p * 100))}")
+        for p in percentiles
+    ]
+    return hist.select(*hist.columns, *cols).orderBy(order_col)
+
+
+def moving_percentiles_oracle_sql(
+    hist_sql: str,
+    *,
+    value_col: str = "n_hits",
+    order_col: str = "bucket_start",
+    window: int = 5,
+    percentiles: tuple = (0.5, 0.95),
+) -> str:
+    """DuckDB SQL computing the identical exact nearest-rank moving
+    percentiles over ``hist_sql``."""
+    cols = ",\n           ".join(
+        f"list_sort(list({value_col}) OVER w)"
+        f"[CAST(ceil({float(p)!r} * len(list({value_col}) OVER w)) "
+        f"AS BIGINT)] AS p{int(round(p * 100))}"
+        for p in percentiles
+    )
+    return f"""
+    WITH h AS ({hist_sql})
+    SELECT h.*,
+           {cols}
+    FROM h
+    WINDOW w AS (ORDER BY {order_col}
+                 ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+    ORDER BY {order_col}
+    """
+
+
 def cumulative_cardinality(
     df: DataFrame,
     *,

@@ -7604,6 +7604,51 @@ def top_metrics_events_q(spark, sf_dir):
     )
 
 
+def _moving_pct_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        date_histogram_oracle_sql,
+        moving_percentiles_oracle_sql,
+    )
+
+    hist = date_histogram_oracle_sql(
+        "SELECT ts FROM events WHERE event_type = 'error' AND value >= 5.0",
+        target_buckets=24,
+    )
+    return moving_percentiles_oracle_sql(
+        hist, value_col="n_hits", order_col="bucket_start",
+        window=5, percentiles=(0.5, 0.95),
+    )
+
+
+@q(
+    "search_moving_percentiles",
+    _moving_pct_oracle(),
+    "moving_percentiles pipeline aggregation — the OpenSearch x-pack "
+    "rolling-p95 alerting shape on the error-event date histogram: "
+    "EXACT nearest-rank percentiles over the trailing 5-bucket "
+    "window (element ceil(p*n) of the <=5-element sorted window, "
+    "output stays an exact long) where OpenSearch merges TDigest "
+    "sketches; shorter leading windows use what exists. Bounded "
+    "single-task pass over the <=24-row histogram "
+    "(operators/retrieval.py:moving_percentiles).",
+)
+def search_moving_percentiles_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        date_histogram,
+        moving_percentiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hits = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= 5.0)
+    )
+    hist = date_histogram(hits, "ts", target_buckets=24)
+    return moving_percentiles(
+        hist, value_col="n_hits", order_col="bucket_start",
+        window=5, percentiles=(0.5, 0.95),
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r12 window = the 17 queries that have NEVER
@@ -7667,6 +7712,7 @@ _R12_WINDOW = [
     "phrase_suggest_docs",
     "cumulative_unique_users",
     "top_metrics_events",
+    "search_moving_percentiles",
     # code/oracle changed in r12
     "rare_terms_docs",
     "range_agg_event_values",
@@ -7683,7 +7729,6 @@ _R12_WINDOW = [
     # r6 stale tail (21 of 32 — see displacement note above)
     "agg_cube_status_priority",
     "distinct_user_event_pairs",
-    "error_then_purchase_sessions",
     "join_anti_no_orders",
     "join_semi_high_qty",
     "lineitem_quarantine",

@@ -1184,3 +1184,27 @@ def test_top_metrics_argmax_total_order(spark):
             df, bucket_col="event_type", sort_col="ts",
             tie_col="event_id", metric_col="value", mode="median",
         )
+
+
+def test_moving_percentiles_nearest_rank(spark):
+    """Exact nearest-rank trailing percentiles: element ceil(p*n) of
+    the sorted window; partial leading windows; validation."""
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        moving_percentiles,
+    )
+
+    rows = [("d1", 4), ("d2", 1), ("d3", 9), ("d4", 2)]
+    df = spark.createDataFrame(rows, "bucket_start string, n_hits long")
+    out = moving_percentiles(
+        df, window=3, percentiles=(0.5, 0.95)
+    ).collect()
+    # windows: [4] [1,4] [1,4,9] [1,2,9] (sorted)
+    assert [(r["p50"], r["p95"]) for r in out] == [
+        (4, 4), (1, 4), (4, 9), (2, 9),
+    ]
+    with pytest.raises(ValueError, match="window"):
+        moving_percentiles(df, window=0)
+    with pytest.raises(ValueError, match="percentiles"):
+        moving_percentiles(df, percentiles=(0.0,))
