@@ -86,6 +86,13 @@ HEADLINE = (
     "multi_match_cross_fields",
     "search_bucket_script",
     "percolate_wildcard_alerts",
+    # r12 late additions with corpus-scale cost shapes (the bounded
+    # bucket-relation pipeline aggs are wall-noise and stay out):
+    # demote-rerank BM25, vocab-scan + pruned bigram count, and the
+    # exact first-seen cumulative-distinct key aggregate
+    "boosting_search_docs",
+    "phrase_suggest_docs",
+    "cumulative_unique_users",
 )
 
 
