@@ -107,7 +107,8 @@ def _bm25_adhoc_relations(
 ) -> tuple:
     """The ad-hoc (no materialized index) front half shared by
     :func:`bm25_search` and :func:`function_score`: tokenize once,
-    return pruned ``(id, term, tf)`` hits and ``(id, dl)`` lengths.
+    return pruned ``(id, term, dl, tf)`` hits and ``(id, dl)``
+    lengths.
 
     One tokenization, two cheap consumers. Document length is the
     SIZE of the token array — no explode and no (doc, term) shuffle
@@ -115,6 +116,16 @@ def _bm25_adhoc_relations(
     query's dominant cost: only query-term rows need to shuffle at
     all). dl > 0 keeps the stats contract of the inverted-index
     formulation: token-less docs are not corpus members.
+
+    dl ALSO rides the hits rows themselves (it is functionally
+    dependent on the id, so adding it to the aggregate key changes
+    nothing): the score join downstream previously repartitioned the
+    CORPUS-sized (id, dl) relation onto the hit-sized hits — the one
+    document-sized exchange left in the ad-hoc path. With dl in-row,
+    :func:`_bm25_scores` skips that join entirely and the standalone
+    dl relation only feeds the 1-row corpus-stats aggregate (r12
+    A/B: PERF.md). The indexed path keeps the join — its dl side is
+    the id-bucketed toklen table, pre-clustered on the join key.
     """
     from aws_dms_cdc_data_pipeline_spark.operators.partitioning import fan_out_scan
 
@@ -141,15 +152,24 @@ def _bm25_adhoc_relations(
     # (~dl/doc) — measured 35% off the hits leg at sf1 (the filter
     # runs element-wise in the same codegen stage either way; the win
     # is the explode's row fan-out).
+    # dl aggregates as max() rather than riding the grouping key: it
+    # is constant within the (id, term) group either way, and keeping
+    # the key (id, term) preserves the aggregate's output partitioning
+    # for downstream (id, term)/(id) consumers (a (id, dl, term) key
+    # re-exchanges them)
     hits = (
         toks.select(
             F.col(id_col),
+            F.size("_toks").cast("long").alias("_dl"),
             F.explode(
                 F.filter("_toks", lambda x: x.isin(terms))
             ).alias("term"),
         )
         .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .agg(
+            F.max("_dl").alias("dl"),
+            F.count(F.lit(1)).cast("long").alias("tf"),
+        )
     )
     return hits, dl
 
@@ -493,7 +513,15 @@ def _bm25_scores(
     """UNCUT per-doc BM25 scores — every matching doc, no top-k.
     :func:`function_score` needs the full matched set (functions
     re-rank, so cutting first would drop docs the function promotes);
-    :func:`_bm25_rank` is this plus the order/limit."""
+    :func:`_bm25_rank` is this plus the order/limit.
+
+    When ``hits`` already carries a ``dl`` column (the ad-hoc path —
+    length is functionally dependent on the id and rides the
+    aggregate key), the length join is skipped: joining the
+    corpus-sized (id, dl) relation onto hit-sized hits was the one
+    document-sized exchange in the ad-hoc score path. The indexed
+    path joins as before — its dl side is the id-bucketed toklen
+    table, pre-clustered on the join key."""
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_dl"),
@@ -501,11 +529,13 @@ def _bm25_scores(
     df_per_term = hits.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
-    scored = (
-        hits.join(df_per_term, "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-    )
+    # df_per_term is provably ≤ |query terms| rows — broadcast it
+    # (the planner's stats can't see that bound through the agg), so
+    # the hit relation never re-exchanges on the term key
+    scored = hits.join(F.broadcast(df_per_term), "term")
+    if "dl" not in hits.columns:
+        scored = scored.join(dl, id_col)
+    scored = scored.crossJoin(F.broadcast(stats))
     avgdl = F.col("total_dl") / F.col("n_docs")
     idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     if textbook:
@@ -1352,32 +1382,40 @@ def multi_match(
     contribs = None
     for i, f in enumerate(fnames):
         col = f"_tk_{i}"
-        dl = toks.select(
-            F.col(id_col), F.size(col).cast("long").alias("dl")
-        ).filter(F.col("dl") > 0)
-        stats = dl.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("dl").cast("long").alias("total_dl"),
+        stats = (
+            toks.select(F.size(col).cast("long").alias("dl"))
+            .filter(F.col("dl") > 0)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("dl").cast("long").alias("total_dl"),
+            )
         )
+        # dl rides the hits rows (functionally dependent on the id):
+        # joining the corpus-sized (id, dl) relation onto hit-sized
+        # hits was the one document-sized exchange PER FIELD — with
+        # dl in the aggregate key the field's lengths never shuffle
+        # (the _bm25_adhoc_relations r12 restructure)
         hits = (
             toks.select(
                 F.col(id_col),
+                F.size(col).cast("long").alias("_dl"),
                 F.explode(
                     F.filter(col, lambda x: x.isin(terms))
                 ).alias("term"),
             )
             .groupBy(id_col, "term")
-            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .agg(
+                F.max("_dl").alias("dl"),
+                F.count(F.lit(1)).cast("long").alias("tf"),
+            )
         )
         dfs = hits.groupBy("term").agg(
             F.count(F.lit(1)).cast("long").alias("df")
         )
         # dfs is provably ≤ |query terms| rows — broadcast it (the
         # planner's stats can't see that bound through the agg)
-        scored = (
-            hits.join(F.broadcast(dfs), "term")
-            .join(dl, id_col)
-            .crossJoin(F.broadcast(stats))
+        scored = hits.join(F.broadcast(dfs), "term").crossJoin(
+            F.broadcast(stats)
         )
         avgdl = F.col("total_dl") / F.col("n_docs")
         idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
@@ -1408,7 +1446,41 @@ def multi_match(
             .alias("score"),
             F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
         )
+    elif len(terms) <= 63:
+        # n_terms_hit = popcount of the OR'd per-term bitmask — rides
+        # the SAME two aggregates as the dis_max combine, so the
+        # separate count_distinct aggregate + doc-keyed join the r11
+        # version paid are gone (exact: term index is a position in
+        # the sorted ≤63-term list, bit_or is order-free)
+        arr_sql = "array(" + ", ".join(f"'{t}'" for t in terms) + ")"
+        tbit = F.expr(
+            f"shiftleft(1L, cast(array_position({arr_sql}, term) - 1"
+            " as int))"
+        )
+        fscores = contribs.withColumn("tbit", tbit).groupBy(
+            id_col, "field"
+        ).agg(
+            F.sum("cbq").alias("fsq"),
+            F.expr("bit_or(tbit)").alias("fbits"),
+        )
+        best = fscores.groupBy(id_col).agg(
+            F.max("fsq").alias("maxq"),
+            F.sum("fsq").alias("sumq"),
+            F.expr("bit_or(fbits)").alias("bits"),
+        )
+        score = (
+            F.col("maxq").cast("double")
+            + F.lit(float(tie_breaker))
+            * (F.col("sumq") - F.col("maxq")).cast("double")
+        ) / F.lit(float(_FP))
+        ranked = best.select(
+            F.col(id_col),
+            score.alias("score"),
+            F.bit_count("bits").cast("long").alias("n_terms_hit"),
+        )
     else:
+        # >63 query terms: the bitmask overflows a long — fall back
+        # to the explicit distinct-count aggregate + doc-keyed join
         fscores = contribs.groupBy(id_col, "field").agg(
             F.sum("cbq").alias("fsq")
         )
