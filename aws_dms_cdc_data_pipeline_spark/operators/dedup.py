@@ -565,16 +565,22 @@ def _gram_pair_intersections(df, text_col, id_col, n, max_df):
     # so the map-side partial agg reduces almost nothing while its
     # hashmap overflow falls back to sort-based aggregation over the
     # full pair stream — the r11 sf10 probe's remaining ~22 GB
-    # in-memory spill. Pre-partitioning by the pair key satisfies the
-    # aggregate's distribution (one full agg, no partial pass), and
-    # the 8x width keeps each task's hash state at ~1/8 the default
-    # partition's — sized so Σ(pairs)/width fits the per-task memory
-    # share at the documented Σdf²/2 worst case. Shuffle BYTES are
-    # unchanged (unique keys meant the partial agg saved none).
-    # PERF.md r12 A/B.
-    width = int(
-        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    ) * 8
+    # in-memory spill. Pre-partitioning by the pair key elides the
+    # exchange the aggregate would otherwise plan (Spark still runs a
+    # partial HashAggregate, but over already-colocated keys it is a
+    # pass-through), and the 8x width keeps each task's hash state at
+    # ~1/8 the default partition's — sized so Σ(pairs)/width fits the
+    # per-task memory share at the documented Σdf²/2 worst case.
+    # Shuffle BYTES are unchanged (unique keys meant the partial agg
+    # saved none). PERF.md r12 A/B.
+    try:
+        width = int(
+            pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        ) * 8
+    except (TypeError, ValueError):
+        # conf can hold a non-integer sentinel (e.g. "auto") on some
+        # platforms — fall back to Spark's default parallelism target.
+        width = 200 * 8
     inter = (
         pairs.repartition(width, "id_a", "id_b")
         .groupBy("id_a", "id_b")

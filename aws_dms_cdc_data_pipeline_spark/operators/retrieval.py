@@ -390,6 +390,21 @@ def phrase_suggest(
     from pyspark.sql import Window
 
     k = len(words)
+    # Guard the driver-built suggestion cross-product: it is at most
+    # max_candidates^k rows, which grows geometrically in phrase
+    # length (a 10-word phrase at the default 5 candidates is ~9.7M
+    # driver rows). OpenSearch bounds the same blow-up with per-shard
+    # candidate limits; we hard-cap the budget and tell the caller to
+    # shorten the phrase or lower max_candidates.
+    _MAX_PHRASE_COMBINATIONS = 100_000
+    if max_candidates ** k > _MAX_PHRASE_COMBINATIONS:
+        raise ValueError(
+            f"phrase_suggest candidate cross-product max_candidates^k = "
+            f"{max_candidates}^{k} exceeds the "
+            f"{_MAX_PHRASE_COMBINATIONS} driver-row budget; shorten the "
+            "phrase or lower max_candidates (OpenSearch analog: "
+            "per-shard candidate-generator limits)"
+        )
     out_schema = (
         "suggestion string, total_edits long, score double, rank long"
     )
@@ -1940,8 +1955,13 @@ def filters_agg(
     if other_bucket_key is not None and other_bucket_key in keys:
         raise ValueError("other_bucket_key collides with a filter key")
     conds = [F.expr(p) for _, p in filters]
+    # COALESCE to 0: over an EMPTY hits relation SUM is NULL, but the
+    # documented contract ("empty buckets still appear") means zero
+    # counts, matching OpenSearch's 0 for no-match filters.
     aggs = [
-        F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"_k{i}")
+        F.coalesce(F.sum(F.when(c, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(f"_k{i}")
         for i, c in enumerate(conds)
     ]
     names = list(keys)
@@ -1950,7 +1970,7 @@ def filters_agg(
         for c in conds:
             none_match = none_match & ~F.coalesce(c, F.lit(False))
         aggs.append(
-            F.sum(F.when(none_match, 1).otherwise(0))
+            F.coalesce(F.sum(F.when(none_match, 1).otherwise(0)), F.lit(0))
             .cast("long")
             .alias(f"_k{len(conds)}")
         )
@@ -1978,7 +1998,8 @@ def filters_agg_oracle_sql(
     """DuckDB SQL computing the identical named-filter buckets (same
     single-aggregate + literal-unpivot shape)."""
     sums = ", ".join(
-        f"CAST(SUM(CASE WHEN {p} THEN 1 ELSE 0 END) AS BIGINT) AS _k{i}"
+        f"CAST(COALESCE(SUM(CASE WHEN {p} THEN 1 ELSE 0 END), 0)"
+        f" AS BIGINT) AS _k{i}"
         for i, (_, p) in enumerate(filters)
     )
     names = [k for k, _ in filters]
@@ -1987,8 +2008,8 @@ def filters_agg_oracle_sql(
             f"NOT COALESCE(({p}), FALSE)" for _, p in filters
         )
         sums += (
-            f", CAST(SUM(CASE WHEN {none} THEN 1 ELSE 0 END) AS BIGINT)"
-            f" AS _k{len(filters)}"
+            f", CAST(COALESCE(SUM(CASE WHEN {none} THEN 1 ELSE 0 END), 0)"
+            f" AS BIGINT) AS _k{len(filters)}"
         )
         names.append(other_bucket_key)
     sel = "\n    UNION ALL\n    ".join(

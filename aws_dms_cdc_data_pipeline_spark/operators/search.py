@@ -365,7 +365,11 @@ def function_score(
     )
     func = {
         "none": raw,
-        "sqrt": F.sqrt(raw),
+        # Guarded: factor*value < 0 yields NULL (not silent NaN) so
+        # both engines agree on out-of-contract inputs — Spark's sqrt
+        # returns NaN for negatives while DuckDB raises; the guard
+        # makes both emit NULL (OpenSearch rejects such docs too).
+        "sqrt": F.when(raw >= 0, F.sqrt(raw)),
         "square": raw * raw,
         "reciprocal": F.lit(1.0) / raw,
     }[modifier]
@@ -418,7 +422,8 @@ def function_score_oracle_sql(
     )
     func = {
         "none": raw,
-        "sqrt": f"sqrt({raw})",
+        # Mirrors the Spark-side negative guard: NULL on < 0 inputs.
+        "sqrt": f"CASE WHEN ({raw}) >= 0 THEN sqrt({raw}) END",
         "square": f"({raw}) * ({raw})",
         "reciprocal": f"CAST(1.0 AS DOUBLE) / ({raw})",
     }[modifier]

@@ -744,6 +744,17 @@ def test_filters_agg_semantics(spark):
         filters_agg(df, [("a", "1=1"), ("a", "1=1")])
     with pytest.raises(ValueError, match="collides"):
         filters_agg(df, [("a", "1=1")], other_bucket_key="a")
+    # EMPTY hits relation: every bucket (incl. other) reports 0, not
+    # NULL — the "empty buckets still appear" contract means zeros.
+    empty = [
+        (r["filter_key"], r["n_hits"])
+        for r in filters_agg(
+            df.filter("1=0"),
+            [("errors", "event_type = 'error'"), ("big", "value >= 8.0")],
+            other_bucket_key="other",
+        ).collect()
+    ]
+    assert empty == [("errors", 0), ("big", 0), ("other", 0)]
 
 
 def test_adjacency_matrix_semantics(spark):
@@ -1100,6 +1111,18 @@ def test_phrase_suggest_bigram_lm_ranking(spark):
         phrase_suggest(spark, idx, docs, "steam")
     with pytest.raises(ValueError, match="max_edit"):
         phrase_suggest(spark, idx, docs, "a b", max_edit=-1)
+    # cross-product budget guard: max_candidates^k over the cap is
+    # rejected before any driver materialization (10-word phrase at
+    # 5 candidates would be ~9.7M driver rows)
+    long_phrase = " ".join(f"w{i}" for i in range(10))
+    with pytest.raises(ValueError, match="driver-row budget"):
+        phrase_suggest(spark, idx, docs, long_phrase, max_candidates=5)
+    # at/below the budget the guard stays silent (8 = 100k exactly...
+    # use a k/candidates pair under the cap)
+    ok = phrase_suggest(
+        spark, idx, docs, "stram table", max_edit=1, max_candidates=5
+    )
+    assert ok.columns == ["suggestion", "total_edits", "score", "rank"]
 
 
 def test_cumulative_cardinality_first_seen_exact(spark):

@@ -1150,6 +1150,36 @@ def test_function_score_modes_and_missing(spark):
         assert r["score"] == (r["base_score"] + r["func_value"]) / 2.0
 
 
+def test_function_score_sqrt_negative_yields_null(spark):
+    """sqrt over a negative factor*value emits NULL — not a silent
+    NaN (Spark) or a hard error (DuckDB) — so out-of-contract inputs
+    agree across engines."""
+    import pyspark.sql.functions as F
+
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        function_score,
+    )
+
+    df = _fs_df(spark).withColumn(
+        "weight",
+        F.when(F.col("doc_id") == 1, F.lit(-3.0)).otherwise(F.col("weight")),
+    )
+    out = {
+        r["doc_id"]: r
+        for r in function_score(
+            df, ["spark"], field_col="weight", modifier="sqrt",
+            boost_mode="multiply", top_k=10,
+        ).collect()
+    }
+    assert 1 in out
+    assert out[1]["func_value"] is None
+    assert out[1]["score"] is None
+    for i, r in out.items():
+        if i != 1:
+            assert r["func_value"] is not None
+            assert r["func_value"] == r["func_value"]  # not NaN
+
+
 def test_function_score_validation(spark):
     from aws_dms_cdc_data_pipeline_spark.operators.search import (
         function_score,
