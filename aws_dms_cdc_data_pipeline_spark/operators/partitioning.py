@@ -36,7 +36,7 @@ def fan_out_scan(
     df: DataFrame,
     *,
     min_fraction: float = 0.5,
-    min_bytes_per_partition: int = 2 * 1024 * 1024,
+    min_bytes_per_partition: int = 1024 * 1024,
 ) -> DataFrame:
     """Spread a poorly-split input across the cluster before per-row-
     heavy work (shingling, tokenization, media decode).
@@ -56,7 +56,14 @@ def fan_out_scan(
       a partition holds is smaller than the exchange's own cost
       (measured +0.5 s per text query on the 0.6 MB sf0.1 corpus
       for zero win; the single-row-group sf1 corpus, 5.9 MB in one
-      split, gains 6×).
+      split, gains 6×). The bar is read against the OPTIMIZED-plan
+      size estimate, which reports compressed, column-pruned bytes —
+      a 2-4× under-count of the row payload the downstream map pass
+      actually touches (the sf1 documents table: 5.9 MB file, 2.5 MB
+      estimate, 2 splits → 1.28 MB/partition, which a 2 MB bar left
+      tokenizing on 2 of 32 cores; r13 A/B). 1 MB against the
+      estimate ≈ 2-4 MB of real per-partition text — still safely
+      above the measured exchange-overhead floor.
 
     A properly-split source (any real 100 TB layout) passes through
     untouched, so the guard is a no-op exactly where the shuffle
