@@ -1409,6 +1409,155 @@ def boosting_oracle_sql(
     """
 
 
+# whole-stage-codegen width guard for the wide multi_match path:
+# |terms| × |fields| tf columns beyond this fall back to the unioned
+# per-field-relation shape (generated code grows linearly in columns
+# and Janino compile time super-linearly; real multi_match queries
+# are a handful of terms over a handful of fields)
+_MM_WIDE_MAX_COLS = 192
+
+
+def _multi_match_wide(
+    docs: DataFrame,
+    terms: list[str],
+    fields: dict[str, float],
+    fnames: list[str],
+    *,
+    mode: str,
+    tie_breaker: float,
+    id_col: str,
+    k1: float,
+    b: float,
+    top_k: int,
+) -> DataFrame:
+    """Single-pass multi_match (see :func:`multi_match` docstring):
+    narrow (id, dl_f, tf_{f,t}...) projection, one collected 1-row
+    stats aggregate, row-wise exact-long combines. Bit-identical to
+    the unioned fallback path (asserted in tests): per-(field, term)
+    cbq uses the same quantize-then-boost-requantize ladder with
+    idf/avgdl entering as IEEE-identical double literals, absent
+    (tf=0) cells contribute exact-zero longs to every max/sum, and
+    membership (``n_terms_hit > 0``) equals the union's hit support.
+    """
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    toks = fan_out_scan(docs.select(id_col, *fnames)).select(
+        F.col(id_col),
+        *[
+            F.filter(
+                F.split(F.lower(F.col(f)), "[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            ).alias(f"_tk_{i}")
+            for i, f in enumerate(fnames)
+        ],
+    )
+    cols = []
+    for i in range(len(fnames)):
+        cols.append(F.size(f"_tk_{i}").cast("long").alias(f"_dl{i}"))
+        for j, t in enumerate(terms):
+            cols.append(
+                F.size(F.filter(f"_tk_{i}", _term_eq(t)))
+                .cast("long")
+                .alias(f"_tf{i}_{j}")
+            )
+    proj = toks.select(F.col(id_col), *cols).persist()
+
+    aggs = []
+    for i in range(len(fnames)):
+        aggs.append(
+            F.sum((F.col(f"_dl{i}") > 0).cast("long"))
+            .cast("long").alias(f"_n{i}")
+        )
+        aggs.append(F.sum(f"_dl{i}").cast("long").alias(f"_t{i}"))
+        for j in range(len(terms)):
+            aggs.append(
+                F.sum((F.col(f"_tf{i}_{j}") > 0).cast("long"))
+                .cast("long").alias(f"_df{i}_{j}")
+            )
+    memo_key = (
+        proj._jdf.queryExecution().analyzed().semanticHash(),
+        ("multi_match",) + tuple(fnames),
+        tuple(terms),
+    )
+    row = _ADHOC_STATS_MEMO.get(memo_key)
+    if row is None:
+        row = proj.agg(*aggs).collect()[0]
+        if len(_ADHOC_STATS_MEMO) >= 256:
+            _ADHOC_STATS_MEMO.pop(next(iter(_ADHOC_STATS_MEMO)))
+        _ADHOC_STATS_MEMO[memo_key] = row
+
+    zero = F.lit(0).cast("long")
+    fsqs = []          # per-field exact-long score sums
+    cbq_cells: list[list] = [[] for _ in terms]  # [term][field] cbq
+    hit_any = [F.lit(False)] * len(terms)
+    for i, f in enumerate(fnames):
+        n_docs = int(row[f"_n{i}"] or 0)
+        total_dl = int(row[f"_t{i}"] or 0)
+        if n_docs == 0:
+            fsqs.append(zero)
+            for j in range(len(terms)):
+                cbq_cells[j].append(zero)
+            continue
+        avgdl = total_dl / n_docs
+        fsq = None
+        for j in range(len(terms)):
+            tf = F.col(f"_tf{i}_{j}")
+            df_ = int(row[f"_df{i}_{j}"] or 0)
+            idf = (float(n_docs - df_) + 0.5) / (float(df_) + 0.5)
+            tf_part = (tf * (k1 + 1)) / (
+                tf + F.lit(k1)
+                * (F.lit(1 - b) + F.lit(b) * F.col(f"_dl{i}") / F.lit(avgdl))
+            )
+            cq = F.round(F.lit(idf) * tf_part * F.lit(float(_FP)), 0).cast(
+                "long"
+            )
+            cbq = F.round(F.lit(float(fields[f])) * cq, 0).cast("long")
+            cell = F.when(tf > 0, cbq).otherwise(zero)
+            cbq_cells[j].append(cell)
+            fsq = cell if fsq is None else fsq + cell
+            hit_any[j] = hit_any[j] | (tf > 0)
+        fsqs.append(fsq)
+
+    n_hit = hit_any[0].cast("long")
+    for hflag in hit_any[1:]:
+        n_hit = n_hit + hflag.cast("long")
+
+    if mode == "cross_fields":
+        total = None
+        for j in range(len(terms)):
+            mq = (
+                cbq_cells[j][0]
+                if len(fnames) == 1
+                else F.greatest(*cbq_cells[j])
+            )
+            total = mq if total is None else total + mq
+        score = (
+            (total.cast("decimal(38,0)") / F.lit(_FP)).cast("double")
+        )
+    else:
+        maxq = fsqs[0] if len(fsqs) == 1 else F.greatest(*fsqs)
+        sumq = fsqs[0]
+        for s in fsqs[1:]:
+            sumq = sumq + s
+        score = (
+            maxq.cast("double")
+            + F.lit(float(tie_breaker)) * (sumq - maxq).cast("double")
+        ) / F.lit(float(_FP))
+
+    return (
+        proj.select(
+            F.col(id_col),
+            score.alias("score"),
+            n_hit.alias("n_terms_hit"),
+        )
+        .filter(F.col("n_terms_hit") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
 def multi_match(
     docs: DataFrame,
     query_terms: list[str],
@@ -1457,13 +1606,21 @@ def multi_match(
     (max / sum / tie-breaker blend) runs on exact longs with ONE
     final double division — no float-sum ordering anywhere.
 
-    Scale shape: ONE corpus scan projects every field's token array
-    (persisted, plan-keyed caller-owned — same lifecycle as
-    :func:`bm25_search`); per-field lengths read array sizes without
-    exploding, and only query-term occurrences explode (the in-array
-    prune). Everything downstream is hit-sized: per-field df
-    aggregates, a ≤|fields|-row broadcast of corpus stats, one
-    doc-keyed aggregate. Nothing document-sized shuffles.
+    Scale shape: ONE corpus scan reduces in-row to a narrow
+    per-document projection — per field, dl plus one tf column per
+    query term (``size(filter(tokens, = term))`` in the split's own
+    codegen stage; the :func:`_bm25_adhoc_proj` formulation
+    generalized over fields). Per-field corpus stats and dfs come
+    from ONE 1-row aggregate (collected — bounded at |fields|×(K+2)
+    longs — and memoized like the single-field path), and every
+    combine (per-field sums, dis_max, cross-field max, term-hit
+    count) is a row-wise expression over exact longs: no explode, no
+    stack, no union, no join — the whole query is the projection
+    build plus one TakeOrdered pass (the r12 shape unioned per-field
+    contribution relations and paid 17 shuffles / 8 broadcasts for 2
+    fields). Above ``_MM_WIDE_MAX_COLS`` tf columns (whole-stage
+    codegen width guard) it falls back to the unioned per-field
+    relation shape, which handles arbitrary term counts.
     """
     if not query_terms:
         raise ValueError("multi_match needs at least one query term")
@@ -1483,6 +1640,13 @@ def multi_match(
     from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
         fan_out_scan,
     )
+
+    if len(terms) * len(fnames) <= _MM_WIDE_MAX_COLS:
+        return _multi_match_wide(
+            docs, terms, fields, fnames, mode=mode,
+            tie_breaker=tie_breaker, id_col=id_col, k1=k1, b=b,
+            top_k=top_k,
+        )
 
     toks = fan_out_scan(docs.select(id_col, *fnames)).select(
         F.col(id_col),

@@ -1006,6 +1006,47 @@ def test_multi_match_fielded_semantics(spark):
         multi_match(docs, ["spark"], {"title": 0.0})
 
 
+def test_multi_match_wide_equals_union_fallback(spark, monkeypatch):
+    """The single-pass wide path and the unioned per-field-relation
+    fallback are bit-identical — every mode, boosts, tie_breaker,
+    multi-term, absent terms, empty fields."""
+    from aws_dms_cdc_data_pipeline_spark.operators import search
+
+    rows = [
+        (1, "spark guide", "spark is fast and fast"),
+        (2, "tuning shuffle", "spark spark tuning notes"),
+        (3, "", "spark only in body shuffle"),
+        (4, "unrelated title words", "nothing here"),
+        (5, "shuffle shuffle spark", ""),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, title string, body string"
+    )
+    fields = {"title": 2.0, "body": 1.0}
+    cases = [
+        (["spark", "shuffle"], "best_fields", 0.0),
+        (["spark", "shuffle"], "best_fields", 0.3),
+        (["spark", "shuffle", "zzz_absent"], "cross_fields", 0.0),
+        (["fast"], "cross_fields", 0.0),
+    ]
+    for terms, mode, tb in cases:
+        wide = [
+            (r["doc_id"], r["score"], r["n_terms_hit"])
+            for r in search.multi_match(
+                docs, terms, fields, mode=mode, tie_breaker=tb, top_k=10
+            ).collect()
+        ]
+        monkeypatch.setattr(search, "_MM_WIDE_MAX_COLS", 0)
+        union = [
+            (r["doc_id"], r["score"], r["n_terms_hit"])
+            for r in search.multi_match(
+                docs, terms, fields, mode=mode, tie_breaker=tb, top_k=10
+            ).collect()
+        ]
+        monkeypatch.undo()
+        assert wide == union, (terms, mode, tb)
+
+
 def test_multi_match_oracle_parity(spark):
     """Spark and the DuckDB oracle agree bit-exactly on a derived
     second field across modes and tie-breakers."""
