@@ -1,12 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + metadata.
 
 The Spark-side plumbing is real and tested — schema, Arrow batch
-shape, partitioning — and the decode path is REAL for the formats
-that need no codec library: 24-bit BMP (pure numpy) and PCM WAV
-(stdlib ``wave``), round-tripped by tests through encode → Spark
-binary column → mapInPandas decode → features. Compressed formats
-(JPEG/PNG/MP3/H.264) genuinely need libraries absent from this
-container and raise NotImplementedError; ``fake=True`` substitutes a
+shape, partitioning — and the decode path is REAL for 24-bit BMP
+(pure numpy), PCM WAV (stdlib ``wave``), and baseline JPEG (the
+pure-Python ITU-T T.81 sequential-DCT codec in :mod:`.jpeg`), each
+round-tripped by tests through encode → Spark binary column →
+mapInPandas decode → features. The remaining compressed formats
+(PNG/MP3/H.264) are declared out of native-decode scope (MP3 is a
+full subband/IMDCT synthesis stack; PNG needs an inflate wiring) and
+raise NotImplementedError — a deployment plugs its codec through the
+tested ``decoder=`` contract; ``fake=True`` substitutes a
 deterministic byte-statistics decode so that plumbing stays testable
 (and DuckDB-oracle-checkable) for any payload.
 
@@ -133,28 +136,51 @@ def _decode_wav(blob: bytes):
     return nch, rate, x
 
 
+def _featurize_pixels(px, dim: int):
+    """(H, W, 3) uint8 → (width, height, features): per-channel means
+    then gray means of ``dim-3`` horizontal strips — the shared image
+    featurization for every natively-decoded format."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    gray = px.astype(np.float32).mean(axis=2) / 255.0
+    feats = [float(px[:, :, c].mean() / 255.0) for c in range(3)]
+    strips = np.array_split(gray, max(1, dim - 3), axis=0)
+    feats += [float(s.mean()) for s in strips]
+    return w, h, [float(f) for f in feats[:dim]]
+
+
 def _decode_real(content: bytes, mime: str, dim: int = 16):
-    """Real decode for formats that need no external library:
+    """Real decode for natively-supported formats:
 
     - ``image/bmp`` → (width, height, features): per-channel means
       then gray means of ``dim-3`` horizontal strips.
+    - ``image/jpeg`` → same featurization via the pure-Python
+      baseline-DCT decoder (:mod:`.jpeg`, ITU-T T.81 sequential;
+      progressive streams raise NotImplementedError).
     - ``audio/wav`` / ``audio/x-wav`` → (n_channels, framerate,
       features): RMS of ``dim`` equal time segments.
 
-    Compressed formats (JPEG/PNG/MP3/H.264) genuinely need codec
-    libraries absent from this container and raise
-    NotImplementedError — use ``fake=True`` for plumbing tests.
+    Remaining compressed formats (PNG/MP3/H.264) are DECLARED OUT OF
+    SCOPE for native decode (an MP3 decoder is a full subband/IMDCT
+    synthesis stack; PNG needs zlib inflate wiring): they raise
+    NotImplementedError and a deployment plugs a codec through the
+    ``decoder=`` contract of :func:`extract_features` — or uses
+    ``fake=True`` for plumbing tests.
     """
     import numpy as np
 
     m = (mime or "").lower()
     if m == "image/bmp":
         w, h, px = _decode_bmp(content)
-        gray = px.astype(np.float32).mean(axis=2) / 255.0
-        feats = [float(px[:, :, c].mean() / 255.0) for c in range(3)]
-        strips = np.array_split(gray, max(1, dim - 3), axis=0)
-        feats += [float(s.mean()) for s in strips]
-        return w, h, [float(f) for f in feats[:dim]]
+        return _featurize_pixels(px, dim)
+    if m in ("image/jpeg", "image/jpg"):
+        from aws_dms_cdc_data_pipeline_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+        )
+
+        px = decode_baseline_jpeg(content)
+        return _featurize_pixels(px, dim)
     if m in ("audio/wav", "audio/x-wav"):
         nch, rate, x = _decode_wav(content)
         segs = np.array_split(x, dim) if x.size else [np.zeros(1)] * dim
@@ -163,8 +189,8 @@ def _decode_real(content: bytes, mime: str, dim: int = 16):
         return nch, rate, feats
     raise NotImplementedError(
         f"decode for mime={mime!r} needs a codec library not present in "
-        "this environment (BMP/WAV decode natively; pass fake=True for "
-        "the deterministic stand-in)"
+        "this environment (BMP/JPEG/WAV decode natively; pass fake=True "
+        "for the deterministic stand-in)"
     )
 
 

@@ -60,9 +60,74 @@ def test_decode_real_wav_features():
         assert f == pytest.approx(0.5 / math.sqrt(2), rel=1e-2)
 
 
-def test_decode_real_rejects_compressed_formats():
+def test_decode_real_rejects_out_of_scope_formats():
     with pytest.raises(NotImplementedError, match="codec"):
-        _decode_real(b"\xff\xd8\xff\xe0fakejpeg", "image/jpeg")
+        _decode_real(b"\xff\xfbfakemp3frames", "audio/mpeg")
+    with pytest.raises(NotImplementedError, match="codec"):
+        _decode_real(b"\x89PNG\r\n\x1a\nfake", "image/png")
+
+
+def test_jpeg_codec_roundtrip_and_known_answer():
+    """Baseline JPEG codec: (1) solid-gray 8x8 entropy bytes match the
+    hand-derived T.81 Annex-K bit sequence (validates canonical code
+    assignment + packing against the published tables, independent of
+    the decoder), (2) smooth-image round-trip PSNR, (3) grayscale and
+    odd-dimension handling, (4) progressive streams rejected."""
+    from aws_dms_cdc_data_pipeline_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    # (1) solid 128 gray: every coefficient quantizes to 0 in all
+    # three components. Per block: DC category 0 + AC EOB.
+    # Luma: '00' + '1010'; chroma x2: '00' + '00' each
+    # -> 00 1010 00 00 00 00 + pad 1-bits = 0b00101000 0b00000011
+    solid = np.full((8, 8, 3), 128, dtype=np.uint8)
+    blob = encode_baseline_jpeg(solid, quality=50)
+    sos_at = blob.find(b"\xff\xda")
+    sos_len = struct.unpack_from(">H", blob, sos_at + 2)[0]
+    entropy = blob[sos_at + 2 + sos_len: -2]
+    assert entropy == bytes([0b00101000, 0b00000011])
+    assert np.array_equal(decode_baseline_jpeg(blob), solid)
+
+    # (2) smooth gradient: near-lossless at q90
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [xx * 255 // 56, yy * 255 // 40,
+         (127 + 120 * np.sin(xx / 9.0) * np.cos(yy / 7.0)).astype(int)],
+        axis=2,
+    ).clip(0, 255).astype(np.uint8)
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(img, quality=90))
+    err = dec.astype(float) - img.astype(float)
+    psnr = 10 * np.log10(255.0 ** 2 / np.mean(err ** 2))
+    assert psnr > 35.0
+
+    # (3) odd dims exercise the edge-replicate pad
+    dec3 = decode_baseline_jpeg(encode_baseline_jpeg(img[:33, :41], 85))
+    assert dec3.shape == (33, 41, 3)
+
+    # (4) progressive (SOF2) rejected explicitly
+    prog = bytearray(encode_baseline_jpeg(solid))
+    sof_at = prog.find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_baseline_jpeg(bytes(prog))
+
+
+def test_decode_real_jpeg_features():
+    from aws_dms_cdc_data_pipeline_spark.operators.jpeg import (
+        encode_baseline_jpeg,
+    )
+
+    px = np.zeros((16, 8, 3), dtype=np.uint8)
+    px[:, :, 0] = 200
+    w, h, feats = _decode_real(
+        encode_baseline_jpeg(px, quality=95), "image/jpeg", dim=6
+    )
+    assert (w, h) == (8, 16)
+    assert feats[0] == pytest.approx(200 / 255.0, abs=0.02)  # R mean
+    assert feats[1] == pytest.approx(0.0, abs=0.02)          # G mean
+    assert feats[2] == pytest.approx(0.0, abs=0.02)          # B mean
 
 
 def test_extract_features_real_media_in_spark(spark):
@@ -141,28 +206,28 @@ def test_pluggable_decoder_contract(spark):
     NotImplementedError for unhandled codec formats survives."""
     rng = np.random.default_rng(7)
     img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
-    jpeg_blob = b"\xff\xd8\xff\xe0" + bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+    mp3_blob = b"\xff\xfb" + bytes(rng.integers(0, 256, 64, dtype=np.uint8))
     rows = [
-        (1, bytearray(jpeg_blob), "image/jpeg", {}),   # only the plugin decodes this
+        (1, bytearray(mp3_blob), "audio/mpeg", {}),    # only the plugin decodes this
         (2, bytearray(encode_bmp(img)), "image/bmp", {}),  # plugin defers -> builtin
-        (3, None, "image/jpeg", {}),                   # NULL passthrough
+        (3, None, "audio/mpeg", {}),                   # NULL passthrough
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
 
-    def fake_jpeg_decoder(blob, mime):
-        # stands in for Pillow: imports (if any) would live in here,
+    def fake_mp3_decoder(blob, mime):
+        # stands in for ffmpeg: imports (if any) would live in here,
         # because the callable is pickled to executors
-        if mime == "image/jpeg" and blob[:2] == b"\xff\xd8":
-            return (640, 480, [len(blob) / 1000.0, blob[4] / 255.0])
+        if mime == "audio/mpeg" and blob[:2] == b"\xff\xfb":
+            return (2, 44100, [len(blob) / 1000.0, blob[4] / 255.0])
         return None
 
     out = {
         r["media_id"]: r
-        for r in extract_features(media, dim=5, decoder=fake_jpeg_decoder).collect()
+        for r in extract_features(media, dim=5, decoder=fake_mp3_decoder).collect()
     }
-    assert (out[1]["width"], out[1]["height"]) == (640, 480)
+    assert (out[1]["width"], out[1]["height"]) == (2, 44100)
     assert out[1]["features"] == pytest.approx(
-        [len(jpeg_blob) / 1000.0, jpeg_blob[4] / 255.0]
+        [len(mp3_blob) / 1000.0, mp3_blob[4] / 255.0]
     )
     # deferred row went through the real BMP decode
     assert (out[2]["width"], out[2]["height"]) == (4, 4)
@@ -171,6 +236,6 @@ def test_pluggable_decoder_contract(spark):
     )
     assert out[3]["features"] is None
 
-    # without the plugin the same jpeg row still fails loudly
+    # without the plugin the same mp3 row still fails loudly
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         extract_features(media, dim=5).collect()
