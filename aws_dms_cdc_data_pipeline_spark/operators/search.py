@@ -2950,18 +2950,41 @@ def append_to_token_index(
     otherwise a forward index built before the append silently misses
     the new docs (derived tables don't maintain themselves).
     """
-    tok = tokenize(new_docs, text_col, id_col)
+    from concurrent.futures import ThreadPoolExecutor
+
     from aws_dms_cdc_data_pipeline_spark.sinks.bucketed import write_bucketed
 
-    write_bucketed(tok, idx_table, bucket_col="term",
-                   num_buckets=num_buckets, mode="append")
+    # persist the batch tokenization: it feeds 2-3 consumers (postings
+    # write, dl aggregate, optional forward write) and each would
+    # otherwise re-run the scan + regex split; MATERIALIZE it before
+    # the concurrent writes so neither racing job builds the cache
+    tok = tokenize(new_docs, text_col, id_col).persist()
+    tok.count()
+    # the per-append floor is the table COMMITS, not compute (PERF.md
+    # r13 maintainer decomposition: postings 1.0-1.5 s + lengths
+    # 0.6-1.0 s per trigger at any batch size) — the writes target
+    # DIFFERENT tables with no ordering dependency, so submit them as
+    # concurrent driver-thread jobs and pay the slower commit once
     dl = tok.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
-    write_bucketed(dl, dl_table, bucket_col=id_col,
-                   num_buckets=num_buckets, mode="append")
+    jobs = [
+        lambda: write_bucketed(tok, idx_table, bucket_col="term",
+                               num_buckets=num_buckets, mode="append"),
+        lambda: write_bucketed(dl, dl_table, bucket_col=id_col,
+                               num_buckets=num_buckets, mode="append"),
+    ]
     if fwd_table is not None:
-        write_bucketed(tok, fwd_table, bucket_col=id_col,
-                       num_buckets=num_buckets, mode="append")
-        refresh_token_index(spark, fwd_table)
+        jobs.append(
+            lambda: write_bucketed(tok, fwd_table, bucket_col=id_col,
+                                   num_buckets=num_buckets, mode="append")
+        )
+    try:
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            for fut in [pool.submit(j) for j in jobs]:
+                fut.result()
+        if fwd_table is not None:
+            refresh_token_index(spark, fwd_table)
+    finally:
+        tok.unpersist()
     # this session's relation cache now reflects the append; OTHER
     # sessions that already read the tables (e.g. the interactive
     # session driving a streaming maintainer) must call

@@ -156,7 +156,12 @@ def percolator_scaling(spark, sf_dir: str) -> dict:
 
 def index_maintenance(spark, sf_dir: str, *, n_batches: int = 8) -> dict:
     """Stream the corpus through the index maintainer in ``n_batches``
-    availableNow micro-batches; report append throughput + freshness."""
+    availableNow micro-batches; report append throughput + freshness.
+    A second pass at n_batches=2 reports the SAME corpus at 4× the
+    batch size — the per-trigger floor is the two bucketed table
+    commits (PERF.md decomposition), so docs/s must scale with batch
+    size if the floor story is right; ``append_docs_per_sec_large_batch``
+    is that check."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -172,30 +177,35 @@ def index_maintenance(spark, sf_dir: str, *, n_batches: int = 8) -> dict:
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
-    tmp = tempfile.mkdtemp(prefix="idx_maint_bench_")
-    src = os.path.join(tmp, "stream")
-    # split the corpus into n_batches JSON files OFF the clock
-    (
-        docs.select("doc_id", "text")
-        .repartition(n_batches)
-        .write.mode("overwrite")
-        .json(src)
-    )
-    # fresh empty index (drop any previous bench run's tables)
-    for t in ("tokidx_bench_maint", "toklen_bench_maint"):
-        spark.sql(f"DROP TABLE IF EXISTS tokcache.{t}")
-    idx_t, dl_t = ensure_token_index(
-        spark, docs.filter(F.lit(False)), "bench_maint"
-    )
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .json(src)
-    )
-    t0 = time.time()
-    q = start_index_maintainer(stream, idx_t, dl_t, os.path.join(tmp, "ckpt"))
-    q.awaitTermination()
-    drain = time.time() - t0
+
+    def _drain(nb: int, tag: str) -> tuple[float, int]:
+        tmp = tempfile.mkdtemp(prefix=f"idx_maint_bench_{tag}_")
+        src = os.path.join(tmp, "stream")
+        # split the corpus into nb JSON files OFF the clock
+        (
+            docs.select("doc_id", "text")
+            .repartition(nb)
+            .write.mode("overwrite")
+            .json(src)
+        )
+        for t in (f"tokidx_bench_maint{tag}", f"toklen_bench_maint{tag}"):
+            spark.sql(f"DROP TABLE IF EXISTS tokcache.{t}")
+        it, dt = ensure_token_index(
+            spark, docs.filter(F.lit(False)), f"bench_maint{tag}"
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        t0 = time.time()
+        q = start_index_maintainer(stream, it, dt, os.path.join(tmp, "ckpt"))
+        q.awaitTermination()
+        wall = time.time() - t0
+        shutil.rmtree(tmp, ignore_errors=True)
+        return wall, (it, dt)
+
+    drain, (idx_t, dl_t) = _drain(n_batches, "")
     # freshness: stream just drained — how long until an indexed query
     # over the union corpus answers (session refresh + pruned read)?
     t1 = time.time()
@@ -205,13 +215,16 @@ def index_maintenance(spark, sf_dir: str, *, n_batches: int = 8) -> dict:
     ).collect()
     fresh = time.time() - t1
     indexed = spark.table(dl_t).count()
-    shutil.rmtree(tmp, ignore_errors=True)
+    # scaling check: same corpus, 4× the batch size — the per-trigger
+    # floor is commit-bound, so docs/s should scale with batch size
+    big_drain, _ = _drain(max(2, n_batches // 4), "big")
     return {
         "n_docs": n_docs,
         "n_batches": n_batches,
         "indexed_docs": indexed,
         "append_wall_sec": round(drain, 3),
         "append_docs_per_sec": round(n_docs / drain, 1),
+        "append_docs_per_sec_large_batch": round(n_docs / big_drain, 1),
         "freshness_query_sec": round(fresh, 3),
         "probe_hits": len(hits),
     }
