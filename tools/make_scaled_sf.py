@@ -84,18 +84,26 @@ def build(
     def wanted(t: str) -> bool:
         return tables is None or t in tables
 
-    # Small row groups so Spark's file source can split the scan: a
-    # single-row-group file scans as ONE task no matter the cluster
-    # size, which serialized every sf1 text query's tokenize/shingle
-    # stage on one of 32 cores (measured 37 s of a 50 s cold minhash).
-    # Any real 100 TB layout is thousands of files/row groups; 4096
-    # rows per group makes the fixture behave like one.
+    # Row-group size must satisfy BOTH scan pathologies:
+    # - too FEW groups: a single-row-group file scans as ONE task no
+    #   matter the cluster size, which serialized every sf1 text
+    #   query's tokenize/shingle stage on one of 32 cores (measured
+    #   37 s of a 50 s cold minhash);
+    # - too MANY groups: Spark's vectorized parquet reader pays a
+    #   per-row-group setup cost (footer/page/dictionary re-init)
+    #   that DuckDB does not — 4096-row groups put 1,465 groups in
+    #   the sf1 lineitem and 14,600 in the sf10 one, and the "TPC-H
+    #   star-query gap" the r5-r12 benches attributed to a
+    #   scheduling floor was ~85% THIS: the sf10 7-column lineitem
+    #   scan dropped 7.4 s → 0.6 s when rewritten at 262k-row groups
+    #   (PERF.md r13). Any real 100 TB layout uses 64-512 MB groups.
+    # Facts get 32k-row groups (sf1 lineitem → 183 groups, sf10 →
+    # 1,832: plenty of splits, amortized setup); wide text/vector
+    # rows keep 1024 (per-row downstream work dominates there and
+    # 50 k docs still need >=32 splits).
     def copy(sql: str, table: str) -> None:
         out = os.path.join(dst, f"{table}.parquet")
-        # text/vector rows are wide and per-row expensive: 1024-row
-        # groups give those scans >=32 native splits; narrow fact rows
-        # keep 4096 (finer groups only add footer overhead there).
-        rg = 1024 if table in ("documents", "embeddings") else 4096
+        rg = 1024 if table in ("documents", "embeddings") else 32768
         con.execute(
             f"COPY ({sql}) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})"
         )
