@@ -88,17 +88,32 @@ def percolator_scaling(spark, sf_dir: str) -> dict:
     from aws_dms_cdc_data_pipeline_spark.streaming.percolate import percolate
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    qs = _standing_queries(spark, docs, 100)
+    # 1000 standing queries probes the scaling claim a decade past
+    # the r12 knee. The fixture's 31-word vocabulary makes the MATCH
+    # VOLUME grow ~linearly with the query count (every top-df term
+    # stands in ~n/31 queries, so nearly every doc matches nearly
+    # every query — 1.49 M emitted matches at 1000q), so the honest
+    # unit is wall per EMITTED MATCH: corpus work is plan-asserted
+    # flat, and per-match cost must fall (amortize) decade over
+    # decade for the sublinear claim to hold (r13: 71 → 15.5 →
+    # 8.6 µs/match).
+    qs = _standing_queries(spark, docs, 1000)
     out: dict = {"corpus_docs": docs.count()}
-    for n in (10, 100):
+    for n in (10, 100, 1000):
         sub = qs[:n]
         # steady-state like the query bench: run twice, record second
         percolate(docs, sub).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         percolate(docs, sub).write.format("noop").mode("overwrite").save()
         out[f"wall_sec_{n}q"] = round(time.time() - t0, 3)
+        m = percolate(docs, sub).count()
+        out[f"matches_{n}q"] = m
+        out[f"us_per_match_{n}q"] = round(1e6 * out[f"wall_sec_{n}q"] / m, 1)
     out["scaling_10x_queries"] = round(
         out["wall_sec_100q"] / out["wall_sec_10q"], 2
+    )
+    out["scaling_100x_queries"] = round(
+        out["wall_sec_1000q"] / out["wall_sec_10q"], 2
     )
 
     # term-set percolation scaling (E162: wildcard/fuzzy/regexp
