@@ -2670,7 +2670,583 @@ def weighted_avg_oracle_sql(
     """
 
 
+
+
+def _quantile_at_ranks(dist: DataFrame, ranks: dict):
+    """Nearest-rank order statistics from a (qv, cnt) distinct-value
+    distribution: for each name → 1-indexed rank, the smallest qv
+    whose cumulative count reaches the rank. The cumulative window
+    runs over DISTINCT values (≪ rows — never a row-sized
+    single-partition sort), the scale shape every exact-quantile
+    operator here uses (E68 precedent)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.withColumn("_cum", F.sum("cnt").over(w))
+    aggs = [
+        F.min(F.when(F.col("_cum") >= F.lit(int(r)), F.col("qv")))
+        .alias(name)
+        for name, r in ranks.items()
+    ]
+    return cum.agg(*aggs)
+
+
+def boxplot_agg(
+    hits: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Boxplot metric aggregation — the OpenSearch ``boxplot`` agg
+    (min, q1, q2, q3, max + the 1.5·IQR whisker values Discover's
+    box-and-whisker panel draws). OpenSearch computes approximate
+    quantiles through TDigest; this engine computes EXACT
+    nearest-rank order statistics (rank = ceil(p·n) over the sorted
+    values) — exactness is what the cross-engine oracle gate demands,
+    and the nearest-rank figure is the deterministic analogue (the
+    E16/E68 percentile contract). Whiskers are the OpenSearch
+    definition: the smallest value ≥ q1 − 1.5·IQR and the largest
+    value ≤ q3 + 1.5·IQR. Missing values (null/NaN/±inf) drop per
+    the histogram missing-value contract.
+
+    Determinism: values quantize to 6-dp longs; ranks, cumulative
+    counts and the IQR are exact integer arithmetic; the fences use
+    one exact long×1.5 double multiply (exact for |iqr| < 2^52)
+    mirrored verbatim in the oracle.
+
+    Execution: one scan → distinct-value distribution (map-side
+    combined), cumulative window over DISTINCT values only, 1-row
+    output.
+    """
+    v = F.col(value_col).cast("double")
+    ok = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    qv = F.round(v * _ES_FP, 0).cast("long")
+    dist = (
+        hits.filter(ok)
+        .select(qv.alias("qv"))
+        .groupBy("qv")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    n = dist.agg(F.sum("cnt").cast("long").alias("n")).collect()[0]["n"]
+    if not n:
+        return hits.sparkSession.createDataFrame(
+            [],
+            "n long, min_value double, q1 double, q2 double, q3 double, "
+            "max_value double, lower_whisker double, upper_whisker double",
+        )
+    import math
+
+    ranks = {
+        "_q1": max(1, math.ceil(0.25 * n)),
+        "_q2": max(1, math.ceil(0.50 * n)),
+        "_q3": max(1, math.ceil(0.75 * n)),
+    }
+    dist = dist.persist()
+    qs = _quantile_at_ranks(dist, ranks).collect()[0]
+    q1q, q2q, q3q = int(qs["_q1"]), int(qs["_q2"]), int(qs["_q3"])
+    iqr_q = q3q - q1q
+    lo_fence = float(q1q) - 1.5 * float(iqr_q)
+    hi_fence = float(q3q) + 1.5 * float(iqr_q)
+    row = dist.agg(
+        F.min("qv").cast("long").alias("_min"),
+        F.max("qv").cast("long").alias("_max"),
+        F.min(F.when(F.col("qv").cast("double") >= F.lit(lo_fence),
+                     F.col("qv"))).cast("long").alias("_lw"),
+        F.max(F.when(F.col("qv").cast("double") <= F.lit(hi_fence),
+                     F.col("qv"))).cast("long").alias("_uw"),
+    )
+    dist.unpersist()
+    fp = float(_ES_FP)
+    return row.select(
+        F.lit(int(n)).cast("long").alias("n"),
+        (F.col("_min").cast("double") / fp).alias("min_value"),
+        (F.lit(q1q).cast("double") / fp).alias("q1"),
+        (F.lit(q2q).cast("double") / fp).alias("q2"),
+        (F.lit(q3q).cast("double") / fp).alias("q3"),
+        (F.col("_max").cast("double") / fp).alias("max_value"),
+        (F.col("_lw").cast("double") / fp).alias("lower_whisker"),
+        (F.col("_uw").cast("double") / fp).alias("upper_whisker"),
+    )
+
+
+def boxplot_oracle_sql(
+    hits_sql: str,
+    value_col: str,
+) -> str:
+    """DuckDB SQL computing the identical exact nearest-rank boxplot
+    (same 6-dp quantization, same ceil-rank order statistics, same
+    1.5·IQR fences)."""
+    return f"""
+    WITH hit_rows AS ({hits_sql}),
+    hv AS (SELECT CAST(round(CAST({value_col} AS DOUBLE) * {_ES_FP}, 0)
+                       AS BIGINT) AS qv
+           FROM hit_rows
+           WHERE {value_col} IS NOT NULL
+             AND NOT isnan(CAST({value_col} AS DOUBLE))
+             AND abs(CAST({value_col} AS DOUBLE)) <> CAST('inf' AS DOUBLE)),
+    dist AS (SELECT qv, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM hv GROUP BY qv),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM dist),
+    cum AS (SELECT qv, SUM(cnt) OVER (ORDER BY qv) AS c FROM dist),
+    qq AS (
+        SELECT
+            (SELECT MIN(qv) FROM cum
+             WHERE c >= greatest(1, CAST(ceil(0.25 * n) AS BIGINT))) AS q1q,
+            (SELECT MIN(qv) FROM cum
+             WHERE c >= greatest(1, CAST(ceil(0.50 * n) AS BIGINT))) AS q2q,
+            (SELECT MIN(qv) FROM cum
+             WHERE c >= greatest(1, CAST(ceil(0.75 * n) AS BIGINT))) AS q3q,
+            n
+        FROM tot
+    )
+    SELECT n,
+           CAST((SELECT MIN(qv) FROM dist) AS DOUBLE) / {_ES_FP}
+               AS min_value,
+           CAST(q1q AS DOUBLE) / {_ES_FP} AS q1,
+           CAST(q2q AS DOUBLE) / {_ES_FP} AS q2,
+           CAST(q3q AS DOUBLE) / {_ES_FP} AS q3,
+           CAST((SELECT MAX(qv) FROM dist) AS DOUBLE) / {_ES_FP}
+               AS max_value,
+           CAST((SELECT MIN(qv) FROM dist
+                 WHERE CAST(qv AS DOUBLE) >=
+                       CAST(q1q AS DOUBLE) - 1.5 * CAST(q3q - q1q AS DOUBLE))
+                AS DOUBLE) / {_ES_FP} AS lower_whisker,
+           CAST((SELECT MAX(qv) FROM dist
+                 WHERE CAST(qv AS DOUBLE) <=
+                       CAST(q3q AS DOUBLE) + 1.5 * CAST(q3q - q1q AS DOUBLE))
+                AS DOUBLE) / {_ES_FP} AS upper_whisker
+    FROM qq
+    WHERE n > 0
+    """
+
+
+def mad_agg(
+    hits: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Median-absolute-deviation metric aggregation — the OpenSearch
+    ``median_absolute_deviation`` agg (the Discover robust-spread
+    metric). OpenSearch computes it over TDigest sketches; this
+    engine computes the EXACT figure (nearest-rank median of
+    |x − median(x)|) — the E103 robust-outlier machinery exposed as
+    the standalone metric agg. Missing values drop per the histogram
+    contract.
+
+    Determinism: 6-dp quantized longs; both medians are exact
+    nearest-rank order statistics over distinct-value distributions
+    (never a row-sized global sort); deviations are exact integer
+    |qv − medq|.
+
+    Execution: one scan → distinct-value distribution; the deviation
+    pass reuses that SAME tiny distribution (|distinct| rows, counts
+    carry over) — the second median costs no corpus work.
+    """
+    import math
+
+    v = F.col(value_col).cast("double")
+    ok = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    qv = F.round(v * _ES_FP, 0).cast("long")
+    dist = (
+        hits.filter(ok)
+        .select(qv.alias("qv"))
+        .groupBy("qv")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
+    )
+    n = dist.agg(F.sum("cnt").cast("long").alias("n")).collect()[0]["n"]
+    if not n:
+        dist.unpersist()
+        return hits.sparkSession.createDataFrame(
+            [], "n long, median double, mad double"
+        )
+    med_rank = max(1, math.ceil(0.50 * n))
+    medq = int(
+        _quantile_at_ranks(dist, {"_m": med_rank}).collect()[0]["_m"]
+    )
+    dev = (
+        dist.select(
+            F.abs(F.col("qv") - F.lit(medq)).alias("qv"), F.col("cnt")
+        )
+        .groupBy("qv")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    madq = int(
+        _quantile_at_ranks(dev, {"_m": med_rank}).collect()[0]["_m"]
+    )
+    dist.unpersist()
+    fp = float(_ES_FP)
+    return hits.sparkSession.createDataFrame(
+        [(int(n), medq / fp, madq / fp)], "n long, median double, mad double"
+    )
+
+
+def mad_oracle_sql(
+    hits_sql: str,
+    value_col: str,
+) -> str:
+    """DuckDB SQL computing the identical exact nearest-rank MAD."""
+    return f"""
+    WITH hit_rows AS ({hits_sql}),
+    hv AS (SELECT CAST(round(CAST({value_col} AS DOUBLE) * {_ES_FP}, 0)
+                       AS BIGINT) AS qv
+           FROM hit_rows
+           WHERE {value_col} IS NOT NULL
+             AND NOT isnan(CAST({value_col} AS DOUBLE))
+             AND abs(CAST({value_col} AS DOUBLE)) <> CAST('inf' AS DOUBLE)),
+    dist AS (SELECT qv, CAST(COUNT(*) AS BIGINT) AS cnt FROM hv GROUP BY qv),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM dist),
+    cum AS (SELECT qv, SUM(cnt) OVER (ORDER BY qv) AS c FROM dist),
+    med AS (SELECT (SELECT MIN(qv) FROM cum
+                    WHERE c >= greatest(1, CAST(ceil(0.50 * n) AS BIGINT)))
+                   AS medq, n
+            FROM tot),
+    dev AS (SELECT abs(d.qv - m.medq) AS qv,
+                   CAST(SUM(d.cnt) AS BIGINT) AS cnt
+            FROM dist d CROSS JOIN med m GROUP BY 1),
+    dcum AS (SELECT qv, SUM(cnt) OVER (ORDER BY qv) AS c FROM dev)
+    SELECT n,
+           CAST(medq AS DOUBLE) / {_ES_FP} AS median,
+           CAST((SELECT MIN(qv) FROM dcum
+                 WHERE c >= greatest(1, CAST(ceil(0.50 * n) AS BIGINT)))
+                AS DOUBLE) / {_ES_FP} AS mad
+    FROM med
+    WHERE n > 0
+    """
+
+
+def string_stats(
+    docs: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """String-stats metric aggregation — the OpenSearch
+    ``string_stats`` agg with ``show_distribution``'s Shannon
+    entropy: count, min/max/avg length (characters) and the entropy
+    of the CHARACTER distribution across all values, in bits. NULL
+    values drop; empty strings count with length 0 (they contribute
+    no characters).
+
+    Determinism: lengths and character counts are exact longs;
+    avg_length is ONE exact-long division. Entropy sums per-character
+    ``p·log2(p)`` terms — each term is quantized to a 1e-12 long
+    BEFORE the sum (an exact, order-free long sum) and the result
+    rounds to 6 dp, absorbing sub-ulp libm log2 drift between engines
+    (the E130 collocations PMI precedent; character alphabets are
+    ~dozens of symbols, so quantization error stays ≤ |alphabet|·5e-13,
+    far inside the 6-dp round).
+
+    Execution: one scan with an in-row length projection (no explode
+    for the length stats); the entropy pass explodes to characters
+    but aggregates to the ALPHABET (map-side combined — the shuffle
+    carries ≤ |alphabet| rows per partition).
+    """
+    t = F.col(text_col)
+    lengths = docs.filter(t.isNotNull()).select(
+        F.length(t).cast("long").alias("_len"), t.alias("_t")
+    ).persist()
+    stats = lengths.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("_len").cast("long").alias("min_length"),
+        F.max("_len").cast("long").alias("max_length"),
+        F.sum("_len").cast("long").alias("_lensum"),
+    )
+    chars = (
+        lengths.select(F.explode(F.split("_t", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = chars.agg(F.sum("cnt").cast("long").alias("tc"))
+    term = F.round(
+        (F.col("cnt").cast("double") / F.col("tc"))
+        * F.log2(F.col("cnt").cast("double") / F.col("tc"))
+        * F.lit(1e12),
+        0,
+    ).cast("long")
+    ent = (
+        chars.crossJoin(F.broadcast(tot))
+        .agg(F.sum(term).cast("long").alias("_e"))
+        .select(
+            F.round(-F.col("_e").cast("double") / F.lit(1e12), 6)
+            .alias("entropy")
+        )
+    )
+    out = stats.crossJoin(F.broadcast(ent)).select(
+        "n", "min_length", "max_length",
+        (F.col("_lensum").cast("double") / F.col("n").cast("double"))
+        .alias("avg_length"),
+        "entropy",
+    )
+    lengths.unpersist()
+    return out
+
+
+def string_stats_oracle_sql(
+    table_sql: str,
+    text_col: str,
+) -> str:
+    """DuckDB SQL computing the identical string stats (same
+    per-character 1e-12 quantized entropy terms, same final round)."""
+    return f"""
+    WITH src AS ({table_sql}),
+    vals AS (SELECT {text_col} AS t FROM src WHERE {text_col} IS NOT NULL),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(MIN(length(t)) AS BIGINT) AS min_length,
+                     CAST(MAX(length(t)) AS BIGINT) AS max_length,
+                     CAST(SUM(length(t)) AS BIGINT) AS lensum
+              FROM vals),
+    chars AS (SELECT c.ch, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM vals, LATERAL (
+                  SELECT unnest(string_split(t, '')) AS ch) c
+              WHERE c.ch <> ''
+              GROUP BY c.ch),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tc FROM chars),
+    ent AS (SELECT round(-CAST(SUM(CAST(round(
+                      (CAST(cnt AS DOUBLE) / tc)
+                      * log2(CAST(cnt AS DOUBLE) / tc) * 1e12, 0)
+                  AS BIGINT)) AS DOUBLE) / 1e12, 6) AS entropy
+            FROM chars CROSS JOIN tot)
+    SELECT n, min_length, max_length,
+           CAST(lensum AS DOUBLE) / CAST(n AS DOUBLE) AS avg_length,
+           entropy
+    FROM stats CROSS JOIN ent
+    """
+
+
+def t_test_agg(
+    hits: DataFrame,
+    value_col: str,
+    filter_a: str,
+    filter_b: str,
+) -> DataFrame:
+    """T-test metric aggregation — the OpenSearch ``t_test`` agg in
+    its default ``heteroscedastic`` (Welch, unpaired) form: the
+    t-statistic between the ``value_col`` populations selected by two
+    portable SQL boolean predicates (the A/B panel in Discover).
+    OpenSearch returns the p-value; the t-statistic is the
+    deterministic part (the p-value needs the incomplete beta
+    function, whose libm pedigree differs per engine) and is returned
+    alongside the Welch degrees of freedom so callers can look up
+    significance. Missing values drop per the histogram contract;
+    rows may satisfy both, one, or neither predicate (overlapping
+    buckets allowed, the filters-agg contract).
+
+    Determinism: the extended_stats (E168) ladder — values quantize
+    to 6-dp longs, per-bucket count/sum/sum-of-squares run exact in
+    DECIMAL(38,0), and only the final short IEEE chain (sample
+    variance with n−1, two divides, subtract, sqrt, divide) touches
+    doubles, mirrored verbatim in the oracle. Buckets with n < 2
+    yield a NULL t_stat (sample variance undefined).
+
+    Execution: ONE scan, ONE 1-row aggregate — both buckets are
+    conditional sums in the same aggregate.
+    """
+    v = F.col(value_col).cast("double")
+    ok = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    qv = F.round(v * _ES_FP, 0).cast("decimal(19,0)")
+    out_cols = []
+    for tag, pred in (("a", filter_a), ("b", filter_b)):
+        sel = F.when(ok & F.expr(pred), qv)
+        out_cols += [
+            F.count(sel).cast("long").alias(f"_n{tag}"),
+            F.sum(sel).cast("decimal(38,0)").alias(f"_s1{tag}"),
+            F.sum(sel * sel).cast("decimal(38,0)").alias(f"_s2{tag}"),
+        ]
+    row = hits.agg(*out_cols)
+    fp = float(_ES_FP)
+
+    def moments(tag):
+        n = F.col(f"_n{tag}").cast("double")
+        s1 = F.col(f"_s1{tag}").cast("double")
+        s2 = F.col(f"_s2{tag}").cast("double")
+        mean = s1 / n / F.lit(fp)
+        # SAMPLE variance (n-1): the t-test divisor
+        var = F.greatest(
+            (s2 - s1 * s1 / n) / (n - F.lit(1.0)) / F.lit(fp * fp),
+            F.lit(0.0),
+        )
+        return n, mean, var
+
+    na, ma, va = moments("a")
+    nb, mb, vb = moments("b")
+    se2 = va / na + vb / nb
+    t_stat = F.when(
+        (F.col("_na") >= 2) & (F.col("_nb") >= 2) & (se2 > 0),
+        (ma - mb) / F.sqrt(se2),
+    )
+    dof = F.when(
+        (F.col("_na") >= 2) & (F.col("_nb") >= 2) & (se2 > 0),
+        (se2 * se2)
+        / ((va / na) * (va / na) / (na - F.lit(1.0))
+           + (vb / nb) * (vb / nb) / (nb - F.lit(1.0))),
+    )
+    return row.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.when(F.col("_na") > 0, ma).alias("mean_a"),
+        F.when(F.col("_nb") > 0, mb).alias("mean_b"),
+        t_stat.alias("t_stat"),
+        dof.alias("welch_dof"),
+    )
+
+
+def t_test_oracle_sql(
+    hits_sql: str,
+    value_col: str,
+    filter_a: str,
+    filter_b: str,
+) -> str:
+    """DuckDB SQL computing the identical Welch t statistic (same
+    quantization, same exact decimal sums, same final IEEE chain)."""
+    fp = float(_ES_FP)
+
+    def bucket(tag, pred):
+        return f"""
+        CAST(COUNT(CASE WHEN ok AND ({pred}) THEN qv END) AS BIGINT)
+            AS n{tag},
+        CAST(SUM(CASE WHEN ok AND ({pred}) THEN qv END)
+             AS DECIMAL(38,0)) AS s1{tag},
+        CAST(SUM(CASE WHEN ok AND ({pred}) THEN qv * qv END)
+             AS DECIMAL(38,0)) AS s2{tag}"""
+
+    def moments(tag):
+        return (
+            f"CAST(s1{tag} AS DOUBLE) / CAST(n{tag} AS DOUBLE) / {fp!r}",
+            f"greatest((CAST(s2{tag} AS DOUBLE)"
+            f" - CAST(s1{tag} AS DOUBLE) * CAST(s1{tag} AS DOUBLE)"
+            f" / CAST(n{tag} AS DOUBLE))"
+            f" / (CAST(n{tag} AS DOUBLE) - 1.0) / {fp * fp!r}, 0.0)",
+        )
+
+    ma, va = moments("a")
+    mb, vb = moments("b")
+    se2 = (f"(({va}) / CAST(na AS DOUBLE))"
+           f" + (({vb}) / CAST(nb AS DOUBLE))")
+    return f"""
+    WITH hit_rows AS ({hits_sql}),
+    h AS (SELECT *,
+                 CAST(round(CAST({value_col} AS DOUBLE) * {_ES_FP}, 0)
+                      AS DECIMAL(19,0)) AS qv,
+                 ({value_col} IS NOT NULL
+                  AND NOT isnan(CAST({value_col} AS DOUBLE))
+                  AND abs(CAST({value_col} AS DOUBLE))
+                      <> CAST('inf' AS DOUBLE)) AS ok
+          FROM hit_rows),
+    agg AS (SELECT {bucket('a', filter_a)}, {bucket('b', filter_b)}
+            FROM h)
+    SELECT na AS n_a, nb AS n_b,
+           CASE WHEN na > 0 THEN {ma} END AS mean_a,
+           CASE WHEN nb > 0 THEN {mb} END AS mean_b,
+           CASE WHEN na >= 2 AND nb >= 2 AND ({se2}) > 0
+                THEN (({ma}) - ({mb})) / sqrt({se2}) END AS t_stat,
+           CASE WHEN na >= 2 AND nb >= 2 AND ({se2}) > 0
+                THEN (({se2}) * ({se2}))
+                     / (((({va}) / CAST(na AS DOUBLE))
+                         * (({va}) / CAST(na AS DOUBLE))
+                         / (CAST(na AS DOUBLE) - 1.0))
+                        + ((({vb}) / CAST(nb AS DOUBLE))
+                           * (({vb}) / CAST(nb AS DOUBLE))
+                           / (CAST(nb AS DOUBLE) - 1.0)))
+           END AS welch_dof
+    FROM agg
+    """
+
+
+def diversified_sampler(
+    hits: DataFrame,
+    docs: DataFrame,
+    dedup_col: str,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    shard_size: int = 100,
+    max_docs_per_value: int = 1,
+) -> DataFrame:
+    """Diversified-sampler bucket aggregation — the OpenSearch
+    ``diversified_sampler`` agg (cap the hit set BEFORE expensive
+    sub-aggregations, while de-biasing it: at most
+    ``max_docs_per_value`` hits per ``dedup_col`` value, then the
+    best ``shard_size`` overall). Deterministic where OpenSearch is
+    shard-order-dependent: selection order is (score DESC, id ASC)
+    both within each dedup bucket and globally — the property the
+    oracle gate needs. NULL dedup values form their own bucket (the
+    OpenSearch missing-bucket behavior).
+
+    Returns (id, dedup value, score, sample_rank), sample_rank
+    1..shard_size by (score DESC, id ASC) over the surviving set.
+
+    Execution: the hit set is top-k-sized and BROADCASTS into the
+    dedup-field join (the corpus never shuffles — the facet_counts
+    shape); both rank cuts are windows over hit-set-sized data, the
+    per-bucket one trimmed map-side by WindowGroupLimit.
+    """
+    from pyspark.sql import Window
+
+    if shard_size < 1 or max_docs_per_value < 1:
+        raise ValueError(
+            "diversified_sampler needs shard_size >= 1 and "
+            "max_docs_per_value >= 1"
+        )
+    j = docs.select(id_col, dedup_col).join(
+        F.broadcast(hits.select(id_col, score_col)), id_col
+    )
+    wb = Window.partitionBy(dedup_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    kept = (
+        j.withColumn("_br", F.row_number().over(wb))
+        .filter(F.col("_br") <= max_docs_per_value)
+    )
+    wg = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return (
+        kept.withColumn("sample_rank", F.row_number().over(wg).cast("long"))
+        .filter(F.col("sample_rank") <= shard_size)
+        .select(id_col, dedup_col, score_col, "sample_rank")
+        .orderBy("sample_rank")
+    )
+
+
+def diversified_sampler_oracle_sql(
+    hits_sql: str,
+    dedup_col: str,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    shard_size: int = 100,
+    max_docs_per_value: int = 1,
+) -> str:
+    """DuckDB SQL computing the identical diversified sample."""
+    return f"""
+    WITH hit_rows AS ({hits_sql}),
+    j AS (SELECT d.{id_col}, d.{dedup_col}, h.{score_col}
+          FROM {table} d JOIN hit_rows h USING ({id_col})),
+    capped AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY {dedup_col}
+                   ORDER BY {score_col} DESC, {id_col} ASC) AS br
+        FROM j
+    ),
+    ranked AS (
+        SELECT {id_col}, {dedup_col}, {score_col},
+               CAST(row_number() OVER (
+                   ORDER BY {score_col} DESC, {id_col} ASC)
+               AS BIGINT) AS sample_rank
+        FROM capped WHERE br <= {max_docs_per_value}
+    )
+    SELECT * FROM ranked WHERE sample_rank <= {shard_size}
+    ORDER BY sample_rank
+    """
+
+
 __all__ = [
+    "boxplot_agg",
+    "boxplot_oracle_sql",
+    "mad_agg",
+    "mad_oracle_sql",
+    "string_stats",
+    "string_stats_oracle_sql",
+    "t_test_agg",
+    "t_test_oracle_sql",
+    "diversified_sampler",
+    "diversified_sampler_oracle_sql",
     "adjacency_matrix",
     "adjacency_matrix_oracle_sql",
     "autocomplete_prefix",

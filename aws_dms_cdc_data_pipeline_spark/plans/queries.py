@@ -7649,6 +7649,170 @@ def search_moving_percentiles_q(spark, sf_dir):
     )
 
 
+def _boxplot_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        boxplot_oracle_sql,
+    )
+
+    return boxplot_oracle_sql(
+        "SELECT * FROM events WHERE event_type = 'purchase'", "value"
+    )
+
+
+@q(
+    "events_boxplot",
+    _boxplot_oracle(),
+    "Boxplot metric aggregation — the OpenSearch boxplot agg "
+    "(min/q1/q2/q3/max + 1.5-IQR whisker values) over purchase "
+    "event values, computed EXACTLY (nearest-rank order statistics "
+    "over a distinct-value distribution — the cumulative window runs "
+    "over distinct values, never a row-sized global sort) where "
+    "OpenSearch approximates through TDigest "
+    "(operators/retrieval.py:boxplot_agg).",
+)
+def events_boxplot_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        boxplot_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return boxplot_agg(ev.filter(F.col("event_type") == "purchase"), "value")
+
+
+def _mad_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        mad_oracle_sql,
+    )
+
+    return mad_oracle_sql(
+        "SELECT * FROM events WHERE event_type = 'purchase'", "value"
+    )
+
+
+@q(
+    "events_mad",
+    _mad_oracle(),
+    "Median-absolute-deviation metric aggregation — the OpenSearch "
+    "median_absolute_deviation agg over purchase event values, "
+    "computed EXACTLY (nearest-rank median of |x - median|, both "
+    "medians from the SAME distinct-value distribution; OpenSearch "
+    "approximates through TDigest). The E103 robust-spread machinery "
+    "exposed as the standalone Discover metric "
+    "(operators/retrieval.py:mad_agg).",
+)
+def events_mad_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import mad_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return mad_agg(ev.filter(F.col("event_type") == "purchase"), "value")
+
+
+def _string_stats_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        string_stats_oracle_sql,
+    )
+
+    return string_stats_oracle_sql("SELECT * FROM documents", "text")
+
+
+@q(
+    "docs_string_stats",
+    _string_stats_oracle(),
+    "String-stats metric aggregation — the OpenSearch string_stats "
+    "agg with show_distribution's Shannon entropy: count/min/max/avg "
+    "length plus character-distribution entropy in bits. Per-char "
+    "p*log2(p) terms quantize to 1e-12 longs BEFORE the (exact, "
+    "order-free) sum, absorbing sub-ulp libm drift (the E130 "
+    "collocations precedent); lengths aggregate in-row with no "
+    "explode, the entropy pass aggregates to the alphabet "
+    "(operators/retrieval.py:string_stats).",
+)
+def docs_string_stats_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        string_stats,
+    )
+
+    return string_stats(load_table(spark, sf_dir, "documents"), "text")
+
+
+def _t_test_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        t_test_oracle_sql,
+    )
+
+    return t_test_oracle_sql(
+        "SELECT * FROM events", "value",
+        "event_type = 'purchase'", "event_type = 'view'",
+    )
+
+
+@q(
+    "events_t_test",
+    _t_test_oracle(),
+    "T-test metric aggregation — the OpenSearch t_test agg, default "
+    "heteroscedastic (Welch, unpaired) form: the t statistic and "
+    "Welch degrees of freedom between purchase-event and view-event "
+    "values (the Discover A/B panel). Extended-stats determinism "
+    "ladder: 6-dp quantized longs, exact DECIMAL(38,0) "
+    "count/sum/sum-of-squares per bucket in ONE 1-row aggregate, one "
+    "final short IEEE chain mirrored verbatim in the oracle "
+    "(operators/retrieval.py:t_test_agg).",
+)
+def events_t_test_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        t_test_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return t_test_agg(
+        ev, "value", "event_type = 'purchase'", "event_type = 'view'"
+    )
+
+
+def _div_sampler_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        diversified_sampler_oracle_sql,
+    )
+
+    return diversified_sampler_oracle_sql(
+        f"SELECT doc_id, score FROM ({_bm25_sub_sql(100)})",
+        "lang",
+        shard_size=20,
+        max_docs_per_value=3,
+    )
+
+
+@q(
+    "diversified_sample_hits",
+    _div_sampler_oracle(),
+    "Diversified-sampler bucket aggregation — the OpenSearch "
+    "diversified_sampler agg (cap the hit set before expensive "
+    "sub-aggregations while de-biasing it: at most 3 hits per lang, "
+    "then the best 20 overall). Deterministic where OpenSearch is "
+    "shard-order-dependent: both cuts order by (score DESC, id ASC). "
+    "The BM25 top-100 hit set broadcasts into the dedup-field join "
+    "(corpus never shuffles); the per-bucket cut is "
+    "WindowGroupLimit-trimmed map-side "
+    "(operators/retrieval.py:diversified_sampler).",
+)
+def diversified_sample_hits_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        diversified_sampler,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bm25_search_indexed,
+    )
+
+    idx_t, dl_t = _token_index_for(spark, sf_dir)
+    hits = bm25_search_indexed(
+        spark, idx_t, dl_t, ["spark", "shuffle", "broadcast"], top_k=100
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return diversified_sampler(
+        hits, docs, "lang", shard_size=20, max_docs_per_value=3
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r13 window = the 12 queries whose code
@@ -7669,8 +7833,10 @@ def search_moving_percentiles_q(spark, sf_dir):
 # text_token_counts, tfidf_top_terms_indexed,
 # weekly_users_from_sketches, window_lag_price, window_running_qty,
 # window_value_funcs — two of these sit on the r12/r13-edited
-# search.py) + 19 fillers from the r8-stale tail (alphabetical
-# order, the next-oldest evidence after the r6 tail). All 50
+# search.py) + 14 fillers from the r8-stale tail (alphabetical
+# order, the next-oldest evidence after the r6 tail) + the 5
+# never-driver-checked queries new in r13 (boxplot / MAD /
+# string_stats / t_test / diversified_sampler aggs). All 50
 # locally verified green before the round's driver run.
 _R13_WINDOW = [
     # code/oracle changed in r13
@@ -7721,11 +7887,12 @@ _R13_WINDOW = [
     "cdc_scd2_history",
     "cdc_schema_drift",
     "cdc_state_as_of",
-    "centroid_label_confusion",
-    "chunk_documents",
-    "corpus_shuffle_order",
-    "curate_training_corpus",
-    "dataset_split_assignment",
+    # never driver-checked (new in r13)
+    "events_boxplot",
+    "events_mad",
+    "docs_string_stats",
+    "events_t_test",
+    "diversified_sample_hits",
 ]
 
 assert len(_R13_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R13_WINDOW)}"

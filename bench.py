@@ -93,13 +93,25 @@ HEADLINE = (
     "boosting_search_docs",
     "phrase_suggest_docs",
     "cumulative_unique_users",
+    # r13: the round's additions (sf0.1 only, same policy) — the
+    # corpus-scale new metric aggs (string_stats scans every
+    # character; boxplot/MAD build distinct-value distributions; the
+    # 1-row t_test and the broadcast-joined sampler are wall-noise
+    # but tracked for regression anyway as a family)
+    "events_boxplot",
+    "docs_string_stats",
+    "events_t_test",
+    "diversified_sample_hits",
 )
 
 
 # Relational subset re-run at the scaled tier (see tools/
-# make_scaled_sf.py): at sf0.1 these are scheduling-floor-dominated
-# (~0.3-0.5 s/stage constant vs sub-second work — PERF.md), so the
-# floor, not the plan, sets the DuckDB ratio. 10× the rows amortizes
+# make_scaled_sf.py): at sf0.1 these are stage-floor-dominated
+# (~0.3-0.5 s/stage constant vs sub-second work — PERF.md; the r13
+# row-group fix showed the old 4.6-7.3× ratios also leaned on a
+# fixture artifact that slowed DuckDB's scans — the honest sf1 star
+# ratios are ~12-17× against 50-90 ms denominators, amortizing per
+# decade: sf10 probe). 10× the rows amortizes
 # the floor and shows the ratio the plans actually extrapolate to.
 SCALE_SUBSET = (
     "q1_pricing_summary",

@@ -1231,3 +1231,136 @@ def test_moving_percentiles_nearest_rank(spark):
         moving_percentiles(df, window=0)
     with pytest.raises(ValueError, match="percentiles"):
         moving_percentiles(df, percentiles=(0.0,))
+
+
+def test_boxplot_exact_nearest_rank(spark):
+    """Hand-checked boxplot: ranks ceil(p*n) over sorted values,
+    OpenSearch 1.5-IQR whisker values (nearest IN-RANGE data points,
+    not the fences), missing values drop, empty input yields no row."""
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        boxplot_agg,
+    )
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0]
+    rows = [(float(v),) for v in vals] + [(None,), (float("nan"),)]
+    df = spark.createDataFrame(rows, "value double")
+    out = boxplot_agg(df, "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    # n=9: ranks ceil(.25*9)=3, ceil(.5*9)=5, ceil(.75*9)=7
+    assert r["n"] == 9
+    assert (r["min_value"], r["q1"], r["q2"], r["q3"], r["max_value"]) == (
+        1.0, 3.0, 5.0, 7.0, 100.0
+    )
+    # IQR=4 -> fences at -3 and 13: whiskers are nearest data inside
+    assert (r["lower_whisker"], r["upper_whisker"]) == (1.0, 8.0)
+    empty = boxplot_agg(df.filter("value IS NULL"), "value")
+    assert empty.count() == 0
+
+
+def test_mad_exact(spark):
+    """Hand-checked MAD: median 5, deviations {0,1,1,2,2,3,3,94,4}
+    -> nearest-rank median deviation 2; constant column -> MAD 0."""
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import mad_agg
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 99.0]
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    r = mad_agg(df, "value").collect()[0]
+    assert (r["n"], r["median"], r["mad"]) == (9, 5.0, 2.0)
+    const = spark.createDataFrame([(7.5,)] * 4, "value double")
+    r2 = mad_agg(const, "value").collect()[0]
+    assert (r2["median"], r2["mad"]) == (7.5, 0.0)
+
+
+def test_string_stats_semantics(spark):
+    """Hand-checked string stats: lengths over non-null values, and
+    entropy of a uniform 2-symbol alphabet == 1 bit."""
+    import pytest as _pt
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        string_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("ab",), ("ba",), (None,), ("",)], "t string"
+    )
+    r = string_stats(df, "t").collect()[0]
+    # 3 non-null values (incl. empty), lengths 2,2,0
+    assert (r["n"], r["min_length"], r["max_length"]) == (3, 0, 2)
+    assert r["avg_length"] == _pt.approx(4 / 3)
+    # chars: a x2, b x2 -> p=.5 each -> H = 1.0 bit
+    assert r["entropy"] == _pt.approx(1.0, abs=1e-9)
+
+
+def test_t_test_welch_reference(spark):
+    """Welch t vs an independent fixed-point Python reference; n<2
+    buckets yield NULL t; overlapping predicates allowed."""
+    import math
+
+    import pytest as _pt
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        t_test_agg,
+    )
+
+    a = [2.1, 2.5, 2.9, 3.3, 2.7]
+    b = [1.0, 1.8, 1.4, 2.2]
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    r = t_test_agg(df, "value", "grp = 'a'", "grp = 'b'").collect()[0]
+
+    def mom(xs):
+        q = [round(x * 1e6) for x in xs]
+        n = len(q)
+        s1, s2 = sum(q), sum(v * v for v in q)
+        mean = s1 / n / 1e6
+        var = max((s2 - s1 * s1 / n) / (n - 1.0) / 1e12, 0.0)
+        return n, mean, var
+
+    na, ma, va = mom(a)
+    nb, mb, vb = mom(b)
+    se2 = va / na + vb / nb
+    t_ref = (ma - mb) / math.sqrt(se2)
+    dof_ref = se2 * se2 / (
+        (va / na) ** 2 / (na - 1.0) + (vb / nb) ** 2 / (nb - 1.0)
+    )
+    assert (r["n_a"], r["n_b"]) == (5, 4)
+    assert r["t_stat"] == _pt.approx(t_ref, rel=1e-12)
+    assert r["welch_dof"] == _pt.approx(dof_ref, rel=1e-12)
+    # one-row bucket: t undefined
+    r2 = t_test_agg(df, "value", "grp = 'a'", "value > 2.0").collect()[0]
+    assert r2["n_b"] > 0  # overlap with bucket a is fine
+    r3 = t_test_agg(df, "value", "grp = 'a'", "value < 1.2").collect()[0]
+    assert r3["n_b"] == 1 and r3["t_stat"] is None
+
+
+def test_diversified_sampler_caps_and_order(spark):
+    """Per-value cap enforced in (score DESC, id ASC) order; global
+    cut after the cap; NULL dedup values form their own bucket."""
+    import pytest as _pt
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        diversified_sampler,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "en"), (4, "de"), (5, None), (6, None)],
+        "doc_id long, lang string",
+    )
+    hits = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0), (4, 6.0), (5, 5.0), (6, 4.0)],
+        "doc_id long, score double",
+    )
+    out = diversified_sampler(
+        hits, docs, "lang", shard_size=10, max_docs_per_value=2
+    ).collect()
+    # en keeps ids 1,2 (drops 3); de keeps 4; NULL bucket keeps 5,6
+    assert [(r["doc_id"], r["sample_rank"]) for r in out] == [
+        (1, 1), (2, 2), (4, 3), (5, 4), (6, 5)
+    ]
+    cut = diversified_sampler(
+        hits, docs, "lang", shard_size=2, max_docs_per_value=2
+    ).collect()
+    assert [r["doc_id"] for r in cut] == [1, 2]
+    with _pt.raises(ValueError, match="shard_size"):
+        diversified_sampler(hits, docs, "lang", shard_size=0)
