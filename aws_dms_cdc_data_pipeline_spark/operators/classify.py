@@ -1,0 +1,294 @@
+"""Multinomial Naive-Bayes document classification — train + classify
+as pure aggregations.
+
+The training-data-pipeline stage the big public corpora run at scale
+(CCNet/fastText-style document classification: domain routing,
+quality labeling, language family assignment) reduced to its
+aggregation core: a multinomial NB over the standard ``[^a-z0-9]+``
+tokenization. Training IS a groupBy (per-class token counts + class
+priors — no gradient loop, single pass), so the whole train+classify
+pipeline is expressible as exact relational algebra and carries the
+cross-engine oracle gate that iterative classifiers (fastText, LR)
+cannot.
+
+Determinism: every count is an exact long. Log-probabilities are
+natural-log doubles quantized to 6-dp longs at the (term, class)
+grain BEFORE any per-document math; from there scoring is EXACT long
+arithmetic — ``score_q(d,c) = prior_q(c) + dl(d)·floor_q(c) +
+Σ_t tf(d,t)·(logp_q(t,c) − floor_q(c))`` — order-free and
+bit-identical cross-engine (the E130 PMI quantize-before-sum
+precedent; the unseen-token α-floor algebra turns the dense
+|docs|×|classes|×|vocab| sum into a sparse one over observed
+(term, class) pairs only).
+
+Scale shape: one tokenize pass (fan_out_scan-guarded); the model is
+a (term, class) relation (vocab-sized — broadcast when small, plain
+shuffle join at 100 TB vocabularies); scoring joins postings to the
+model on term and aggregates per (doc, class); classes are enumerable
+(≤ dozens), so the argmax is a tiny window. The corpus text never
+shuffles — only (id, term, tf) postings do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_LQ = 1_000_000  # 6-dp fixed point for quantized log-probs
+
+
+def nb_classify(
+    docs: DataFrame,
+    *,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Train a multinomial NB on ``docs`` (rows with NULL labels are
+    excluded from training but still classified) and classify every
+    document. Returns (id, label, predicted, score) — ``score`` the
+    winning class's quantized joint log-likelihood (6-dp double),
+    ties broken by class name ASC (deterministic).
+
+    ``alpha`` is Laplace smoothing; the unseen-token probability in
+    class c is ``α / (total_c + α·|V|)`` with V the training
+    vocabulary. Tokens outside V (possible only for unlabeled docs)
+    contribute the same floor — exactly the textbook estimator.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    lbl = F.col(label_col)
+    base = fan_out_scan(docs.select(id_col, label_col, text_col))
+    tok = (
+        base.select(
+            F.col(id_col),
+            lbl.alias("_lbl"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("term"),
+        )
+        .groupBy(id_col, "_lbl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
+    train = tok.filter(F.col("_lbl").isNotNull())
+
+    # class priors: log(n_docs_c / n_docs), quantized
+    docs_lbl = docs.select(id_col, lbl.alias("_lbl")).filter(
+        lbl.isNotNull()
+    )
+    cls = docs_lbl.groupBy("_lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    n_docs = docs_lbl.count()
+    if n_docs == 0:
+        raise ValueError("nb_classify needs at least one labeled document")
+    vocab_size = train.select("term").distinct().count()
+
+    # per-class token totals and the α floor
+    ctot = train.groupBy("_lbl").agg(
+        F.sum("tf").cast("long").alias("tot_c")
+    )
+    denom = F.col("tot_c").cast("double") + F.lit(
+        float(alpha)
+    ) * F.lit(float(vocab_size))
+    classes = (
+        cls.join(ctot, "_lbl", "left")
+        .select(
+            F.col("_lbl").alias("cls"),
+            F.round(
+                F.log(F.col("n_c").cast("double") / F.lit(float(n_docs)))
+                * _LQ, 0
+            ).cast("long").alias("prior_q"),
+            F.round(
+                F.log(F.lit(float(alpha))
+                      / (F.coalesce(F.col("tot_c"), F.lit(0))
+                         .cast("double")
+                         + F.lit(float(alpha)) * F.lit(float(vocab_size))))
+                * _LQ, 0
+            ).cast("long").alias("floor_q"),
+        )
+    )
+
+    # sparse (term, class) log-probs, quantized; delta over the floor
+    tc = train.groupBy("term", "_lbl").agg(
+        F.sum("tf").cast("long").alias("n_tc")
+    )
+    model = (
+        tc.join(ctot, "_lbl")
+        .select(
+            "term",
+            F.col("_lbl").alias("cls"),
+            (
+                F.round(
+                    F.log((F.col("n_tc").cast("double") + F.lit(float(alpha)))
+                          / denom) * _LQ, 0
+                ).cast("long")
+            ).alias("logp_q"),
+        )
+    )
+    model = model.join(
+        classes.select("cls", "floor_q"), "cls"
+    ).select(
+        "term", "cls", (F.col("logp_q") - F.col("floor_q")).alias("delta_q")
+    )
+
+    # per-doc sparse delta sums against every class the term is seen in
+    hits = (
+        tok.join(model, "term")
+        .groupBy(id_col, "cls")
+        .agg(F.sum(F.col("tf") * F.col("delta_q")).cast("long").alias("hit_q"))
+    )
+    dl = tok.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    labels = docs.select(id_col, lbl.alias("label"))
+    # dense (doc, class) grid: docs x |classes| — classes are few
+    grid = (
+        labels.join(dl, id_col, "left")
+        .crossJoin(F.broadcast(classes))
+        .join(hits, [id_col, "cls"], "left")
+        .select(
+            F.col(id_col),
+            "label",
+            "cls",
+            (
+                F.col("prior_q")
+                + F.coalesce(F.col("dl"), F.lit(0)) * F.col("floor_q")
+                + F.coalesce(F.col("hit_q"), F.lit(0))
+            ).alias("score_q"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_q").desc(), F.col("cls").asc()
+    )
+    out = (
+        grid.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col(id_col),
+            "label",
+            F.col("cls").alias("predicted"),
+            (F.col("score_q").cast("double") / _LQ).alias("score"),
+        )
+    )
+    tok.unpersist()
+    return out
+
+
+def nb_confusion(
+    docs: DataFrame,
+    *,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Confusion matrix of :func:`nb_classify` on the labeled subset:
+    (label, predicted, n) ordered (label, predicted) — the
+    aggregate-sized training-diagnostics output (resubstitution
+    accuracy decomposed by class pair)."""
+    scored = nb_classify(
+        docs, label_col=label_col, text_col=text_col, id_col=id_col,
+        alpha=alpha,
+    )
+    return (
+        scored.filter(F.col("label").isNotNull())
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("label", "predicted")
+    )
+
+
+def nb_confusion_oracle_sql(
+    *,
+    table: str = "documents",
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB SQL computing the identical NB confusion matrix (same
+    tokenization, same quantized-log model, same exact long scoring,
+    same tie-break)."""
+    a = float(alpha)
+    return f"""
+    WITH tok AS (
+        SELECT {id_col}, {label_col} AS lbl, t.term,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM {table},
+             LATERAL (SELECT unnest(string_split_regex(lower({text_col}),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+        GROUP BY {id_col}, {label_col}, t.term
+    ),
+    train AS (SELECT * FROM tok WHERE lbl IS NOT NULL),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM {table} WHERE {label_col} IS NOT NULL),
+    vs AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM train),
+    cls AS (SELECT {label_col} AS cls, CAST(COUNT(*) AS BIGINT) AS n_c
+            FROM {table} WHERE {label_col} IS NOT NULL
+            GROUP BY {label_col}),
+    ctot AS (SELECT lbl AS cls, CAST(SUM(tf) AS BIGINT) AS tot_c
+             FROM train GROUP BY lbl),
+    classes AS (
+        SELECT c.cls,
+               CAST(round(ln(CAST(c.n_c AS DOUBLE) / n_docs) * {_LQ}, 0)
+                    AS BIGINT) AS prior_q,
+               CAST(round(ln({a!r} / (CAST(COALESCE(t.tot_c, 0) AS DOUBLE)
+                                      + {a!r} * v)) * {_LQ}, 0)
+                    AS BIGINT) AS floor_q
+        FROM cls c LEFT JOIN ctot t USING (cls)
+        CROSS JOIN nd CROSS JOIN vs
+    ),
+    tc AS (SELECT term, lbl AS cls, CAST(SUM(tf) AS BIGINT) AS n_tc
+           FROM train GROUP BY term, lbl),
+    model AS (
+        SELECT tc.term, tc.cls,
+               CAST(round(ln((CAST(tc.n_tc AS DOUBLE) + {a!r})
+                             / (CAST(ct.tot_c AS DOUBLE) + {a!r} * v))
+                          * {_LQ}, 0) AS BIGINT)
+               - cl.floor_q AS delta_q
+        FROM tc JOIN ctot ct USING (cls)
+                JOIN classes cl USING (cls)
+                CROSS JOIN vs
+    ),
+    hits AS (
+        SELECT t.{id_col}, m.cls,
+               CAST(SUM(t.tf * m.delta_q) AS BIGINT) AS hit_q
+        FROM tok t JOIN model m USING (term)
+        GROUP BY t.{id_col}, m.cls
+    ),
+    dl AS (SELECT {id_col}, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tok GROUP BY {id_col}),
+    grid AS (
+        SELECT d.{id_col}, d.{label_col} AS label, c.cls,
+               c.prior_q + COALESCE(l.dl, 0) * c.floor_q
+                         + COALESCE(h.hit_q, 0) AS score_q
+        FROM {table} d
+        CROSS JOIN classes c
+        LEFT JOIN dl l USING ({id_col})
+        LEFT JOIN hits h ON h.{id_col} = d.{id_col} AND h.cls = c.cls
+    ),
+    best AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY {id_col}
+                   ORDER BY score_q DESC, cls ASC) AS r
+        FROM grid
+    )
+    SELECT label, cls AS predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM best WHERE r = 1 AND label IS NOT NULL
+    GROUP BY label, cls
+    ORDER BY label, predicted
+    """
+
+
+__all__ = ["nb_classify", "nb_confusion", "nb_confusion_oracle_sql"]

@@ -7813,6 +7813,39 @@ def diversified_sample_hits_q(spark, sf_dir):
     )
 
 
+def _nb_confusion_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.classify import (
+        nb_confusion_oracle_sql,
+    )
+
+    return nb_confusion_oracle_sql(label_col="lang")
+
+
+@q(
+    "nb_lang_confusion",
+    _nb_confusion_oracle(),
+    "Multinomial Naive-Bayes document classification (the CCNet/"
+    "fastText-style domain/quality-labeling pipeline stage reduced "
+    "to its aggregation core — training IS a groupBy, so unlike "
+    "iterative classifiers the whole train+classify pipeline "
+    "carries the cross-engine oracle): train on lang labels, "
+    "classify the corpus, emit the (label, predicted, n) confusion "
+    "matrix. Log-probs quantize to 6-dp longs at the (term, class) "
+    "grain; from there scoring is exact long arithmetic via the "
+    "alpha-floor algebra (sparse over observed (term, class) pairs "
+    "only). One tokenize pass; the corpus text never shuffles "
+    "(operators/classify.py:nb_classify).",
+)
+def nb_lang_confusion_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.classify import (
+        nb_confusion,
+    )
+
+    return nb_confusion(
+        load_table(spark, sf_dir, "documents"), label_col="lang"
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r13 window = the 12 queries whose code
@@ -7876,7 +7909,6 @@ _R13_WINDOW = [
     "ann_brute_force_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
-    "approx_distinct_users",
     "array_agg_devices",
     "asof_purchase_last_visit",
     "autocomplete_prefix_s",
@@ -7888,6 +7920,7 @@ _R13_WINDOW = [
     "cdc_schema_drift",
     "cdc_state_as_of",
     # never driver-checked (new in r13)
+    "nb_lang_confusion",
     "events_boxplot",
     "events_mad",
     "docs_string_stats",
