@@ -3236,7 +3236,113 @@ def diversified_sampler_oracle_sql(
     """
 
 
+def collapse_hits(
+    hits: DataFrame,
+    docs: DataFrame,
+    collapse_col: str,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    inner_hits: int = 1,
+    top_k: int = 20,
+) -> DataFrame:
+    """Field collapsing — the OpenSearch search-time ``collapse``
+    (one result per value of ``collapse_col``, the "one hit per
+    domain/site/thread" dedup every search UI ships) with
+    ``inner_hits``: each group's best ``inner_hits`` documents ride
+    along, flattened. Groups order by their BEST hit (score DESC, id
+    ASC — the OpenSearch collapsed-page order made deterministic),
+    cut to ``top_k`` groups; within a group, inner hits rank the same
+    way. NULL collapse values form their own group (OpenSearch treats
+    missing as a single null group).
+
+    Returns (group_rank, collapse value, inner_rank, id, score)
+    ordered (group_rank, inner_rank).
+
+    Execution: the hit set is top-k-sized and BROADCASTS into the
+    collapse-field join (the corpus never shuffles); both rank
+    windows run over hit-set-sized data, the inner cut
+    WindowGroupLimit-trimmed map-side.
+    """
+    from pyspark.sql import Window
+
+    if inner_hits < 1 or top_k < 1:
+        raise ValueError(
+            "collapse_hits needs inner_hits >= 1 and top_k >= 1"
+        )
+    j = docs.select(id_col, collapse_col).join(
+        F.broadcast(hits.select(id_col, score_col)), id_col
+    )
+    wi = Window.partitionBy(collapse_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = j.withColumn(
+        "inner_rank", F.row_number().over(wi).cast("long")
+    ).filter(F.col("inner_rank") <= inner_hits)
+    # group order = rank of the group's BEST hit
+    best = ranked.filter(F.col("inner_rank") == 1).select(
+        F.col(collapse_col).alias("_gk"),
+        F.col(score_col).alias("_gs"),
+        F.col(id_col).alias("_gid"),
+    )
+    wg = Window.orderBy(F.col("_gs").desc(), F.col("_gid").asc())
+    groups = best.withColumn(
+        "group_rank", F.row_number().over(wg).cast("long")
+    ).filter(F.col("group_rank") <= top_k)
+    return (
+        ranked.join(
+            groups.select("_gk", "group_rank"),
+            ranked[collapse_col].eqNullSafe(F.col("_gk")),
+        )
+        .select(
+            "group_rank", collapse_col, "inner_rank", id_col, score_col,
+        )
+        .orderBy("group_rank", "inner_rank")
+    )
+
+
+def collapse_hits_oracle_sql(
+    hits_sql: str,
+    collapse_col: str,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    inner_hits: int = 1,
+    top_k: int = 20,
+) -> str:
+    """DuckDB SQL computing the identical collapsed result page."""
+    return f"""
+    WITH hit_rows AS ({hits_sql}),
+    j AS (SELECT d.{id_col}, d.{collapse_col}, h.{score_col}
+          FROM {table} d JOIN hit_rows h USING ({id_col})),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY {collapse_col}
+                   ORDER BY {score_col} DESC, {id_col} ASC)
+               AS BIGINT) AS inner_rank
+        FROM j
+    ),
+    kept AS (SELECT * FROM ranked WHERE inner_rank <= {inner_hits}),
+    groups AS (
+        SELECT {collapse_col} AS gk,
+               CAST(row_number() OVER (
+                   ORDER BY {score_col} DESC, {id_col} ASC)
+               AS BIGINT) AS group_rank
+        FROM kept WHERE inner_rank = 1
+    )
+    SELECT g.group_rank, k.{collapse_col}, k.inner_rank,
+           k.{id_col}, k.{score_col}
+    FROM kept k JOIN groups g
+      ON k.{collapse_col} IS NOT DISTINCT FROM g.gk
+    WHERE g.group_rank <= {top_k}
+    ORDER BY g.group_rank, k.inner_rank
+    """
+
+
 __all__ = [
+    "collapse_hits",
+    "collapse_hits_oracle_sql",
     "boxplot_agg",
     "boxplot_oracle_sql",
     "mad_agg",

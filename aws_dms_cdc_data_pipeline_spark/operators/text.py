@@ -444,6 +444,142 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Mean bigram log-probability per document — the order-aware
+    perplexity proxy (the CCNet/KenLM quality-filter shape scaled to
+    its bigram core; :func:`unigram_logprob` is the order-blind
+    version). Trains a Laplace-smoothed bigram LM on the corpus
+    itself — ``p(w2|w1) = (c(w1,w2)+α) / (c(w1·)+α·|V|)`` with
+    c(w1·) the bigram-context count and V the token vocabulary — and
+    scores each document by the mean log-probability of its adjacent
+    token pairs. Word salad scores low even when its unigrams are
+    common; only documents with ≥2 tokens (≥1 bigram) appear.
+
+    Determinism: counts are exact longs; per-bigram log-probs
+    quantize to integer micro-nats (``round(ln(p)·1e6)``) BEFORE the
+    per-document sum (exact, order-free BIGINT), and the final mean
+    divides identical integers — the unigram_logprob contract.
+
+    Scale shape: bigrams materialize IN-ROW from the token array (no
+    positional self-join on the Spark side); the model is a
+    bigram-vocabulary-sized relation joined on the pair key; the
+    corpus text never shuffles — only (id, w1, w2) pair rows do.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    toks = fan_out_scan(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        ).alias("_toks"),
+    )
+    vocab_size = (
+        toks.select(F.explode("_toks").alias("w"))
+        .select("w").distinct().count()
+    )
+    pairs = (
+        toks.filter(F.size("_toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks) - 2), "
+                    "i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))"
+                )
+            ).alias("_bg"),
+        )
+        .select(F.col(id_col), F.col("_bg.w1"), F.col("_bg.w2"))
+    ).persist()
+    bg = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    ctx = pairs.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("_c1")
+    )
+    lp = (
+        bg.join(ctx, "w1")
+        .select(
+            "w1", "w2",
+            F.round(
+                F.log(
+                    (F.col("_c").cast("double") + F.lit(float(alpha)))
+                    / (F.col("_c1").cast("double")
+                       + F.lit(float(alpha)) * F.lit(float(vocab_size)))
+                ) * F.lit(1e6), 0
+            ).cast("long").alias("_lq"),
+        )
+    )
+    out = (
+        pairs.join(lp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("_lq").cast("long").alias("sum_lq"),
+        )
+        .withColumn(
+            "mean_logprob",
+            F.col("sum_lq").cast("double") / 1e6 / F.col("n_bigrams"),
+        )
+    )
+    pairs.unpersist()
+    return out
+
+
+def bigram_logprob_oracle_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB SQL computing the identical bigram-LM scores (positions
+    via generate_subscripts + an ord+1 self-join — a different bigram
+    algorithm than Spark's in-row array transform, same results)."""
+    a = float(alpha)
+    split = f"string_split_regex(lower({text_col}), '[^a-z0-9]+')"
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS id, t.term, t.ord
+        FROM {table},
+             LATERAL (SELECT unnest({split}) AS term,
+                             generate_subscripts({split}, 1) AS ord) t
+        WHERE t.term <> ''
+    ),
+    vs AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM toks),
+    pairs AS (
+        SELECT a.id, a.term AS w1, b.term AS w2
+        FROM toks a JOIN toks b ON a.id = b.id AND b.ord = a.ord + 1
+    ),
+    bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+           FROM pairs GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+            FROM pairs GROUP BY w1),
+    lp AS (
+        SELECT bg.w1, bg.w2,
+               CAST(round(ln((CAST(bg.c AS DOUBLE) + {a!r})
+                             / (CAST(ctx.c1 AS DOUBLE) + {a!r} * vs.v))
+                          * 1e6, 0) AS BIGINT) AS lq
+        FROM bg JOIN ctx USING (w1) CROSS JOIN vs
+    )
+    SELECT p.id AS {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(l.lq) AS BIGINT) AS sum_lq,
+           CAST(SUM(l.lq) AS DOUBLE) / 1e6 / COUNT(*) AS mean_logprob
+    FROM pairs p JOIN lp l ON p.w1 = l.w1 AND p.w2 = l.w2
+    GROUP BY p.id
+    """
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint over normalized text.
 

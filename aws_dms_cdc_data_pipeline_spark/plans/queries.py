@@ -7846,6 +7846,77 @@ def nb_lang_confusion_q(spark, sf_dir):
     )
 
 
+def _bigram_lp_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.text import (
+        bigram_logprob_oracle_sql,
+    )
+
+    return bigram_logprob_oracle_sql()
+
+
+@q(
+    "bigram_logprob_scores",
+    _bigram_lp_oracle(),
+    "Mean bigram log-probability per document — the order-aware "
+    "perplexity proxy (the CCNet/KenLM quality-filter shape at its "
+    "bigram core; unigram_logprob_scores is the order-blind "
+    "version): Laplace-smoothed bigram LM trained on the corpus "
+    "itself, per-bigram log-probs quantized to micro-nat longs "
+    "BEFORE the exact per-document sum. Spark materializes bigrams "
+    "IN-ROW from the token array (no positional self-join); the "
+    "oracle derives them via generate_subscripts + an ord+1 "
+    "self-join — different algorithms, identical results "
+    "(operators/text.py:bigram_logprob).",
+)
+def bigram_logprob_scores_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.text import (
+        bigram_logprob,
+    )
+
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+def _collapse_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        collapse_hits_oracle_sql,
+    )
+
+    return collapse_hits_oracle_sql(
+        f"SELECT doc_id, score FROM ({_bm25_sub_sql(100)})",
+        "source",
+        inner_hits=2,
+        top_k=10,
+    )
+
+
+@q(
+    "collapse_search_hits",
+    _collapse_oracle(),
+    "Field collapsing — the OpenSearch search-time collapse with "
+    "inner_hits (one result per source, each group's best 2 docs "
+    "riding along; the one-hit-per-domain dedup every search UI "
+    "ships). Groups order by their best hit, deterministic "
+    "(score DESC, id ASC) where OpenSearch is shard-order-dependent; "
+    "NULL collapse values form their own group. The BM25 top-100 hit "
+    "set broadcasts into the collapse-field join — the corpus never "
+    "shuffles (operators/retrieval.py:collapse_hits).",
+)
+def collapse_search_hits_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        collapse_hits,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bm25_search_indexed,
+    )
+
+    idx_t, dl_t = _token_index_for(spark, sf_dir)
+    hits = bm25_search_indexed(
+        spark, idx_t, dl_t, ["spark", "shuffle", "broadcast"], top_k=100
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return collapse_hits(hits, docs, "source", inner_hits=2, top_k=10)
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r13 window = the 12 queries whose code
@@ -7907,8 +7978,6 @@ _R13_WINDOW = [
     "window_value_funcs",
     # r8-stale fillers (next-oldest driver evidence)
     "ann_brute_force_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
     "array_agg_devices",
     "asof_purchase_last_visit",
     "autocomplete_prefix_s",
@@ -7920,6 +7989,8 @@ _R13_WINDOW = [
     "cdc_schema_drift",
     "cdc_state_as_of",
     # never driver-checked (new in r13)
+    "bigram_logprob_scores",
+    "collapse_search_hits",
     "nb_lang_confusion",
     "events_boxplot",
     "events_mad",

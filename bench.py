@@ -102,6 +102,11 @@ HEADLINE = (
     "docs_string_stats",
     "events_t_test",
     "diversified_sample_hits",
+    # r13 late additions with corpus-scale cost shapes: the bigram-LM
+    # quality filter (token-pair model over the whole corpus) and the
+    # NB classifier (train+classify, two corpus-token aggregations)
+    "bigram_logprob_scores",
+    "nb_lang_confusion",
 )
 
 

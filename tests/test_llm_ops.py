@@ -557,3 +557,53 @@ def test_containment_detects_quoted_subset(spark):
     assert r["jaccard"] < 0.2               # symmetric similarity stays low
     assert (2, 1) not in out                # the big doc is NOT contained in the small
     assert all(3 not in k for k in out)
+
+
+def test_bigram_logprob_order_awareness(spark):
+    """The order-aware LM separates scrambled text from fluent text
+    with identical unigram content; short docs (<2 tokens) drop;
+    quantized mean matches a fixed-point Python reference."""
+    import math
+    import re
+
+    import pytest
+
+    from aws_dms_cdc_data_pipeline_spark.operators.text import (
+        bigram_logprob,
+    )
+
+    fluent = "the cat sat on the mat"
+    rows = [
+        (1, fluent), (2, fluent), (3, fluent),
+        (4, "mat the on sat cat the"),   # same unigrams, scrambled
+        (5, "single"),                    # no bigram -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_lq"], r["mean_logprob"])
+        for r in bigram_logprob(df).collect()
+    }
+    assert 5 not in got
+    assert got[1] == got[2] == got[3]
+    assert got[1][2] > got[4][2]  # fluent beats scrambled
+
+    # fixed-point reference
+    toks = {i: re.split(r"[^a-z0-9]+", t.lower()) for i, t in rows}
+    toks = {i: [w for w in ws if w] for i, ws in toks.items()}
+    vocab = {w for ws in toks.values() for w in ws}
+    pairs = {
+        i: list(zip(ws, ws[1:])) for i, ws in toks.items() if len(ws) >= 2
+    }
+    from collections import Counter
+
+    bg = Counter(p for ps in pairs.values() for p in ps)
+    ctx = Counter(p[0] for ps in pairs.values() for p in ps)
+    for i, ps in pairs.items():
+        sq = sum(
+            round(math.log((bg[p] + 1.0) / (ctx[p[0]] + 1.0 * len(vocab)))
+                  * 1e6)
+            for p in ps
+        )
+        assert got[i][0] == len(ps)
+        assert got[i][1] == sq
+        assert got[i][2] == pytest.approx(sq / 1e6 / len(ps))

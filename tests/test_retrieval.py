@@ -1364,3 +1364,42 @@ def test_diversified_sampler_caps_and_order(spark):
     assert [r["doc_id"] for r in cut] == [1, 2]
     with _pt.raises(ValueError, match="shard_size"):
         diversified_sampler(hits, docs, "lang", shard_size=0)
+
+
+def test_collapse_hits_semantics(spark):
+    """One group per collapse value ordered by best hit; inner_hits
+    cap; NULL group; top_k group cut; validation."""
+    import pytest as _pt
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        collapse_hits,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "en"), (4, "de"), (5, None)],
+        "doc_id long, lang string",
+    )
+    hits = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0), (4, 6.0), (5, 5.5)],
+        "doc_id long, score double",
+    )
+    out = [
+        tuple(r)
+        for r in collapse_hits(
+            hits, docs, "lang", inner_hits=2, top_k=10
+        ).collect()
+    ]
+    assert out == [
+        (1, "en", 1, 1, 9.0), (1, "en", 2, 2, 8.0),
+        (2, "de", 1, 4, 6.0), (3, None, 1, 5, 5.5),
+    ]
+    # top_k cuts whole GROUPS
+    cut = [
+        (r["group_rank"], r["doc_id"])
+        for r in collapse_hits(
+            hits, docs, "lang", inner_hits=2, top_k=1
+        ).collect()
+    ]
+    assert cut == [(1, 1), (1, 2)]
+    with _pt.raises(ValueError, match="inner_hits"):
+        collapse_hits(hits, docs, "lang", inner_hits=0)
