@@ -3340,7 +3340,165 @@ def collapse_hits_oracle_sql(
     """
 
 
+def significant_text(
+    docs: DataFrame,
+    hits: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+    min_doc_count: int = 2,
+    filter_duplicate_text: bool = True,
+) -> DataFrame:
+    """Significant-TEXT aggregation — the OpenSearch
+    ``significant_text`` agg: :func:`significant_terms` semantics
+    (JLH over-representation of hit-set terms vs the corpus) computed
+    by re-analyzing the raw text field AD-HOC, no token index
+    required, with the agg's defining ``filter_duplicate_text``
+    behavior: exact duplicate texts (normalized lowercase) count
+    ONCE — the lowest-id copy survives — so one boilerplate document
+    pasted a hundred times cannot manufacture significance (the
+    reason OpenSearch ships this as a separate agg type rather than
+    significant_terms over an analyzed field). Dedup applies to
+    foreground and background consistently.
+
+    Returns (term, fg_df, bg_df, score) ordered (score DESC,
+    term ASC), top_k — the significant_terms output contract, and
+    with ``filter_duplicate_text=False`` on a pre-indexed corpus the
+    two operators agree (asserted in tests).
+
+    Execution: one tokenize pass (fan_out_scan-guarded; the dedup is
+    an id-min aggregate on a text hash — no text shuffles, only
+    (hash, id) pairs); the hit-id set broadcasts into a semi-join;
+    fg/bg dfs are term aggregates of the same pruned relation.
+    """
+    if top_k < 1 or min_doc_count < 1:
+        raise ValueError(
+            "significant_text needs top_k >= 1 and min_doc_count >= 1"
+        )
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    base = fan_out_scan(docs.select(id_col, text_col))
+    if filter_duplicate_text:
+        keep = (
+            base.select(
+                F.col(id_col),
+                F.md5(F.lower(F.col(text_col))).alias("_h"),
+            )
+            .groupBy("_h")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        base = base.join(keep, id_col, "left_semi")
+    tok = (
+        base.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
+    hit_ids = hits.select(id_col)
+    n_fg_df = (
+        tok.select(id_col).distinct()
+        .join(F.broadcast(hit_ids), id_col, "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_fg"))
+    )
+    n_bg_df = tok.select(id_col).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_bg")
+    )
+    fg = (
+        tok.join(F.broadcast(hit_ids), id_col, "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+    )
+    bg = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("bg_df")
+    )
+    fg_share = F.col("fg_df") / F.col("n_fg")
+    bg_share = F.col("bg_df") / F.col("n_bg")
+    score = F.round((fg_share - bg_share) * (fg_share / bg_share), 6)
+    out = (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(n_fg_df))
+        .crossJoin(F.broadcast(n_bg_df))
+        .filter(
+            (F.col("fg_df") >= min_doc_count) & (fg_share > bg_share)
+        )
+        .select("term", "fg_df", "bg_df", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(top_k)
+    )
+    tok.unpersist()
+    return out
+
+
+def significant_text_oracle_sql(
+    hits_sql: str,
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+    min_doc_count: int = 2,
+    filter_duplicate_text: bool = True,
+) -> str:
+    """DuckDB SQL computing the identical significant-text ranking
+    (same dedup-by-normalized-text, same JLH, same fixed op order)."""
+    dedup = (
+        f"""src AS (
+        SELECT d.* FROM {table} d
+        JOIN (SELECT MIN({id_col}) AS {id_col}
+              FROM {table} GROUP BY md5(lower({text_col}))) k
+        USING ({id_col})
+    ),"""
+        if filter_duplicate_text
+        else f"src AS (SELECT * FROM {table}),"
+    )
+    return f"""
+    WITH {dedup}
+    tok AS (
+        SELECT {id_col}, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM src,
+             LATERAL (SELECT unnest(string_split_regex(lower({text_col}),
+                                    '[^a-z0-9]+')) AS term) t
+        WHERE t.term <> ''
+        GROUP BY {id_col}, t.term
+    ),
+    hit_ids AS (SELECT {id_col} FROM ({hits_sql})),
+    n_fg_t AS (SELECT CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_fg
+               FROM tok SEMI JOIN hit_ids USING ({id_col})),
+    n_bg_t AS (SELECT CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_bg
+               FROM tok),
+    fg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS fg_df
+           FROM tok SEMI JOIN hit_ids USING ({id_col})
+           GROUP BY term),
+    bg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS bg_df
+           FROM tok GROUP BY term)
+    SELECT term, fg_df, bg_df,
+           round((fg_df / CAST(n_fg AS DOUBLE) - bg_df / CAST(n_bg AS DOUBLE))
+                 * ((fg_df / CAST(n_fg AS DOUBLE))
+                    / (bg_df / CAST(n_bg AS DOUBLE))), 6) AS score
+    FROM fg JOIN bg USING (term)
+            CROSS JOIN n_fg_t CROSS JOIN n_bg_t
+    WHERE fg_df >= {min_doc_count}
+      AND fg_df / CAST(n_fg AS DOUBLE) > bg_df / CAST(n_bg AS DOUBLE)
+    ORDER BY score DESC, term ASC
+    LIMIT {top_k}
+    """
+
+
 __all__ = [
+    "significant_text",
+    "significant_text_oracle_sql",
     "collapse_hits",
     "collapse_hits_oracle_sql",
     "boxplot_agg",

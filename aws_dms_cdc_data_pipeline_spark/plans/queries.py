@@ -7917,6 +7917,38 @@ def collapse_search_hits_q(spark, sf_dir):
     return collapse_hits(hits, docs, "source", inner_hits=2, top_k=10)
 
 
+def _sig_text_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        significant_text_oracle_sql,
+    )
+
+    return significant_text_oracle_sql(
+        "SELECT doc_id FROM documents WHERE lang = 'de'", top_k=15
+    )
+
+
+@q(
+    "significant_text_hits",
+    _sig_text_oracle(),
+    "Significant-text aggregation — the OpenSearch significant_text "
+    "agg (significant_terms computed by re-analyzing the raw text "
+    "field ad-hoc, no index, with the agg's defining "
+    "filter_duplicate_text: exact duplicate texts count once, so "
+    "pasted boilerplate cannot manufacture significance): JLH "
+    "over-representation of German-doc terms vs the corpus. One "
+    "tokenize pass; dedup is an id-min aggregate on a text hash — "
+    "no text shuffles (operators/retrieval.py:significant_text).",
+)
+def significant_text_hits_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        significant_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = docs.filter(F.col("lang") == "de").select("doc_id")
+    return significant_text(docs, hits, top_k=15)
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r13 window = the 12 queries whose code
@@ -7978,7 +8010,6 @@ _R13_WINDOW = [
     "window_value_funcs",
     # r8-stale fillers (next-oldest driver evidence)
     "ann_brute_force_topk",
-    "array_agg_devices",
     "asof_purchase_last_visit",
     "autocomplete_prefix_s",
     "balanced_domain_sample",
@@ -7989,6 +8020,7 @@ _R13_WINDOW = [
     "cdc_schema_drift",
     "cdc_state_as_of",
     # never driver-checked (new in r13)
+    "significant_text_hits",
     "bigram_logprob_scores",
     "collapse_search_hits",
     "nb_lang_confusion",

@@ -1403,3 +1403,43 @@ def test_collapse_hits_semantics(spark):
     assert cut == [(1, 1), (1, 2)]
     with _pt.raises(ValueError, match="inner_hits"):
         collapse_hits(hits, docs, "lang", inner_hits=0)
+
+
+def test_significant_text_duplicate_filtering(spark):
+    """filter_duplicate_text counts exact duplicate texts once, so
+    pasted boilerplate can't manufacture significance; with the
+    filter off, duplicates count; validation."""
+    import pytest as _pt
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        significant_text,
+    )
+
+    rows = [(i, "common words here") for i in range(1, 6)] + [
+        (6, "rare signal token alpha"),
+        (7, "rare signal token beta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = docs.filter("doc_id >= 5").select("doc_id")
+    with_filter = {
+        r["term"]: r["fg_df"]
+        for r in significant_text(
+            docs, hits, min_doc_count=1, filter_duplicate_text=True
+        ).collect()
+    }
+    # the duplicated boilerplate collapses to ONE surviving doc
+    # (doc_id 1, not a hit), so its terms are not over-represented
+    assert {"rare", "signal", "token"} <= set(with_filter)
+    assert "common" not in with_filter
+    without = {
+        r["term"]
+        for r in significant_text(
+            docs, hits, min_doc_count=1, filter_duplicate_text=False
+        ).collect()
+    }
+    # unfiltered: doc 5's boilerplate terms appear in the hit set but
+    # are NOT over-represented (4 of 5 copies are background) — the
+    # signal terms still dominate
+    assert {"rare", "signal", "token"} <= without
+    with _pt.raises(ValueError, match="top_k"):
+        significant_text(docs, hits, top_k=0)
