@@ -7969,10 +7969,12 @@ def significant_text_hits_q(spark, sf_dir):
 # text_token_counts, tfidf_top_terms_indexed,
 # weekly_users_from_sketches, window_lag_price, window_running_qty,
 # window_value_funcs — two of these sit on the r12/r13-edited
-# search.py) + 14 fillers from the r8-stale tail (alphabetical
-# order, the next-oldest evidence after the r6 tail) + the 5
-# never-driver-checked queries new in r13 (boxplot / MAD /
-# string_stats / t_test / diversified_sampler aggs). All 50
+# search.py) + 10 fillers from the r8-stale tail (alphabetical
+# order, the next-oldest evidence after the r6 tail; rows-only r8
+# entries were the first displaced) + the 9 never-driver-checked
+# queries new in r13 (boxplot / MAD / string_stats / t_test /
+# diversified_sampler / NB classifier / bigram-LM / field collapse /
+# significant_text). All 50
 # locally verified green before the round's driver run.
 _R13_WINDOW = [
     # code/oracle changed in r13
