@@ -180,7 +180,8 @@ def nb_classify(
             (F.col("score_q").cast("double") / _LQ).alias("score"),
         )
     )
-    tok.unpersist()
+    # tok stays persisted (plan-keyed): the hits/dl legs read it at
+    # evaluation time — an unpersist here forces a re-tokenize per leg
     return out
 
 

@@ -2745,6 +2745,9 @@ def boxplot_agg(
     iqr_q = q3q - q1q
     lo_fence = float(q1q) - 1.5 * float(iqr_q)
     hi_fence = float(q3q) + 1.5 * float(iqr_q)
+    # dist stays persisted (caller-owned, plan-keyed — the repo-wide
+    # cache policy): the returned select still aggregates it when the
+    # caller finally acts; an unpersist here would force a recompute
     row = dist.agg(
         F.min("qv").cast("long").alias("_min"),
         F.max("qv").cast("long").alias("_max"),
@@ -2753,7 +2756,6 @@ def boxplot_agg(
         F.max(F.when(F.col("qv").cast("double") <= F.lit(hi_fence),
                      F.col("qv"))).cast("long").alias("_uw"),
     )
-    dist.unpersist()
     fp = float(_ES_FP)
     return row.select(
         F.lit(int(n)).cast("long").alias("n"),
@@ -2968,14 +2970,15 @@ def string_stats(
             .alias("entropy")
         )
     )
-    out = stats.crossJoin(F.broadcast(ent)).select(
+    # lengths stays persisted (plan-keyed): both aggregate legs read
+    # it when the caller acts — unpersisting here would re-run the
+    # scan + length projection once per leg
+    return stats.crossJoin(F.broadcast(ent)).select(
         "n", "min_length", "max_length",
         (F.col("_lensum").cast("double") / F.col("n").cast("double"))
         .alias("avg_length"),
         "entropy",
     )
-    lengths.unpersist()
-    return out
 
 
 def string_stats_oracle_sql(
@@ -3437,7 +3440,8 @@ def significant_text(
         .orderBy(F.col("score").desc(), F.col("term").asc())
         .limit(top_k)
     )
-    tok.unpersist()
+    # tok stays persisted (plan-keyed): four aggregate legs read it
+    # at evaluation time
     return out
 
 

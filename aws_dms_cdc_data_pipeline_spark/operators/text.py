@@ -531,7 +531,8 @@ def bigram_logprob(
             F.col("sum_lq").cast("double") / 1e6 / F.col("n_bigrams"),
         )
     )
-    pairs.unpersist()
+    # pairs stays persisted (plan-keyed): the model legs (bg, ctx)
+    # and the scoring join all read it at evaluation time
     return out
 
 
