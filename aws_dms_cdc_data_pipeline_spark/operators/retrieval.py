@@ -2672,23 +2672,88 @@ def weighted_avg_oracle_sql(
 
 
 
-def _quantile_at_ranks(dist: DataFrame, ranks: dict):
+def _global_cum(dist: DataFrame):
+    """Range-partition a (qv, cnt) distribution by qv and compute the
+    PARTITION-LOCAL inclusive cumulative count with an
+    order-preserving Arrow pass — no WindowExec anywhere in the
+    plan. Returns (d, parts): ``d`` the persisted (qv, _pid, _cum)
+    relation (caller unpersists) and ``parts`` the collected, sorted
+    [(pid, partition_total)] — ≤ one row per partition, from which
+    the caller derives global prefix offsets driver-side."""
+    P = dist.sparkSession.sparkContext.defaultParallelism
+    d = (
+        dist.repartitionByRange(P, F.col("qv"))
+        .withColumn("_pid", F.spark_partition_id())
+        .sortWithinPartitions("qv")
+    )
+
+    def _cumsum(batches):
+        run = 0
+        for pdf in batches:
+            c = pdf["cnt"]
+            pdf = pdf.assign(_cum=c.cumsum() + run)
+            run += int(c.sum())
+            yield pdf[["qv", "_pid", "_cum"]]
+
+    d = d.mapInPandas(_cumsum, schema="qv long, _pid int, _cum long").persist()
+    parts = sorted(
+        (int(r["_pid"]), int(r["_ptot"]))
+        for r in d.groupBy("_pid").agg(F.max("_cum").alias("_ptot")).collect()
+    )
+    return d, parts
+
+
+def _quantile_at_ranks(dist: DataFrame, ranks: dict) -> dict:
     """Nearest-rank order statistics from a (qv, cnt) distinct-value
     distribution: for each name → 1-indexed rank, the smallest qv
-    whose cumulative count reaches the rank. The cumulative window
-    runs over DISTINCT values (≪ rows — never a row-sized
-    single-partition sort), the scale shape every exact-quantile
-    operator here uses (E68 precedent)."""
-    from pyspark.sql import Window
+    whose cumulative count reaches the rank. Returns {name: qv or
+    None} (None only when the rank exceeds the total count).
 
-    w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
-    cum = dist.withColumn("_cum", F.sum("cnt").over(w))
-    aggs = [
-        F.min(F.when(F.col("_cum") >= F.lit(int(r)), F.col("qv")))
-        .alias(name)
-        for name, r in ranks.items()
-    ]
-    return cum.agg(*aggs)
+    Scale shape — the global cumulative count WITHOUT any
+    single-partition window (the E91 prefix pattern,
+    operators/packing.py:pack_fixed_blocks): range-partition the
+    distribution by qv, cumsum within each partition via an
+    order-preserving Arrow pass, then collect the ≤P one-row
+    per-partition totals and turn them into driver-side offsets.
+    A distinct-value distribution is USUALLY ≪ rows, but that is
+    not a law — a continuous 6-dp-quantized metric at corpus scale
+    has distinct ≈ rows, and this shape still holds there: no task
+    ever sees more than its range slice, and the only driver state
+    is one row per partition. The offsets also tell us which
+    partition owns each requested rank, so the final pass prunes to
+    just the owning partitions."""
+    d, parts = _global_cum(dist)
+    offsets, off = {}, 0
+    for pid, ptot in parts:
+        offsets[pid] = off
+        off += ptot
+    total = off
+    # rank → owning partition resolved driver-side from the ≤P-row
+    # prefix: the final aggregation scans only the owning partitions
+    out, aggs, need = {}, [], set()
+    for name, r in ranks.items():
+        r = int(r)
+        if r > total or not parts:
+            out[name] = None
+            continue
+        pid = max(p for p, _ in parts if offsets[p] < r)
+        need.add(pid)
+        aggs.append(
+            F.min(
+                F.when(
+                    (F.col("_pid") == F.lit(pid))
+                    & (F.col("_cum") + F.lit(offsets[pid]) >= F.lit(r)),
+                    F.col("qv"),
+                )
+            ).alias(name)
+        )
+    if aggs:
+        row = d.filter(F.col("_pid").isin(sorted(need))).agg(*aggs).collect()[0]
+        for name in ranks:
+            if name not in out:
+                out[name] = row[name]
+    d.unpersist()
+    return out
 
 
 def boxplot_agg(
@@ -2713,8 +2778,9 @@ def boxplot_agg(
     mirrored verbatim in the oracle.
 
     Execution: one scan → distinct-value distribution (map-side
-    combined), cumulative window over DISTINCT values only, 1-row
-    output.
+    combined), then the range-partitioned prefix quantile pass
+    (:func:`_quantile_at_ranks` — no single-partition window even
+    at distinct ≈ rows), 1-row output.
     """
     v = F.col(value_col).cast("double")
     ok = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
@@ -2740,7 +2806,7 @@ def boxplot_agg(
         "_q3": max(1, math.ceil(0.75 * n)),
     }
     dist = dist.persist()
-    qs = _quantile_at_ranks(dist, ranks).collect()[0]
+    qs = _quantile_at_ranks(dist, ranks)
     q1q, q2q, q3q = int(qs["_q1"]), int(qs["_q2"]), int(qs["_q3"])
     iqr_q = q3q - q1q
     lo_fence = float(q1q) - 1.5 * float(iqr_q)
@@ -2860,9 +2926,7 @@ def mad_agg(
             [], "n long, median double, mad double"
         )
     med_rank = max(1, math.ceil(0.50 * n))
-    medq = int(
-        _quantile_at_ranks(dist, {"_m": med_rank}).collect()[0]["_m"]
-    )
+    medq = int(_quantile_at_ranks(dist, {"_m": med_rank})["_m"])
     dev = (
         dist.select(
             F.abs(F.col("qv") - F.lit(medq)).alias("qv"), F.col("cnt")
@@ -2870,9 +2934,7 @@ def mad_agg(
         .groupBy("qv")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
-    madq = int(
-        _quantile_at_ranks(dev, {"_m": med_rank}).collect()[0]["_m"]
-    )
+    madq = int(_quantile_at_ranks(dev, {"_m": med_rank})["_m"])
     dist.unpersist()
     fp = float(_ES_FP)
     return hits.sparkSession.createDataFrame(

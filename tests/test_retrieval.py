@@ -1272,6 +1272,63 @@ def test_mad_exact(spark):
     assert (r2["median"], r2["mad"]) == (7.5, 0.0)
 
 
+def test_quantile_prefix_no_single_partition_window(spark):
+    """The exact-quantile pass must hold at distinct ≈ rows: a
+    high-cardinality (all-distinct) distribution goes through the
+    range-partitioned prefix cumsum, and the executed plan carries
+    NO WindowExec (the old shape moved the whole distribution to a
+    single-partition window task). Cumulative counts and the
+    nearest-rank answers are checked against a sorted-Python
+    reference."""
+    import random
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        _global_cum,
+        _quantile_at_ranks,
+    )
+
+    rng = random.Random(14)
+    qvs = rng.sample(range(-5_000_000, 5_000_000), 20_000)
+    cnts = [rng.randrange(1, 4) for _ in qvs]
+    dist = spark.createDataFrame(
+        list(zip(qvs, cnts)), "qv long, cnt long"
+    ).repartition(16)
+
+    d, parts = _global_cum(dist)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec" not in plan, plan
+    # pids are range-ordered and the prefix reconstructs the exact
+    # global cumulative count of the sorted distribution
+    offsets, off = {}, 0
+    for pid, ptot in parts:
+        offsets[pid] = off
+        off += ptot
+    got = sorted(
+        (r["qv"], int(r["_cum"]) + offsets[int(r["_pid"])])
+        for r in d.collect()
+    )
+    ref_pairs = sorted(zip(qvs, cnts))
+    run, ref = 0, []
+    for qv, c in ref_pairs:
+        run += c
+        ref.append((qv, run))
+    assert got == ref
+    total = run
+    ranks = {"_lo": 1, "_q1": total // 4, "_med": (total + 1) // 2,
+             "_hi": total, "_over": total + 7}
+    out = _quantile_at_ranks(dist, ranks)
+    d.unpersist()
+
+    def nearest(rank):
+        for qv, cum in ref:
+            if cum >= rank:
+                return qv
+        return None
+
+    for name, r in ranks.items():
+        assert out[name] == nearest(r), name
+
+
 def test_string_stats_semantics(spark):
     """Hand-checked string stats: lengths over non-null values, and
     entropy of a uniform 2-symbol alphabet == 1 bit."""
