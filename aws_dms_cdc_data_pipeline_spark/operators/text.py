@@ -303,9 +303,18 @@ def tfidf_top_terms(
     # belongs to the CALLER, exactly as minhash documents it: entries
     # are plan-keyed so back-to-back runs on the same input legally
     # reuse one materialization, and sweeps clear between families.
+    # The cache is persisted TERM-partitioned: HashPartitioning(term)
+    # satisfies the df aggregate AND the score join, so the warm path
+    # runs both exchange-free and only the final per-doc rank window
+    # shuffles (sf1 steady 2.13 s → 1.50 s). The term exchange sees
+    # the same per-term row distribution the score join shuffled
+    # anyway (≤1 row per (doc, term) — bounded by df, never by
+    # occurrences; the map-side combine has already run).
+    P = df.sparkSession.sparkContext.defaultParallelism
     tf = (
         terms.groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .repartition(P, F.col("term"))
         .persist()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
