@@ -125,16 +125,26 @@ def run(spark, src: str = "/root/testdata/sf0.1", dst: str | None = None,
         from tools.make_scaled_sf import build
 
         build(src, dst, factor, tables=rel_tables)
+    if not os.path.exists(os.path.join(dst, "events.parquet")):
+        from tools.make_scaled_sf import build
+
+        build(src, dst, factor, tables=["events"])
     import duckdb
 
     con = duckdb.connect()
-    for t in rel_tables:
+    for t in rel_tables + ["events", "documents"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(dst, t + '.parquet')}')"
         )
+    # every query the r13 verdict flagged >2x at sf1 gets a measured
+    # decade ratio here, so the floor-amortization trend is evidence,
+    # not extrapolation
     for key, name in (("q1", "q1_pricing_summary"),
-                      ("regional", "regional_revenue")):
+                      ("regional", "regional_revenue"),
+                      ("topk", "topk_customers_by_revenue"),
+                      ("transition", "event_transition_matrix"),
+                      ("exact_dedup", "exact_dedup_docs")):
         timed(key, name)
         sql = REGISTRY[name].oracle
         con.execute(sql).fetchall()
