@@ -2,16 +2,18 @@
 
 The Spark-side plumbing is real and tested — schema, Arrow batch
 shape, partitioning — and the decode path is REAL for 24-bit BMP
-(pure numpy), PCM WAV (stdlib ``wave``), and baseline JPEG (the
-pure-Python ITU-T T.81 sequential-DCT codec in :mod:`.jpeg`), each
-round-tripped by tests through encode → Spark binary column →
-mapInPandas decode → features. The remaining compressed formats
-(PNG/MP3/H.264) are declared out of native-decode scope (MP3 is a
-full subband/IMDCT synthesis stack; PNG needs an inflate wiring) and
-raise NotImplementedError — a deployment plugs its codec through the
-tested ``decoder=`` contract; ``fake=True`` substitutes a
-deterministic byte-statistics decode so that plumbing stays testable
-(and DuckDB-oracle-checkable) for any payload.
+(pure numpy), PCM WAV (stdlib ``wave``), baseline JPEG (the
+pure-Python ITU-T T.81 sequential-DCT codec in :mod:`.jpeg`), and
+PNG (the pure-Python ISO/IEC 15948 decoder in :mod:`.png` — stdlib
+zlib inflate, all five scanline filters), each round-tripped by
+tests through encode → Spark binary column → mapInPandas decode →
+features. The remaining compressed formats (MP3/H.264) are declared
+out of native-decode scope (each is a full subband/IMDCT or
+motion-compensated transform stack) and raise NotImplementedError —
+a deployment plugs its codec through the tested ``decoder=``
+contract; ``fake=True`` substitutes a deterministic byte-statistics
+decode so that plumbing stays testable (and DuckDB-oracle-checkable)
+for any payload.
 
 Pattern: ``mapInPandas`` over batches of (id, media binary, mime) —
 the decode/resize/feature step is embarrassingly parallel, so the
@@ -158,12 +160,16 @@ def _decode_real(content: bytes, mime: str, dim: int = 16):
     - ``image/jpeg`` → same featurization via the pure-Python
       baseline-DCT decoder (:mod:`.jpeg`, ITU-T T.81 sequential;
       progressive streams raise NotImplementedError).
+    - ``image/png`` → same featurization via the pure-Python PNG
+      decoder (:mod:`.png`, ISO/IEC 15948 — 8-bit non-interlaced
+      gray/truecolor/indexed/alpha, all five scanline filters;
+      Adam7/16-bit raise NotImplementedError).
     - ``audio/wav`` / ``audio/x-wav`` → (n_channels, framerate,
       features): RMS of ``dim`` equal time segments.
 
-    Remaining compressed formats (PNG/MP3/H.264) are DECLARED OUT OF
-    SCOPE for native decode (an MP3 decoder is a full subband/IMDCT
-    synthesis stack; PNG needs zlib inflate wiring): they raise
+    Remaining compressed formats (MP3/H.264) are DECLARED OUT OF
+    SCOPE for native decode (each is a full subband/IMDCT or
+    motion-compensated transform stack): they raise
     NotImplementedError and a deployment plugs a codec through the
     ``decoder=`` contract of :func:`extract_features` — or uses
     ``fake=True`` for plumbing tests.
@@ -181,6 +187,11 @@ def _decode_real(content: bytes, mime: str, dim: int = 16):
 
         px = decode_baseline_jpeg(content)
         return _featurize_pixels(px, dim)
+    if m == "image/png":
+        from aws_dms_cdc_data_pipeline_spark.operators.png import decode_png
+
+        px = decode_png(content)
+        return _featurize_pixels(px, dim)
     if m in ("audio/wav", "audio/x-wav"):
         nch, rate, x = _decode_wav(content)
         segs = np.array_split(x, dim) if x.size else [np.zeros(1)] * dim
@@ -189,8 +200,8 @@ def _decode_real(content: bytes, mime: str, dim: int = 16):
         return nch, rate, feats
     raise NotImplementedError(
         f"decode for mime={mime!r} needs a codec library not present in "
-        "this environment (BMP/JPEG/WAV decode natively; pass fake=True "
-        "for the deterministic stand-in)"
+        "this environment (BMP/PNG/JPEG/WAV decode natively; pass "
+        "fake=True for the deterministic stand-in)"
     )
 
 

@@ -64,7 +64,121 @@ def test_decode_real_rejects_out_of_scope_formats():
     with pytest.raises(NotImplementedError, match="codec"):
         _decode_real(b"\xff\xfbfakemp3frames", "audio/mpeg")
     with pytest.raises(NotImplementedError, match="codec"):
-        _decode_real(b"\x89PNG\r\n\x1a\nfake", "image/png")
+        _decode_real(b"\x00\x00\x00\x01fakeh264nal", "video/h264")
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _png_manual(w, h, color_type, raw_rows: bytes, extra=b"") -> bytes:
+    """Hand-assemble a PNG independent of encode_png (so decode tests
+    don't depend on the encoder): raw_rows = concatenated
+    filter-byte-prefixed scanlines, pre-compression."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + extra
+            + _png_chunk(b"IDAT", zlib.compress(raw_rows))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_every_filter():
+    """Encode→decode is exact for each scanline filter 0–4 (None/
+    Sub/Up/Average/Paeth), for RGB and grayscale, on a gradient +
+    noise image that exercises wraparound arithmetic."""
+    from aws_dms_cdc_data_pipeline_spark.operators.png import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(14)
+    rgb = (
+        np.add.outer(np.arange(11) * 23, np.arange(7) * 41)[:, :, None]
+        + rng.integers(0, 256, size=(11, 7, 3))
+    ).astype(np.uint8)
+    gray = rng.integers(0, 256, size=(5, 9)).astype(np.uint8)
+    for ft in range(5):
+        out = decode_png(encode_png(rgb, filter_type=ft))
+        assert out.shape == (11, 7, 3) and (out == rgb).all(), f"filter {ft}"
+        g = decode_png(encode_png(gray, filter_type=ft))
+        assert g.shape == (5, 9, 3)
+        assert (g == np.repeat(gray[:, :, None], 3, axis=2)).all(), ft
+
+
+def test_png_hand_assembled_palette_and_alpha():
+    """Decoder-independent streams: a 2×2 indexed PNG resolves
+    through PLTE; truecolor+alpha and gray+alpha drop alpha; the
+    spec's filter bytes are honored per scanline."""
+    from aws_dms_cdc_data_pipeline_spark.operators.png import decode_png
+
+    # indexed: palette [red, green, blue]; pixels [[0,1],[2,0]]
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+    px = decode_png(_png_manual(2, 2, 3, raw,
+                                extra=_png_chunk(b"PLTE", plte)))
+    assert px.tolist() == [[[255, 0, 0], [0, 255, 0]],
+                           [[0, 0, 255], [255, 0, 0]]]
+    # RGBA with an Up-filtered second row: row2 = row1 + delta
+    row1 = bytes([10, 20, 30, 255, 40, 50, 60, 128])
+    delta = bytes([1, 2, 3, 0, 4, 5, 6, 0])
+    px = decode_png(_png_manual(2, 2, 6, b"\x00" + row1 + b"\x02" + delta))
+    assert px.tolist() == [[[10, 20, 30], [40, 50, 60]],
+                           [[11, 22, 33], [44, 55, 66]]]
+    # gray+alpha replicates the gray channel
+    px = decode_png(_png_manual(2, 1, 4, b"\x00" + bytes([7, 255, 200, 0])))
+    assert px.tolist() == [[[7, 7, 7], [200, 200, 200]]]
+
+
+def test_png_rejects_unsupported_and_malformed():
+    import struct
+
+    from aws_dms_cdc_data_pipeline_spark.operators.png import (
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png")
+    # flip interlace byte inside IHDR (and fix its CRC via rebuild)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    bad = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + good[8 + 25:])
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(bad)
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad16 = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr16)
+             + good[8 + 25:])
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(bad16)
+    # corrupt one IDAT payload byte: CRC check must catch it
+    idat_at = good.index(b"IDAT") - 4
+    corrupt = bytearray(good)
+    corrupt[idat_at + 9] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupt))
+
+
+def test_decode_real_png_features():
+    """image/png routes through the native decoder: a half-black /
+    half-white image lands mean 0.5 per channel and strip means 0/1."""
+    from aws_dms_cdc_data_pipeline_spark.operators.png import encode_png
+
+    px = np.zeros((8, 6, 3), dtype=np.uint8)
+    px[4:, :, :] = 255
+    w, h, feats = _decode_real(encode_png(px, filter_type=4), "image/png",
+                               dim=5)
+    assert (w, h) == (6, 8)
+    for c in range(3):
+        assert feats[c] == pytest.approx(0.5, abs=1e-6)
+    assert feats[3] == pytest.approx(0.0, abs=1e-6)
+    assert feats[4] == pytest.approx(1.0, abs=1e-6)
 
 
 def test_jpeg_codec_roundtrip_and_known_answer():
@@ -134,10 +248,14 @@ def test_extract_features_real_media_in_spark(spark):
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
     wav = _wav_bytes(0.25 * np.sin(np.arange(4000) / 5.0), rate=4000)
+    from aws_dms_cdc_data_pipeline_spark.operators.png import encode_png
+
     rows = [
         (1, bytearray(encode_bmp(img)), "image/bmp", {"kind": "img"}),
         (2, bytearray(wav), "audio/wav", {"kind": "aud"}),
         (3, None, "image/bmp", {}),
+        (4, bytearray(encode_png(img, filter_type=2)), "image/png",
+         {"kind": "img"}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in extract_features(media, dim=5).collect()}
@@ -148,6 +266,9 @@ def test_extract_features_real_media_in_spark(spark):
     assert (out[2]["width"], out[2]["height"]) == (1, 4000)  # nch, rate
     assert len(out[2]["features"]) == 5
     assert out[3]["width"] is None and out[3]["features"] is None
+    # the PNG of the same pixels featurizes identically to the BMP
+    assert (out[4]["width"], out[4]["height"]) == (6, 6)
+    assert out[4]["features"] == out[1]["features"]
 
 
 def test_bmp_header_is_spec_conformant():
