@@ -673,3 +673,161 @@ def remove_boilerplate_lines(
             ).cast("long").alias("n_lines_removed"),
         )
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher quality-filter rules (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A — the published
+    thresholds the big public corpora reuse, e.g. RefinedWeb/Dolma):
+
+    - ``ok_word_count``: 50 ≤ words ≤ 100,000
+    - ``ok_mean_word_len``: mean word length in [3, 10] characters
+    - ``ok_symbol_ratio``: ('#' chars + '...' occurrences) / words ≤ 0.1
+    - ``ok_alpha_words``: ≥80% of words contain ≥1 alphabetic char
+    - ``ok_stopwords``: ≥2 DISTINCT of the 8 Gopher stop words
+      {the, be, to, of, and, that, have, with}
+    - ``ok_bullet_lines``: ≤90% of lines start with a bullet
+      ('-', '*', '•')
+    - ``ok_ellipsis_lines``: ≤30% of lines end with '...'
+    - ``passes``: AND of all flags (the filter decision)
+
+    Every ratio test compares cross-multiplied integers (10·sym ≤
+    words, 5·alpha ≥ 4·words, ...), so the flags are exact in any
+    engine — no float thresholds. Words are whitespace tokens of the
+    trimmed text (punctuation attached, per the paper's tokenizer-
+    free counting); lines split on newlines. One narrow projection,
+    no shuffle, no UDF — a pure map at any scale.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(
+        F.split(F.regexp_replace(F.trim(c), r"\s+", " "), " "),
+        lambda w: w != F.lit(""),
+    )
+    n_words = F.size(words).cast("long")
+    total_wlen = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = (F.length(c) - F.length(F.regexp_replace(c, r"#", ""))).cast(
+        "long"
+    )
+    n_ellipsis = (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in sorted(
+        ("the", "be", "to", "of", "and", "that", "have", "with")
+    )])
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)), stop_arr
+        )
+    ).cast("long")
+    lines = F.filter(F.split(c, "\n"), lambda x: x != F.lit(""))
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: F.trim(x).startswith("-")
+            | F.trim(x).startswith("*")
+            | F.trim(x).startswith("•"),
+        )
+    ).cast("long")
+    n_ell_end = F.size(
+        F.filter(lines, lambda x: F.trim(x).endswith("..."))
+    ).cast("long")
+
+    ok_word_count = (n_words >= 50) & (n_words <= 100_000)
+    ok_mean_word_len = (total_wlen >= 3 * n_words) & (
+        total_wlen <= 10 * n_words
+    ) & (n_words > 0)
+    ok_symbol_ratio = (10 * (n_hash + n_ellipsis) <= n_words) & (n_words > 0)
+    ok_alpha_words = (5 * n_alpha >= 4 * n_words) & (n_words > 0)
+    ok_stopwords = n_stop >= 2
+    ok_bullet_lines = 10 * n_bullet <= 9 * n_lines
+    ok_ellipsis_lines = 10 * n_ell_end <= 3 * n_lines
+    flags = {
+        "ok_word_count": ok_word_count,
+        "ok_mean_word_len": ok_mean_word_len,
+        "ok_symbol_ratio": ok_symbol_ratio,
+        "ok_alpha_words": ok_alpha_words,
+        "ok_stopwords": ok_stopwords,
+        "ok_bullet_lines": ok_bullet_lines,
+        "ok_ellipsis_lines": ok_ellipsis_lines,
+    }
+    passes = None
+    for f in flags.values():
+        passes = f if passes is None else (passes & f)
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        *[v.alias(k) for k, v in flags.items()],
+        passes.alias("passes"),
+    )
+
+
+def gopher_oracle_sql(
+    *, table: str = "documents", text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL computing the identical Gopher flags (same word/
+    line definitions, same cross-multiplied integer thresholds)."""
+    return f"""
+    WITH base AS (
+        SELECT {id_col},
+               COALESCE({text_col}, '') AS c,
+               list_filter(string_split(regexp_replace(trim(
+                   COALESCE({text_col}, '')), '\\s+', ' ', 'g'), ' '),
+                   w -> w <> '') AS words,
+               list_filter(string_split(COALESCE({text_col}, ''),
+                                        chr(10)), x -> x <> '') AS lines
+        FROM {table}
+    ),
+    m AS (
+        SELECT {id_col},
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(COALESCE(list_sum(list_transform(words,
+                    w -> CAST(length(w) AS BIGINT))), 0) AS BIGINT)
+                   AS total_wlen,
+               CAST(length(c) - length(replace(c, '#', '')) AS BIGINT)
+                   AS n_hash,
+               CAST((length(c) - length(replace(c, '...', ''))) / 3
+                    AS BIGINT) AS n_ellipsis,
+               CAST(len(list_filter(words,
+                    w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+                   AS n_alpha,
+               CAST(len(list_intersect(
+                        list_distinct(list_transform(words, w -> lower(w))),
+                        ['and','be','have','of','that','the','to','with']))
+                    AS BIGINT) AS n_stop,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lines, x ->
+                        trim(x) LIKE '-%' OR trim(x) LIKE '*%'
+                        OR trim(x) LIKE '•%')) AS BIGINT) AS n_bullet,
+               CAST(len(list_filter(lines, x ->
+                        trim(x) LIKE '%...')) AS BIGINT) AS n_ell_end
+        FROM base
+    )
+    SELECT {id_col}, n_words,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (total_wlen >= 3 * n_words AND total_wlen <= 10 * n_words
+            AND n_words > 0) AS ok_mean_word_len,
+           (10 * (n_hash + n_ellipsis) <= n_words AND n_words > 0)
+               AS ok_symbol_ratio,
+           (5 * n_alpha >= 4 * n_words AND n_words > 0) AS ok_alpha_words,
+           (n_stop >= 2) AS ok_stopwords,
+           (10 * n_bullet <= 9 * n_lines) AS ok_bullet_lines,
+           (10 * n_ell_end <= 3 * n_lines) AS ok_ellipsis_lines,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (total_wlen >= 3 * n_words AND total_wlen <= 10 * n_words
+                 AND n_words > 0)
+            AND (10 * (n_hash + n_ellipsis) <= n_words AND n_words > 0)
+            AND (5 * n_alpha >= 4 * n_words AND n_words > 0)
+            AND (n_stop >= 2)
+            AND (10 * n_bullet <= 9 * n_lines)
+            AND (10 * n_ell_end <= 3 * n_lines)) AS passes
+    FROM m
+    """

@@ -7949,6 +7949,55 @@ def significant_text_hits_q(spark, sf_dir):
     return significant_text(docs, hits, top_k=15)
 
 
+# ===========================================================================
+# r14: published corpus-curation filters (Gopher rules, DSIR importance
+# weights, CCNet perplexity buckets) + OpenSearch change_point/rate aggs
+# ===========================================================================
+
+_GOPHER_FLAG_COLS = (
+    "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+    "ok_alpha_words", "ok_stopwords", "ok_bullet_lines",
+    "ok_ellipsis_lines", "passes",
+)
+
+
+def _gopher_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.text import (
+        gopher_oracle_sql,
+    )
+
+    casts = ", ".join(
+        f"CAST({c} AS INTEGER) AS {c}" for c in _GOPHER_FLAG_COLS
+    )
+    return (
+        f"SELECT doc_id, n_words, {casts} FROM ({gopher_oracle_sql()})"
+    )
+
+
+@q(
+    "gopher_quality_flags",
+    _gopher_oracle(),
+    "Published Gopher quality-filter rules (Rae et al. 2021, App. A — "
+    "the thresholds RefinedWeb/Dolma reuse) as exact cross-multiplied "
+    "integer tests: word count, mean word length, symbol ratio, "
+    "alpha-word share, distinct-stopword presence, bullet/ellipsis "
+    "line shares. Pure narrow projection — no shuffle, no UDF "
+    "(operators/text.py:gopher_quality_flags).",
+)
+def gopher_quality_flags_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = gopher_quality_flags(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        *[F.col(c).cast("int").alias(c) for c in _GOPHER_FLAG_COLS],
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r13 window = the 12 queries whose code

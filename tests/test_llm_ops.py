@@ -607,3 +607,38 @@ def test_bigram_logprob_order_awareness(spark):
         assert got[i][0] == len(ps)
         assert got[i][1] == sq
         assert got[i][2] == pytest.approx(sq / 1e6 / len(ps))
+
+
+def test_gopher_quality_flags_each_rule(spark):
+    """Each Gopher rule trips on a planted violation and passes on a
+    conforming doc; thresholds are the published inclusive bounds."""
+    from aws_dms_cdc_data_pipeline_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    good = "the quick brown foxes jumped over with many " \
+           + " ".join(f"word{i:03d}" for i in range(50))
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "the of and " + "xx " * 10),             # too few words
+        (3, "the of " + "a " * 98),                  # mean word len < 3
+        (4, "the of with " + "### " * 20 + "w " * 47),  # symbol ratio
+        (5, "the of with " + "123 456 " * 30),       # alpha share < 80%
+        (6, " ".join(f"word{i:03d}" for i in range(60))),  # no stopwords
+        (7, good + "\n" + "\n".join("- bullet" for _ in range(20))),
+        (8, good + "\n" + "\n".join("trail..." for _ in range(9))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+    assert out[1]["passes"]
+    assert not out[2]["ok_word_count"]
+    assert not out[3]["ok_mean_word_len"]
+    assert not out[4]["ok_symbol_ratio"]
+    assert not out[5]["ok_alpha_words"]
+    assert not out[6]["ok_stopwords"] and out[6]["ok_alpha_words"]
+    # doc 7: 1 text line + 20 bullet lines -> 20/21 > 90% bullets
+    assert not out[7]["ok_bullet_lines"]
+    # doc 8: 1 text line + 9 '...' lines -> 9/10 > 30% ellipsis endings
+    assert not out[8]["ok_ellipsis_lines"]
+    for d in (2, 3, 4, 5, 6, 7, 8):
+        assert not out[d]["passes"], d
