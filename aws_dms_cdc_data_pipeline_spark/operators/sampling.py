@@ -443,3 +443,181 @@ def weighted_sample(
         .limit(k)
         .drop("_es_key")
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    in the raw pool by ``log p_target(doc) − log p_raw(doc)`` under
+    hashed-n-gram bag-of-features multinomials — the published recipe
+    for selecting pretraining data that looks like a target domain.
+    ``target`` is a boolean Column marking the target-domain examples
+    (they stay in the raw pool, as in the paper). Feed the returned
+    ``log_weight`` to :func:`weighted_sample` for the resampling step.
+
+    Features are lowercase ``[^a-z0-9]+`` unigrams AND adjacent
+    bigrams, hashed into ``buckets`` via md5 (md5 is md5 in every
+    engine — the repo's deterministic-hash contract). Per-(feature
+    bucket) log-probs quantize to integer micro-nats BEFORE the
+    per-document sum (the E49/E189 pattern), so the score is an exact
+    BIGINT sum: bit-identical across engines and partitionings.
+
+    Scale shape: one tokenize pass (fan_out_scan-guarded) →
+    per-(doc, bucket) counts (map-side combined); the model is ≤
+    ``buckets`` rows — CONSTANT size by construction, broadcast back
+    to the postings regardless of corpus size; smoothing totals ride
+    as a broadcast 1-row aggregate. Nothing driver-side, no UDF.
+    Output: (id, n_features, log_weight_q, log_weight) for every doc
+    with ≥1 token.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    base = fan_out_scan(
+        df.select(F.col(id_col), target.alias("_tgt"), F.col(text_col))
+    ).withColumn(
+        "_toks",
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        ),
+    )
+    feats = base.select(
+        id_col,
+        "_tgt",
+        F.explode(
+            F.concat(
+                F.col("_toks"),
+                F.expr(
+                    "CASE WHEN size(_toks) < 2 THEN array() ELSE "
+                    "transform(slice(_toks, 1, size(_toks) - 1), "
+                    "(x, i) -> concat(x, ' ', _toks[i + 1])) END"
+                ),
+            )
+        ).alias("_feat"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_feat")), 1, 8), 16, 10)
+        .cast("long") % buckets
+    )
+    # per-(doc, bucket) counts: the only data-sized exchange; target
+    # membership rides the row (constant per doc)
+    cnts = (
+        feats.select(id_col, "_tgt", bucket.alias("_b"))
+        .groupBy(id_col, "_tgt", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .persist()
+    )
+    model = cnts.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), F.col("_n")).otherwise(F.lit(0)))
+        .cast("long").alias("_ct"),
+        F.sum("_n").cast("long").alias("_cs"),
+    )
+    totals = model.agg(
+        F.sum("_ct").cast("long").alias("_tt"),
+        F.sum("_cs").cast("long").alias("_ts"),
+    )
+    a = F.lit(float(alpha))
+    ab = F.lit(float(alpha) * buckets)
+    scored = model.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.floor(F.log((F.col("_ct").cast("double") + a)
+                          / (F.col("_tt").cast("double") + ab)) * 1e6)
+            - F.floor(F.log((F.col("_cs").cast("double") + a)
+                            / (F.col("_ts").cast("double") + ab)) * 1e6)
+        ).cast("long").alias("_dq"),
+    )
+    return (
+        cnts.join(F.broadcast(scored), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").cast("long").alias("n_features"),
+            F.sum(F.col("_n") * F.col("_dq")).cast("long")
+            .alias("log_weight_q"),
+        )
+        .withColumn(
+            "log_weight", F.col("log_weight_q").cast("double") / 1e6
+        )
+    )
+
+
+def dsir_oracle_sql(
+    *,
+    table: str = "documents",
+    target_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB SQL computing the identical DSIR log-weights (same
+    tokenization, same md5 bucketing, same quantized-log model)."""
+    a = float(alpha)
+    ab = float(alpha) * buckets
+    return f"""
+    WITH base AS (
+        SELECT {id_col}, ({target_sql}) AS tgt,
+               list_filter(string_split_regex(lower({text_col}),
+                                              '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM {table}
+    ),
+    feats AS (
+        SELECT {id_col}, tgt, f.feat
+        FROM base, LATERAL (
+            SELECT unnest(list_concat(
+                toks,
+                CASE WHEN len(toks) < 2 THEN [] ELSE
+                    list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])
+                END)) AS feat
+        ) f
+    ),
+    cnts AS (
+        SELECT {id_col}, tgt,
+               CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT)
+                   % {buckets} AS b,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM feats GROUP BY 1, 2, 3
+    ),
+    model AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN tgt THEN n ELSE 0 END) AS BIGINT) AS ct,
+               CAST(SUM(n) AS BIGINT) AS cs
+        FROM cnts GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+               CAST(SUM(cs) AS BIGINT) AS ts
+        FROM model
+    ),
+    scored AS (
+        SELECT b,
+               CAST(floor(ln((CAST(ct AS DOUBLE) + {a!r})
+                             / (CAST(tt AS DOUBLE) + {ab!r})) * 1e6)
+                    - floor(ln((CAST(cs AS DOUBLE) + {a!r})
+                               / (CAST(ts AS DOUBLE) + {ab!r})) * 1e6)
+                    AS BIGINT) AS dq
+        FROM model CROSS JOIN tot
+    )
+    SELECT c.{id_col},
+           CAST(SUM(c.n) AS BIGINT) AS n_features,
+           CAST(SUM(c.n * s.dq) AS BIGINT) AS log_weight_q,
+           CAST(SUM(c.n * s.dq) AS DOUBLE) / 1e6 AS log_weight
+    FROM cnts c JOIN scored s USING (b)
+    GROUP BY c.{id_col}
+    """

@@ -7998,6 +7998,33 @@ def gopher_quality_flags_q(spark, sf_dir):
     )
 
 
+def _dsir_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        dsir_oracle_sql,
+    )
+
+    return dsir_oracle_sql(target_sql="lang = 'en'")
+
+
+@q(
+    "dsir_importance_weights",
+    _dsir_oracle(),
+    "DSIR importance weights (Xie et al. 2023): log p_target/p_raw "
+    "per document under hashed unigram+bigram multinomials (md5 "
+    "buckets, quantized-log exact BIGINT scoring) — the published "
+    "pretraining-data selection recipe; target = English docs. The "
+    "model is a constant ≤1024-row relation broadcast back to the "
+    "postings (operators/sampling.py:dsir_log_weights).",
+)
+def dsir_importance_weights_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_log_weights(docs, F.col("lang") == F.lit("en"))
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r13 window = the 12 queries whose code

@@ -332,3 +332,59 @@ def test_weighted_sample_determinism_and_weight_bias(spark):
     )
     got = {r["doc_id"] for r in weighted_sample(df2, 3, weight_col="w").collect()}
     assert got == {3}
+
+
+def test_dsir_log_weights_ranks_target_like_docs(spark):
+    """Docs sharing the target domain's vocabulary score higher than
+    off-domain docs; the quantized score is an exact integer sum and
+    matches an independent Python reference on a tiny corpus."""
+    import hashlib
+    import math
+
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    rows = [
+        (1, "spark shuffle join broadcast spark", True),
+        (2, "spark join window shuffle", True),
+        (3, "der und die das der und", False),
+        (4, "spark shuffle broadcast join window", False),  # target-like
+        (5, "der die das und der", False),                  # off-domain
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_log_weights(
+            df, df.tgt, buckets=64, alpha=1.0
+        ).collect()
+    }
+    assert out[4]["log_weight"] > out[5]["log_weight"]
+
+    # independent reference (same tokenizer, hashing, quantization)
+    def toks(t):
+        ws = [w for w in t.lower().split(" ") if w]
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % 64
+
+    ct, cs = {}, {}
+    for _, text, tgt in rows:
+        for f in toks(text):
+            b = bucket(f)
+            cs[b] = cs.get(b, 0) + 1
+            if tgt:
+                ct[b] = ct.get(b, 0) + 1
+    tt, ts = sum(ct.values()), sum(cs.values())
+    for i, text, _ in rows:
+        wq = 0
+        for f in toks(text):
+            b = bucket(f)
+            wq += math.floor(
+                math.log((ct.get(b, 0) + 1.0) / (tt + 64.0)) * 1e6
+            ) - math.floor(
+                math.log((cs.get(b, 0) + 1.0) / (ts + 64.0)) * 1e6
+            )
+        assert out[i]["log_weight_q"] == wq, i
+        assert out[i]["n_features"] == len(toks(text))
