@@ -831,3 +831,181 @@ def gopher_oracle_sql(
             AND (10 * n_ell_end <= 3 * n_lines)) AS passes
     FROM m
     """
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality buckets (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets"):
+    score every document with a PER-LANGUAGE unigram LM trained on
+    the corpus itself (the in-container stand-in for CCNet's
+    pretrained KenLM — same bucketing contract), then cut each
+    language's score distribution at its tertiles. ``head`` is the
+    best third (highest mean log-prob = lowest perplexity), exactly
+    the slice the public pipelines keep first.
+
+    Determinism: per-(lang, term) log-probs quantize to integer
+    micro-nats before the per-doc BIGINT sum (E49 pattern); the
+    per-doc mean uses explicit FLOOR division ``(s − mod_floor(s, n))
+    / n`` so negative sums divide identically in every engine; the
+    tertile cuts are nearest-rank order statistics (rank ⌈n/3⌉,
+    ⌈2n/3⌉) over the per-language DISTINCT-score distribution, and
+    boundary ties bucket downward — no row-level tie-break needed.
+
+    Scale shape: one tokenize pass; the per-lang LM is a (lang,
+    term) relation (vocab-sized, AQE-broadcast when small); the
+    cumulative window for the cuts runs over DISTINCT scores per
+    language; the corpus-sized relation only CASEs against the
+    broadcast ≤|langs|-row cut table. Output: (id, lang, score_q,
+    ppl_bucket) for every doc with ≥1 token and a non-null language.
+    """
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    terms = (
+        df.filter(F.col(lang_col).isNotNull())
+        .select(
+            id_col,
+            F.col(lang_col).alias("_lang"),
+            F.explode(F.split(norm, " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    vocab = terms.groupBy("_lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    tot = vocab.groupBy("_lang").agg(F.sum("_c").cast("long").alias("_n"))
+    lp = vocab.join(F.broadcast(tot), "_lang").select(
+        "_lang",
+        "term",
+        F.floor(F.log(F.col("_c").cast("double") / F.col("_n")) * 1e6)
+        .cast("long")
+        .alias("_lq"),
+    )
+    scores = (
+        terms.join(lp, ["_lang", "term"])
+        .groupBy(id_col, "_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nt"),
+            F.sum("_lq").cast("long").alias("_s"),
+        )
+        .select(
+            id_col,
+            "_lang",
+            # portable floor division (negative sums round toward -inf
+            # in Spark DIV and DuckDB // alike only via this identity)
+            F.expr("(_s - (((_s % _nt) + _nt) % _nt)) DIV _nt")
+            .cast("long")
+            .alias("score_q"),
+        )
+        .persist()
+    )
+    dist = scores.groupBy("_lang", "score_q").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    w = (
+        Window.partitionBy("_lang")
+        .orderBy("score_q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dist.withColumn("_cum", F.sum("_cnt").over(w))
+    nl = dist.groupBy("_lang").agg(F.sum("_cnt").cast("long").alias("_nd"))
+    cuts = (
+        cum.join(F.broadcast(nl), "_lang")
+        .groupBy("_lang")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.expr("(_nd + 2) DIV 3"),
+                    F.col("score_q"),
+                )
+            ).alias("_t1"),
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.expr("(2 * _nd + 2) DIV 3"),
+                    F.col("score_q"),
+                )
+            ).alias("_t2"),
+        )
+    )
+    return scores.join(F.broadcast(cuts), "_lang").select(
+        id_col,
+        F.col("_lang").alias("lang"),
+        "score_q",
+        F.when(F.col("score_q") <= F.col("_t1"), F.lit("tail"))
+        .when(F.col("score_q") <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("ppl_bucket"),
+    )
+
+
+def ccnet_oracle_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> str:
+    """DuckDB SQL computing the identical CCNet buckets (same LM
+    quantization, same floor-division mean, same tertile cuts)."""
+    return f"""
+    WITH terms AS (
+        SELECT {id_col}, {lang_col} AS lang, t.term
+        FROM {table},
+             LATERAL (SELECT unnest(string_split(regexp_replace(lower(
+                 trim({text_col})), '\\s+', ' ', 'g'), ' ')) AS term) t
+        WHERE t.term <> '' AND {lang_col} IS NOT NULL
+    ),
+    vocab AS (
+        SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM terms GROUP BY lang, term
+    ),
+    tot AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM vocab GROUP BY lang
+    ),
+    lp AS (
+        SELECT v.lang, v.term,
+               CAST(floor(ln(CAST(v.c AS DOUBLE) / t.n) * 1e6) AS BIGINT)
+                   AS lq
+        FROM vocab v JOIN tot t USING (lang)
+    ),
+    scores AS (
+        SELECT tm.{id_col}, tm.lang,
+               CAST((s - (((s % nt) + nt) % nt)) // nt AS BIGINT) AS score_q
+        FROM (
+            SELECT tm.{id_col}, tm.lang,
+                   CAST(COUNT(*) AS BIGINT) AS nt,
+                   CAST(SUM(lp.lq) AS BIGINT) AS s
+            FROM terms tm JOIN lp ON tm.lang = lp.lang
+                                  AND tm.term = lp.term
+            GROUP BY tm.{id_col}, tm.lang
+        ) tm
+    ),
+    dist AS (
+        SELECT lang, score_q, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM scores GROUP BY lang, score_q
+    ),
+    cum AS (
+        SELECT lang, score_q, cnt,
+               SUM(cnt) OVER (PARTITION BY lang ORDER BY score_q
+                              ROWS UNBOUNDED PRECEDING) AS c,
+               SUM(cnt) OVER (PARTITION BY lang) AS nd
+        FROM dist
+    ),
+    cuts AS (
+        SELECT lang,
+               MIN(CASE WHEN c >= (nd + 2) // 3 THEN score_q END) AS t1,
+               MIN(CASE WHEN c >= (2 * nd + 2) // 3 THEN score_q END) AS t2
+        FROM cum GROUP BY lang
+    )
+    SELECT s.{id_col}, s.lang, s.score_q,
+           CASE WHEN s.score_q <= c.t1 THEN 'tail'
+                WHEN s.score_q <= c.t2 THEN 'middle'
+                ELSE 'head' END AS ppl_bucket
+    FROM scores s JOIN cuts c USING (lang)
+    """

@@ -8025,6 +8025,33 @@ def dsir_importance_weights_q(spark, sf_dir):
     return dsir_log_weights(docs, F.col("lang") == F.lit("en"))
 
 
+def _ccnet_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.text import (
+        ccnet_oracle_sql,
+    )
+
+    return ccnet_oracle_sql()
+
+
+@q(
+    "ccnet_perplexity_buckets",
+    _ccnet_oracle(),
+    "CCNet head/middle/tail quality buckets (Wenzek et al. 2020): "
+    "per-language unigram-LM scores (quantized micro-nats, portable "
+    "floor-division mean) cut at nearest-rank tertiles over the "
+    "per-lang DISTINCT-score distribution; the corpus relation only "
+    "CASEs against the broadcast cut table "
+    "(operators/text.py:ccnet_perplexity_buckets).",
+)
+def ccnet_perplexity_buckets_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.text import (
+        ccnet_perplexity_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ccnet_perplexity_buckets(docs)
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r13 window = the 12 queries whose code

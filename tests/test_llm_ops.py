@@ -642,3 +642,36 @@ def test_gopher_quality_flags_each_rule(spark):
     assert not out[8]["ok_ellipsis_lines"]
     for d in (2, 3, 4, 5, 6, 7, 8):
         assert not out[d]["passes"], d
+
+
+def test_ccnet_buckets_rank_common_word_docs_head(spark):
+    """Per-language tertiles: docs made of the language's common
+    words score head, rare-token soup scores tail; buckets are
+    per-language (each lang gets its own cuts); boundary ties bucket
+    downward deterministically."""
+    from aws_dms_cdc_data_pipeline_spark.operators.text import (
+        ccnet_perplexity_buckets,
+    )
+
+    common = "the of and " * 8
+    rows = []
+    # lang A: 3 common docs, 3 mixed, 3 rare -> clean tertiles
+    for i in range(3):
+        rows.append((i, common, "aa"))
+        rows.append((10 + i, "the of and " + f"mid{i} " * 6, "aa"))
+        rows.append((20 + i, f"zz{i}q wq{i}x yy{i}k " * 3, "aa"))
+    # lang B: its own distribution (one shared spelling with A)
+    rows += [(30, "bon jour bon jour bon", "bb"),
+             (31, "bon jour aussi", "bb"),
+             (32, "xyzzy plugh bon", "bb")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in ccnet_perplexity_buckets(df).collect()}
+    assert len(out) == 12
+    for i in range(3):
+        assert out[i]["ppl_bucket"] == "head", out[i]
+        assert out[20 + i]["ppl_bucket"] == "tail", out[20 + i]
+        assert out[10 + i]["ppl_bucket"] == "middle", out[10 + i]
+    assert out[30]["lang"] == "bb" and out[30]["ppl_bucket"] == "head"
+    assert out[32]["ppl_bucket"] == "tail"
+    # identical texts share a score and therefore a bucket
+    assert out[0]["score_q"] == out[1]["score_q"] == out[2]["score_q"]
