@@ -3612,3 +3612,153 @@ __all__ = [
     "top_hits_oracle_sql",
     "top_hits_per_facet",
 ]
+
+
+def change_point_agg(
+    hits: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Change-point detection over a daily metric series — the
+    OpenSearch ``change_point`` pipeline aggregation (the Discover
+    anomaly panel: "where did this metric shift?"). OpenSearch runs a
+    battery of ML tests; this engine computes the deterministic core
+    every one of them ranks by — the split of the bucket series that
+    maximizes the between-segment squared-mean-difference statistic
+
+        stat(k) = d_k² / (k·(n−k)),
+        d_k = (n−k)·S_k − k·(S−S_k)
+
+    (the CUSUM /二-sample t numerator with the pooled-variance
+    denominator dropped — monotone-equivalent for locating the
+    split). Ties break on the earliest split. Returns one row:
+    (change_day, split_index, n_buckets, stat, left_mean, right_mean,
+    direction ∈ up/down/flat).
+
+    Determinism: bucket metrics are exact long sums of 6-dp-quantized
+    values; d_k and k·(n−k) are exact longs; the statistic is two
+    long→double converts, one multiply, one divide — IEEE-identical
+    in every engine even when d_k² rounds. Missing values drop per
+    the histogram contract.
+
+    Execution: one scan → daily buckets (map-side combined); the
+    split scan is an order window over the BUCKET series (≤ days
+    rows by construction — the histogram_pipeline bounded-window
+    contract), then a 1-row argmax.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    ok = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    day = F.date_format(F.col(ts_col).cast("date"), "yyyy-MM-dd")
+    buckets = (
+        hits.filter(ok & F.col(ts_col).isNotNull())
+        .select(day.alias("day"),
+                F.round(v * _ES_FP, 0).cast("long").alias("_vq"))
+        .groupBy("day")
+        .agg(F.sum("_vq").cast("long").alias("_m"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = buckets.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("_k"),
+        F.sum("_m").over(w).cast("long").alias("_sk"),
+        F.sum("_m").over(wall).cast("long").alias("_s"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("_n"),
+    ).filter(F.col("_k") < F.col("_n"))
+    d = (
+        (F.col("_n") - F.col("_k")) * F.col("_sk")
+        - F.col("_k") * (F.col("_s") - F.col("_sk"))
+    ).cast("long")
+    stat = (
+        d.cast("double") * d.cast("double")
+        / (F.col("_k") * (F.col("_n") - F.col("_k"))).cast("double")
+    )
+    fp = float(_ES_FP)
+    scored = pre.select(
+        "day", "_k", "_n", "_sk", "_s", stat.alias("_stat")
+    )
+    best = (
+        scored.orderBy(F.col("_stat").desc(), F.col("_k").asc())
+        .limit(1)
+        .select(
+            F.col("day").alias("change_day"),
+            F.col("_k").alias("split_index"),
+            F.col("_n").alias("n_buckets"),
+            F.round(F.col("_stat") / F.lit(fp * fp), 6).alias("stat"),
+            F.round(F.col("_sk").cast("double")
+                    / F.col("_k").cast("double") / fp, 6)
+            .alias("left_mean"),
+            F.round((F.col("_s") - F.col("_sk")).cast("double")
+                    / (F.col("_n") - F.col("_k")).cast("double") / fp, 6)
+            .alias("right_mean"),
+        )
+    )
+    return best.withColumn(
+        "direction",
+        F.when(F.col("right_mean") > F.col("left_mean"), F.lit("up"))
+        .when(F.col("right_mean") < F.col("left_mean"), F.lit("down"))
+        .otherwise(F.lit("flat")),
+    )
+
+
+def change_point_oracle_sql(
+    hits_sql: str,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB SQL computing the identical change point (same daily
+    buckets, same exact-long statistic, same tie-break)."""
+    fp = float(_ES_FP)
+    return f"""
+    WITH hit_rows AS ({hits_sql}),
+    b AS (
+        SELECT strftime(CAST({ts_col} AS DATE), '%Y-%m-%d') AS day,
+               CAST(SUM(CAST(round(CAST({value_col} AS DOUBLE) * {_ES_FP},
+                                   0) AS BIGINT)) AS BIGINT) AS m
+        FROM hit_rows
+        WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+          AND NOT isnan(CAST({value_col} AS DOUBLE))
+          AND NOT isinf(CAST({value_col} AS DOUBLE))
+        GROUP BY 1
+    ),
+    pre AS (
+        SELECT day,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+               CAST(SUM(m) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sk,
+               CAST(SUM(m) OVER () AS BIGINT) AS s,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM b
+    ),
+    scored AS (
+        SELECT day, k, n, sk, s,
+               CAST((n - k) * sk - k * (s - sk) AS DOUBLE)
+               * CAST((n - k) * sk - k * (s - sk) AS DOUBLE)
+               / CAST(k * (n - k) AS DOUBLE) AS stat
+        FROM pre WHERE k < n
+    )
+    SELECT day AS change_day, k AS split_index, n AS n_buckets,
+           round(stat / {fp * fp!r}, 6) AS stat,
+           round(CAST(sk AS DOUBLE) / CAST(k AS DOUBLE) / {fp!r}, 6)
+               AS left_mean,
+           round(CAST(s - sk AS DOUBLE) / CAST(n - k AS DOUBLE) / {fp!r}, 6)
+               AS right_mean,
+           CASE WHEN round(CAST(s - sk AS DOUBLE) / CAST(n - k AS DOUBLE)
+                           / {fp!r}, 6)
+                     > round(CAST(sk AS DOUBLE) / CAST(k AS DOUBLE)
+                             / {fp!r}, 6) THEN 'up'
+                WHEN round(CAST(s - sk AS DOUBLE) / CAST(n - k AS DOUBLE)
+                           / {fp!r}, 6)
+                     < round(CAST(sk AS DOUBLE) / CAST(k AS DOUBLE)
+                             / {fp!r}, 6) THEN 'down'
+                ELSE 'flat' END AS direction
+    -- argmax on the RAW statistic (the projected alias would shadow
+    -- it in ORDER BY and compare the rounded value instead)
+    FROM (SELECT * FROM scored ORDER BY stat DESC, k ASC LIMIT 1)
+    """

@@ -8052,6 +8052,35 @@ def ccnet_perplexity_buckets_q(spark, sf_dir):
     return ccnet_perplexity_buckets(docs)
 
 
+def _change_point_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        change_point_oracle_sql,
+    )
+
+    return change_point_oracle_sql(
+        "SELECT ts, value FROM events WHERE event_type = 'purchase'"
+    )
+
+
+@q(
+    "events_change_point",
+    _change_point_oracle(),
+    "Change-point detection — the OpenSearch change_point pipeline "
+    "agg: the daily purchase-value series split maximizing the exact "
+    "between-segment squared-mean-difference statistic (long CUSUM "
+    "numerator, IEEE-identical double normalization, earliest-split "
+    "tie-break). Bucket-sized order window only "
+    "(operators/retrieval.py:change_point_agg).",
+)
+def events_change_point_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        change_point_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return change_point_agg(ev.filter(F.col("event_type") == "purchase"))
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r13 window = the 12 queries whose code

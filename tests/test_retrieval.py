@@ -1500,3 +1500,37 @@ def test_significant_text_duplicate_filtering(spark):
     assert {"rare", "signal", "token"} <= without
     with _pt.raises(ValueError, match="top_k"):
         significant_text(docs, hits, top_k=0)
+
+
+def test_change_point_planted_step(spark):
+    """A planted step (10 days at ~2.0, then 10 days at ~8.0) locates
+    the split at day 10, direction up, means exact; a flat series
+    still returns its argmax row with stat 0."""
+    from datetime import datetime
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        change_point_agg,
+    )
+
+    rows = []
+    for d in range(20):
+        base = 2.0 if d < 10 else 8.0
+        for j in range(3):  # 3 events/day, mean per day = base
+            rows.append(
+                (datetime(2024, 3, 1 + d), base + (j - 1) * 0.5)
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    r = change_point_agg(df).collect()[0]
+    assert r["change_day"] == "2024-03-10"
+    assert r["split_index"] == 10 and r["n_buckets"] == 20
+    # daily bucket metric is the SUM of the day's values: 6.0 vs 24.0
+    assert (r["left_mean"], r["right_mean"]) == (6.0, 24.0)
+    assert r["direction"] == "up"
+
+    flat = spark.createDataFrame(
+        [(datetime(2024, 3, 1 + d), 5.0) for d in range(4)],
+        "ts timestamp, value double",
+    )
+    rf = change_point_agg(flat).collect()[0]
+    assert rf["stat"] == 0.0 and rf["direction"] == "flat"
+    assert rf["split_index"] == 1  # earliest-split tie-break
