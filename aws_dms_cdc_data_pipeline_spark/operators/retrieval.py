@@ -3762,3 +3762,96 @@ def change_point_oracle_sql(
     -- it in ORDER BY and compare the rounded value instead)
     FROM (SELECT * FROM scored ORDER BY stat DESC, k ASC LIMIT 1)
     """
+
+
+def rate_agg(
+    hits: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "day",
+) -> DataFrame:
+    """Rate metric aggregation inside a monthly date histogram — the
+    OpenSearch ``rate`` agg (Discover's "per-day rate by month"
+    panel): each calendar-month bucket reports its value sum and hit
+    count NORMALIZED to the rate unit by the bucket's true calendar
+    length (29-day Februaries divide by 29). Only ``day`` rate units
+    are exposed — the one OpenSearch shape the fixtures exercise;
+    the month/week variants are the same division by a different
+    exact constant.
+
+    Determinism: sums are exact longs of 6-dp-quantized values;
+    days-in-month is exact calendar arithmetic; each output is ONE
+    long/long double division — identical in every engine. Missing
+    values drop per the histogram contract.
+
+    Execution: one scan → monthly groupBy (map-side combined) —
+    aggregate-sized output, no windows, no joins.
+    """
+    if unit != "day":
+        raise ValueError("rate_agg exposes unit='day'")
+    v = F.col(value_col).cast("double")
+    ok = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    month_start = F.trunc(F.col(ts_col).cast("date"), "month")
+    fp = float(_ES_FP)
+    return (
+        hits.filter(ok & F.col(ts_col).isNotNull())
+        .select(
+            F.date_format(month_start, "yyyy-MM").alias("month"),
+            F.dayofmonth(F.last_day(month_start)).cast("long").alias("_days"),
+            F.round(v * _ES_FP, 0).cast("long").alias("_vq"),
+        )
+        .groupBy("month", "_days")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.sum("_vq").cast("long").alias("_sq"),
+        )
+        .select(
+            "month",
+            F.col("_days").alias("days_in_month"),
+            "n_hits",
+            F.round(F.col("_sq").cast("double") / fp, 6).alias("value_sum"),
+            F.round(
+                F.col("_sq").cast("double") / F.col("_days").cast("double")
+                / fp, 6
+            ).alias("value_rate_per_day"),
+            F.round(
+                F.col("n_hits").cast("double") / F.col("_days").cast("double"),
+                6,
+            ).alias("count_rate_per_day"),
+        )
+    )
+
+
+def rate_oracle_sql(
+    hits_sql: str,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB SQL computing the identical per-day rates by month."""
+    fp = float(_ES_FP)
+    return f"""
+    WITH hit_rows AS ({hits_sql}),
+    b AS (
+        SELECT strftime(date_trunc('month', CAST({ts_col} AS DATE)),
+                        '%Y-%m') AS month,
+               CAST(datepart('day', last_day(CAST({ts_col} AS DATE)))
+                    AS BIGINT) AS days_in_month,
+               CAST(round(CAST({value_col} AS DOUBLE) * {_ES_FP}, 0)
+                    AS BIGINT) AS vq
+        FROM hit_rows
+        WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+          AND NOT isnan(CAST({value_col} AS DOUBLE))
+          AND NOT isinf(CAST({value_col} AS DOUBLE))
+    )
+    SELECT month, days_in_month,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           round(CAST(SUM(vq) AS DOUBLE) / {fp!r}, 6) AS value_sum,
+           round(CAST(SUM(vq) AS DOUBLE) / CAST(days_in_month AS DOUBLE)
+                 / {fp!r}, 6) AS value_rate_per_day,
+           round(CAST(COUNT(*) AS DOUBLE) / CAST(days_in_month AS DOUBLE),
+                 6) AS count_rate_per_day
+    FROM b
+    GROUP BY month, days_in_month
+    """

@@ -8081,6 +8081,29 @@ def events_change_point_q(spark, sf_dir):
     return change_point_agg(ev.filter(F.col("event_type") == "purchase"))
 
 
+def _rate_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        rate_oracle_sql,
+    )
+
+    return rate_oracle_sql("SELECT ts, value FROM events")
+
+
+@q(
+    "events_monthly_rate",
+    _rate_oracle(),
+    "Rate metric aggregation — the OpenSearch rate agg: per-day "
+    "value/count rates inside calendar-month buckets, normalized by "
+    "each bucket's TRUE day count (exact calendar arithmetic, one "
+    "long/long division per output). One map-side-combined groupBy "
+    "(operators/retrieval.py:rate_agg).",
+)
+def events_monthly_rate_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import rate_agg
+
+    return rate_agg(load_table(spark, sf_dir, "events"))
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r13 window = the 12 queries whose code

@@ -1534,3 +1534,28 @@ def test_change_point_planted_step(spark):
     rf = change_point_agg(flat).collect()[0]
     assert rf["stat"] == 0.0 and rf["direction"] == "flat"
     assert rf["split_index"] == 1  # earliest-split tie-break
+
+
+def test_rate_agg_calendar_normalization(spark):
+    """Per-day rates divide by each month's TRUE length (leap Feb =
+    29); missing values drop; sums and counts are exact."""
+    from datetime import datetime
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import rate_agg
+
+    rows = (
+        [(datetime(2024, 2, 1 + d), 2.0) for d in range(29)]
+        + [(datetime(2024, 3, 5), 31.0), (datetime(2024, 3, 20), 31.0)]
+        + [(datetime(2024, 3, 21), None), (None, 7.0)]
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["month"]: r for r in rate_agg(df).collect()}
+    assert set(out) == {"2024-02", "2024-03"}
+    feb, mar = out["2024-02"], out["2024-03"]
+    assert (feb["days_in_month"], feb["n_hits"]) == (29, 29)
+    assert feb["value_sum"] == 58.0
+    assert feb["value_rate_per_day"] == 2.0
+    assert feb["count_rate_per_day"] == 1.0
+    assert (mar["days_in_month"], mar["n_hits"]) == (31, 2)
+    assert mar["value_rate_per_day"] == 2.0
+    assert mar["count_rate_per_day"] == round(2 / 31, 6)
