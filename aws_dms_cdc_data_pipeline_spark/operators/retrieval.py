@@ -3855,3 +3855,247 @@ def rate_oracle_sql(
     FROM b
     GROUP BY month, days_in_month
     """
+
+
+def ks_test_agg(
+    hits_a: DataFrame,
+    hits_b: DataFrame,
+    *,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between two hit sets'
+    DAILY-COUNT distributions — the OpenSearch ``bucket_count_ks_test``
+    aggregation (the Discover drift question: "do these two series'
+    bucket counts come from the same distribution?"). Samples are the
+    per-day hit counts of days with ≥1 hit on that side; the
+    statistic is the exact sup-distance between the two empirical
+    CDFs.
+
+    Determinism: D is located by the EXACT integer cross-product form
+    |cumA·n_B − cumB·n_A| (no division until the final report), ties
+    on the smallest count value; the reported ``d_stat`` is one
+    long/long double division rounded to 6 dp.
+
+    Execution: two daily groupBys (map-side combined) → a
+    distinct-count-value distribution (≤ days rows); the cumulative
+    window runs over that bounded support (histogram_pipeline
+    contract). Output: one row (d_stat, at_value, n_a, n_b), empty
+    if either side has no buckets.
+    """
+    from pyspark.sql import Window
+
+    def daily(df, side):
+        return (
+            df.filter(F.col(ts_col).isNotNull())
+            .groupBy(
+                F.date_format(F.col(ts_col).cast("date"), "yyyy-MM-dd")
+                .alias("day")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .select("cnt", F.lit(side).alias("_side"))
+        )
+    both = daily(hits_a, "a").unionByName(daily(hits_b, "b"))
+    dist = both.groupBy("cnt").agg(
+        F.sum(F.when(F.col("_side") == "a", 1).otherwise(0))
+        .cast("long").alias("_ca"),
+        F.sum(F.when(F.col("_side") == "b", 1).otherwise(0))
+        .cast("long").alias("_cb"),
+    )
+    w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("cnt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = dist.select(
+        "cnt",
+        F.sum("_ca").over(w).cast("long").alias("_cuma"),
+        F.sum("_cb").over(w).cast("long").alias("_cumb"),
+        F.sum("_ca").over(wall).cast("long").alias("_na"),
+        F.sum("_cb").over(wall).cast("long").alias("_nb"),
+    )
+    num = F.abs(
+        F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na")
+    ).cast("long")
+    return (
+        cum.filter((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .select("cnt", "_na", "_nb", num.alias("_num"))
+        .orderBy(F.col("_num").desc(), F.col("cnt").asc())
+        .limit(1)
+        .select(
+            F.round(
+                F.col("_num").cast("double")
+                / (F.col("_na") * F.col("_nb")).cast("double"), 6
+            ).alias("d_stat"),
+            F.col("cnt").alias("at_value"),
+            F.col("_na").alias("n_a"),
+            F.col("_nb").alias("n_b"),
+        )
+    )
+
+
+def ks_test_oracle_sql(
+    hits_a_sql: str,
+    hits_b_sql: str,
+    *,
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB SQL computing the identical KS statistic."""
+    return f"""
+    WITH da AS (
+        SELECT strftime(CAST({ts_col} AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ({hits_a_sql}) WHERE {ts_col} IS NOT NULL GROUP BY 1
+    ),
+    db AS (
+        SELECT strftime(CAST({ts_col} AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ({hits_b_sql}) WHERE {ts_col} IS NOT NULL GROUP BY 1
+    ),
+    dist AS (
+        SELECT cnt,
+               CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+               CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+        FROM (SELECT cnt, 'a' AS side FROM da
+              UNION ALL SELECT cnt, 'b' FROM db)
+        GROUP BY cnt
+    ),
+    cum AS (
+        SELECT cnt,
+               CAST(SUM(ca) OVER (ORDER BY cnt ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cuma,
+               CAST(SUM(cb) OVER (ORDER BY cnt ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cumb,
+               CAST(SUM(ca) OVER () AS BIGINT) AS na,
+               CAST(SUM(cb) OVER () AS BIGINT) AS nb
+        FROM dist
+    )
+    SELECT round(CAST(num AS DOUBLE) / CAST(na * nb AS DOUBLE), 6)
+               AS d_stat,
+           cnt AS at_value, na AS n_a, nb AS n_b
+    FROM (
+        SELECT cnt, na, nb, abs(cuma * nb - cumb * na) AS num
+        FROM cum WHERE na > 0 AND nb > 0
+        ORDER BY num DESC, cnt ASC LIMIT 1
+    )
+    """
+
+
+def bucket_correlation_agg(
+    hits_a: DataFrame,
+    hits_b: DataFrame,
+    *,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Pearson correlation between two hit sets' daily-count bucket
+    series — the OpenSearch ``bucket_correlation`` pipeline
+    aggregation. The day axis is the UNION of both sides' active
+    days; a side with no hits that day contributes 0 (the histogram
+    zero-fill contract), so the series align bucket-for-bucket.
+
+    Determinism: all moments (Σx, Σy, Σxy, Σx², Σy², n) are exact
+    longs; the final r is computed in doubles from those exact longs
+    (the E101 correlation-matrix recipe), rounded to 6 dp. Zero
+    variance on either side yields null correlation.
+
+    Execution: one union → daily conditional groupBy (map-side
+    combined) → a single 1-row moment aggregation. No windows.
+    """
+    def tagged(df, side):
+        return df.filter(F.col(ts_col).isNotNull()).select(
+            F.date_format(F.col(ts_col).cast("date"), "yyyy-MM-dd")
+            .alias("day"),
+            F.lit(side).alias("_side"),
+        )
+    days = (
+        tagged(hits_a, "a").unionByName(tagged(hits_b, "b"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("_side") == "a", 1).otherwise(0))
+            .cast("long").alias("_x"),
+            F.sum(F.when(F.col("_side") == "b", 1).otherwise(0))
+            .cast("long").alias("_y"),
+        )
+    )
+    m = days.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    cov_num = (
+        F.col("_sxy").cast("double") * n
+        - F.col("_sx").cast("double") * F.col("_sy").cast("double")
+    )
+    vx = (
+        F.col("_sxx").cast("double") * n
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    )
+    vy = (
+        F.col("_syy").cast("double") * n
+        - F.col("_sy").cast("double") * F.col("_sy").cast("double")
+    )
+    return m.filter(F.col("_n") > 0).select(
+        F.col("_n").alias("n_buckets"),
+        F.round(cov_num / (n * n), 6).alias("covariance"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(cov_num / F.sqrt(vx) / F.sqrt(vy), 6),
+        ).alias("correlation"),
+    )
+
+
+def bucket_correlation_oracle_sql(
+    hits_a_sql: str,
+    hits_b_sql: str,
+    *,
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB SQL computing the identical bucket correlation."""
+    return f"""
+    WITH days AS (
+        SELECT day,
+               CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS x,
+               CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS y
+        FROM (
+            SELECT strftime(CAST({ts_col} AS DATE), '%Y-%m-%d') AS day,
+                   'a' AS side
+            FROM ({hits_a_sql}) WHERE {ts_col} IS NOT NULL
+            UNION ALL
+            SELECT strftime(CAST({ts_col} AS DATE), '%Y-%m-%d'), 'b'
+            FROM ({hits_b_sql}) WHERE {ts_col} IS NOT NULL
+        ) GROUP BY day
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM days
+    )
+    SELECT n AS n_buckets,
+           round((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+               AS covariance,
+           CASE WHEN (CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(syy AS DOUBLE) * CAST(n AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN round((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt(CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / sqrt(CAST(syy AS DOUBLE) * CAST(n AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                           6)
+           END AS correlation
+    FROM m WHERE n > 0
+    """

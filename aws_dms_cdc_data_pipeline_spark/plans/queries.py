@@ -8104,6 +8104,71 @@ def events_monthly_rate_q(spark, sf_dir):
     return rate_agg(load_table(spark, sf_dir, "events"))
 
 
+def _ks_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        ks_test_oracle_sql,
+    )
+
+    return ks_test_oracle_sql(
+        "SELECT ts FROM events WHERE event_type = 'purchase'",
+        "SELECT ts FROM events WHERE event_type = 'error'",
+    )
+
+
+@q(
+    "events_ks_test",
+    _ks_oracle(),
+    "Two-sample Kolmogorov-Smirnov over daily-count distributions — "
+    "the OpenSearch bucket_count_ks_test agg: purchase vs error "
+    "per-day counts; D located by the exact integer cross-product "
+    "|cumA*nB - cumB*nA| (division only in the final report). "
+    "Bounded distinct-count-value window "
+    "(operators/retrieval.py:ks_test_agg).",
+)
+def events_ks_test_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        ks_test_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_test_agg(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "error"),
+    )
+
+
+def _bucket_corr_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        bucket_correlation_oracle_sql,
+    )
+
+    return bucket_correlation_oracle_sql(
+        "SELECT ts FROM events WHERE event_type = 'view'",
+        "SELECT ts FROM events WHERE event_type = 'click'",
+    )
+
+
+@q(
+    "events_bucket_correlation",
+    _bucket_corr_oracle(),
+    "Pearson correlation between two daily-count bucket series — the "
+    "OpenSearch bucket_correlation pipeline agg: view vs click days "
+    "(union day axis, zero-filled), exact long moments, one final "
+    "double division (the E101 recipe). No windows "
+    "(operators/retrieval.py:bucket_correlation_agg).",
+)
+def events_bucket_correlation_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        bucket_correlation_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return bucket_correlation_agg(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r13 window = the 12 queries whose code

@@ -1559,3 +1559,61 @@ def test_rate_agg_calendar_normalization(spark):
     assert (mar["days_in_month"], mar["n_hits"]) == (31, 2)
     assert mar["value_rate_per_day"] == 2.0
     assert mar["count_rate_per_day"] == round(2 / 31, 6)
+
+
+def test_ks_test_planted_distributions(spark):
+    """Identical daily-count distributions give D=0; disjoint ones
+    give D=1; a hand-checked partial overlap matches the exact
+    sup-distance."""
+    from datetime import datetime
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        ks_test_agg,
+    )
+
+    def series(counts, month):
+        rows = []
+        for d, c in enumerate(counts):
+            rows += [(datetime(2024, month, 1 + d),)] * c
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    same_a, same_b = series([1, 2, 3], 1), series([1, 2, 3], 2)
+    r = ks_test_agg(same_a, same_b).collect()[0]
+    assert r["d_stat"] == 0.0 and (r["n_a"], r["n_b"]) == (3, 3)
+
+    lo, hi = series([1, 1, 2], 1), series([5, 6, 7], 2)
+    r2 = ks_test_agg(lo, hi).collect()[0]
+    assert r2["d_stat"] == 1.0 and r2["at_value"] == 2
+
+    # A counts {1,1,2,2}, B counts {1,2,2,3}: CDFs at v=1: 2/4 vs
+    # 1/4 (D=.25), v=2: 1 vs 3/4 (D=.25) -> sup .25 at v=1 (tie->min)
+    pa, pb = series([1, 1, 2, 2], 1), series([1, 2, 2, 3], 2)
+    r3 = ks_test_agg(pa, pb).collect()[0]
+    assert r3["d_stat"] == 0.25 and r3["at_value"] == 1
+
+
+def test_bucket_correlation_planted(spark):
+    """Perfectly co-moving series correlate at 1, anti-moving at -1
+    (union day axis zero-fills a missing side); constant series give
+    null correlation."""
+    from datetime import datetime
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        bucket_correlation_agg,
+    )
+
+    def series(counts):
+        rows = []
+        for d, c in enumerate(counts):
+            rows += [(datetime(2024, 4, 1 + d),)] * c
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    up = bucket_correlation_agg(series([1, 2, 3]), series([2, 4, 6]))
+    r = up.collect()[0]
+    assert r["n_buckets"] == 3 and r["correlation"] == 1.0
+
+    down = bucket_correlation_agg(series([3, 2, 1]), series([1, 2, 3]))
+    assert down.collect()[0]["correlation"] == -1.0
+
+    const = bucket_correlation_agg(series([2, 2, 2]), series([1, 2, 3]))
+    assert const.collect()[0]["correlation"] is None
