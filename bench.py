@@ -107,6 +107,17 @@ HEADLINE = (
     # NB classifier (train+classify, two corpus-token aggregations)
     "bigram_logprob_scores",
     "nb_lang_confusion",
+    # r14 additions: the published curation filters (Gopher / DSIR /
+    # CCNet — one corpus-token pass each) and the OpenSearch ML-agg
+    # family (change_point / rate / KS / bucket_correlation — daily
+    # groupBys + bounded bucket windows)
+    "gopher_quality_flags",
+    "dsir_importance_weights",
+    "ccnet_perplexity_buckets",
+    "events_change_point",
+    "events_monthly_rate",
+    "events_ks_test",
+    "events_bucket_correlation",
 )
 
 
