@@ -675,3 +675,42 @@ def test_ccnet_buckets_rank_common_word_docs_head(spark):
     assert out[32]["ppl_bucket"] == "tail"
     # identical texts share a score and therefore a bucket
     assert out[0]["score_q"] == out[1]["score_q"] == out[2]["score_q"]
+
+
+def test_ccnet_bucket_sizes_cover_each_language(spark):
+    """Buckets partition each language's docs (sizes sum to the lang
+    doc count), the tail is never empty, and bucketing is monotone in
+    score (min(head) > max(middle) > ... wherever both exist). Head/
+    middle CAN legitimately be empty when the top score carries >1/3
+    of the mass — ties bucket downward by design."""
+    import random
+
+    from aws_dms_cdc_data_pipeline_spark.operators.text import (
+        ccnet_perplexity_buckets,
+    )
+
+    rng = random.Random(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = []
+    for i in range(30):
+        k = rng.randint(3, 9)
+        rows.append(
+            (i, " ".join(rng.choice(vocab) for _ in range(k)),
+             "aa" if i % 2 else "bb")
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet_perplexity_buckets(df).collect()
+    assert len(out) == 30
+    for lang in ("aa", "bb"):
+        side = [r for r in out if r["lang"] == lang]
+        assert len(side) == 15
+        by_bucket = {}
+        for r in side:
+            by_bucket.setdefault(r["ppl_bucket"], []).append(r["score_q"])
+        assert "tail" in by_bucket
+        if {"head", "tail"} <= set(by_bucket):
+            assert min(by_bucket["head"]) > max(by_bucket["tail"])
+        if {"head", "middle"} <= set(by_bucket):
+            assert min(by_bucket["head"]) > max(by_bucket["middle"])
+        if {"middle", "tail"} <= set(by_bucket):
+            assert min(by_bucket["middle"]) > max(by_bucket["tail"])

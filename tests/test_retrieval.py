@@ -1617,3 +1617,58 @@ def test_bucket_correlation_planted(spark):
 
     const = bucket_correlation_agg(series([2, 2, 2]), series([1, 2, 3]))
     assert const.collect()[0]["correlation"] is None
+
+
+def test_change_point_translation_invariant(spark):
+    """d_k = (n-k)S_k - k(S-S_k) is exactly invariant under adding a
+    constant to every bucket (S_k grows by k*c, S by n*c) — the same
+    split and statistic must come back after translation."""
+    import random
+    from datetime import datetime
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        change_point_agg,
+    )
+
+    rng = random.Random(7)
+    rows, shifted = [], []
+    for d in range(15):
+        v = rng.uniform(1, 9) + (5.0 if d >= 9 else 0.0)
+        ts = datetime(2024, 5, 1 + d)
+        rows.append((ts, round(v, 6)))
+        shifted.append((ts, round(v, 6) + 100.0))
+    a = change_point_agg(
+        spark.createDataFrame(rows, "ts timestamp, value double")
+    ).collect()[0]
+    b = change_point_agg(
+        spark.createDataFrame(shifted, "ts timestamp, value double")
+    ).collect()[0]
+    assert a["change_day"] == b["change_day"]
+    assert a["split_index"] == b["split_index"]
+    assert a["stat"] == b["stat"]
+    assert b["left_mean"] == round(a["left_mean"] + 100.0, 6)
+
+
+def test_ks_test_bounds_and_symmetry(spark):
+    """0 <= D <= 1 and D(A,B) == D(B,A) on random daily series."""
+    import random
+    from datetime import datetime
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        ks_test_agg,
+    )
+
+    rng = random.Random(21)
+
+    def series(month):
+        rows = []
+        for d in range(12):
+            rows += [(datetime(2024, month, 1 + d),)] * rng.randint(1, 6)
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    a, b = series(6), series(7)
+    ab = ks_test_agg(a, b).collect()[0]
+    ba = ks_test_agg(b, a).collect()[0]
+    assert 0.0 <= ab["d_stat"] <= 1.0
+    assert ab["d_stat"] == ba["d_stat"]
+    assert (ab["n_a"], ab["n_b"]) == (ba["n_b"], ba["n_a"])
