@@ -2703,11 +2703,11 @@ def _global_cum(dist: DataFrame):
     return d, parts
 
 
-def _quantile_at_ranks(dist: DataFrame, ranks: dict) -> dict:
+def _quantile_at_ranks(dist: DataFrame, ranks) -> tuple:
     """Nearest-rank order statistics from a (qv, cnt) distinct-value
     distribution: for each name → 1-indexed rank, the smallest qv
-    whose cumulative count reaches the rank. Returns {name: qv or
-    None} (None only when the rank exceeds the total count).
+    whose cumulative count reaches the rank. Returns ({name: qv or
+    None}, total_count) — None only when the rank exceeds the total.
 
     Scale shape — the global cumulative count WITHOUT any
     single-partition window (the E91 prefix pattern,
@@ -2721,13 +2721,20 @@ def _quantile_at_ranks(dist: DataFrame, ranks: dict) -> dict:
     ever sees more than its range slice, and the only driver state
     is one row per partition. The offsets also tell us which
     partition owns each requested rank, so the final pass prunes to
-    just the owning partitions."""
+    just the owning partitions.
+
+    ``ranks`` may be a callable total → {name: rank}: the total count
+    falls out of the prefix totals for free, so callers that size
+    their ranks from n (boxplot's ⌈p·n⌉, MAD's median rank) need no
+    separate counting job."""
     d, parts = _global_cum(dist)
     offsets, off = {}, 0
     for pid, ptot in parts:
         offsets[pid] = off
         off += ptot
     total = off
+    if callable(ranks):
+        ranks = ranks(total) if total else {}
     # rank → owning partition resolved driver-side from the ≤P-row
     # prefix: the final aggregation scans only the owning partitions
     out, aggs, need = {}, [], set()
@@ -2753,7 +2760,7 @@ def _quantile_at_ranks(dist: DataFrame, ranks: dict) -> dict:
             if name not in out:
                 out[name] = row[name]
     d.unpersist()
-    return out
+    return out, total
 
 
 def boxplot_agg(
@@ -2791,22 +2798,25 @@ def boxplot_agg(
         .groupBy("qv")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    n = dist.agg(F.sum("cnt").cast("long").alias("n")).collect()[0]["n"]
+    import math
+
+    dist = dist.persist()
+    # the total count falls out of the prefix totals — no separate
+    # counting job; the rank callable sizes ceil(p·n) from it
+    qs, n = _quantile_at_ranks(
+        dist,
+        lambda total: {
+            "_q1": max(1, math.ceil(0.25 * total)),
+            "_q2": max(1, math.ceil(0.50 * total)),
+            "_q3": max(1, math.ceil(0.75 * total)),
+        },
+    )
     if not n:
         return hits.sparkSession.createDataFrame(
             [],
             "n long, min_value double, q1 double, q2 double, q3 double, "
             "max_value double, lower_whisker double, upper_whisker double",
         )
-    import math
-
-    ranks = {
-        "_q1": max(1, math.ceil(0.25 * n)),
-        "_q2": max(1, math.ceil(0.50 * n)),
-        "_q3": max(1, math.ceil(0.75 * n)),
-    }
-    dist = dist.persist()
-    qs = _quantile_at_ranks(dist, ranks)
     q1q, q2q, q3q = int(qs["_q1"]), int(qs["_q2"]), int(qs["_q3"])
     iqr_q = q3q - q1q
     lo_fence = float(q1q) - 1.5 * float(iqr_q)
@@ -2919,14 +2929,16 @@ def mad_agg(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .persist()
     )
-    n = dist.agg(F.sum("cnt").cast("long").alias("n")).collect()[0]["n"]
+    qs, n = _quantile_at_ranks(
+        dist, lambda total: {"_m": max(1, math.ceil(0.50 * total))}
+    )
     if not n:
         dist.unpersist()
         return hits.sparkSession.createDataFrame(
             [], "n long, median double, mad double"
         )
     med_rank = max(1, math.ceil(0.50 * n))
-    medq = int(_quantile_at_ranks(dist, {"_m": med_rank})["_m"])
+    medq = int(qs["_m"])
     dev = (
         dist.select(
             F.abs(F.col("qv") - F.lit(medq)).alias("qv"), F.col("cnt")
@@ -2934,7 +2946,7 @@ def mad_agg(
         .groupBy("qv")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
-    madq = int(_quantile_at_ranks(dev, {"_m": med_rank})["_m"])
+    madq = int(_quantile_at_ranks(dev, {"_m": med_rank})[0]["_m"])
     dist.unpersist()
     fp = float(_ES_FP)
     return hits.sparkSession.createDataFrame(

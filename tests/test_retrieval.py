@@ -1316,7 +1316,11 @@ def test_quantile_prefix_no_single_partition_window(spark):
     total = run
     ranks = {"_lo": 1, "_q1": total // 4, "_med": (total + 1) // 2,
              "_hi": total, "_over": total + 7}
-    out = _quantile_at_ranks(dist, ranks)
+    out, got_total = _quantile_at_ranks(dist, ranks)
+    assert got_total == total
+    # callable ranks receive the total and skip a counting job
+    out_fn, _ = _quantile_at_ranks(dist, lambda n: {"_med": (n + 1) // 2})
+    assert out_fn["_med"] == out["_med"]
     d.unpersist()
 
     def nearest(rank):
