@@ -342,7 +342,12 @@ def main() -> None:
         slim["scale_probe_sf10"] = {
             k: probe.get(k)
             for k in ("n_docs", "minhash_candidates", "minhash_sec",
-                      "near_dedup_sec", "bm25_indexed_sec")
+                      "near_dedup_sec", "bm25_indexed_sec",
+                      # decade ratios for every query the r13 verdict
+                      # flagged >2x at sf1 (floor-amortization evidence)
+                      "q1_ratio", "regional_ratio", "topk_ratio",
+                      "transition_ratio", "exact_dedup_ratio")
+            if probe.get(k) is not None
         }
     print(json.dumps(slim, separators=(",", ":")))
 
