@@ -22,10 +22,12 @@ precedent; the unseen-token α-floor algebra turns the dense
 (term, class) pairs only).
 
 Scale shape: one tokenize pass (fan_out_scan-guarded); the model is
-a (term, class) relation (vocab-sized — broadcast when small, plain
-shuffle join at 100 TB vocabularies); scoring joins postings to the
-model on term and aggregates per (doc, class); classes are enumerable
-(≤ dozens), so the argmax is a tiny window. The corpus text never
+a WIDE per-term relation (vocab-sized rows × |classes| delta columns
+— broadcast when small, plain shuffle join at 100 TB vocabularies),
+so the postings join is 1:1; ONE per-doc aggregation carries the doc
+length and every class's hit sum, and the argmax is a literal-class
+expression chain — no |docs|×|classes| grid, no rank window. Classes
+are enumerable (≤ dozens) by contract. The corpus text never
 shuffles — only (id, term, tf) postings do.
 """
 
@@ -120,11 +122,13 @@ def nb_classify(
         raise ValueError("nb_classify needs at least one labeled document")
     total = next(r for r in stats if r["_lbl"] is None)
     n_docs, vocab_size = int(total["n_c"]), int(total["v"])
-    # classes is a ≤|classes|-row LOCAL relation: the log-prior /
-    # α-floor math runs JVM-side over it exactly as before (same
-    # IEEE ops, same quantization), but the whole cls/ctot subtree
-    # vanishes from the distributed plan — downstream consumers
-    # broadcast it for free
+    # class constants become literals: the log-prior / α-floor math
+    # still evaluates through Catalyst over a LOCAL relation (same
+    # IEEE ops, same quantization as the former broadcast-join shape
+    # — bit-identical, reference-tested), then collects locally (no
+    # cluster job). Classes are enumerable by contract, so every
+    # downstream per-class term is a literal column and the old
+    # |docs|×|classes| grid + rank window disappear entirely.
     lbl_type = docs.schema[label_col].dataType.simpleString()
     cls_local = docs.sparkSession.createDataFrame(
         [(r["_lbl"], int(r["n_c"]), int(r["tot_c"])) for r in per_cls],
@@ -133,83 +137,93 @@ def nb_classify(
     denom = F.col("tot_c").cast("double") + F.lit(
         float(alpha)
     ) * F.lit(float(vocab_size))
-    classes = cls_local.select(
-        "cls",
-        "tot_c",
-        F.round(
-            F.log(F.col("n_c").cast("double") / F.lit(float(n_docs)))
-            * _LQ, 0
-        ).cast("long").alias("prior_q"),
-        F.round(F.log(F.lit(float(alpha)) / denom) * _LQ, 0)
-        .cast("long").alias("floor_q"),
-    )
-
-    # sparse (term, class) log-probs, quantized; delta over the
-    # floor — one broadcast of the tiny local classes relation
-    # replaces the former ctot shuffle join + classes join
-    tc = train.groupBy("term", "_lbl").agg(
-        F.sum("tf").cast("long").alias("n_tc")
-    )
-    model = (
-        tc.join(
-            F.broadcast(classes.withColumnRenamed("cls", "_lbl")), "_lbl"
-        )
-        .select(
-            "term",
-            F.col("_lbl").alias("cls"),
-            (
+    consts = sorted(
+        (
+            (r["cls"], int(r["prior_q"]), int(r["floor_q"]), int(r["tot_c"]))
+            for r in cls_local.select(
+                "cls",
+                "tot_c",
                 F.round(
-                    F.log((F.col("n_tc").cast("double") + F.lit(float(alpha)))
-                          / denom) * _LQ, 0
-                ).cast("long")
-                - F.col("floor_q")
-            ).alias("delta_q"),
+                    F.log(F.col("n_c").cast("double") / F.lit(float(n_docs)))
+                    * _LQ, 0
+                ).cast("long").alias("prior_q"),
+                F.round(F.log(F.lit(float(alpha)) / denom) * _LQ, 0)
+                .cast("long").alias("floor_q"),
+            ).collect()
+        ),
+        key=lambda t: t[0],  # class-ASC: the deterministic tie-break
+    )
+
+    # WIDE model: one row per term with a quantized delta-over-floor
+    # column per class — a single groupBy(term) with per-class
+    # conditional sums replaces the old (term, class) relation, and
+    # the postings join becomes 1:1 instead of 1:|classes-seen|.
+    # Unseen (term, class) pairs get delta 0 BY ALGEBRA (their logp
+    # IS the floor), so the wide zeros are exact, not a convention.
+    a = F.lit(float(alpha))
+    model_wide = train.groupBy("term").agg(*[
+        F.sum(F.when(F.col("_lbl") == F.lit(c), F.col("tf"))
+              .otherwise(F.lit(0))).cast("long").alias(f"_n{i}")
+        for i, (c, _pq, _fq, _tc) in enumerate(consts)
+    ]).select(
+        "term",
+        *[
+            F.when(
+                F.col(f"_n{i}") > 0,
+                F.round(
+                    F.log(
+                        (F.col(f"_n{i}").cast("double") + a)
+                        / F.lit(float(tot_c)
+                                + float(alpha) * float(vocab_size))
+                    ) * _LQ, 0
+                ).cast("long") - F.lit(fq),
+            ).otherwise(F.lit(0)).alias(f"_d{i}")
+            for i, (_c, _pq, fq, tot_c) in enumerate(consts)
+        ],
+    )
+
+    # ONE per-doc aggregation carries the doc length AND every
+    # class's hit sum (the left join keeps out-of-vocabulary terms
+    # counting toward dl while contributing the floor, i.e. delta 0)
+    scored = (
+        tok.join(model_wide, "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("dl"),
+            *[
+                F.sum(F.col("tf") * F.coalesce(F.col(f"_d{i}"), F.lit(0)))
+                .cast("long").alias(f"_h{i}")
+                for i in range(len(consts))
+            ],
         )
     )
-    classes = classes.drop("tot_c")
-
-    # per-doc sparse delta sums against every class the term is seen in
-    hits = (
-        tok.join(model, "term")
-        .groupBy(id_col, "cls")
-        .agg(F.sum(F.col("tf") * F.col("delta_q")).cast("long").alias("hit_q"))
-    )
-    dl = tok.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     labels = docs.select(id_col, lbl.alias("label"))
-    # dense (doc, class) grid: docs x |classes| — classes are few
-    grid = (
-        labels.join(dl, id_col, "left")
-        .crossJoin(F.broadcast(classes))
-        .join(hits, [id_col, "cls"], "left")
-        .select(
-            F.col(id_col),
-            "label",
-            "cls",
-            (
-                F.col("prior_q")
-                + F.coalesce(F.col("dl"), F.lit(0)) * F.col("floor_q")
-                + F.coalesce(F.col("hit_q"), F.lit(0))
-            ).alias("score_q"),
+    out = labels.join(scored, id_col, "left")
+    dl0 = F.coalesce(F.col("dl"), F.lit(0))
+    # argmax as a literal-class expression chain (the with_lang_id
+    # pattern): classes iterate ASC and only a STRICTLY greater score
+    # displaces the champion, so ties keep the smaller class name
+    best_s = best_c = None
+    for i, (c, pq, _fq, _tc) in enumerate(consts):
+        s = (
+            F.lit(pq).cast("long")
+            + dl0 * F.lit(consts[i][2]).cast("long")
+            + F.coalesce(F.col(f"_h{i}"), F.lit(0))
         )
+        if best_s is None:
+            best_s, best_c = s, F.lit(c)
+        else:
+            cond = s > best_s
+            best_c = F.when(cond, F.lit(c)).otherwise(best_c)
+            best_s = F.when(cond, s).otherwise(best_s)
+    # tok stays persisted (plan-keyed): the scored leg reads it at
+    # evaluation time — an unpersist here forces a re-tokenize
+    return out.select(
+        F.col(id_col),
+        "label",
+        best_c.alias("predicted"),
+        (best_s.cast("double") / _LQ).alias("score"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("score_q").desc(), F.col("cls").asc()
-    )
-    out = (
-        grid.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select(
-            F.col(id_col),
-            "label",
-            F.col("cls").alias("predicted"),
-            (F.col("score_q").cast("double") / _LQ).alias("score"),
-        )
-    )
-    # tok stays persisted (plan-keyed): the hits/dl legs read it at
-    # evaluation time — an unpersist here forces a re-tokenize per leg
-    return out
 
 
 def nb_confusion(
