@@ -96,10 +96,17 @@ def winsorize(
 
     Nearest-rank (ceil(p·n)-th order statistic, an actual data
     element — no interpolation) keeps the result bit-identical across
-    engines and partition layouts. ONE exchange total: the rank
-    window partitions by group, and the bound lookup is a second
-    window over the SAME partitioning (max-of-flagged-rank), so
-    Catalyst reuses the sort — no bounds join, no second shuffle.
+    engines and partition layouts.
+
+    Scale shape (r14): the bounds come from the per-group
+    DISTINCT-value distribution — groupBy(group, value) with map-side
+    combine, a cumulative window over the distinct values only, and a
+    ≤|groups|-row bounds relation joined back (AQE broadcasts it when
+    groups are few). The DATA-sized relation is never sorted and,
+    with the broadcast, never exchanged — the old shape per-group
+    row-sorted the whole input, a one-task-per-group wall at corpus
+    scale. ``cum·den ≥ n·p`` is the cross-multiplied integer form of
+    ``cum ≥ ceil(n·p/den)`` — no division, no floats.
 
     Returns keep_cols + (value_col, winsorized, clipped ∈ {-1,0,1}).
     """
@@ -109,24 +116,32 @@ def winsorize(
     if not (0 < lo_num <= hi_num <= den):
         raise ValueError("need 0 < lo_num <= hi_num <= den")
     keep = keep_cols or [group_col]
-    w_rank = Window.partitionBy(group_col).orderBy(value_col)
+    base = df.filter(F.col(value_col).isNotNull())
+    dist = base.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     w_grp = Window.partitionBy(group_col)
-    ranked = df.filter(F.col(value_col).isNotNull()).select(
-        *keep,
+    cum = dist.select(
+        group_col,
         value_col,
-        F.row_number().over(w_rank).alias("_rn"),
-        F.count(F.lit(1)).over(w_grp).alias("_n"),
+        F.sum("_cnt").over(w).alias("_cum"),
+        F.sum("_cnt").over(w_grp).alias("_n"),
     )
-    k_lo = F.expr(f"(_n * {lo_num} + {den} - 1) div {den}")
-    k_hi = F.expr(f"(_n * {hi_num} + {den} - 1) div {den}")
     v = F.col(value_col)
-    bounded = ranked.select(
-        *keep,
-        value_col,
-        F.max(F.when(F.col("_rn") == k_lo, v)).over(w_grp).alias("_lo"),
-        F.max(F.when(F.col("_rn") == k_hi, v)).over(w_grp).alias("_hi"),
+    bounds = cum.groupBy(group_col).agg(
+        F.min(
+            F.when(F.col("_cum") * den >= F.col("_n") * lo_num, v)
+        ).alias("_lo"),
+        F.min(
+            F.when(F.col("_cum") * den >= F.col("_n") * hi_num, v)
+        ).alias("_hi"),
     )
-    return bounded.select(
+    return base.join(bounds, group_col).select(
         *keep,
         value_col,
         F.least(F.greatest(v, F.col("_lo")), F.col("_hi")).alias("winsorized"),

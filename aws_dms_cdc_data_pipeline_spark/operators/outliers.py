@@ -114,28 +114,59 @@ def flag_outliers_robust(
     anomalous by definition; the textbook modified z-score is simply
     undefined there, so the convention is documented, not hidden.
 
-    Two window passes over ONE group partitioning (Catalyst reuses
-    the exchange): rank→median, then rank→MAD on the absolute
-    deviations; the per-group bounds ride the same window, no join.
+    Scale shape (r14): median and MAD come from the per-group
+    DISTINCT-value distribution — map-side-combined (group, x_q)
+    counts, cumulative windows over DISTINCT values only, and a
+    ≤|groups|-row stats relation joined back (AQE broadcasts it when
+    groups are few). The DATA-sized relation is never per-group
+    row-sorted — the old two-rank-window shape funneled every group's
+    rows through one task, a wall when one group carries the corpus.
     """
     keep = keep_cols or [group_col, value_col]
     base = df.filter(F.col(value_col).isNotNull()).withColumn(
         "_xq", F.floor(F.col(value_col).cast("double") * F.lit(float(_FP))).cast("long")
     )
+    dist = base.groupBy(group_col, "_xq").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
     w_grp = Window.partitionBy(group_col)
-    w_rank = w_grp.orderBy("_xq")
-    ranked = base.withColumn("_rn", F.row_number().over(w_rank)).withColumn(
-        "_n", F.count(F.lit(1)).over(w_grp)
+    w_cum = w_grp.orderBy("_xq").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.select(
+        group_col,
+        "_xq",
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(w_grp).alias("_n"),
     )
     med_rank = F.expr("(_n + 1) div 2")  # lower median: a data element
-    with_med = ranked.withColumn(
-        "_med", F.max(F.when(F.col("_rn") == med_rank, F.col("_xq"))).over(w_grp)
-    ).withColumn("_ad", F.abs(F.col("_xq") - F.col("_med")))
-    w_rank2 = w_grp.orderBy("_ad")
-    ranked2 = with_med.withColumn("_rn2", F.row_number().over(w_rank2))
-    with_mad = ranked2.withColumn(
-        "_mad", F.max(F.when(F.col("_rn2") == med_rank, F.col("_ad"))).over(w_grp)
+    med = cum.groupBy(group_col).agg(
+        F.min(F.when(F.col("_cum") >= med_rank, F.col("_xq"))).alias("_med"),
     )
-    return with_mad.filter(
-        F.col("_ad") * F.lit(10) > F.lit(k_scaled) * F.col("_mad")
-    ).select(*keep)
+    dev = (
+        dist.join(med, group_col)
+        .select(
+            group_col,
+            F.abs(F.col("_xq") - F.col("_med")).alias("_ad"),
+            "_cnt",
+        )
+        .groupBy(group_col, "_ad")
+        .agg(F.sum("_cnt").cast("long").alias("_cnt"))
+    )
+    w_cum2 = w_grp.orderBy("_ad").rowsBetween(Window.unboundedPreceding, 0)
+    cum2 = dev.select(
+        group_col,
+        "_ad",
+        F.sum("_cnt").over(w_cum2).alias("_cum"),
+        F.sum("_cnt").over(w_grp).alias("_n"),
+    )
+    mad = cum2.groupBy(group_col).agg(
+        F.min(F.when(F.col("_cum") >= med_rank, F.col("_ad"))).alias("_mad"),
+    )
+    stats = med.join(mad, group_col)
+    return (
+        base.join(stats, group_col)
+        .filter(
+            F.abs(F.col("_xq") - F.col("_med")) * F.lit(10)
+            > F.lit(k_scaled) * F.col("_mad")
+        )
+        .select(*keep)
+    )

@@ -8235,8 +8235,11 @@ _R14_WINDOW = [
     "bpe_learned_merges",
     "bpe_merge_candidates",
     "cdc_backfill_reconcile",
-    "cdc_rate_anomalies",
-    "cdc_snapshot_diff",
+    # displaced two r10 fillers for the two further r14-changed
+    # queries (winsorize / robust outliers moved off per-group
+    # row-sort windows onto the distinct-value distribution shape)
+    "winsorized_order_prices",
+    "events_value_outliers_robust",
 ]
 
 assert len(_R14_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R14_WINDOW)}"
