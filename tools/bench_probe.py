@@ -110,6 +110,12 @@ def run(spark, src: str = "/root/testdata/sf0.1", dst: str | None = None,
 
     timed("near_dedup", "near_dedup_canonical", count_rows=True)
     timed("bm25_indexed", "bm25_keyword_search_indexed")
+    # r14 curation ops at the decade tier: DSIR's model stays a
+    # constant <=1024-row relation at 500k docs (the hashed-feature
+    # guarantee), CCNet's cut table stays <=|langs| rows — these walls
+    # should track the tokenize pass, nothing quadratic
+    timed("dsir", "dsir_importance_weights")
+    timed("ccnet", "ccnet_perplexity_buckets")
     spark.catalog.clearCache()
 
     # --- relational tier: the TPC-H star queries one decade past sf1.
