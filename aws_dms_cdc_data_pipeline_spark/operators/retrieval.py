@@ -4111,3 +4111,75 @@ def bucket_correlation_oracle_sql(
            END AS correlation
     FROM m WHERE n > 0
     """
+
+
+def sampler_agg(
+    docs: DataFrame,
+    sample: DataFrame,
+    *,
+    facet_col: str,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sampler bucket aggregation — the OpenSearch ``sampler`` agg:
+    sub-aggregations computed over only the best-scoring hits, the
+    cost bound Discover applies before faceting a huge low-quality
+    tail. OpenSearch samples the top ``shard_size`` PER SHARD
+    (shard-order dependent); this engine's sample is the caller's
+    GLOBAL top-N relation (already deterministic through the
+    (score DESC, id ASC) cut every search op here ships) — a
+    strictly better-defined sample serving the same purpose.
+
+    Sub-aggs: per-facet hit count and mean score. Scores re-quantize
+    to 6-dp longs so the mean is one exact-long sum and a single
+    double division — deterministic at any partitioning.
+
+    Execution: the sample is ≤N rows by construction, so it
+    BROADCASTS into the facet join (the corpus never shuffles) and
+    the final groupBy runs over ≤N rows.
+    """
+    sq = F.round(F.col(score_col).cast("double") * _ES_FP, 0).cast("long")
+    fp = float(_ES_FP)
+    return (
+        docs.select(id_col, facet_col)
+        .join(F.broadcast(sample.select(id_col, sq.alias("_sq"))), id_col)
+        .groupBy(facet_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.sum("_sq").cast("long").alias("_ssum"),
+        )
+        .select(
+            facet_col,
+            "n_hits",
+            F.round(
+                F.col("_ssum").cast("double")
+                / F.col("n_hits").cast("double") / fp, 6
+            ).alias("avg_score"),
+        )
+    )
+
+
+def sampler_oracle_sql(
+    sample_sql: str,
+    *,
+    facet_col: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> str:
+    """DuckDB SQL computing the identical sampler facets over
+    ``sample_sql`` (a query yielding the top-N sample with scores)."""
+    fp = float(_ES_FP)
+    return f"""
+    WITH sample AS ({sample_sql}),
+    s AS (SELECT {id_col},
+                 CAST(round(CAST({score_col} AS DOUBLE) * {_ES_FP}, 0)
+                      AS BIGINT) AS sq
+          FROM sample)
+    SELECT d.{facet_col},
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           round(CAST(SUM(s.sq) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / {fp!r}, 6) AS avg_score
+    FROM {table} d JOIN s USING ({id_col})
+    GROUP BY d.{facet_col}
+    """

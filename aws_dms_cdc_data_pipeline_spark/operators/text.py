@@ -1009,3 +1009,261 @@ def ccnet_oracle_sql(
                 ELSE 'head' END AS ppl_bucket
     FROM scores s JOIN cuts c USING (lang)
     """
+
+
+def trigram_backoff_scores(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_fraction: float = 0.5,
+    lam: float = 0.4,
+) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the web-scale LM recipe
+    public corpus pipelines actually run: no discounting, a fixed
+    backoff penalty λ=0.4). The LM trains on a DETERMINISTIC md5
+    half of the corpus (the E33 hash-split contract), so held-out
+    docs genuinely exercise the backoff chain — scoring the corpus
+    on itself would make every trigram "seen":
+
+        S(w₃|w₁w₂) = c₃/c₂pre                 if c₃ > 0
+                   = λ·c₂suf/c₁(w₂)           elif c₂suf > 0
+                   = λ²·(c₁(w₃)+1)/(N+|V|)    otherwise (Laplace floor
+                                              for unseen unigrams —
+                                              raw stupid backoff is
+                                              undefined there)
+
+    Determinism: per-trigram scores quantize to micro-nat longs
+    BEFORE the exact per-doc BIGINT sum (the E49/E189 contract);
+    count ratios and the λ factors use identically-parenthesized
+    IEEE double ops in both engines.
+
+    Scale shape: one tokenize pass; n-grams build IN-ROW (no
+    positional self-joins); all count relations are vocab-sized with
+    map-side combine; the model joins run at the distinct-trigram
+    grain, never per occurrence; smoothing totals ride a broadcast
+    1-row aggregate. Output: one row per doc with ≥3 tokens —
+    (id, n_trigrams, sum_lq, mean_logscore). Contract: the md5 train
+    half must be non-empty (an all-holdout corpus has no LM — the
+    unigram floor divides by zero); any real corpus satisfies this.
+    """
+    if not (0.0 < train_fraction < 1.0):
+        raise ValueError("train_fraction must be in (0, 1)")
+    if not (0.0 < lam < 1.0):
+        raise ValueError("lam must be in (0, 1)")
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        hex_threshold,
+    )
+
+    bound = hex_threshold(train_fraction)
+    base = fan_out_scan(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        (
+            F.md5(F.col(id_col).cast("string")).substr(1, 4)
+            < F.lit(bound)
+        ).alias("_tr"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        ).alias("_toks"),
+    ).persist()  # consumed by the unigram/bigram/trigram legs
+    uni = base.select("_tr", F.explode("_toks").alias("w"))
+    c1 = uni.filter(F.col("_tr")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("_c1")
+    )
+    stats = c1.agg(
+        F.sum("_c1").cast("long").alias("_N"),
+        F.count(F.lit(1)).cast("long").alias("_V"),
+    )
+    bi = (
+        base.filter(F.size("_toks") >= 2)
+        .select(
+            "_tr",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks) - 2), "
+                    "i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))"
+                )
+            ).alias("_g"),
+        )
+        .select("_tr", F.col("_g.w1"), F.col("_g.w2"))
+    )
+    c2 = bi.filter(F.col("_tr")).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("_c2")
+    )
+    tri_rows = (
+        base.filter(F.size("_toks") >= 3)
+        .select(
+            F.col(id_col),
+            "_tr",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks) - 3), "
+                    "i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2, "
+                    "_toks[i + 2] AS w3))"
+                )
+            ).alias("_g"),
+        )
+        .select(F.col(id_col), "_tr",
+                F.col("_g.w1"), F.col("_g.w2"), F.col("_g.w3"))
+    ).persist()  # consumed by c3 and the per-doc instance counts
+    c3 = tri_rows.filter(F.col("_tr")).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("_c3")
+    )
+    tri = tri_rows.groupBy(id_col, "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    lam2 = float(lam) * float(lam)
+    model = (
+        tri.select("w1", "w2", "w3").distinct()
+        .join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2.withColumnRenamed("_c2", "_c2pre"), ["w1", "w2"], "left")
+        .join(
+            c2.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("_c2").alias("_c2suf"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            c1.select(F.col("w").alias("w2"), F.col("_c1").alias("_c1w2")),
+            ["w2"], "left",
+        )
+        .join(
+            c1.select(F.col("w").alias("w3"), F.col("_c1").alias("_c1w3")),
+            ["w3"], "left",
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w1", "w2", "w3",
+            F.floor(
+                F.when(
+                    F.col("_c3").isNotNull(),
+                    F.log(F.col("_c3").cast("double")
+                          / F.col("_c2pre").cast("double")),
+                ).when(
+                    F.col("_c2suf").isNotNull(),
+                    F.log(F.lit(float(lam))
+                          * (F.col("_c2suf").cast("double")
+                             / F.col("_c1w2").cast("double"))),
+                ).otherwise(
+                    F.log(F.lit(lam2)
+                          * ((F.coalesce(F.col("_c1w3"), F.lit(0))
+                              .cast("double") + F.lit(1.0))
+                             / (F.col("_N").cast("double")
+                                + F.col("_V").cast("double"))))
+                ) * F.lit(1e6)
+            ).cast("long").alias("_sq"),
+        )
+    )
+    return (
+        tri.join(model, ["w1", "w2", "w3"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cnt").cast("long").alias("n_trigrams"),
+            F.sum(F.col("_cnt") * F.col("_sq")).cast("long").alias("sum_lq"),
+        )
+        .withColumn(
+            "mean_logscore",
+            F.col("sum_lq").cast("double") / 1e6 / F.col("n_trigrams"),
+        )
+    )
+
+
+def trigram_backoff_oracle_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_fraction: float = 0.5,
+    lam: float = 0.4,
+) -> str:
+    """DuckDB SQL computing the identical stupid-backoff scores."""
+    from aws_dms_cdc_data_pipeline_spark.operators.sampling import (
+        hex_threshold,
+    )
+
+    bound = hex_threshold(train_fraction)
+    lam2 = float(lam) * float(lam)
+    return f"""
+    WITH base AS (
+        SELECT {id_col},
+               substr(md5(CAST({id_col} AS VARCHAR)), 1, 4) < '{bound}'
+                   AS tr,
+               list_filter(string_split_regex(lower({text_col}),
+                                              '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM {table}
+    ),
+    c1 AS (
+        SELECT t.w, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM base, LATERAL (SELECT unnest(toks) AS w) t
+        WHERE tr GROUP BY t.w
+    ),
+    stats AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM c1
+    ),
+    c2 AS (
+        SELECT toks[g.i] AS w1, toks[g.i + 1] AS w2,
+               CAST(COUNT(*) AS BIGINT) AS c2
+        FROM base, LATERAL (
+            SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+        WHERE tr AND len(toks) >= 2
+        GROUP BY 1, 2
+    ),
+    tri_rows AS (
+        SELECT {id_col}, tr,
+               toks[g.i] AS w1, toks[g.i + 1] AS w2, toks[g.i + 2] AS w3
+        FROM base, LATERAL (
+            SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g
+        WHERE len(toks) >= 3
+    ),
+    c3 AS (
+        SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+        FROM tri_rows WHERE tr GROUP BY w1, w2, w3
+    ),
+    tri AS (
+        SELECT {id_col}, w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tri_rows GROUP BY {id_col}, w1, w2, w3
+    ),
+    model AS (
+        SELECT d.w1, d.w2, d.w3,
+               CAST(floor(
+                   CASE
+                     WHEN c3.c3 IS NOT NULL THEN
+                       ln(CAST(c3.c3 AS DOUBLE)
+                          / CAST(pre.c2 AS DOUBLE))
+                     WHEN suf.c2 IS NOT NULL THEN
+                       ln({lam!r} * (CAST(suf.c2 AS DOUBLE)
+                                     / CAST(m2.c1 AS DOUBLE)))
+                     ELSE
+                       ln({lam2!r} * ((CAST(COALESCE(m3.c1, 0) AS DOUBLE)
+                                       + 1.0)
+                                      / (CAST(s.n AS DOUBLE)
+                                         + CAST(s.v AS DOUBLE))))
+                   END * 1e6) AS BIGINT) AS sq
+        FROM (SELECT DISTINCT w1, w2, w3 FROM tri) d
+        LEFT JOIN c3 ON c3.w1 = d.w1 AND c3.w2 = d.w2 AND c3.w3 = d.w3
+        LEFT JOIN c2 pre ON pre.w1 = d.w1 AND pre.w2 = d.w2
+        LEFT JOIN c2 suf ON suf.w1 = d.w2 AND suf.w2 = d.w3
+        LEFT JOIN c1 m2 ON m2.w = d.w2
+        LEFT JOIN c1 m3 ON m3.w = d.w3
+        CROSS JOIN stats s
+    )
+    SELECT t.{id_col},
+           CAST(SUM(t.cnt) AS BIGINT) AS n_trigrams,
+           CAST(SUM(t.cnt * m.sq) AS BIGINT) AS sum_lq,
+           CAST(SUM(t.cnt * m.sq) AS DOUBLE) / 1e6
+               / CAST(SUM(t.cnt) AS BIGINT) AS mean_logscore
+    FROM tri t JOIN model m ON m.w1 = t.w1 AND m.w2 = t.w2
+                           AND m.w3 = t.w3
+    GROUP BY t.{id_col}
+    """

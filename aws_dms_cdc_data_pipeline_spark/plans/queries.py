@@ -8169,6 +8169,69 @@ def events_bucket_correlation_q(spark, sf_dir):
     )
 
 
+def _sampler_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        sampler_oracle_sql,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bm25_oracle_sql,
+    )
+
+    return sampler_oracle_sql(
+        bm25_oracle_sql(["spark", "table", "row"], top_k=200),
+        facet_col="lang",
+    )
+
+
+@q(
+    "sampler_lang_facets",
+    _sampler_oracle(),
+    "Sampler bucket aggregation — the OpenSearch sampler agg: facet "
+    "counts + mean score over only the top-200 BM25 hits (global "
+    "deterministic top-N where OpenSearch samples per shard). The "
+    "≤N-row sample broadcasts into the facet join; scores re-quantize "
+    "to exact longs for the mean "
+    "(operators/retrieval.py:sampler_agg).",
+)
+def sampler_lang_facets_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        sampler_agg,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = bm25_search(docs, ["spark", "table", "row"], top_k=200)
+    return sampler_agg(docs, sample, facet_col="lang")
+
+
+def _trigram_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.text import (
+        trigram_backoff_oracle_sql,
+    )
+
+    return trigram_backoff_oracle_sql()
+
+
+@q(
+    "trigram_backoff_scores",
+    _trigram_oracle(),
+    "Stupid-backoff trigram LM scoring (Brants et al. 2007): LM "
+    "trains on a deterministic md5 half of the corpus so held-out "
+    "docs genuinely exercise the λ-penalized backoff chain "
+    "(trigram → bigram → Laplace-floored unigram); per-trigram "
+    "scores quantize to micro-nat longs before the exact per-doc "
+    "sum; n-grams build in-row, model joins run at the "
+    "distinct-trigram grain (operators/text.py:trigram_backoff_scores).",
+)
+def trigram_backoff_scores_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.text import (
+        trigram_backoff_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram_backoff_scores(docs)
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r14 window = the 7 queries new this round
@@ -8233,13 +8296,15 @@ _R14_WINDOW = [
     "asof_next_visit_tolerance",
     "boilerplate_line_removal",
     "bpe_learned_merges",
-    "bpe_merge_candidates",
-    "cdc_backfill_reconcile",
-    # displaced two r10 fillers for the two further r14-changed
+    # displaced four r10 fillers: two for the further r14-changed
     # queries (winsorize / robust outliers moved off per-group
     # row-sort windows onto the distinct-value distribution shape)
+    # and two for the late-round additions (sampler agg, stupid-
+    # backoff trigram LM), both never driver-checked
     "winsorized_order_prices",
     "events_value_outliers_robust",
+    "sampler_lang_facets",
+    "trigram_backoff_scores",
 ]
 
 assert len(_R14_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R14_WINDOW)}"

@@ -714,3 +714,72 @@ def test_ccnet_bucket_sizes_cover_each_language(spark):
             assert min(by_bucket["head"]) > max(by_bucket["middle"])
         if {"middle", "tail"} <= set(by_bucket):
             assert min(by_bucket["middle"]) > max(by_bucket["tail"])
+
+
+def test_trigram_backoff_chain_vs_reference(spark):
+    """Every backoff leg fires and matches an independent Python
+    reference: seen trigrams score c3/c2pre, unseen-trigram/seen-
+    bigram scores lam*c2suf/c1(w2), and fully-unseen tails hit the
+    Laplace unigram floor."""
+    import hashlib
+    import math
+
+    from aws_dms_cdc_data_pipeline_spark.operators.text import (
+        trigram_backoff_scores,
+    )
+
+    # ids 6/9/11 hash into the md5 train half; 1/2/3 are held out
+    rows = [
+        (6, "a b c a b c"),
+        (9, "a b d c a b"),
+        (11, "b c a d b c"),
+        (1, "a b c"),     # seen trigram
+        (2, "z b c a"),   # unseen trigram, seen bigrams
+        (3, "q r s"),     # fully unseen tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in trigram_backoff_scores(df).collect()}
+
+    lam = 0.4
+    train_ids = {
+        i for i, _ in rows
+        if hashlib.md5(str(i).encode()).hexdigest()[:4] < "8000"
+    }
+    toks = {i: t.split(" ") for i, t in rows}
+    c1, c2, c3 = {}, {}, {}
+    for i in train_ids:
+        t = toks[i]
+        for w in t:
+            c1[w] = c1.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+        for a, b, c in zip(t, t[1:], t[2:]):
+            c3[(a, b, c)] = c3.get((a, b, c), 0) + 1
+    N, V = sum(c1.values()), len(c1)
+
+    def sq(a, b, c):
+        if (a, b, c) in c3:
+            s = c3[(a, b, c)] / c2[(a, b)]
+        elif (b, c) in c2:
+            s = lam * (c2[(b, c)] / c1[b])
+        else:
+            s = (lam * lam) * ((c1.get(c, 0) + 1.0) / (N + V))
+        return math.floor(math.log(s) * 1e6)
+
+    legs = set()
+    for i, _ in rows:
+        t = toks[i]
+        grams = list(zip(t, t[1:], t[2:]))
+        if not grams:
+            assert i not in out
+            continue
+        ref = sum(sq(*g) for g in grams)
+        assert out[i]["n_trigrams"] == len(grams), i
+        assert out[i]["sum_lq"] == ref, i
+        for g in grams:
+            legs.add(
+                "tri" if g in c3
+                else "bi" if (g[1], g[2]) in c2
+                else "uni"
+            )
+    assert legs == {"tri", "bi", "uni"}, legs

@@ -1676,3 +1676,24 @@ def test_ks_test_bounds_and_symmetry(spark):
     assert 0.0 <= ab["d_stat"] <= 1.0
     assert ab["d_stat"] == ba["d_stat"]
     assert (ab["n_a"], ab["n_b"]) == (ba["n_b"], ba["n_a"])
+
+
+def test_sampler_agg_facets_only_the_sample(spark):
+    """Facets compute over ONLY the sample rows; mean score is the
+    exact quantized-long mean per facet."""
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        sampler_agg,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, "de"), (5, "fr")],
+        "doc_id long, lang string",
+    )
+    sample = spark.createDataFrame(
+        [(1, 2.5), (3, 1.0), (4, 3.0)], "doc_id long, score double"
+    )
+    out = {r["lang"]: r for r in
+           sampler_agg(docs, sample, facet_col="lang").collect()}
+    assert set(out) == {"en", "de"}  # fr and doc 2 are outside the sample
+    assert out["en"]["n_hits"] == 1 and out["en"]["avg_score"] == 2.5
+    assert out["de"]["n_hits"] == 2 and out["de"]["avg_score"] == 2.0
