@@ -118,6 +118,8 @@ HEADLINE = (
     "events_monthly_rate",
     "events_ks_test",
     "events_bucket_correlation",
+    "sampler_lang_facets",
+    "trigram_backoff_scores",
 )
 
 
