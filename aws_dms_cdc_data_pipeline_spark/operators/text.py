@@ -1072,9 +1072,13 @@ def trigram_backoff_scores(
         ).alias("_toks"),
     ).persist()  # consumed by the unigram/bigram/trigram legs
     uni = base.select("_tr", F.explode("_toks").alias("w"))
+    # c1 feeds three plan branches (stats, the w2 leg, the w3 leg)
+    # and c2 two (prefix + suffix legs) — unpersisted, Spark re-runs
+    # the explode+groupBy once per consumer (the documented
+    # branch-recompute rule); plan-keyed persist-and-leave policy
     c1 = uni.filter(F.col("_tr")).groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("_c1")
-    )
+    ).persist()
     stats = c1.agg(
         F.sum("_c1").cast("long").alias("_N"),
         F.count(F.lit(1)).cast("long").alias("_V"),
@@ -1094,7 +1098,7 @@ def trigram_backoff_scores(
     )
     c2 = bi.filter(F.col("_tr")).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("_c2")
-    )
+    ).persist()
     tri_rows = (
         base.filter(F.size("_toks") >= 3)
         .select(
