@@ -3671,6 +3671,16 @@ def change_point_agg(
         .groupBy("day")
         .agg(F.sum("_vq").cast("long").alias("_m"))
     )
+    return change_point_over_buckets(buckets)
+
+
+def change_point_over_buckets(buckets: DataFrame) -> DataFrame:
+    """The argmax split over a prepared (day, _m) quantized bucket
+    series — shared by :func:`change_point_agg` and the streaming
+    monitor (streaming/changepoint.py), which maintains the buckets
+    incrementally and re-runs only this bounded pass per trigger."""
+    from pyspark.sql import Window
+
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

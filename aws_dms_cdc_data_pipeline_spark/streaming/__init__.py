@@ -17,3 +17,7 @@ from aws_dms_cdc_data_pipeline_spark.streaming.sketches import (  # noqa: F401
 from aws_dms_cdc_data_pipeline_spark.streaming.monitor import (  # noqa: F401
     monitor_arrival_order,
 )
+from aws_dms_cdc_data_pipeline_spark.streaming.changepoint import (  # noqa: F401
+    ChangePointConfig,
+    start_change_point_monitor,
+)
