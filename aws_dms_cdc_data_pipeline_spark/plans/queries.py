@@ -8232,6 +8232,170 @@ def trigram_backoff_scores_q(spark, sf_dir):
     return trigram_backoff_scores(docs)
 
 
+def _rank_feature_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.scoring import (
+        rank_feature_oracle_sql,
+    )
+
+    return rank_feature_oracle_sql(
+        ["merge", "window", "filter"],
+        feature_col="n_chars",
+        pivot=200.0,
+        boost=2.0,
+        top_k=25,
+    )
+
+
+@q(
+    "rank_feature_docs",
+    _rank_feature_oracle(),
+    "rank_feature query — OpenSearch's bool{must: match, should: "
+    "rank_feature(field)} shape: BM25 relevance plus "
+    "boost·fv/(fv+pivot) saturation on a numeric document feature "
+    "(n_chars as the popularity proxy). Saturation is one add + one "
+    "divide on top of the quantized-exact BM25 double — "
+    "bit-identical cross-engine; ES's log/sigmoid functions are "
+    "excluded for libm non-portability "
+    "(operators/scoring.py:rank_feature_search).",
+)
+def rank_feature_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.scoring import (
+        rank_feature_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rank_feature_search(
+        docs,
+        ["merge", "window", "filter"],
+        feature_col="n_chars",
+        pivot=200.0,
+        boost=2.0,
+        top_k=25,
+    )
+
+
+def _distance_feature_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.scoring import (
+        distance_feature_oracle_sql,
+    )
+
+    return distance_feature_oracle_sql(
+        event_type="purchase",
+        origin="2024-01-15 12:00:00",
+        pivot_seconds=86400,
+        boost=3.0,
+        top_k=25,
+    )
+
+
+@q(
+    "distance_feature_events",
+    _distance_feature_oracle(),
+    "distance_feature query — OpenSearch recency ranking: filter one "
+    "event type, score boost·pivot/(pivot+|ts−origin|) with the "
+    "distance in exact integer epoch seconds (one add + one divide — "
+    "bit-identical cross-engine). One pushed-predicate scan + "
+    "row-wise scoring + TakeOrderedAndProject; zero shuffles beyond "
+    "the top-k reduction "
+    "(operators/scoring.py:distance_feature_events).",
+)
+def distance_feature_events_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.scoring import (
+        distance_feature_events,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return distance_feature_events(
+        events,
+        event_type="purchase",
+        origin="2024-01-15 12:00:00",
+        pivot_seconds=86400,
+        boost=3.0,
+        top_k=25,
+    )
+
+
+def _pinned_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.scoring import (
+        pinned_oracle_sql,
+    )
+
+    return pinned_oracle_sql(
+        ["group", "batch"], pinned_ids=[42, 7, 103], top_k=20
+    )
+
+
+@q(
+    "pinned_search_docs",
+    _pinned_oracle(),
+    "pinned query — OpenSearch merchandising: ids [42, 7, 103] rank "
+    "first in list order (returned even when they miss the organic "
+    "query, per ES semantics), then the organic BM25 ranking with "
+    "pinned docs deduplicated out. The pinned leg is a 3-row literal "
+    "broadcast join; the organic leg is the shared ad-hoc BM25 "
+    "pipeline; the rank window runs over the already-cut top_k rows "
+    "(operators/scoring.py:pinned_search).",
+)
+def pinned_search_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.scoring import (
+        pinned_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pinned_search(
+        docs, ["group", "batch"], pinned_ids=[42, 7, 103], top_k=20
+    )
+
+
+def _decay_orders_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.scoring import (
+        decay_linear_oracle_sql,
+    )
+
+    return decay_linear_oracle_sql(
+        date_col="o_orderdate",
+        origin="1998-01-01 00:00:00",
+        scale_seconds=365 * 86400,
+        offset_seconds=30 * 86400,
+        decay=0.5,
+        id_col="o_orderkey",
+        keep_cols=["o_custkey"],
+        top_k=25,
+    )
+
+
+@q(
+    "decay_recency_orders",
+    _decay_orders_oracle(),
+    "Decay function_score (linear kind) — OpenSearch gauss/exp/"
+    "linear recency decay: score = max(0, (S−d)/S) with S = "
+    "scale/(1−decay), d = max(0, |o_orderdate−origin|−offset) in "
+    "exact integer epoch seconds. The linear kind is "
+    "subtract+divide+max — oracle-exact; exp/gauss kinds exist on "
+    "the same operator behind rows-only verification (libm exp is "
+    "not bit-identical cross-engine). Row-wise scoring in the scan "
+    "stage + TakeOrderedAndProject "
+    "(operators/scoring.py:decay_function_score).",
+)
+def decay_recency_orders_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.scoring import (
+        decay_function_score,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return decay_function_score(
+        orders,
+        date_col="o_orderdate",
+        origin="1998-01-01 00:00:00",
+        scale_seconds=365 * 86400,
+        offset_seconds=30 * 86400,
+        decay=0.5,
+        id_col="o_orderkey",
+        keep_cols=["o_custkey"],
+        top_k=25,
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r14 window = the 7 queries new this round
