@@ -1,0 +1,373 @@
+"""``simple_query_string`` — the OpenSearch end-user query syntax.
+
+Reference parity: the reference's Discover search box submits
+``simple_query_string`` queries against the indexed CDC documents
+(README.md:388-441); this module parses the same syntax subset and
+executes it as one DataFrame pass.
+
+Supported syntax (the PHRASE | NOT | WHITESPACE flag set, which is a
+standard ES ``flags`` configuration):
+
+- bare terms — combined with ``default_operator`` (``or`` | ``and``)
+- ``"quoted phrases"`` — exact consecutive-token match, scored by
+  phrase frequency
+- ``-term`` / ``-"quoted phrase"`` — negation (docs matching any
+  negated clause are excluded)
+
+The ``+``/``|``/``(`` precedence operators and ``*`` prefix are NOT
+parsed (ES disables them the same way via ``flags``); unsupported
+operator characters simply tokenize away, matching ES's lenient
+"degrade to terms" behavior.
+
+Scoring follows Lucene: each positive clause contributes a BM25 term
+where a bare term uses (tf_t, idf_t) and a phrase uses
+(tf = exact phrase frequency, idf = Σ constituent-term idfs) — the
+Lucene PhraseQuery weight. idf stays the raw ``(N−df+0.5)/(df+0.5)``
+ratio (the repo-wide ``textbook=False`` determinism stance: no libm
+log), each clause contribution is quantized to a long at 1e-6 and
+long-summed, so the final double is bit-identical cross-engine.
+
+Scale shape: ONE tokenize pass reduced in-row to a narrow
+(id, dl, tf per term, phrase-count per phrase) projection — phrase
+frequencies come from an in-row positional window over the token
+array (O(dl·|phrase|) inside the same codegen stage, no positional
+explode, no self-join); a 1-row collected stats aggregate supplies
+df/N; scoring is a row-wise expression cut by TakeOrderedAndProject.
+The corpus text is never shuffled.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_dms_cdc_data_pipeline_spark.operators.search import (
+    _ADHOC_STATS_MEMO,
+    _FP,
+    _term_eq,
+)
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_CLAUSE_RE = re.compile(r'(-?)"([^"]*)"|(-?)(\S+)')
+
+
+def parse_simple_query_string(query: str) -> list[tuple[bool, list[str]]]:
+    """Parse the query into clauses: (negated, terms). One term →
+    bare-term clause; several → phrase clause (only quotes produce
+    multi-term clauses; a bare token with embedded punctuation, e.g.
+    ``foo.bar``, degrades to its constituent terms as separate bare
+    clauses — the ES lenient analyzer behavior)."""
+    clauses: list[tuple[bool, list[str]]] = []
+    for m in _CLAUSE_RE.finditer(query.lower()):
+        if m.group(2) is not None:
+            neg, text = m.group(1) == "-", m.group(2)
+            terms = _TOKEN_RE.findall(text)
+            if terms:
+                clauses.append((neg, terms))
+        else:
+            neg, text = m.group(3) == "-", m.group(4)
+            for t in _TOKEN_RE.findall(text):
+                clauses.append((neg, [t]))
+    return clauses
+
+
+def _phrase_count_expr(toks, terms: list[str]):
+    """Exact in-row phrase frequency: the number of anchor positions
+    i where toks[i+j] == terms[j] for all j. One array-filter over
+    the anchor range — no explode, no join. Guarded for dl < |phrase|
+    (Spark's sequence(1, 0) would DESCEND, not return empty)."""
+    L = len(terms)
+
+    def at(i, j):
+        return F.element_at(toks, i + F.lit(j)) == F.lit(terms[j])
+
+    def pred(i):
+        c = at(i, 0)
+        for j in range(1, L):
+            c = c & at(i, j)
+        return c
+
+    anchors = F.sequence(F.lit(1), F.size(toks) - F.lit(L - 1))
+    return F.when(
+        F.size(toks) >= F.lit(L),
+        F.size(F.filter(anchors, pred)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def simple_query_string(
+    docs: DataFrame,
+    query: str,
+    *,
+    default_operator: str = "or",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Execute a ``simple_query_string`` query (see module docstring
+    for syntax, scoring, and the single-pass plan shape).
+
+    Returns (id, score, n_clauses_hit) — positive-clause membership
+    per ``default_operator``, negated clauses excluded — ordered
+    (score DESC, id ASC), top_k.
+    """
+    if default_operator not in ("or", "and"):
+        raise ValueError("default_operator must be 'or' or 'and'")
+    clauses = parse_simple_query_string(query)
+    pos = [c for c in clauses if not c[0]]
+    neg = [c for c in clauses if c[0]]
+    if not pos:
+        raise ValueError(
+            "simple_query_string needs at least one positive clause"
+        )
+    # every distinct term needing a df (all positive constituents)
+    score_terms = sorted({t for _, ts in pos for t in ts})
+
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    toks = fan_out_scan(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        ).alias("_toks"),
+    )
+    cols = [F.size("_toks").cast("long").alias("dl")]
+    for i, t in enumerate(score_terms):
+        cols.append(
+            F.size(F.filter("_toks", _term_eq(t))).cast("long")
+            .alias(f"_tf{i}")
+        )
+    # clause hit/score inputs: bare clauses read their term's tf;
+    # phrase clauses get an exact in-row phrase count
+    for ci, (_, terms) in enumerate(pos + neg):
+        if len(terms) > 1:
+            cols.append(
+                _phrase_count_expr(F.col("_toks"), terms).alias(f"_pc{ci}")
+            )
+    proj = toks.select(F.col(id_col), *cols).persist()
+
+    aggs = [
+        F.sum((F.col("dl") > 0).cast("long")).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    ]
+    for i in range(len(score_terms)):
+        aggs.append(
+            F.sum((F.col(f"_tf{i}") > 0).cast("long"))
+            .cast("long").alias(f"_df{i}")
+        )
+    memo_key = (
+        proj._jdf.queryExecution().analyzed().semanticHash(),
+        ("sqs",) + tuple(score_terms),
+    )
+    row = _ADHOC_STATS_MEMO.get(memo_key)
+    if row is None:
+        row = proj.agg(*aggs).collect()[0]
+        if len(_ADHOC_STATS_MEMO) >= 256:
+            _ADHOC_STATS_MEMO.pop(next(iter(_ADHOC_STATS_MEMO)))
+        _ADHOC_STATS_MEMO[memo_key] = row
+    n_docs = int(row["n_docs"] or 0)
+    total_dl = int(row["total_dl"] or 0)
+    if n_docs == 0:
+        return proj.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("score"),
+            F.lit(0).cast("long").alias("n_clauses_hit"),
+        ).filter(F.lit(False))
+    avgdl = total_dl / n_docs
+    tidx = {t: i for i, t in enumerate(score_terms)}
+
+    def idf_of(t: str) -> float:
+        df_ = int(row[f"_df{tidx[t]}"] or 0)
+        return (float(n_docs - df_) + 0.5) / (float(df_) + 0.5)
+
+    zero = F.lit(0).cast("long")
+    total = zero
+    hit_flags = []
+    for ci, (_, terms) in enumerate(pos):
+        if len(terms) == 1:
+            tf = F.col(f"_tf{tidx[terms[0]]}")
+            idf = idf_of(terms[0])
+        else:
+            tf = F.col(f"_pc{ci}")
+            idf = sum(idf_of(t) for t in terms)  # Lucene phrase idf
+        tf_part = (tf * (k1 + 1)) / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+        cq = F.round(F.lit(idf) * tf_part * F.lit(float(_FP)), 0).cast(
+            "long"
+        )
+        total = total + F.when(tf > 0, cq).otherwise(zero)
+        hit_flags.append(tf > 0)
+
+    n_hit = hit_flags[0].cast("long")
+    member = hit_flags[0]
+    for hflag in hit_flags[1:]:
+        n_hit = n_hit + hflag.cast("long")
+        member = (member | hflag) if default_operator == "or" else (
+            member & hflag
+        )
+
+    excl = F.lit(False)
+    for ci, (_, terms) in enumerate(neg, start=len(pos)):
+        if len(terms) == 1:
+            excl = excl | (F.col(f"_tf{tidx.get(terms[0], -1)}") > 0) if (
+                terms[0] in tidx
+            ) else excl | (
+                F.size(F.filter("_toks", _term_eq(terms[0]))) > 0
+            )
+        else:
+            excl = excl | (F.col(f"_pc{ci}") > 0)
+
+    return (
+        proj.filter(member & ~excl)
+        .select(
+            F.col(id_col),
+            (total.cast("decimal(38,0)") / F.lit(_FP))
+            .cast("double")
+            .alias("score"),
+            n_hit.alias("n_clauses_hit"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def simple_query_string_oracle_sql(
+    query: str,
+    *,
+    default_operator: str = "or",
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> str:
+    """DuckDB SQL computing the identical simple_query_string result
+    (same parse, same quantized clause BM25 with Lucene phrase idf,
+    same in-row phrase counting over the token list)."""
+    clauses = parse_simple_query_string(query)
+    pos = [c for c in clauses if not c[0]]
+    neg = [c for c in clauses if c[0]]
+    if not pos:
+        raise ValueError("needs at least one positive clause")
+    score_terms = sorted({t for _, ts in pos for t in ts})
+    neg_only_terms = sorted(
+        {t for n, ts in neg for t in ts if len(ts) == 1}
+        - set(score_terms)
+    )
+
+    def tf_sql(t: str) -> str:
+        return (
+            f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT)"
+        )
+
+    def pc_sql(terms: list[str]) -> str:
+        L = len(terms)
+        conds = " AND ".join(
+            f"toks[i + {j}] = '{terms[j]}'" for j in range(L)
+        )
+        return (
+            f"CASE WHEN len(toks) >= {L} THEN "
+            f"CAST(len(list_filter(range(1, len(toks) - {L - 2}), "
+            f"i -> {conds})) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+
+    proj_cols = [f"CAST(len(toks) AS BIGINT) AS dl"]
+    for i, t in enumerate(score_terms):
+        proj_cols.append(f"{tf_sql(t)} AS _tf{i}")
+    for t in neg_only_terms:
+        proj_cols.append(f"{tf_sql(t)} AS _ntf_{t}")
+    for ci, (_, terms) in enumerate(pos + neg):
+        if len(terms) > 1:
+            proj_cols.append(f"{pc_sql(terms)} AS _pc{ci}")
+
+    stats_cols = [
+        "CAST(SUM(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs",
+        "CAST(SUM(dl) AS BIGINT) AS total_dl",
+    ]
+    for i in range(len(score_terms)):
+        stats_cols.append(
+            f"CAST(SUM(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS _df{i}"
+        )
+    tidx = {t: i for i, t in enumerate(score_terms)}
+
+    def idf_expr(t: str) -> str:
+        i = tidx[t]
+        return (
+            f"((s.n_docs - s._df{i} + 0.5) / (s._df{i} + 0.5))"
+        )
+
+    contribs = []
+    hits = []
+    for ci, (_, terms) in enumerate(pos):
+        if len(terms) == 1:
+            tf = f"p._tf{tidx[terms[0]]}"
+            idf = idf_expr(terms[0])
+        else:
+            tf = f"p._pc{ci}"
+            idf = " + ".join(idf_expr(t) for t in terms)
+        tf_part = (
+            f"(({tf}) * ({k1} + 1)) / (({tf}) + {k1} * ((1 - {b}) "
+            f"+ {b} * p.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))"
+        )
+        cq = (
+            f"CAST(round(({idf}) * ({tf_part}) * 1000000, 0) AS BIGINT)"
+        )
+        contribs.append(
+            f"CASE WHEN ({tf}) > 0 THEN {cq} ELSE CAST(0 AS BIGINT) END"
+        )
+        hits.append(f"(({tf}) > 0)")
+    total = " + ".join(f"({c})" for c in contribs)
+    n_hit = " + ".join(
+        f"CAST({h} AS BIGINT)" for h in hits
+    )
+    op = " OR " if default_operator == "or" else " AND "
+    member = op.join(hits)
+    excls = []
+    for ci, (_, terms) in enumerate(neg, start=len(pos)):
+        if len(terms) == 1:
+            t = terms[0]
+            col = (
+                f"p._tf{tidx[t]}" if t in tidx else f'p."_ntf_{t}"'
+            )
+            excls.append(f"({col} > 0)")
+        else:
+            excls.append(f"(p._pc{ci} > 0)")
+    not_excl = (
+        f"NOT ({' OR '.join(excls)})" if excls else "TRUE"
+    )
+    return f"""
+    WITH tokarr AS (
+        SELECT {id_col},
+               list_filter(string_split_regex(lower({text_col}),
+                           '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM {table}
+    ),
+    p AS (SELECT {id_col}, {', '.join(proj_cols)} FROM tokarr),
+    s AS (SELECT {', '.join(stats_cols)} FROM p)
+    SELECT p.{id_col},
+           CAST(CAST({total} AS DECIMAL(38,0)) / 1000000 AS DOUBLE)
+               AS score,
+           CAST({n_hit} AS BIGINT) AS n_clauses_hit
+    FROM p CROSS JOIN s
+    WHERE ({member}) AND {not_excl}
+    ORDER BY score DESC, p.{id_col} ASC
+    LIMIT {top_k}
+    """
+
+
+__all__ = [
+    "parse_simple_query_string",
+    "simple_query_string",
+    "simple_query_string_oracle_sql",
+]

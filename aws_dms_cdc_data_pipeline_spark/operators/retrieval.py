@@ -4193,3 +4193,99 @@ def sampler_oracle_sql(
     FROM {table} d JOIN s USING ({id_col})
     GROUP BY d.{facet_col}
     """
+
+
+def percentiles_bucket(
+    buckets: DataFrame,
+    *,
+    value_col: str,
+    percents: tuple = (25.0, 50.0, 75.0),
+) -> DataFrame:
+    """``percentiles_bucket`` sibling pipeline aggregation — the
+    OpenSearch agg computing percentiles ACROSS a parent multi-bucket
+    aggregation's metric values ("what is the p95 of the daily event
+    counts?"). EXACT nearest-rank where OpenSearch interpolates
+    TDigest: the answer for percent p over n sorted bucket values is
+    element ``ceil(p·n/100)`` (1-based) — output stays an exact long.
+
+    Percents are limited to one decimal place and computed in TENTHS
+    as pure integer arithmetic (``rank = (p₁₀·n + 999) div 1000``):
+    no float multiply can straddle a rank boundary differently across
+    engines.
+
+    Returns one row per requested percent: (percent, value), ordered
+    by percent. Empty parent → empty result (ES returns null bodies;
+    a row of NULLs would break the all-long contract downstream).
+
+    Execution: the input is a parent aggregation's bucket set —
+    ≤ target_buckets rows by construction — so the sorted
+    collect_list is one bounded single-task aggregate over
+    already-aggregated data, never the corpus (the pipeline-agg
+    family contract shared with :func:`sibling_bucket_stats`).
+    """
+    if not percents:
+        raise ValueError("percentiles_bucket needs at least one percent")
+    pq10 = []
+    for p in percents:
+        q = round(float(p) * 10)
+        if not (0 < q <= 1000) or abs(q - float(p) * 10) > 1e-9:
+            raise ValueError(
+                "percents must be in (0, 100] with at most one decimal "
+                f"place, got {p!r}"
+            )
+        pq10.append((float(p), q))
+    agg = buckets.agg(
+        F.array_sort(
+            F.collect_list(F.col(value_col).cast("long"))
+        ).alias("_vs"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    ).filter(F.col("_n") > 0)
+    pct_rel = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("percent"),
+                    F.lit(q).cast("long").alias("_pq"),
+                )
+                for p, q in pq10
+            ]
+        )
+    ).alias("_p")
+    return (
+        agg.select(pct_rel, "_vs", "_n")
+        .select(
+            F.col("_p.percent").alias("percent"),
+            F.element_at(
+                "_vs",
+                ((F.col("_p._pq") * F.col("_n") + F.lit(999))
+                 / F.lit(1000)).cast("int"),
+            ).alias("value"),
+        )
+        .orderBy("percent")
+    )
+
+
+def percentiles_bucket_oracle_sql(
+    buckets_sql: str,
+    *,
+    value_col: str,
+    percents: tuple = (25.0, 50.0, 75.0),
+) -> str:
+    """DuckDB SQL computing the identical exact nearest-rank
+    percentiles over ``buckets_sql`` (a query yielding the parent
+    agg's buckets)."""
+    rows = ", ".join(
+        f"(CAST({float(p)!r} AS DOUBLE), {round(float(p) * 10)})"
+        for p in percents
+    )
+    return f"""
+    WITH b AS ({buckets_sql}),
+    v AS (SELECT list_sort(list(CAST({value_col} AS BIGINT))) AS vs,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM b HAVING COUNT(*) > 0),
+    pcts(percent, pq) AS (VALUES {rows})
+    SELECT p.percent,
+           v.vs[CAST((p.pq * v.n + 999) // 1000 AS BIGINT)] AS value
+    FROM pcts p CROSS JOIN v
+    ORDER BY p.percent
+    """

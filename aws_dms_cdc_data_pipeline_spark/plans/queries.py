@@ -8396,6 +8396,187 @@ def decay_recency_orders_q(spark, sf_dir):
     )
 
 
+_DAILY_COUNT_BUCKETS_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+       CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM events
+GROUP BY 1
+"""
+
+
+def _percentiles_bucket_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        percentiles_bucket_oracle_sql,
+    )
+
+    return percentiles_bucket_oracle_sql(
+        _DAILY_COUNT_BUCKETS_SQL,
+        value_col="n_hits",
+        percents=(25.0, 50.0, 75.0, 95.0, 99.0),
+    )
+
+
+@q(
+    "events_percentiles_bucket",
+    _percentiles_bucket_oracle(),
+    "percentiles_bucket sibling pipeline aggregation — exact "
+    "nearest-rank percentiles ACROSS the daily event-count buckets "
+    "(p25/p50/p75/p95/p99 of days-by-volume, the capacity-planning "
+    "question). Rank selection is pure integer arithmetic in tenths "
+    "of a percent ((p₁₀·n+999) div 1000) over a bounded "
+    "already-aggregated bucket set — one single-task sorted "
+    "collect_list, never the corpus "
+    "(operators/retrieval.py:percentiles_bucket).",
+)
+def events_percentiles_bucket_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        percentiles_bucket,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket_start")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return percentiles_bucket(
+        daily, value_col="n_hits", percents=(25.0, 50.0, 75.0, 95.0, 99.0)
+    )
+
+
+_SQS_QUERY = '"table hash" spark -slow'
+
+
+def _simple_query_string_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        simple_query_string_oracle_sql,
+    )
+
+    return simple_query_string_oracle_sql(
+        _SQS_QUERY, default_operator="or", top_k=20
+    )
+
+
+@q(
+    "simple_query_string_docs",
+    _simple_query_string_oracle(),
+    "simple_query_string query — the OpenSearch end-user search-box "
+    "syntax: a quoted phrase clause scored by exact phrase frequency "
+    "with Lucene's summed constituent idf, an OR'd bare term, and a "
+    "-negated term excluding its matches. ONE tokenize pass reduced "
+    "in-row to (id, dl, tf, phrase-count) — phrase frequency is an "
+    "in-row positional filter over the token array, no positional "
+    "explode or self-join — then a 1-row stats collect and row-wise "
+    "quantized-long scoring cut by TakeOrderedAndProject "
+    "(operators/querystring.py:simple_query_string).",
+)
+def simple_query_string_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        simple_query_string,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simple_query_string(
+        docs, _SQS_QUERY, default_operator="or", top_k=20
+    )
+
+
+def _has_child_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.joinfield import (
+        has_child_oracle_sql,
+    )
+
+    return has_child_oracle_sql(
+        parent_table="orders",
+        child_table="lineitem",
+        parent_key="o_orderkey",
+        child_key="l_orderkey",
+        child_filter_sql="l_quantity >= 45",
+        score_col="l_extendedprice",
+        score_mode="sum",
+        min_children=2,
+        parent_cols=["o_orderpriority"],
+    )
+
+
+@q(
+    "has_child_orders",
+    _has_child_oracle(),
+    "has_child join-field query — OpenSearch parent/child: orders "
+    "with >= 2 high-quantity lineitems (min_children), scored "
+    "score_mode=sum over the children's extendedprice as exact "
+    "quantized longs. The child side aggregates per parent key "
+    "BEFORE the join, so the shuffle moves one row per matching "
+    "parent, not one per child; the fact-fact join is key-partitioned "
+    "with AQE picking the strategy "
+    "(operators/joinfield.py:has_child).",
+)
+def has_child_orders_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.joinfield import (
+        has_child,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return has_child(
+        orders,
+        lineitem,
+        parent_key="o_orderkey",
+        child_key="l_orderkey",
+        child_filter=F.col("l_quantity") >= 45,
+        score_col="l_extendedprice",
+        score_mode="sum",
+        min_children=2,
+        parent_cols=["o_orderpriority"],
+    )
+
+
+def _has_parent_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.joinfield import (
+        has_parent_oracle_sql,
+    )
+
+    return has_parent_oracle_sql(
+        parent_table="orders",
+        child_table="lineitem",
+        parent_key="o_orderkey",
+        child_key="l_orderkey",
+        parent_filter_sql=(
+            "o_orderpriority = '1-URGENT' AND o_totalprice > 300000"
+        ),
+        parent_score_col="o_totalprice",
+        child_cols=["l_linenumber", "l_quantity"],
+    )
+
+
+@q(
+    "has_parent_lineitems",
+    _has_parent_oracle(),
+    "has_parent join-field query — OpenSearch parent/child inverse: "
+    "lineitems whose parent order is urgent and high-value, each "
+    "child inheriting the parent's o_totalprice as its score (ES "
+    "score: true). The filtered parent projection is (key, score) "
+    "only — small enough that Catalyst broadcasts it and the child "
+    "table is never shuffled "
+    "(operators/joinfield.py:has_parent).",
+)
+def has_parent_lineitems_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.joinfield import (
+        has_parent,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return has_parent(
+        orders,
+        lineitem,
+        parent_key="o_orderkey",
+        child_key="l_orderkey",
+        parent_filter=(F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 300000),
+        parent_score_col="o_totalprice",
+        child_cols=["l_linenumber", "l_quantity"],
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r14 window = the 7 queries new this round
