@@ -166,3 +166,75 @@ def segment_words(vocab_or_df: DataFrame, merges: list[tuple[str, str]]) -> Data
     for left, right in merges:
         out = _apply_merge(out, left, right)
     return out
+
+
+def encode_documents(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer INFERENCE — encode documents with a learned merge
+    list (the deployment half of BPE: training corpora are tokenized
+    with exactly this op before packing/counting).
+
+    The classic scalability trick again, in the other direction:
+    encoding is a function of the DISTINCT-WORD table, not the
+    corpus — each distinct word is segmented ONCE (merges applied in
+    rank order as pure-JVM folds, the :func:`segment_words`
+    machinery), then the corpus joins its word occurrences back to
+    the ≤vocabulary-sized (word → tokens) map. A 100 TB corpus pays
+    one explode + one word-keyed join; the merge folds run over the
+    tiny distinct-word relation only.
+
+    Unlike training (which drops sub-``min_word_len`` words — they
+    carry no pairs), encoding must cover EVERY word: single-char
+    words pass through as their own symbol.
+
+    Returns (id, tokens array<string>, n_tokens) — token order is the
+    document's word order with per-word segment order (positions ride
+    the aggregation, so the result is partitioning-independent).
+    """
+    if not merges:
+        raise ValueError("encode_documents needs a non-empty merge list")
+    words_pos = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("_pos", "word"),
+    )
+    vocab = (
+        words_pos.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.lit(1).cast("long").alias("weight"),
+            F.split("word", "").alias("symbols"),
+        )
+    )
+    seg = segment_words(vocab, merges).select(
+        "word", F.col("symbols").alias("_toks")
+    )
+    per_word = words_pos.join(seg, "word")
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_toks"))
+                    ),
+                    lambda s: s["_toks"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            id_col,
+            "tokens",
+            F.size("tokens").cast("long").alias("n_tokens"),
+        )
+    )
