@@ -371,3 +371,252 @@ __all__ = [
     "simple_query_string",
     "simple_query_string_oracle_sql",
 ]
+
+
+def dis_max_search(
+    docs: DataFrame,
+    clauses: list[str],
+    *,
+    tie_breaker: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """``dis_max`` query over HETEROGENEOUS clauses — the OpenSearch
+    disjunction-max: each clause scores independently and a doc's
+    score is ``max(clause scores) + tie_breaker · Σ(other clause
+    scores)``, membership = any clause matches. Where
+    ``multi_match best_fields`` dis-maxes the SAME query across
+    fields, this dis-maxes DIFFERENT sub-queries on one field — the
+    "match the phrase OR either term, don't double-count overlap"
+    shape.
+
+    Each clause is a string: single-token → term clause (BM25),
+    multi-token or quoted → phrase clause (exact phrase-frequency
+    BM25 with Lucene's summed constituent idf — the
+    :func:`simple_query_string` clause semantics and arithmetic,
+    quantized-exact longs throughout; the max/sum combine happens on
+    the longs, one final decimal division).
+
+    Same single-pass shape as simple_query_string: one tokenize
+    reduced in-row, 1-row stats collect, row-wise scoring,
+    TakeOrderedAndProject. Returns (id, score, n_clauses_hit).
+    """
+    if not clauses:
+        raise ValueError("dis_max_search needs at least one clause")
+    if not (0.0 <= tie_breaker <= 1.0):
+        raise ValueError("tie_breaker must be in [0, 1]")
+    parsed: list[list[str]] = []
+    for c in clauses:
+        terms = _TOKEN_RE.findall(c.lower())
+        if not terms:
+            raise ValueError(f"clause {c!r} has no tokens")
+        parsed.append(terms)
+    score_terms = sorted({t for ts in parsed for t in ts})
+
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    toks = fan_out_scan(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        ).alias("_toks"),
+    )
+    cols = [F.size("_toks").cast("long").alias("dl")]
+    for i, t in enumerate(score_terms):
+        cols.append(
+            F.size(F.filter("_toks", _term_eq(t))).cast("long")
+            .alias(f"_tf{i}")
+        )
+    for ci, terms in enumerate(parsed):
+        if len(terms) > 1:
+            cols.append(
+                _phrase_count_expr(F.col("_toks"), terms).alias(f"_pc{ci}")
+            )
+    proj = toks.select(F.col(id_col), *cols).persist()
+
+    aggs = [
+        F.sum((F.col("dl") > 0).cast("long")).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    ]
+    for i in range(len(score_terms)):
+        aggs.append(
+            F.sum((F.col(f"_tf{i}") > 0).cast("long"))
+            .cast("long").alias(f"_df{i}")
+        )
+    memo_key = (
+        proj._jdf.queryExecution().analyzed().semanticHash(),
+        ("dis_max",) + tuple(score_terms),
+    )
+    row = _ADHOC_STATS_MEMO.get(memo_key)
+    if row is None:
+        row = proj.agg(*aggs).collect()[0]
+        if len(_ADHOC_STATS_MEMO) >= 256:
+            _ADHOC_STATS_MEMO.pop(next(iter(_ADHOC_STATS_MEMO)))
+        _ADHOC_STATS_MEMO[memo_key] = row
+    n_docs = int(row["n_docs"] or 0)
+    total_dl = int(row["total_dl"] or 0)
+    if n_docs == 0:
+        return proj.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("score"),
+            F.lit(0).cast("long").alias("n_clauses_hit"),
+        ).filter(F.lit(False))
+    avgdl = total_dl / n_docs
+    tidx = {t: i for i, t in enumerate(score_terms)}
+
+    def idf_of(t: str) -> float:
+        df_ = int(row[f"_df{tidx[t]}"] or 0)
+        return (float(n_docs - df_) + 0.5) / (float(df_) + 0.5)
+
+    zero = F.lit(0).cast("long")
+    clause_scores = []
+    hit_flags = []
+    for ci, terms in enumerate(parsed):
+        if len(terms) == 1:
+            tf = F.col(f"_tf{tidx[terms[0]]}")
+            idf = idf_of(terms[0])
+        else:
+            tf = F.col(f"_pc{ci}")
+            idf = sum(idf_of(t) for t in terms)
+        tf_part = (tf * (k1 + 1)) / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+        cq = F.round(F.lit(idf) * tf_part * F.lit(float(_FP)), 0).cast(
+            "long"
+        )
+        clause_scores.append(F.when(tf > 0, cq).otherwise(zero))
+        hit_flags.append(tf > 0)
+
+    maxq = (
+        clause_scores[0]
+        if len(clause_scores) == 1
+        else F.greatest(*clause_scores)
+    )
+    sumq = clause_scores[0]
+    for c in clause_scores[1:]:
+        sumq = sumq + c
+    # combine on the exact longs; tie_breaker is ONE double multiply
+    score = (
+        maxq.cast("double")
+        + F.lit(float(tie_breaker)) * (sumq - maxq).cast("double")
+    ) / F.lit(float(_FP))
+    n_hit = hit_flags[0].cast("long")
+    member = hit_flags[0]
+    for hflag in hit_flags[1:]:
+        n_hit = n_hit + hflag.cast("long")
+        member = member | hflag
+    return (
+        proj.filter(member)
+        .select(
+            F.col(id_col),
+            score.alias("score"),
+            n_hit.alias("n_clauses_hit"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def dis_max_oracle_sql(
+    clauses: list[str],
+    *,
+    tie_breaker: float = 0.0,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> str:
+    """DuckDB SQL computing the identical dis_max ranking."""
+    parsed = [_TOKEN_RE.findall(c.lower()) for c in clauses]
+    if any(not ts for ts in parsed):
+        raise ValueError("every clause needs at least one token")
+    score_terms = sorted({t for ts in parsed for t in ts})
+    tidx = {t: i for i, t in enumerate(score_terms)}
+
+    def tf_sql(t: str) -> str:
+        return f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT)"
+
+    def pc_sql(terms: list[str]) -> str:
+        L = len(terms)
+        conds = " AND ".join(
+            f"toks[i + {j}] = '{terms[j]}'" for j in range(L)
+        )
+        return (
+            f"CASE WHEN len(toks) >= {L} THEN "
+            f"CAST(len(list_filter(range(1, len(toks) - {L - 2}), "
+            f"i -> {conds})) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+
+    proj_cols = ["CAST(len(toks) AS BIGINT) AS dl"]
+    for i, t in enumerate(score_terms):
+        proj_cols.append(f"{tf_sql(t)} AS _tf{i}")
+    for ci, terms in enumerate(parsed):
+        if len(terms) > 1:
+            proj_cols.append(f"{pc_sql(terms)} AS _pc{ci}")
+    stats_cols = [
+        "CAST(SUM(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs",
+        "CAST(SUM(dl) AS BIGINT) AS total_dl",
+    ]
+    for i in range(len(score_terms)):
+        stats_cols.append(
+            f"CAST(SUM(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS _df{i}"
+        )
+
+    def idf_expr(t: str) -> str:
+        i = tidx[t]
+        return f"((s.n_docs - s._df{i} + 0.5) / (s._df{i} + 0.5))"
+
+    cqs, hits = [], []
+    for ci, terms in enumerate(parsed):
+        if len(terms) == 1:
+            tf = f"p._tf{tidx[terms[0]]}"
+            idf = idf_expr(terms[0])
+        else:
+            tf = f"p._pc{ci}"
+            idf = " + ".join(idf_expr(t) for t in terms)
+        tf_part = (
+            f"(({tf}) * ({k1} + 1)) / (({tf}) + {k1} * ((1 - {b}) "
+            f"+ {b} * p.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))"
+        )
+        cqs.append(
+            f"CASE WHEN ({tf}) > 0 THEN CAST(round(({idf}) * ({tf_part}) "
+            f"* 1000000, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+        hits.append(f"(({tf}) > 0)")
+    maxq = (
+        cqs[0] if len(cqs) == 1 else "greatest(" + ", ".join(cqs) + ")"
+    )
+    sumq = " + ".join(f"({c})" for c in cqs)
+    n_hit = " + ".join(f"CAST({h} AS BIGINT)" for h in hits)
+    member = " OR ".join(hits)
+    return f"""
+    WITH tokarr AS (
+        SELECT {id_col},
+               list_filter(string_split_regex(lower({text_col}),
+                           '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM {table}
+    ),
+    p AS (SELECT {id_col}, {', '.join(proj_cols)} FROM tokarr),
+    s AS (SELECT {', '.join(stats_cols)} FROM p)
+    SELECT p.{id_col},
+           (CAST({maxq} AS DOUBLE)
+            + CAST({float(tie_breaker)!r} AS DOUBLE)
+              * CAST(({sumq}) - ({maxq}) AS DOUBLE)) / 1000000.0
+               AS score,
+           CAST({n_hit} AS BIGINT) AS n_clauses_hit
+    FROM p CROSS JOIN s
+    WHERE {member}
+    ORDER BY score DESC, p.{id_col} ASC
+    LIMIT {top_k}
+    """

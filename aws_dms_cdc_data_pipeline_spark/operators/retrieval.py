@@ -4289,3 +4289,132 @@ def percentiles_bucket_oracle_sql(
     FROM pcts p CROSS JOIN v
     ORDER BY p.percent
     """
+
+
+def frequent_item_sets(
+    tx: DataFrame,
+    *,
+    items_col: str,
+    min_support: float = 0.1,
+    max_size: int = 2,
+    top_k: int = 25,
+) -> DataFrame:
+    """``frequent_item_sets`` aggregation — the OpenSearch ML agg
+    (market-basket / co-occurrence mining): item sets appearing in at
+    least ``min_support`` of the transactions. Exact for sizes 1 and
+    2 where OpenSearch approximates with sampled a-priori: size-2
+    candidates expand IN-ROW from each transaction's sorted distinct
+    item array (``Σ |items|²/2`` pair rows through one
+    map-side-combined groupBy — no self-join, no index), which is the
+    a-priori frontier that matters (larger sets are supersets of
+    frequent pairs; OpenSearch's own default limits sets to small
+    sizes).
+
+    ``tx`` is one row per transaction with ``items_col`` an array of
+    items (callers build it: distinct tokens per doc, parts per
+    order). Support counts a set once per transaction regardless of
+    multiplicity (the distinct+sort happens here, so callers may pass
+    raw arrays).
+
+    Returns (itemset, size, support_count, support) — itemset is the
+    space-joined sorted item list (the sibling-agg string-key
+    precedent: list columns don't hash portably cross-engine);
+    support is one exact-long/exact-long double division. Ordered
+    (support_count DESC, itemset ASC), top_k.
+    """
+    if not (0.0 < min_support <= 1.0):
+        raise ValueError("min_support must be in (0, 1]")
+    if max_size not in (1, 2):
+        raise ValueError(
+            "max_size must be 1 or 2 (exact tiers; larger sets are "
+            "supersets of frequent pairs — run those on the filtered "
+            "pair output)"
+        )
+    items = F.array_sort(F.array_distinct(F.col(items_col)))
+    base = tx.select(items.alias("_it")).persist()
+    n_tx = base.count()
+    if n_tx == 0:
+        spark = tx.sparkSession
+        return spark.createDataFrame(
+            [], "itemset string, size long, support_count long, "
+                "support double"
+        )
+    legs = [
+        base.select(F.explode("_it").alias("itemset"),
+                    F.lit(1).cast("long").alias("size"))
+    ]
+    if max_size >= 2:
+        pairs = F.flatten(
+            F.expr(
+                "transform(sequence(0, size(_it) - 2), i -> "
+                "transform(sequence(i + 1, size(_it) - 1), j -> "
+                "concat(_it[i], ' ', _it[j])))"
+            )
+        )
+        legs.append(
+            base.filter(F.size("_it") >= 2).select(
+                F.explode(pairs).alias("itemset"),
+                F.lit(2).cast("long").alias("size"),
+            )
+        )
+    unioned = legs[0]
+    for leg in legs[1:]:
+        unioned = unioned.unionByName(leg)
+    min_count = -(-min_support * n_tx // 1)  # ceil, driver-side
+    return (
+        unioned.groupBy("itemset", "size")
+        .agg(F.count(F.lit(1)).cast("long").alias("support_count"))
+        .filter(F.col("support_count") >= F.lit(int(min_count)))
+        .withColumn(
+            "support",
+            F.col("support_count").cast("double") / F.lit(float(n_tx)),
+        )
+        .orderBy(F.col("support_count").desc(), F.col("itemset").asc())
+        .limit(top_k)
+    )
+
+
+def frequent_item_sets_oracle_sql(
+    tx_sql: str,
+    *,
+    min_support: float = 0.1,
+    max_size: int = 2,
+    top_k: int = 25,
+) -> str:
+    """DuckDB SQL computing the identical frequent item sets over
+    ``tx_sql`` (a query yielding one row per transaction with an
+    ``items`` list column)."""
+    import math
+
+    pair_leg = """
+    UNION ALL
+    SELECT a.item || ' ' || b.item AS itemset, CAST(2 AS BIGINT) AS size,
+           a.txid
+    FROM singles a JOIN singles b
+      ON a.txid = b.txid AND a.item < b.item
+    """ if max_size >= 2 else ""
+    return f"""
+    WITH raw AS ({tx_sql}),
+    tx AS (SELECT row_number() OVER () AS txid,
+                  list_sort(list_distinct(items)) AS items
+           FROM raw),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tx FROM tx),
+    singles AS (SELECT txid, unnest(items) AS item FROM tx),
+    sets AS (
+        SELECT item AS itemset, CAST(1 AS BIGINT) AS size, txid
+        FROM singles
+        {pair_leg}
+    ),
+    counted AS (
+        SELECT itemset, size, CAST(COUNT(*) AS BIGINT) AS support_count
+        FROM sets GROUP BY itemset, size
+    )
+    SELECT itemset, size, support_count,
+           CAST(support_count AS DOUBLE) / CAST(n.n_tx AS DOUBLE)
+               AS support
+    FROM counted CROSS JOIN n
+    WHERE support_count >= CAST(ceil({float(min_support)!r} * n.n_tx)
+                                AS BIGINT)
+    ORDER BY support_count DESC, itemset ASC
+    LIMIT {top_k}
+    """

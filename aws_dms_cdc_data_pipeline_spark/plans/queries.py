@@ -8665,6 +8665,121 @@ def bpe_encoded_docs_q(spark, sf_dir):
     )
 
 
+_FIS_TX_SQL = """
+SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '') AS items
+FROM documents
+"""
+
+
+def _frequent_item_sets_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        frequent_item_sets_oracle_sql,
+    )
+
+    return frequent_item_sets_oracle_sql(
+        _FIS_TX_SQL, min_support=0.4, max_size=2, top_k=25
+    )
+
+
+@q(
+    "frequent_token_sets",
+    _frequent_item_sets_oracle(),
+    "frequent_item_sets aggregation — the OpenSearch ML "
+    "market-basket agg, exact where OpenSearch samples: token sets "
+    "co-occurring in >= 40% of documents. Size-2 candidates expand "
+    "IN-ROW from each doc's sorted distinct token array (no "
+    "self-join, no index) through one map-side-combined groupBy; "
+    "support is one exact-long division "
+    "(operators/retrieval.py:frequent_item_sets).",
+)
+def frequent_token_sets_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        frequent_item_sets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tx = docs.select(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        ).alias("items")
+    )
+    return frequent_item_sets(
+        tx, items_col="items", min_support=0.4, max_size=2, top_k=25
+    )
+
+
+@q(
+    "weekly_event_counts_from_cms",
+    None,  # CMS rows hash with Spark's xxhash64 — no DuckDB
+    # equivalent, so rows-only (the E98 HLL-sketch precedent);
+    # never-under/exactness/linearity property tests in
+    # tests/test_cms.py
+    "Re-aggregatable count-min frequency sketches — the companion of "
+    "the E98 HLL rollup for an unbounded key domain: daily "
+    "depth×width counter grids materialize once, weekly counts merge "
+    "as element-wise array sums (CMS linearity — bytes per bucket, "
+    "no fact-table rescan), and per-event-type point estimates read "
+    "min-over-depth cells. Estimates never undercount; with 5 keys "
+    "in a 256-wide grid they are exact "
+    "(operators/sketches.py:cms_bucket_sketches/cms_rollup/"
+    "cms_estimate).",
+)
+def weekly_event_counts_from_cms_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.sketches import (
+        cms_bucket_sketches,
+        cms_estimate,
+        cms_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    daily = cms_bucket_sketches(
+        events, "event_type", "CAST(date_trunc('day', ts) AS DATE)"
+    )
+    weekly = cms_rollup(daily, "date_trunc('week', bucket)")
+    return cms_estimate(
+        weekly, ["click", "error", "purchase", "signup", "view"]
+    )
+
+
+_DIS_MAX_CLAUSES = ["table hash", "spark", "merge"]
+
+
+def _dis_max_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        dis_max_oracle_sql,
+    )
+
+    return dis_max_oracle_sql(
+        _DIS_MAX_CLAUSES, tie_breaker=0.3, top_k=20
+    )
+
+
+@q(
+    "dis_max_docs",
+    _dis_max_oracle(),
+    "dis_max query over HETEROGENEOUS clauses — OpenSearch "
+    "disjunction-max where the sub-queries differ in KIND (a phrase "
+    "clause and two term clauses on one field): score = best clause "
+    "+ 0.3·rest, so overlap between clauses doesn't double-count "
+    "(multi_match best_fields covers the same-query-many-fields "
+    "case; this covers many-queries-one-field). Max/sum combine on "
+    "the exact quantized longs; same single-pass plan as "
+    "simple_query_string "
+    "(operators/querystring.py:dis_max_search).",
+)
+def dis_max_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        dis_max_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dis_max_search(
+        docs, _DIS_MAX_CLAUSES, tie_breaker=0.3, top_k=20
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r14 window = the 7 queries new this round

@@ -314,3 +314,41 @@ def test_distance_feature_origin_hit_scores_boost(spark):
     assert [r.event_id for r in out] == [1, 2]
     assert out[0].score == 3.0 and out[0].distance_s == 0
     assert out[1].score == pytest.approx(1.5)  # one pivot away: boost/2
+
+
+def test_dis_max_combines_clauses(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        dis_max_search,
+    )
+
+    rows = [
+        (1, "a b x y"),      # phrase "a b" AND term x
+        (2, "a y b x"),      # terms only, no phrase
+        (3, "q r s t"),      # no clause
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dis_max_search(
+        df, ["a b", "x"], tie_breaker=0.0, top_k=10
+    ).collect()}
+    assert 3 not in out
+    assert out[1].n_clauses_hit == 2 and out[2].n_clauses_hit == 1
+    # tie_breaker=0: score is the single best clause; with 0.5 it rises
+    out5 = {r.doc_id: r.score for r in dis_max_search(
+        df, ["a b", "x"], tie_breaker=0.5, top_k=10
+    ).collect()}
+    assert out5[1] > out[1].score
+    assert out5[2] == out[2].score  # one clause: tie_breaker is a no-op
+
+
+def test_dis_max_validation(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        dis_max_search,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="tie_breaker"):
+        dis_max_search(df, ["a"], tie_breaker=1.5)
+    with _pt.raises(ValueError, match="clause"):
+        dis_max_search(df, [])
