@@ -8839,16 +8839,25 @@ _R14_WINDOW = [
     "spell_suggest_terms",
     "text_fingerprints",
     "weekly_value_quantiles_from_sketches",
-    # r10-stale fillers (next-oldest driver evidence, alphabetical)
-    "ann_quantized_topk",
-    "asof_next_visit_tolerance",
-    "boilerplate_line_removal",
-    "bpe_learned_merges",
-    # displaced four r10 fillers: two for the further r14-changed
-    # queries (winsorize / robust outliers moved off per-group
-    # row-sort windows onto the distinct-value distribution shape)
-    # and two for the late-round additions (sampler agg, stupid-
-    # backoff trigram LM), both never driver-checked
+    # four continuation-session additions (never driver-checked, all
+    # full-oracle) displace the r10-stale fillers ann_quantized_topk /
+    # asof_next_visit_tolerance / boilerplate_line_removal /
+    # bpe_learned_merges (r10 evidence, code untouched — r15 tail).
+    # The continuation's other 10 new queries (rank_feature_docs,
+    # distance_feature_events, pinned_search_docs,
+    # decay_recency_orders, events_percentiles_bucket,
+    # has_parent_lineitems, semdedup_groups, ann_pq_topk,
+    # bpe_encoded_docs, weekly_event_counts_from_cms) are locally
+    # oracle-verified green (tools/verify_correctness.py) and queue
+    # for the r15 window.
+    "simple_query_string_docs",
+    "has_child_orders",
+    "dis_max_docs",
+    "frequent_token_sets",
+    # two further r14-changed queries (winsorize / robust outliers
+    # moved off per-group row-sort windows onto the distinct-value
+    # distribution shape) and two late-round additions (sampler agg,
+    # stupid-backoff trigram LM), all never driver-checked
     "winsorized_order_prices",
     "events_value_outliers_robust",
     "sampler_lang_facets",

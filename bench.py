@@ -120,6 +120,24 @@ HEADLINE = (
     "events_bucket_correlation",
     "sampler_lang_facets",
     "trigram_backoff_scores",
+    # r14 continuation: the new search-scoring single-pass shapes
+    # (simple_query_string / dis_max — one tokenize with in-row
+    # phrase counting), the exact market-basket agg (in-row pair
+    # expansion over the corpus), the parent/child fact-fact join,
+    # the CMS sketch build (one ×depth explode over events), and the
+    # two iterative trainers with corpus-scale passes (SemDeDup
+    # cluster+pair, PQ encode+ADC). The bounded scoring queries
+    # (rank_feature/pinned/distance/decay/percentiles_bucket) are
+    # wall-noise and stay out; bpe_encoded_docs stays out (24
+    # sequential merge-learning jobs measure the scheduler, not the
+    # operator).
+    "simple_query_string_docs",
+    "dis_max_docs",
+    "frequent_token_sets",
+    "has_child_orders",
+    "weekly_event_counts_from_cms",
+    "semdedup_groups",
+    "ann_pq_topk",
 )
 
 
