@@ -134,4 +134,87 @@ def streaming_bottomk_sketches(
     )
 
 
-__all__ = ["streaming_distinct_sketches", "streaming_bottomk_sketches"]
+
+
+def streaming_cms_sketches(
+    stream_df,
+    *,
+    ts_col: str = "ts",
+    key_expr: str = "event_type",
+    window_duration: str = "1 day",
+    width: int = 256,
+    depth: int = 4,
+):
+    """Streaming leg of the count-min frequency sketch
+    (operators/sketches.py:cms_bucket_sketches).
+
+    Per event-time window, state is the dense depth·width counter
+    grid — a fixed ≤ depth·width·8-byte array no matter how many rows
+    or distinct keys arrive (the CMS point). Cell positions hash
+    JVM-side (xxhash64, identical to the batch builder) BEFORE the
+    stateful apply, so the Python worker only bincounts integer
+    cells. Because the grid is LINEAR (element-wise sums), the
+    streamed grid equals the batch grid over the same rows
+    BIT-FOR-BIT regardless of arrival order or partitioning (asserted
+    in tests), and emitted rows feed :func:`...sketches.cms_rollup` /
+    ``cms_estimate`` interchangeably with batch-built sketches.
+
+    Update mode: each trigger re-emits the window's current grid
+    (monotone refinement — downstream keeps the latest row per
+    bucket, the streaming bottom-k convention).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import numpy as np
+    import pandas as pd
+
+    size = depth * width
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            cms_list, n = state.get
+            grid = np.array(cms_list, dtype=np.int64)
+        else:
+            grid, n = np.zeros(size, dtype=np.int64), 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            cells = np.concatenate(pdf["cells"].to_numpy())
+            grid += np.bincount(cells, minlength=size).astype(np.int64)
+            n += len(pdf)
+        state.update(([int(x) for x in grid], int(n)))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]],
+                "cms": [[int(x) for x in grid]],
+                "n_rows": [int(n)],
+            }
+        )
+
+    k = F.expr(key_expr).cast("string")
+    keyed = stream_df.select(
+        F.window(ts_col, window_duration)["start"].alias("bucket"),
+        F.array(
+            *[
+                (
+                    F.lit(d * width)
+                    + F.pmod(F.xxhash64(k, F.lit(d)), F.lit(width))
+                ).cast("int")
+                for d in range(depth)
+            ]
+        ).alias("cells"),
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType="bucket timestamp, cms array<bigint>, n_rows bigint",
+        stateStructType="cms array<bigint>, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__ = [
+    "streaming_bottomk_sketches",
+    "streaming_cms_sketches",
+    "streaming_distinct_sketches",
+]

@@ -156,3 +156,72 @@ def test_streaming_bottomk_equals_batch_bit_for_bit(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch  # bottom-k closure ⇒ bit-for-bit equality
+
+
+def test_streaming_cms_equals_batch_bit_for_bit(spark, tmp_path):
+    from aws_dms_cdc_data_pipeline_spark.operators.sketches import (
+        cms_bucket_sketches,
+        cms_estimate,
+    )
+    from aws_dms_cdc_data_pipeline_spark.streaming.sketches import (
+        streaming_cms_sketches,
+    )
+
+    ev = load_table(spark, SF_DIR_ORACLE, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    stream = _stream_events(spark, tmp_path, ev)
+    out = streaming_cms_sketches(stream, width=64, depth=3)
+    sink = str(tmp_path / "sink")
+
+    def deliver(batch, epoch_id):
+        if batch.count():
+            batch.write.mode("append").parquet(sink)
+
+    q = (
+        out.writeStream.foreachBatch(deliver)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed_df = spark.read.parquet(sink)
+    streamed_df.createOrReplaceTempView("_cms_sink")
+    latest = spark.sql(
+        """SELECT bucket, cms, n_rows FROM (
+               SELECT *, max(n_rows) OVER (PARTITION BY bucket) AS mx
+               FROM _cms_sink) WHERE n_rows = mx"""
+    )
+    streamed = {
+        r["bucket"]: (tuple(r["cms"]), r["n_rows"])
+        for r in latest.collect()
+    }
+    batch_sk = cms_bucket_sketches(
+        ev, "event_type", "date_trunc('day', ts)", width=64, depth=3
+    )
+    batch = {
+        r["bucket"]: (tuple(r["cms"]), r["n_rows"])
+        for r in batch_sk.collect()
+    }
+    assert streamed == batch  # CMS linearity ⇒ bit-for-bit equality
+
+    # streamed grids feed the batch estimator interchangeably
+    est = cms_estimate(
+        spark.createDataFrame(
+            [(b, list(g), n) for b, (g, n) in streamed.items()],
+            "bucket timestamp, cms array<bigint>, n_rows bigint",
+        ),
+        ["click", "error"],
+        width=64,
+        depth=3,
+    )
+    exact = {
+        (r["d"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.expr("date_trunc('day', ts)").alias("d"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in est.collect():
+        assert r["est"] >= exact.get((r["bucket"], r["key"]), 0)
