@@ -125,6 +125,14 @@ def simple_query_string(
         )
     # every distinct term needing a df (all positive constituents)
     score_terms = sorted({t for _, ts in pos for t in ts})
+    # negative-only single terms need a tf column IN THE PROJECTION:
+    # referencing _toks after the select would analysis-resolve
+    # through the projection and push the exclusion filter BELOW it,
+    # re-tokenizing the corpus outside the persisted relation
+    # (measured: 4.3 s warm vs 0.5 s for the equivalent dis_max)
+    neg_only_terms = sorted(
+        {ts[0] for n, ts in neg if len(ts) == 1} - set(score_terms)
+    )
 
     from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
         fan_out_scan,
@@ -142,6 +150,11 @@ def simple_query_string(
         cols.append(
             F.size(F.filter("_toks", _term_eq(t))).cast("long")
             .alias(f"_tf{i}")
+        )
+    for j, t in enumerate(neg_only_terms):
+        cols.append(
+            F.size(F.filter("_toks", _term_eq(t))).cast("long")
+            .alias(f"_ntf{j}")
         )
     # clause hit/score inputs: bare clauses read their term's tf;
     # phrase clauses get an exact in-row phrase count
@@ -215,14 +228,17 @@ def simple_query_string(
             member & hflag
         )
 
+    nidx = {t: j for j, t in enumerate(neg_only_terms)}
     excl = F.lit(False)
     for ci, (_, terms) in enumerate(neg, start=len(pos)):
         if len(terms) == 1:
-            excl = excl | (F.col(f"_tf{tidx.get(terms[0], -1)}") > 0) if (
-                terms[0] in tidx
-            ) else excl | (
-                F.size(F.filter("_toks", _term_eq(terms[0]))) > 0
+            t = terms[0]
+            col = (
+                F.col(f"_tf{tidx[t]}")
+                if t in tidx
+                else F.col(f"_ntf{nidx[t]}")
             )
+            excl = excl | (col > 0)
         else:
             excl = excl | (F.col(f"_pc{ci}") > 0)
 

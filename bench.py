@@ -128,15 +128,15 @@ HEADLINE = (
     # two iterative trainers with corpus-scale passes (SemDeDup
     # cluster+pair, PQ encode+ADC). The bounded scoring queries
     # (rank_feature/pinned/distance/decay/percentiles_bucket) are
-    # wall-noise and stay out; bpe_encoded_docs stays out (24
-    # sequential merge-learning jobs measure the scheduler, not the
-    # operator).
+    # wall-noise and stay out; bpe_encoded_docs and semdedup_groups
+    # stay out (sequential merge-learning / label-propagation job
+    # chains measure the scheduler floor, not the operators — their
+    # per-pass costs are covered by the pair/ANN entries).
     "simple_query_string_docs",
     "dis_max_docs",
     "frequent_token_sets",
     "has_child_orders",
     "weekly_event_counts_from_cms",
-    "semdedup_groups",
     "ann_pq_topk",
 )
 
