@@ -636,3 +636,381 @@ def dis_max_oracle_sql(
     ORDER BY score DESC, p.{id_col} ASC
     LIMIT {top_k}
     """
+
+
+def span_not_search(
+    docs: DataFrame,
+    include_term: str,
+    exclude_term: str,
+    *,
+    pre: int = 0,
+    post: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 25,
+) -> DataFrame:
+    """``span_not`` query — occurrences of ``include_term`` that are
+    NOT within ``pre`` positions before / ``post`` positions after
+    any occurrence of ``exclude_term`` (the OpenSearch span_not with
+    term spans: "match 'apple' but not near 'pie'").
+
+    In-row positional algebra — the simple_query_string machinery:
+    both terms' position lists extract from the token array with one
+    filter each, and the surviving-occurrence count is a filter over
+    the include positions with an EXISTS over the (short) exclude
+    list. No positional explode, no self-join; the corpus text is
+    never shuffled.
+
+    Returns (id, n_matches, n_excluded) for docs with n_matches > 0,
+    ordered (n_matches DESC, id ASC), top_k.
+    """
+    inc = include_term.lower()
+    exc = exclude_term.lower()
+    if not inc or not exc:
+        raise ValueError("span_not_search needs both terms")
+    if pre < 0 or post < 0:
+        raise ValueError("pre/post must be >= 0")
+
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    toks = fan_out_scan(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        ).alias("_toks"),
+    )
+
+    def positions(term):
+        return F.filter(
+            F.sequence(F.lit(1), F.size("_toks")),
+            lambda i: F.element_at("_toks", i) == F.lit(term),
+        )
+
+    pos_rel = toks.filter(F.size("_toks") > 0).select(
+        F.col(id_col),
+        positions(inc).alias("_pi"),
+        positions(exc).alias("_pe"),
+    )
+    survive = F.filter(
+        F.col("_pi"),
+        lambda p: ~F.exists(
+            F.col("_pe"),
+            lambda q: (q >= p - F.lit(pre)) & (q <= p + F.lit(post)),
+        ),
+    )
+    return (
+        pos_rel.select(
+            F.col(id_col),
+            F.size(survive).cast("long").alias("n_matches"),
+            (F.size("_pi") - F.size(survive)).cast("long").alias(
+                "n_excluded"
+            ),
+        )
+        .filter(F.col("n_matches") > 0)
+        .orderBy(F.col("n_matches").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def span_not_oracle_sql(
+    include_term: str,
+    exclude_term: str,
+    *,
+    pre: int = 0,
+    post: int = 0,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 25,
+) -> str:
+    """DuckDB SQL computing the identical span_not result (same
+    in-row position algebra over the token list)."""
+    inc, exc = include_term.lower(), exclude_term.lower()
+    return f"""
+    WITH tokarr AS (
+        SELECT {id_col},
+               list_filter(string_split_regex(lower({text_col}),
+                           '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM {table}
+    ),
+    pos AS (
+        SELECT {id_col},
+               list_filter(range(1, len(toks) + 1),
+                           i -> toks[i] = '{inc}') AS pi,
+               list_filter(range(1, len(toks) + 1),
+                           i -> toks[i] = '{exc}') AS pe
+        FROM tokarr WHERE len(toks) > 0
+    ),
+    counted AS (
+        SELECT {id_col},
+               CAST(len(list_filter(pi, p ->
+                   len(list_filter(pe, q ->
+                       q >= p - {pre} AND q <= p + {post})) = 0
+               )) AS BIGINT) AS n_matches,
+               CAST(len(pi) AS BIGINT) AS n_inc
+        FROM pos
+    )
+    SELECT {id_col}, n_matches,
+           n_inc - n_matches AS n_excluded
+    FROM counted
+    WHERE n_matches > 0
+    ORDER BY n_matches DESC, {id_col} ASC
+    LIMIT {top_k}
+    """
+
+
+def rescore_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    rescore_phrase: str,
+    *,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """``rescore`` API — the OpenSearch two-phase ranking: a cheap
+    BM25 term query ranks everything, then only the top
+    ``window_size`` hits re-rank by ``query_weight · base +
+    rescore_weight · phrase_score`` where the rescore query is an
+    exact phrase match (the canonical "retrieve loose, re-rank
+    precise" serving shape; ``top_k`` must be ≤ ``window_size`` so
+    the returned page is entirely rescored, as ES requires).
+
+    One pass: the same narrow projection carries the term tfs AND the
+    phrase count in-row, so the rescore phase adds zero extra corpus
+    work — the window cut (TakeOrderedAndProject on base score) and
+    the final cut (on combined score) both act on (id, longs) rows.
+    Phrase scoring uses the Lucene phrase weight (tf = phrase
+    frequency, idf = Σ constituent idfs) in quantized-exact longs;
+    docs in the window with no phrase match keep phrase_score 0 and
+    re-rank by weighted base alone.
+
+    Returns (id, base_score, phrase_freq, score) ordered
+    (score DESC, id ASC), top_k.
+    """
+    if top_k > window_size:
+        raise ValueError("top_k must be <= window_size (ES contract)")
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("rescore_search needs query terms")
+    phrase_terms = _TOKEN_RE.findall(rescore_phrase.lower())
+    if len(phrase_terms) < 2:
+        raise ValueError("rescore phrase needs >= 2 tokens")
+    all_terms = sorted(set(terms) | set(phrase_terms))
+
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    toks = fan_out_scan(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        ).alias("_toks"),
+    )
+    cols = [F.size("_toks").cast("long").alias("dl")]
+    for i, t in enumerate(all_terms):
+        cols.append(
+            F.size(F.filter("_toks", _term_eq(t))).cast("long")
+            .alias(f"_tf{i}")
+        )
+    cols.append(
+        _phrase_count_expr(F.col("_toks"), phrase_terms).alias("_pc")
+    )
+    proj = toks.select(F.col(id_col), *cols).persist()
+
+    aggs = [
+        F.sum((F.col("dl") > 0).cast("long")).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    ]
+    for i in range(len(all_terms)):
+        aggs.append(
+            F.sum((F.col(f"_tf{i}") > 0).cast("long"))
+            .cast("long").alias(f"_df{i}")
+        )
+    memo_key = (
+        proj._jdf.queryExecution().analyzed().semanticHash(),
+        ("rescore",) + tuple(all_terms),
+    )
+    row = _ADHOC_STATS_MEMO.get(memo_key)
+    if row is None:
+        row = proj.agg(*aggs).collect()[0]
+        if len(_ADHOC_STATS_MEMO) >= 256:
+            _ADHOC_STATS_MEMO.pop(next(iter(_ADHOC_STATS_MEMO)))
+        _ADHOC_STATS_MEMO[memo_key] = row
+    n_docs = int(row["n_docs"] or 0)
+    total_dl = int(row["total_dl"] or 0)
+    if n_docs == 0:
+        return proj.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("base_score"),
+            F.lit(0).cast("long").alias("phrase_freq"),
+            F.lit(None).cast("double").alias("score"),
+        ).filter(F.lit(False))
+    avgdl = total_dl / n_docs
+    tidx = {t: i for i, t in enumerate(all_terms)}
+
+    def idf_of(t: str) -> float:
+        df_ = int(row[f"_df{tidx[t]}"] or 0)
+        return (float(n_docs - df_) + 0.5) / (float(df_) + 0.5)
+
+    def bm25_cq(tf, idf: float):
+        tf_part = (tf * (k1 + 1)) / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+        return F.round(F.lit(idf) * tf_part * F.lit(float(_FP)), 0).cast(
+            "long"
+        )
+
+    zero = F.lit(0).cast("long")
+    base_q = zero
+    member = F.lit(False)
+    for t in terms:
+        tf = F.col(f"_tf{tidx[t]}")
+        base_q = base_q + F.when(tf > 0, bm25_cq(tf, idf_of(t))).otherwise(
+            zero
+        )
+        member = member | (tf > 0)
+    phrase_idf = sum(idf_of(t) for t in phrase_terms)
+    phrase_q = F.when(
+        F.col("_pc") > 0, bm25_cq(F.col("_pc"), phrase_idf)
+    ).otherwise(zero)
+
+    window = (
+        proj.filter(member)
+        .select(
+            F.col(id_col),
+            base_q.alias("_bq"),
+            phrase_q.alias("_pq"),
+            F.col("_pc"),
+        )
+        .orderBy(F.col("_bq").desc(), F.col(id_col).asc())
+        .limit(window_size)
+    )
+    combined = (
+        F.lit(float(query_weight)) * F.col("_bq").cast("double")
+        + F.lit(float(rescore_weight)) * F.col("_pq").cast("double")
+    ) / F.lit(float(_FP))
+    return (
+        window.select(
+            F.col(id_col),
+            (F.col("_bq").cast("decimal(38,0)") / F.lit(_FP))
+            .cast("double")
+            .alias("base_score"),
+            F.col("_pc").alias("phrase_freq"),
+            combined.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def rescore_oracle_sql(
+    query_terms: list[str],
+    rescore_phrase: str,
+    *,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> str:
+    """DuckDB SQL computing the identical two-phase rescored ranking."""
+    terms = sorted({t.lower() for t in query_terms})
+    phrase_terms = _TOKEN_RE.findall(rescore_phrase.lower())
+    all_terms = sorted(set(terms) | set(phrase_terms))
+    tidx = {t: i for i, t in enumerate(all_terms)}
+
+    def tf_sql(t: str) -> str:
+        return f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT)"
+
+    L = len(phrase_terms)
+    conds = " AND ".join(
+        f"toks[i + {j}] = '{phrase_terms[j]}'" for j in range(L)
+    )
+    pc = (
+        f"CASE WHEN len(toks) >= {L} THEN "
+        f"CAST(len(list_filter(range(1, len(toks) - {L - 2}), "
+        f"i -> {conds})) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    )
+    proj_cols = ["CAST(len(toks) AS BIGINT) AS dl", f"{pc} AS _pc"]
+    for i, t in enumerate(all_terms):
+        proj_cols.append(f"{tf_sql(t)} AS _tf{i}")
+    stats_cols = [
+        "CAST(SUM(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs",
+        "CAST(SUM(dl) AS BIGINT) AS total_dl",
+    ]
+    for i in range(len(all_terms)):
+        stats_cols.append(
+            f"CAST(SUM(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS _df{i}"
+        )
+
+    def idf_expr(t: str) -> str:
+        i = tidx[t]
+        return f"((s.n_docs - s._df{i} + 0.5) / (s._df{i} + 0.5))"
+
+    def cq(tf: str, idf: str) -> str:
+        tf_part = (
+            f"(({tf}) * ({k1} + 1)) / (({tf}) + {k1} * ((1 - {b}) "
+            f"+ {b} * p.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))"
+        )
+        return (
+            f"CASE WHEN ({tf}) > 0 THEN CAST(round(({idf}) * ({tf_part}) "
+            f"* 1000000, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+
+    base_q = " + ".join(
+        f"({cq(f'p._tf{tidx[t]}', idf_expr(t))})" for t in terms
+    )
+    member = " OR ".join(f"(p._tf{tidx[t]} > 0)" for t in terms)
+    phrase_idf = " + ".join(idf_expr(t) for t in phrase_terms)
+    phrase_q = cq("p._pc", f"({phrase_idf})")
+    return f"""
+    WITH tokarr AS (
+        SELECT {id_col},
+               list_filter(string_split_regex(lower({text_col}),
+                           '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM {table}
+    ),
+    p AS (SELECT {id_col}, {', '.join(proj_cols)} FROM tokarr),
+    s AS (SELECT {', '.join(stats_cols)} FROM p),
+    scored AS (
+        SELECT p.{id_col},
+               CAST({base_q} AS BIGINT) AS _bq,
+               CAST({phrase_q} AS BIGINT) AS _pq,
+               p._pc
+        FROM p CROSS JOIN s
+        WHERE {member}
+    ),
+    win AS (
+        SELECT * FROM scored
+        ORDER BY _bq DESC, {id_col} ASC
+        LIMIT {window_size}
+    )
+    SELECT {id_col},
+           CAST(CAST(_bq AS DECIMAL(38,0)) / 1000000 AS DOUBLE)
+               AS base_score,
+           _pc AS phrase_freq,
+           (CAST({float(query_weight)!r} AS DOUBLE) * CAST(_bq AS DOUBLE)
+            + CAST({float(rescore_weight)!r} AS DOUBLE)
+              * CAST(_pq AS DOUBLE)) / 1000000.0 AS score
+    FROM win
+    ORDER BY score DESC, {id_col} ASC
+    LIMIT {top_k}
+    """

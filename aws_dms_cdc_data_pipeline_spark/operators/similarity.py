@@ -502,3 +502,44 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    filter_cond,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    method: str = "blas",
+) -> DataFrame:
+    """Filtered vector search — the OpenSearch/ES ``knn`` query's
+    ``filter`` clause with PRE-FILTER semantics: the metadata
+    predicate restricts the candidate set BEFORE scoring, so every
+    query returns k true neighbors from the allowed subset (the
+    correct semantics for access control and faceted vector search).
+    Post-filtering — scoring first, filtering the top-k after — can
+    return fewer than k or even zero rows when the filter is
+    selective; ES pre-filters for exactly this reason.
+
+    Exact (brute-force over the filtered subset). The predicate is a
+    plain Column, so Catalyst pushes it to the parquet scan — the
+    filtered corpus is cheaper to score than the full one, the
+    opposite of post-filtering's wasted work. For approximate tiers,
+    apply the same predicate before :func:`lsh_topk` / IVF probes —
+    bucket structures stay valid under subsetting (every bucket just
+    shrinks).
+    """
+    return brute_force_topk(
+        corpus.filter(filter_cond),
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        method=method,
+    )

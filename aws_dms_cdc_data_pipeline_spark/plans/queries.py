@@ -8780,6 +8780,118 @@ def dis_max_docs_q(spark, sf_dir):
     )
 
 
+@q(
+    "ann_filtered_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+    allowed AS (SELECT * FROM embeddings WHERE label IN (0, 1, 2, 3)),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                   AS cosine
+        FROM allowed e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+    "Filtered vector search — the OpenSearch knn query's filter "
+    "clause with PRE-FILTER semantics: the label predicate restricts "
+    "candidates BEFORE scoring (pushed to the parquet scan), so "
+    "every query returns k true neighbors from the allowed subset — "
+    "post-filtering would return short pages under selective "
+    "filters (operators/similarity.py:filtered_topk).",
+)
+def ann_filtered_topk_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.similarity import (
+        filtered_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = filtered_topk(
+        emb, queries_df, F.col("label").isin(0, 1, 2, 3), k=10
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _span_not_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        span_not_oracle_sql,
+    )
+
+    return span_not_oracle_sql("table", "hash", pre=1, post=1, top_k=25)
+
+
+@q(
+    "span_not_docs",
+    _span_not_oracle(),
+    "span_not query — occurrences of 'table' NOT adjacent to 'hash' "
+    "(pre=1/post=1 exclusion window), the OpenSearch span_not with "
+    "term spans. In-row positional algebra: both position lists "
+    "extract from the token array with one filter each and the "
+    "surviving count is a filter+EXISTS expression — no positional "
+    "explode, no self-join "
+    "(operators/querystring.py:span_not_search).",
+)
+def span_not_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        span_not_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_not_search(docs, "table", "hash", pre=1, post=1, top_k=25)
+
+
+def _rescore_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        rescore_oracle_sql,
+    )
+
+    return rescore_oracle_sql(
+        ["table", "merge", "order"],
+        "table hash",
+        window_size=50,
+        query_weight=1.0,
+        rescore_weight=2.0,
+        top_k=20,
+    )
+
+
+@q(
+    "rescore_docs",
+    _rescore_oracle(),
+    "rescore API — OpenSearch two-phase ranking: a loose BM25 term "
+    "query ranks the corpus, then ONLY the top-50 window re-ranks by "
+    "1.0·base + 2.0·phrase_score (exact phrase frequency, Lucene "
+    "summed-idf weight). One pass: the same narrow projection "
+    "carries term tfs and the in-row phrase count, so the rescore "
+    "phase adds zero corpus work — both cuts act on (id, long) rows "
+    "(operators/querystring.py:rescore_search).",
+)
+def rescore_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        rescore_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rescore_search(
+        docs,
+        ["table", "merge", "order"],
+        "table hash",
+        window_size=50,
+        query_weight=1.0,
+        rescore_weight=2.0,
+        top_k=20,
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r14 window = the 7 queries new this round

@@ -352,3 +352,101 @@ def test_dis_max_validation(spark):
         dis_max_search(df, ["a"], tie_breaker=1.5)
     with _pt.raises(ValueError, match="clause"):
         dis_max_search(df, [])
+
+
+def test_span_not_exclusion_window(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        span_not_search,
+    )
+
+    rows = [
+        (1, "apple pie apple cake apple"),   # pie@2 kills apple@1 AND @3
+        (2, "apple apple"),                  # no pie at all
+        (3, "pie apple pie"),                # apple surrounded by pie
+        (4, "cake bread"),                   # no apple
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_matches, r.n_excluded)
+        for r in span_not_search(
+            df, "apple", "pie", pre=1, post=1, top_k=10
+        ).collect()
+    }
+    # doc 1: apple@{1,3,5}, pie@2 is within ±1 of BOTH @1 and @3 —
+    # only apple@5 survives
+    assert out == {1: (1, 2), 2: (2, 0)}
+    # wider window excludes more
+    out2 = {
+        r.doc_id: r.n_matches
+        for r in span_not_search(
+            df, "apple", "pie", pre=4, post=4, top_k=10
+        ).collect()
+    }
+    assert out2 == {2: 2}
+
+
+def test_rescore_reorders_within_window_only(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        rescore_search,
+    )
+
+    rows = [
+        (1, "a a a x y"),     # strong on base term, no phrase
+        (2, "a x b c y"),     # weaker base, has phrase "b c"
+        (3, "x y z w v"),     # no match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base_order = rescore_search(
+        df, ["a"], "b c", window_size=10,
+        query_weight=1.0, rescore_weight=0.0, top_k=10,
+    ).collect()
+    assert [r.doc_id for r in base_order] == [1, 2]
+    assert base_order[1].phrase_freq == 1
+    boosted = rescore_search(
+        df, ["a"], "b c", window_size=10,
+        query_weight=1.0, rescore_weight=50.0, top_k=10,
+    ).collect()
+    assert [r.doc_id for r in boosted] == [2, 1]  # phrase doc promoted
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window_size"):
+        rescore_search(df, ["a"], "b c", window_size=5, top_k=10)
+
+
+def test_filtered_topk_prefilter_semantics(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.similarity import (
+        brute_force_topk, filtered_topk,
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(30, 8))
+    rows = [
+        (i, [float(x) for x in v], i % 3) for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = filtered_topk(
+        df, queries, F.col("label") == 0, k=5
+    ).collect()
+    allowed = {r.vec_id for r in df.filter(F.col("label") == 0).collect()}
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in out:
+        per_q[r.query_id].append(r.vec_id)
+    for q, ids in per_q.items():
+        assert set(ids) <= allowed
+        assert len(ids) == 5          # pre-filter: always a full page
+    # equals brute force over the manually filtered corpus
+    ref = brute_force_topk(
+        df.filter(F.col("label") == 0), queries, k=5
+    ).collect()
+    assert sorted((r.query_id, r.vec_id, r.rank) for r in out) == sorted(
+        (r.query_id, r.vec_id, r.rank) for r in ref
+    )
