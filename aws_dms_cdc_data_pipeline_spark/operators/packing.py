@@ -299,3 +299,101 @@ def chunk_documents_oracle_sql(
                ' ') AS chunk_text
     FROM chunks
     """
+
+
+def span_corruption(
+    docs: DataFrame,
+    *,
+    noise_density: float = 0.15,
+    mean_span_length: int = 3,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T5/UL2-style span corruption — build denoising training
+    examples (Raffel et al. 2020 §3.1.4): mask ~``noise_density`` of
+    each document's tokens in contiguous spans of mean length
+    ``mean_span_length``; the input keeps unmasked tokens with one
+    sentinel per masked span, the target holds each sentinel followed
+    by the tokens it replaced. Reconstructing input+target
+    reproduces the original sequence exactly (asserted in tests).
+
+    DETERMINISTIC where the published recipe samples: span starts
+    are chosen by a seeded per-(doc, position) hash threshold
+    (P(start) = noise_density / mean_span_length, the stationary
+    rate that yields the target density in expectation), span length
+    by a second hash over 1..2·mean−1 (mean-preserving). A corpus
+    re-run — or the same doc on a different partitioning — always
+    produces identical examples; no RNG state anywhere.
+
+    Runs in one Arrow-batched ``mapInPandas`` pass over the
+    scan-partitioned corpus (per-doc greedy span walk is inherently
+    sequential within a doc — exactly the per-partition imperative
+    case the Pandas path exists for). Zero shuffles.
+
+    Returns (id, input_tokens, target_tokens, n_masked, n_spans) —
+    sentinels are ``<extra_id_K>`` strings, K in span order (the T5
+    convention).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    if not (0.0 < noise_density < 1.0):
+        raise ValueError("noise_density must be in (0, 1)")
+    if mean_span_length < 1:
+        raise ValueError("mean_span_length must be >= 1")
+    start_p = noise_density / mean_span_length
+    # threshold on a 32-bit hash slice; span length uniform over
+    # 1..2·mean−1 (mean-preserving, matches the integer mean)
+    thresh = int(start_p * (1 << 32))
+    len_mod = 2 * mean_span_length - 1
+
+    def h32(doc_id, pos, salt):
+        raw = hashlib.md5(
+            f"{seed}\x1f{salt}\x1f{doc_id}\x1f{pos}".encode()
+        ).digest()
+        return int.from_bytes(raw[:4], "big")
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def corrupt(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {
+                id_col: [], "input_tokens": [], "target_tokens": [],
+                "n_masked": [], "n_spans": [],
+            }
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in (text or "").lower().split() if t]
+                inp, tgt = [], []
+                i, k, masked = 0, 0, 0
+                n = len(toks)
+                while i < n:
+                    if h32(doc_id, i, "s") < thresh and i < n:
+                        span = 1 + h32(doc_id, i, "l") % len_mod
+                        sent = f"<extra_id_{k}>"
+                        inp.append(sent)
+                        tgt.append(sent)
+                        tgt.extend(toks[i : i + span])
+                        masked += min(span, n - i)
+                        i += span
+                        k += 1
+                    else:
+                        inp.append(toks[i])
+                        i += 1
+                out[id_col].append(doc_id)
+                out["input_tokens"].append(inp)
+                out["target_tokens"].append(tgt)
+                out["n_masked"].append(masked)
+                out["n_spans"].append(k)
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(
+        corrupt,
+        schema=(
+            f"{id_col} {id_type}, input_tokens array<string>, "
+            "target_tokens array<string>, n_masked long, n_spans long"
+        ),
+    )

@@ -543,3 +543,62 @@ def filtered_topk(
         query_vec_col=query_vec_col,
         method=method,
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    positives: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (dense-retriever
+    / embedding-model training data): per anchor, the ``k`` corpus
+    vectors MOST similar to it that are NOT known positives — the
+    negatives that actually teach the model, where random negatives
+    (operators/sampling.py:negative_samples) are trivially separable.
+
+    ``positives`` is the (query_id, id) relation of known positive
+    pairs — the anchor itself belongs in it (it is its own nearest
+    neighbor). Exactness without scoring-the-world twice: each
+    anchor's positive count is bounded by the positives relation (a
+    training-pair table, tiny next to the corpus), so fetching
+    ``k + max_positives_per_anchor`` neighbors and anti-joining the
+    positives leaves at least the k true hardest negatives — one
+    bounded widening of the same BLAS brute-force pass, corpus never
+    shuffled.
+
+    Returns (query_id, id, cosine, rank) with rank 1..k per anchor,
+    (cosine DESC, id ASC) deterministic.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pos = positives.select(
+        F.col(query_id_col), F.col(id_col)
+    )
+    row = pos.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).agg(F.max("_n").alias("_m")).collect()
+    kmax = int(row[0]["_m"] or 0)
+    fetched = brute_force_topk(
+        corpus,
+        anchors,
+        k=k + kmax,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        fetched.join(pos, [query_id_col, id_col], "left_anti")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -8892,6 +8892,80 @@ def rescore_docs_q(spark, sf_dir):
     )
 
 
+@q(
+    "hard_negative_mining",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS qlabel
+               FROM embeddings WHERE vec_id < 6),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                   AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label <> q.qlabel
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    "Hard-negative mining for contrastive training — per anchor the "
+    "5 MOST-similar corpus vectors that are not known positives "
+    "(here: same-label vectors are the positive set), the negatives "
+    "that actually teach a dense retriever where random negatives "
+    "are trivially separable. One bounded widening of the BLAS "
+    "brute-force pass + positive anti-join; corpus never shuffled "
+    "(operators/similarity.py:hard_negative_mining).",
+)
+def hard_negative_mining_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    qlabels = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    positives = (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(qlabels), F.col("label") == F.col("_ql"))
+        .select("query_id", "vec_id")
+    )
+    out = hard_negative_mining(emb, anchors, positives, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@q(
+    "span_corruption_examples",
+    None,  # the greedy per-doc span walk has no SQL expression —
+    # rows-only by design; reconstruction/determinism/density
+    # property tests in tests/test_span_corruption.py
+    "T5/UL2 span corruption — denoising training examples (Raffel "
+    "et al. 2020): ~15% of each doc's tokens masked in mean-3 "
+    "contiguous spans, input keeps one <extra_id_K> sentinel per "
+    "span, target holds the masked tokens; input+target reconstruct "
+    "the original exactly. DETERMINISTIC where the paper samples "
+    "(seeded per-(doc, position) hash thresholds), so re-runs and "
+    "repartitions produce identical examples. One Arrow mapInPandas "
+    "pass, zero shuffles "
+    "(operators/packing.py:span_corruption).",
+)
+def span_corruption_examples_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.packing import (
+        span_corruption,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = span_corruption(docs, noise_density=0.15, seed=42)
+    return out.select("doc_id", "n_masked", "n_spans")
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r14 window = the 7 queries new this round

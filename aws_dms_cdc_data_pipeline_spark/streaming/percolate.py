@@ -132,6 +132,7 @@ def percolate(
     wild_qs: list[tuple[str, str]] = []
     fuzzy_qs: list[tuple[str, str, int, int, int]] = []
     regexp_qs: list[tuple[str, str]] = []
+    sqs_specs: list[tuple[str, int, str]] = []  # (qid, n_pos, operator)
     seen: set[str] = set()
     for entry in standing:
         if isinstance(entry, dict):
@@ -208,6 +209,37 @@ def percolate(
             regexp_qs.append(
                 (qid, _validate_regexp(entry.get("pattern") or ""))
             )
+        elif qtype == "simple_query_string":
+            # the end-user saved-search shape: parse with the batch
+            # operator's parser, register every clause as an INTERNAL
+            # phrase query ({qid}\x1fsqs_{p|n}{i}) riding the SAME
+            # shared anchor-vote pass, and recombine per parent after
+            # the union (match semantics identical to
+            # operators/querystring.py:simple_query_string — asserted
+            # stream ≡ batch in tests)
+            from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+                parse_simple_query_string,
+            )
+
+            op = entry.get("default_operator", "or")
+            if op not in ("or", "and"):
+                raise ValueError(
+                    f"simple_query_string query {qid!r}: "
+                    "default_operator must be 'or' or 'and'"
+                )
+            clauses = parse_simple_query_string(entry.get("query") or "")
+            pos_cl = [ts for negf, ts in clauses if not negf]
+            neg_cl = [ts for negf, ts in clauses if negf]
+            if not pos_cl:
+                raise ValueError(
+                    f"simple_query_string query {qid!r} needs at least "
+                    "one positive clause"
+                )
+            for i, ts in enumerate(pos_cl):
+                phrase_qs.append((f"{qid}\x1fsqs_p{i}", ts))
+            for i, ts in enumerate(neg_cl):
+                phrase_qs.append((f"{qid}\x1fsqs_n{i}", ts))
+            sqs_specs.append((qid, len(pos_cl), op))
         elif qtype == "bool":
             if entry.get("filter"):
                 raise ValueError(
@@ -418,6 +450,49 @@ def percolate(
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)
+    if sqs_specs:
+        # recombine the internal sqs clause hits per parent query:
+        # membership = (or: any | and: all) positive clauses hit AND
+        # no negative clause hit; n_matches = positive clauses hit
+        # (the batch operator's n_clauses_hit)
+        spark = result.sparkSession
+        spec = spark.createDataFrame(
+            sqs_specs, "query_id string, _np long, _op string"
+        )
+        is_sqs = F.col("query_id").contains("\x1fsqs_")
+        passthrough = result.filter(~is_sqs)
+        leg = F.substring_index(F.col("query_id"), "\x1f", -1)
+        combined = (
+            result.filter(is_sqs)
+            .select(
+                F.substring_index(F.col("query_id"), "\x1f", 1).alias(
+                    "query_id"
+                ),
+                F.col(id_col),
+                leg.startswith("sqs_p").alias("_is_pos"),
+                leg.alias("_leg"),
+            )
+            .groupBy("query_id", id_col)
+            .agg(
+                F.count_distinct(
+                    F.when(F.col("_is_pos"), F.col("_leg"))
+                ).cast("long").alias("_pos_hits"),
+                F.max((~F.col("_is_pos")).cast("int")).alias("_neg_hit"),
+            )
+            .join(F.broadcast(spec), "query_id")
+            .filter(
+                (F.col("_neg_hit") == 0)
+                & F.when(
+                    F.col("_op") == "or", F.col("_pos_hits") > 0
+                ).otherwise(F.col("_pos_hits") == F.col("_np"))
+            )
+            .select(
+                "query_id",
+                F.col(id_col),
+                F.col("_pos_hits").alias("n_matches"),
+            )
+        )
+        result = passthrough.unionByName(combined)
     return result
 
 

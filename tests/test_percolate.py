@@ -815,3 +815,66 @@ def test_percolator_stream_term_set_equals_batch(spark, tmp_path):
     }
     assert got == batch
     assert ("w", 1) in got and ("r", 1) in got and ("f", 4) in got
+
+
+def test_percolate_simple_query_string_matches_batch_operator(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        simple_query_string,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps spark"),
+            (2, "quick dog and spark spark"),
+            (3, "quick brown fox but failure here"),
+            (4, "nothing at all"),
+            (5, "spark alone"),
+        ],
+        "doc_id long, text string",
+    )
+    for op in ("or", "and"):
+        q = '"quick brown" spark -failure'
+        standing = [
+            {
+                "query_id": "sq1",
+                "type": "simple_query_string",
+                "query": q,
+                "default_operator": op,
+            },
+            # a plain phrase query alongside, to exercise passthrough
+            ("q_fox", "brown fox"),
+        ]
+        got = {
+            (r["query_id"], r["doc_id"]): r["n_matches"]
+            for r in percolate(docs, standing).collect()
+        }
+        want_ids = {
+            r["doc_id"]: r["n_clauses_hit"]
+            for r in simple_query_string(
+                docs, q, default_operator=op, top_k=100
+            ).collect()
+        }
+        sq_got = {
+            d: n for (qid, d), n in got.items() if qid == "sq1"
+        }
+        assert sq_got == want_ids, op
+        # passthrough phrase query unaffected by the sqs recombination
+        assert (("q_fox", 1) in got) and (("q_fox", 3) in got)
+
+
+def test_percolate_sqs_validation(spark):
+    import pytest as _pt
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="positive"):
+        percolate(
+            docs,
+            [{"query_id": "x", "type": "simple_query_string",
+              "query": "-only -negs"}],
+        )
+    with _pt.raises(ValueError, match="default_operator"):
+        percolate(
+            docs,
+            [{"query_id": "x", "type": "simple_query_string",
+              "query": "a", "default_operator": "xor"}],
+        )
