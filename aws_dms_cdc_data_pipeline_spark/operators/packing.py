@@ -397,3 +397,118 @@ def span_corruption(
             "target_tokens array<string>, n_masked long, n_spans long"
         ),
     )
+
+
+def prefix_lm_split(
+    docs: DataFrame,
+    *,
+    min_prefix: float = 0.1,
+    max_prefix: float = 0.9,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Prefix-LM (sequential denoiser) examples — UL2's S-denoiser
+    (Tay et al. 2022): split each document at a point drawn from
+    [min_prefix, max_prefix] of its length; input = the prefix,
+    target = the suffix. DETERMINISTIC split: the fraction comes
+    from a seeded per-doc hash (pmod(xxhash64(id, seed), 1000)/1000
+    scaled into the band), so re-runs and repartitions agree.
+
+    Pure-JVM expressions (split + slice in one codegen stage), zero
+    shuffles. Docs shorter than 2 tokens are dropped (no valid
+    split). Returns (id, input_tokens, target_tokens, split_at).
+    """
+    if not (0.0 <= min_prefix < max_prefix <= 1.0):
+        raise ValueError("need 0 <= min_prefix < max_prefix <= 1")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(F.col(id_col), toks.alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    frac = (
+        F.lit(float(min_prefix))
+        + F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1000))
+        .cast("double")
+        / F.lit(1000.0)
+        * F.lit(float(max_prefix - min_prefix))
+    )
+    cut = F.greatest(
+        F.lit(1),
+        F.least(
+            F.size("_t") - F.lit(1),
+            F.floor(F.size("_t").cast("double") * frac).cast("int"),
+        ),
+    )
+    return base.select(
+        F.col(id_col),
+        F.slice("_t", F.lit(1), cut).alias("input_tokens"),
+        F.slice("_t", cut + F.lit(1), F.size("_t") - cut).alias(
+            "target_tokens"
+        ),
+        cut.cast("long").alias("split_at"),
+    )
+
+
+def ul2_denoiser_mix(
+    docs: DataFrame,
+    *,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UL2 mixture-of-denoisers (Tay et al. 2022): every document is
+    deterministically assigned one denoiser by hash —
+
+    - ``[R]`` regular span corruption (noise 0.15, mean span 3), 50%
+    - ``[X]`` extreme span corruption (noise 0.5, mean span 8), 25%
+    - ``[S]`` sequential prefix-LM split, 25%
+
+    — and produces one training example under that objective, with
+    the UL2 mode token prepended to the input. The assignment hash,
+    the span-corruption hashes, and the prefix split are all seeded
+    pure functions of (doc, position): the mixture is reproducible
+    across runs and partitionings.
+
+    Each leg processes ONLY its hash-assigned subset (the filters
+    push to the scan); the union preserves the per-leg shapes.
+    Returns (id, denoiser, input_tokens, target_tokens).
+    """
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 101)), F.lit(4))
+    r_docs = docs.filter(bucket.isin(0, 1))
+    x_docs = docs.filter(bucket == 2)
+    s_docs = docs.filter(bucket == 3)
+
+    def tag(df, mode):
+        return df.select(
+            F.col(id_col),
+            F.lit(mode).alias("denoiser"),
+            F.concat(F.array(F.lit(mode)), F.col("input_tokens")).alias(
+                "input_tokens"
+            ),
+            F.col("target_tokens"),
+        )
+
+    r_leg = tag(
+        span_corruption(
+            r_docs, noise_density=0.15, mean_span_length=3, seed=seed,
+            text_col=text_col, id_col=id_col,
+        ),
+        "[R]",
+    )
+    x_leg = tag(
+        span_corruption(
+            x_docs, noise_density=0.5, mean_span_length=8, seed=seed,
+            text_col=text_col, id_col=id_col,
+        ),
+        "[X]",
+    )
+    s_leg = tag(
+        prefix_lm_split(
+            s_docs, seed=seed, text_col=text_col, id_col=id_col
+        ),
+        "[S]",
+    )
+    return r_leg.unionByName(x_leg).unionByName(s_leg)

@@ -1014,3 +1014,198 @@ def rescore_oracle_sql(
     ORDER BY score DESC, {id_col} ASC
     LIMIT {top_k}
     """
+
+
+def bm25_explain(
+    docs: DataFrame,
+    query_terms: list[str],
+    explain_id: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """``_explain`` API — the per-term scoring breakdown OpenSearch
+    returns for one (query, document) pair: for each query term, its
+    tf in the document, corpus df, idf, the saturated tf component,
+    and the quantized contribution that entered the document's BM25
+    score. The ``score`` column repeats the document's total on every
+    row (the explain envelope).
+
+    Same single-pass stats as the ad-hoc BM25 path; the per-doc
+    projection prunes to the explained id BEFORE anything else (one
+    pushed filter — this is a point lookup, not a ranking).
+
+    Returns one row per query term: (term, tf, df, idf, tf_part,
+    contribution, score), ordered by term.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("bm25_explain needs query terms")
+
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    toks = fan_out_scan(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        ).alias("_toks"),
+    )
+    cols = [F.size("_toks").cast("long").alias("dl")]
+    for i, t in enumerate(terms):
+        cols.append(
+            F.size(F.filter("_toks", _term_eq(t))).cast("long")
+            .alias(f"_tf{i}")
+        )
+    proj = toks.select(F.col(id_col), *cols).persist()
+    aggs = [
+        F.sum((F.col("dl") > 0).cast("long")).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    ]
+    for i in range(len(terms)):
+        aggs.append(
+            F.sum((F.col(f"_tf{i}") > 0).cast("long"))
+            .cast("long").alias(f"_df{i}")
+        )
+    memo_key = (
+        proj._jdf.queryExecution().analyzed().semanticHash(),
+        ("explain",) + tuple(terms),
+    )
+    row = _ADHOC_STATS_MEMO.get(memo_key)
+    if row is None:
+        row = proj.agg(*aggs).collect()[0]
+        if len(_ADHOC_STATS_MEMO) >= 256:
+            _ADHOC_STATS_MEMO.pop(next(iter(_ADHOC_STATS_MEMO)))
+        _ADHOC_STATS_MEMO[memo_key] = row
+    n_docs = int(row["n_docs"] or 0)
+    total_dl = int(row["total_dl"] or 0)
+    spark = docs.sparkSession
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [], "term string, tf bigint, df bigint, idf double, "
+                "tf_part double, contribution double, score double"
+        )
+    avgdl = total_dl / n_docs
+    target = proj.filter(F.col(id_col) == explain_id)
+    legs = []
+    contribs = []
+    for i, t in enumerate(terms):
+        df_ = int(row[f"_df{i}"] or 0)
+        idf = (float(n_docs - df_) + 0.5) / (float(df_) + 0.5)
+        tf = F.col(f"_tf{i}")
+        tf_part = (tf * (k1 + 1)) / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+        cq = F.round(F.lit(idf) * tf_part * F.lit(float(_FP)), 0).cast(
+            "long"
+        )
+        contrib = F.when(tf > 0, cq).otherwise(F.lit(0).cast("long"))
+        contribs.append(contrib)
+        legs.append(
+            F.struct(
+                F.lit(t).alias("term"),
+                tf.alias("tf"),
+                F.lit(df_).cast("long").alias("df"),
+                F.lit(idf).alias("idf"),
+                F.when(tf > 0, tf_part).otherwise(F.lit(0.0)).alias(
+                    "tf_part"
+                ),
+                (contrib.cast("decimal(38,0)") / F.lit(_FP))
+                .cast("double")
+                .alias("contribution"),
+            )
+        )
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return (
+        target.select(
+            F.explode(F.array(*legs)).alias("_e"),
+            (total.cast("decimal(38,0)") / F.lit(_FP))
+            .cast("double")
+            .alias("score"),
+        )
+        .select("_e.*", "score")
+        .orderBy("term")
+    )
+
+
+def bm25_explain_oracle_sql(
+    query_terms: list[str],
+    explain_id: int,
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB SQL for the identical per-term explain breakdown."""
+    terms = sorted({t.lower() for t in query_terms})
+
+    def tf_sql(t: str) -> str:
+        return f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT)"
+
+    proj_cols = ["CAST(len(toks) AS BIGINT) AS dl"] + [
+        f"{tf_sql(t)} AS _tf{i}" for i, t in enumerate(terms)
+    ]
+    stats_cols = [
+        "CAST(SUM(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs",
+        "CAST(SUM(dl) AS BIGINT) AS total_dl",
+    ] + [
+        f"CAST(SUM(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS _df{i}"
+        for i in range(len(terms))
+    ]
+
+    def idf_sql(i: int) -> str:
+        return f"((s.n_docs - s._df{i} + 0.5) / (s._df{i} + 0.5))"
+
+    def tf_part_sql(i: int) -> str:
+        tf = f"t._tf{i}"
+        return (
+            f"(({tf}) * ({k1} + 1)) / (({tf}) + {k1} * ((1 - {b}) "
+            f"+ {b} * t.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))"
+        )
+
+    def cq_sql(i: int) -> str:
+        return (
+            f"CASE WHEN (t._tf{i}) > 0 THEN CAST(round(({idf_sql(i)}) "
+            f"* ({tf_part_sql(i)}) * 1000000, 0) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+
+    total = " + ".join(f"({cq_sql(i)})" for i in range(len(terms)))
+    legs = []
+    for i, t in enumerate(terms):
+        legs.append(
+            f"SELECT '{t}' AS term, t._tf{i} AS tf, "
+            f"CAST(s._df{i} AS BIGINT) AS df, {idf_sql(i)} AS idf, "
+            f"CASE WHEN (t._tf{i}) > 0 THEN {tf_part_sql(i)} "
+            f"ELSE 0.0 END AS tf_part, "
+            f"CAST(CAST({cq_sql(i)} AS DECIMAL(38,0)) / 1000000 "
+            f"AS DOUBLE) AS contribution, "
+            f"CAST(CAST({total} AS DECIMAL(38,0)) / 1000000 AS DOUBLE) "
+            f"AS score "
+            f"FROM t CROSS JOIN s"
+        )
+    union = "\n    UNION ALL\n    ".join(legs)
+    return f"""
+    WITH tokarr AS (
+        SELECT {id_col},
+               list_filter(string_split_regex(lower({text_col}),
+                           '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM {table}
+    ),
+    p AS (SELECT {id_col}, {', '.join(proj_cols)} FROM tokarr),
+    s AS (SELECT {', '.join(stats_cols)} FROM p),
+    t AS (SELECT * FROM p WHERE {id_col} = {explain_id})
+    {union}
+    ORDER BY term
+    """

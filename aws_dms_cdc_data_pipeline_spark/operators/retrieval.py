@@ -4418,3 +4418,57 @@ def frequent_item_sets_oracle_sql(
     ORDER BY support_count DESC, itemset ASC
     LIMIT {top_k}
     """
+
+
+def categorize_text_agg(
+    hits: DataFrame,
+    text_col: str,
+    *,
+    max_categories: int = 25,
+) -> DataFrame:
+    """``categorize_text`` aggregation — the OpenSearch ML
+    log-pattern grouping ("which message TEMPLATES dominate this
+    index?"), deterministic where OpenSearch runs a drift-prone
+    online categorizer: the category key masks every digit run to
+    ``<num>`` in the lowercased text (the variable part of log
+    templates), so messages differing only in ids/counts/timestamps
+    collapse to one template. One map-side-combined groupBy; the
+    representative example is the lexicographic MIN original text —
+    order-independent, no first()-nondeterminism.
+
+    Returns (category, doc_count, example) ordered
+    (doc_count DESC, category ASC), max_categories.
+    """
+    if max_categories < 1:
+        raise ValueError("max_categories must be >= 1")
+    cat = F.regexp_replace(F.lower(F.col(text_col)), "[0-9]+", "<num>")
+    return (
+        hits.select(cat.alias("category"), F.col(text_col).alias("_t"))
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.min("_t").alias("example"),
+        )
+        .orderBy(F.col("doc_count").desc(), F.col("category").asc())
+        .limit(max_categories)
+    )
+
+
+def categorize_text_oracle_sql(
+    hits_sql: str,
+    text_col: str,
+    *,
+    max_categories: int = 25,
+) -> str:
+    """DuckDB SQL computing the identical template grouping."""
+    return f"""
+    WITH h AS ({hits_sql})
+    SELECT regexp_replace(lower({text_col}), '[0-9]+', '<num>', 'g')
+               AS category,
+           CAST(COUNT(*) AS BIGINT) AS doc_count,
+           MIN({text_col}) AS example
+    FROM h
+    GROUP BY 1
+    ORDER BY doc_count DESC, category ASC
+    LIMIT {max_categories}
+    """

@@ -8966,6 +8966,101 @@ def span_corruption_examples_q(spark, sf_dir):
     return out.select("doc_id", "n_masked", "n_spans")
 
 
+def _bm25_explain_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        bm25_explain_oracle_sql,
+    )
+
+    return bm25_explain_oracle_sql(["spark", "merge", "window"], 42)
+
+
+@q(
+    "bm25_explain_doc",
+    _bm25_explain_oracle(),
+    "_explain API — the per-term scoring breakdown OpenSearch "
+    "returns for one (query, document) pair: tf, corpus df, idf, "
+    "the saturated tf component, and the quantized contribution per "
+    "term, with the document's total score on every row. Same "
+    "single-pass corpus stats as the ad-hoc BM25 path; the explained "
+    "doc resolves via one pushed point filter "
+    "(operators/querystring.py:bm25_explain).",
+)
+def bm25_explain_doc_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        bm25_explain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_explain(docs, ["spark", "merge", "window"], 42)
+
+
+def _categorize_text_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        categorize_text_oracle_sql,
+    )
+
+    return categorize_text_oracle_sql(
+        "SELECT event_type || ' ' || props AS msg FROM events",
+        "msg",
+        max_categories=25,
+    )
+
+
+@q(
+    "categorize_event_messages",
+    _categorize_text_oracle(),
+    "categorize_text aggregation — OpenSearch ML log-template "
+    "grouping, deterministic where OpenSearch runs an online "
+    "categorizer: digit runs mask to <num> so messages differing "
+    "only in ids/counts collapse to one template; representative "
+    "example is the lexicographic MIN original (order-independent). "
+    "One map-side-combined groupBy over the synthesized "
+    "event_type+props message stream "
+    "(operators/retrieval.py:categorize_text_agg).",
+)
+def categorize_event_messages_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        categorize_text_agg,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    msgs = events.select(
+        F.concat(F.col("event_type"), F.lit(" "), F.col("props")).alias(
+            "msg"
+        )
+    )
+    return categorize_text_agg(msgs, "msg", max_categories=25)
+
+
+@q(
+    "ul2_denoiser_examples",
+    None,  # the greedy span walks have no SQL expression — rows-only
+    # by design; partition/reconstruction/aggressiveness property
+    # tests in tests/test_span_corruption.py
+    "UL2 mixture-of-denoisers (Tay et al. 2022) — every doc "
+    "hash-assigned one objective ([R] regular span corruption 50% / "
+    "[X] extreme 25% / [S] prefix-LM 25%) with the mode token "
+    "prepended; assignment, span selection, and split points are all "
+    "seeded pure functions of (doc, position), so the mixture is "
+    "identical across runs and partitionings. Each leg filters to "
+    "its hash subset at the scan "
+    "(operators/packing.py:ul2_denoiser_mix).",
+)
+def ul2_denoiser_examples_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.packing import (
+        ul2_denoiser_mix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ul2_denoiser_mix(docs, seed=42)
+    return out.select(
+        "doc_id",
+        "denoiser",
+        F.size("input_tokens").cast("long").alias("n_input"),
+        F.size("target_tokens").cast("long").alias("n_target"),
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r14 window = the 7 queries new this round

@@ -103,3 +103,61 @@ def test_span_corruption_validation(docs):
         span_corruption(docs, noise_density=1.5)
     with pytest.raises(ValueError, match="mean_span_length"):
         span_corruption(docs, mean_span_length=0)
+
+
+def test_prefix_lm_split_properties(docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.packing import (
+        prefix_lm_split,
+    )
+
+    out = prefix_lm_split(docs, seed=3).collect()
+    originals = {r.doc_id: r.text.split() for r in docs.collect()}
+    assert len(out) == 20
+    for r in out:
+        assert list(r.input_tokens) + list(r.target_tokens) \
+            == originals[r.doc_id]
+        n = len(originals[r.doc_id])
+        assert 1 <= r.split_at <= n - 1
+        assert len(r.input_tokens) == r.split_at
+    # deterministic across partitionings
+    from aws_dms_cdc_data_pipeline_spark.operators.packing import (
+        prefix_lm_split as pls,
+    )
+    a = {r.doc_id: r.split_at
+         for r in pls(docs.repartition(7), seed=3).collect()}
+    assert a == {r.doc_id: r.split_at for r in out}
+
+
+def test_ul2_mix_partitions_and_reconstructs(docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.packing import (
+        ul2_denoiser_mix,
+    )
+
+    out = ul2_denoiser_mix(docs, seed=5).collect()
+    originals = {r.doc_id: r.text.split() for r in docs.collect()}
+    assert len(out) == 20                     # every doc, exactly once
+    modes = {r.doc_id: r.denoiser for r in out}
+    assert set(modes.values()) <= {"[R]", "[X]", "[S]"}
+    assert len(set(modes.values())) == 3      # 20 docs: all modes appear
+    for r in out:
+        inp = list(r.input_tokens)
+        assert inp[0] == r.denoiser           # mode token prepended
+        body = inp[1:]
+        tgt = list(r.target_tokens)
+        if r.denoiser == "[S]":
+            assert body + tgt == originals[r.doc_id]
+        else:
+            assert _reconstruct(body, tgt) == originals[r.doc_id]
+    # [X] masks much more aggressively than [R] on average
+    import statistics
+
+    def mask_frac(r):
+        n = len(originals[r.doc_id])
+        masked = sum(
+            1 for t in r.target_tokens if not t.startswith("<extra_id_")
+        )
+        return masked / n
+
+    xs = [mask_frac(r) for r in out if r.denoiser == "[X]"]
+    rs = [mask_frac(r) for r in out if r.denoiser == "[R]"]
+    assert statistics.mean(xs) > statistics.mean(rs)
