@@ -139,4 +139,79 @@ def semdedup(
     )
 
 
-__all__ = ["semdedup", "semdedup_pairs"]
+def semdedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Incremental SemDeDup ingestion — the E100 contract for the
+    semantic tier: an arriving batch is deduplicated against the
+    EXISTING corpus (and itself) without ever re-pairing the corpus.
+    Centroids come from the original :func:`...ivf.train_quantizer`
+    run (memoized — the codebook is the index; retraining per batch
+    would move every cell boundary and invalidate prior decisions).
+
+    Pair work is |batch| × (cell sizes touched by the batch): the
+    batch assigns to cells in one zero-shuffle Arrow pass, then joins
+    corpus vectors AND earlier batch members in the SAME cell only.
+    A batch row's duplicate target is the MINIMUM id among its
+    matches (corpus ids and smaller batch ids — deterministic, and
+    consistent with the full rebuild's min-id survivor rule for the
+    pairs this path examines).
+
+    Returns one row per batch vector: (id, dup_of, cosine) — dup_of
+    NULL when the vector is novel; cosine is the similarity to the
+    kept duplicate target.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    c_norm = corpus.select(
+        F.col(id_col), _normalize(F.col(vec_col)).alias("_v")
+    )
+    b_norm = batch.select(
+        F.col(id_col), _normalize(F.col(vec_col)).alias("_v")
+    )
+    c_asg = _assign_cells(c_norm, centroids, id_col=id_col)
+    b_asg = _assign_cells(b_norm, centroids, id_col=id_col).persist()
+    # candidate targets: corpus members of the cell, plus batch
+    # members with a smaller id (earlier-wins, like the batch rule)
+    cand = c_asg.select(
+        F.col(id_col).alias("_tid"), F.col("_v").alias("_tv"),
+        "_cell", F.lit(False).alias("_from_batch"),
+    ).unionByName(
+        b_asg.select(
+            F.col(id_col).alias("_tid"), F.col("_v").alias("_tv"),
+            "_cell", F.lit(True).alias("_from_batch"),
+        )
+    )
+    j = (
+        b_asg.alias("n")
+        .join(cand.alias("c"), ["_cell"])
+        .filter(
+            (~F.col("_from_batch"))
+            | (F.col("_tid") < F.col(f"n.{id_col}"))
+        )
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("n._v"), F.col("_tv")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    # cosine reported for the MIN-id duplicate target (min_by keeps
+    # the report aligned with the chosen dup_of)
+    best = j.groupBy(F.col(f"n.{id_col}").alias(id_col)).agg(
+        F.min("_tid").alias("dup_of"),
+        F.min_by("cosine", "_tid").alias("cosine"),
+    )
+    return (
+        b_asg.select(F.col(id_col))
+        .join(best, id_col, "left")
+        .select(id_col, "dup_of", "cosine")
+    )
+
+
+__all__ = ["semdedup", "semdedup_incremental", "semdedup_pairs"]

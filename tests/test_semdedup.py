@@ -102,3 +102,39 @@ def test_semdedup_threshold_validation(planted):
 
     with pytest.raises(ValueError, match="threshold"):
         semdedup(planted, threshold=0.0)
+
+
+def test_semdedup_incremental_against_corpus_and_batch(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.ivf import (
+        train_quantizer,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.semdedup import (
+        semdedup_incremental,
+    )
+
+    rng = np.random.default_rng(19)
+    base = rng.normal(size=(30, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    corpus = _corpus(spark, base)  # ids 0..29
+    # batch: id 100 duplicates corpus id 4; id 101 novel;
+    # ids 102, 103 duplicate each other (batch-internal)
+    novel = rng.normal(size=16)
+    internal = rng.normal(size=16)
+    batch_vecs = [base[4], novel, internal, internal]
+    rows = [(100 + i, [float(x) for x in v])
+            for i, v in enumerate(batch_vecs)]
+    batch = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    cents = train_quantizer(corpus, n_lists=4, iterations=3)
+    out = {
+        r.vec_id: (r.dup_of, r.cosine)
+        for r in semdedup_incremental(
+            corpus, batch, cents, threshold=0.98
+        ).collect()
+    }
+    assert set(out) == {100, 101, 102, 103}
+    assert out[100][0] == 4 and out[100][1] >= 0.999999
+    assert out[101] == (None, None)
+    assert out[102] == (None, None)       # first of the internal pair
+    assert out[103][0] == 102             # earlier batch id wins
