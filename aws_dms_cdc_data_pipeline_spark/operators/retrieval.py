@@ -4472,3 +4472,80 @@ def categorize_text_oracle_sql(
     ORDER BY doc_count DESC, category ASC
     LIMIT {max_categories}
     """
+
+
+def normalized_hybrid_fuse(
+    legs: list,
+    weights: list,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    top_k: int = 20,
+) -> DataFrame:
+    """Score-normalized hybrid fusion — the OpenSearch 2.x ``hybrid``
+    query with the ``min_max`` normalization + ``arithmetic_mean``
+    combination processors: each leg's scores min-max normalize into
+    [0, 1] WITHIN the leg (BM25 and cosine live on incomparable
+    scales — normalization is what makes a weighted sum meaningful
+    where :func:`rrf_fuse` side-steps scores entirely), then combine
+    as ``Σ wᵢ·normᵢ`` with missing-from-leg contributing 0.
+
+    Degenerate leg (all scores equal): every doc normalizes to 1.0
+    (it is everyone's best score — the OpenSearch convention).
+
+    Determinism: normalization is subtract+divide on the legs'
+    quantized-exact scores (single IEEE ops on identical inputs);
+    each weighted contribution rounds to a 1e-6 long before the
+    order-independent sum — bit-identical cross-engine.
+
+    Execution: legs are top-k-sized relations; per-leg min/max is a
+    1-row aggregate broadcast back; fusion is one hash aggregate on
+    the id, cut by TakeOrderedAndProject — O(Σ|legs|), independent
+    of corpus size.
+
+    Returns (id, hybrid_score, n_legs_hit) ordered
+    (hybrid_score DESC, id ASC), top_k.
+    """
+    if not legs:
+        raise ValueError("normalized_hybrid_fuse needs at least one leg")
+    if len(weights) != len(legs):
+        raise ValueError("need exactly one weight per leg")
+    if any(w < 0 for w in weights):
+        raise ValueError("weights must be >= 0")
+    tagged = []
+    for leg, w in zip(legs, weights):
+        # persist the (top-k-sized) leg: its min/max aggregate AND the
+        # contribution projection both consume it — without the pin
+        # the leg's UPSTREAM (an index read + window, or a corpus
+        # brute-force pass) executes twice (audited: 10 scans → 4)
+        leg = leg.persist()
+        stats = leg.agg(
+            F.min(score_col).alias("_mn"), F.max(score_col).alias("_mx")
+        )
+        norm = F.when(
+            F.col("_mx") > F.col("_mn"),
+            (F.col(score_col) - F.col("_mn"))
+            / (F.col("_mx") - F.col("_mn")),
+        ).otherwise(F.lit(1.0))
+        tagged.append(
+            leg.crossJoin(F.broadcast(stats)).select(
+                F.col(id_col),
+                F.round(F.lit(float(w)) * norm * F.lit(float(_ES_FP)), 0)
+                .cast("long")
+                .alias("_c"),
+            )
+        )
+    allc = tagged[0]
+    for t in tagged[1:]:
+        allc = allc.unionByName(t)
+    return (
+        allc.groupBy(id_col)
+        .agg(
+            (F.sum("_c").cast("decimal(38,0)") / F.lit(_ES_FP))
+            .cast("double")
+            .alias("hybrid_score"),
+            F.count(F.lit(1)).cast("long").alias("n_legs_hit"),
+        )
+        .orderBy(F.col("hybrid_score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )

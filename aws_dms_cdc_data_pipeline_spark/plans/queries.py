@@ -9126,6 +9126,110 @@ def semdedup_incremental_batch_q(spark, sf_dir):
     return semdedup_incremental(corpus, batch, cents, threshold=0.4)
 
 
+@q(
+    "hybrid_search_normalized",
+    f"""
+    WITH lex AS (
+        SELECT doc_id, score FROM ({_bm25_sub_sql(30)})
+    ),
+    lexn AS (
+        SELECT doc_id,
+               CAST(round(0.7 * (CASE WHEN mx > mn
+                                 THEN (score - mn) / (mx - mn)
+                                 ELSE 1.0 END) * 1000000, 0) AS BIGINT)
+                   AS cq
+        FROM (SELECT doc_id, score,
+                     MIN(score) OVER () AS mn, MAX(score) OVER () AS mx
+              FROM lex)
+    ),
+    dense AS (
+        SELECT e.vec_id AS doc_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        FROM embeddings e
+        CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id = 0) q
+        ORDER BY score DESC, e.vec_id LIMIT 30
+    ),
+    densen AS (
+        SELECT doc_id,
+               CAST(round(0.3 * (CASE WHEN mx > mn
+                                 THEN (score - mn) / (mx - mn)
+                                 ELSE 1.0 END) * 1000000, 0) AS BIGINT)
+                   AS cq
+        FROM (SELECT doc_id, score,
+                     MIN(score) OVER () AS mn, MAX(score) OVER () AS mx
+              FROM dense)
+    ),
+    c AS (SELECT * FROM lexn UNION ALL SELECT * FROM densen)
+    SELECT doc_id,
+           CAST(CAST(SUM(cq) AS DECIMAL(38,0)) / 1000000 AS DOUBLE)
+               AS hybrid_score,
+           CAST(COUNT(*) AS BIGINT) AS n_legs_hit
+    FROM c GROUP BY doc_id
+    ORDER BY hybrid_score DESC, doc_id ASC
+    LIMIT 15
+    """,
+    "Score-normalized hybrid fusion — the OpenSearch 2.x hybrid "
+    "query with min_max normalization: BM25 top-30 and exact-cosine "
+    "top-30 each normalize into [0,1] WITHIN their leg (the scales "
+    "are incomparable; normalization makes 0.7·lex + 0.3·dense "
+    "meaningful where E135's RRF side-steps scores), contributions "
+    "quantized to 1e-6 longs before the order-independent sum. "
+    "Per-leg min/max is a 1-row broadcast; fusion cost O(Σ legs) "
+    "(operators/retrieval.py:normalized_hybrid_fuse).",
+)
+def hybrid_search_normalized_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        normalized_hybrid_fuse,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bm25_search_indexed,
+    )
+
+    idx_t, dl_t = _token_index_for(spark, sf_dir)
+    lex = bm25_search_indexed(
+        spark, idx_t, dl_t, ["spark", "shuffle", "broadcast"], top_k=30
+    ).select("doc_id", "score")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dense = V.brute_force_topk(emb, qdf, k=30).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+    )
+    return normalized_hybrid_fuse([lex, dense], [0.7, 0.3], top_k=15)
+
+
+@q(
+    "late_interaction_topk",
+    None,  # the hashing token encoder has no SQL expression —
+    # rows-only (the E107 encoder-plumbing precedent); MaxSim values
+    # pinned against a numpy reference in
+    # tests/test_late_interaction.py
+    "ColBERT-style late-interaction retrieval (Khattab & Zaharia "
+    "2020): score = Σ_query-token max_doc-token inner product "
+    "(MaxSim) over per-token embedding matrices — term-level "
+    "alignment single-vector retrieval collapses away; the "
+    "representation ladder's multi-vector tier (E107 single vector "
+    "→ E209 PQ codes → token matrices). Corpus token matrices build "
+    "in one zero-shuffle Arrow pass; each batch scores as one "
+    "matmul per doc with batch-local top-k "
+    "(operators/embed.py:embed_tokens/late_interaction_topk).",
+)
+def late_interaction_topk_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.embed import (
+        embed_tokens,
+        late_interaction_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dv = embed_tokens(docs, dim=32, seed=7)
+    return late_interaction_topk(
+        dv, "spark shuffle merge", dim=32, seed=7, k=15
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r14 window = the 7 queries new this round

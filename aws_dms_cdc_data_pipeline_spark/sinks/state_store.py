@@ -490,3 +490,71 @@ def _prev_version(bucket_root: str, current: int) -> int | None:
     )
     below = [v for v in versions if v < current]
     return below[-1] if below else None
+
+
+def snapshot_store(store: StateStore, dest: str) -> dict:
+    """Point-in-time snapshot of a live store — the OpenSearch
+    snapshot API parity (the reference's terminal store relies on
+    snapshots for disaster recovery): copy EXACTLY the files the
+    current manifest references into ``dest``, then write a manifest
+    pointing at them. The copy is consistent without stopping writes
+    because the store's versioned-bucket layout is immutable-by
+    construction — a concurrent merge writes NEW ``v=`` directories
+    and swaps the manifest pointer; the directories this snapshot
+    reads are never modified in place (the same property the
+    time-travel reads rely on).
+
+    Returns {"generation", "buckets", "files"} — the snapshot
+    inventory. Restore with :func:`restore_store`.
+    """
+    import shutil
+
+    if os.path.exists(os.path.join(dest, "_MANIFEST")):
+        raise ValueError(f"snapshot target {dest!r} already has a store")
+    manifest = store._manifest()
+    if manifest["generation"] < 0:
+        raise ValueError("cannot snapshot an empty store (no generation)")
+    os.makedirs(dest, exist_ok=True)
+    n_files = 0
+    for b, v in manifest["buckets"].items():
+        src_dir = store._bdir(int(b), v)
+        dst_dir = os.path.join(dest, f"b={b}", f"v={v}")
+        shutil.copytree(src_dir, dst_dir)
+        n_files += sum(len(fs) for _, _, fs in os.walk(dst_dir))
+    with open(os.path.join(dest, "_MANIFEST"), "w") as f:
+        json.dump(manifest, f)
+    return {
+        "generation": manifest["generation"],
+        "buckets": len(manifest["buckets"]),
+        "files": n_files,
+    }
+
+
+def restore_store(
+    spark: SparkSession, snapshot_path: str, dest: str, *,
+    key: str = "data.trans_id", num_buckets: int = 16,
+) -> StateStore:
+    """Restore a :func:`snapshot_store` snapshot into a NEW store at
+    ``dest`` (never in place — the blue-green convention shared with
+    :func:`reshard`: the damaged store keeps serving while the
+    restore materializes, and the caller swaps consumers over).
+
+    The snapshot IS a valid store directory (same layout + manifest),
+    so restore is a copy + StateStore handle; post-restore ``fsck``
+    must come back clean (asserted in tests).
+    """
+    import shutil
+
+    if not os.path.exists(os.path.join(snapshot_path, "_MANIFEST")):
+        raise ValueError(f"{snapshot_path!r} is not a snapshot")
+    if os.path.exists(os.path.join(dest, "_MANIFEST")):
+        raise ValueError(f"restore target {dest!r} already has a store")
+    os.makedirs(dest, exist_ok=True)
+    for entry in os.listdir(snapshot_path):
+        src = os.path.join(snapshot_path, entry)
+        dst = os.path.join(dest, entry)
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy2(src, dst)
+    return StateStore(spark, dest, key=key, num_buckets=num_buckets)

@@ -220,3 +220,49 @@ def test_reshard_preserves_state_and_serves_lookups(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         reshard(store, str(tmp_path / "s32"), 16)
+
+
+def test_snapshot_and_restore_roundtrip(spark, tmp_path):
+    from aws_dms_cdc_data_pipeline_spark.sinks.state_store import (
+        fsck,
+        restore_store,
+        snapshot_store,
+    )
+
+    store = StateStore(spark, str(tmp_path / "state"), num_buckets=8)
+    env = envelopes_df(
+        spark, GeneratorConfig(n_rows=64, update_fraction=0.3,
+                               delete_fraction=0.1)
+    )
+    store.merge(env)
+    before = sorted(
+        tuple(r) for r in store.table().select("trans_id").collect()
+    )
+
+    snap = str(tmp_path / "snap")
+    info = snapshot_store(store, snap)
+    assert info["generation"] == 0 and info["buckets"] == 8
+
+    # the store keeps evolving AFTER the snapshot
+    one = env.orderBy("data.trans_id").limit(1)
+    store.merge(one)
+    assert store.version() == 1
+
+    restored = restore_store(spark, snap, str(tmp_path / "restored"),
+                             num_buckets=8)
+    after = sorted(
+        tuple(r) for r in restored.table().select("trans_id").collect()
+    )
+    assert after == before                       # point-in-time content
+    assert restored.version() == 0               # snapshot generation
+    rep = fsck(restored)
+    assert rep["orphans"] == [] and rep["missing"] == []
+
+    # guard rails
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="already has a store"):
+        snapshot_store(store, snap)
+    with _pt.raises(ValueError, match="not a snapshot"):
+        restore_store(spark, str(tmp_path / "nowhere"),
+                      str(tmp_path / "r2"))
