@@ -1,0 +1,478 @@
+"""OpenSearch query-DSL dispatcher — run a JSON query body against
+the engine.
+
+This is the switch-over surface: a user of the reference queries the
+terminal OpenSearch store with JSON DSL bodies (README.md:388-441);
+this module accepts those bodies and routes them to the engine's
+operators, so existing saved queries run unchanged.
+
+Supported query shapes (each delegating to its dedicated operator —
+the dispatcher adds NO new semantics):
+
+- ``match`` (operator and|or), ``term``, ``match_phrase`` — compiled
+  into the generalized clause executor below
+- ``bool`` with ``must`` / ``should`` / ``must_not`` /
+  ``minimum_should_match`` over those leaves (one nesting level, the
+  overwhelmingly common body)
+- ``simple_query_string`` → :func:`...querystring.simple_query_string`
+- ``dis_max`` → :func:`...querystring.dis_max_search`
+- ``function_score`` (field_value_factor) → :func:`...search.function_score`
+- ``rank_feature`` bool-should shape → :func:`...scoring.rank_feature_search`
+- ``pinned`` → :func:`...scoring.pinned_search`
+
+Scoring and membership semantics are exactly the per-operator
+contracts (quantized-exact BM25, Lucene phrase weights); the
+generalized executor is the :func:`...querystring.simple_query_string`
+machinery with explicit clause ROLES — must (all required), should
+(≥ minimum_should_match required; defaults to 0 when must clauses
+exist, else 1 — the ES default), must_not (excluding). must and
+matching should clauses both contribute score (ES bool scoring).
+
+One tokenize pass for the whole compiled query, the repo-standard
+single-pass shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_dms_cdc_data_pipeline_spark.operators.search import (
+    _ADHOC_STATS_MEMO,
+    _FP,
+    _term_eq,
+)
+from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+    _TOKEN_RE,
+    _phrase_count_expr,
+)
+
+
+def _leaf_clauses(node: dict) -> list[list[str]]:
+    """Compile one leaf query dict into term/phrase clause lists."""
+    if len(node) != 1:
+        raise ValueError(f"leaf query must have exactly one key: {node}")
+    kind, body = next(iter(node.items()))
+    if kind == "term":
+        ((_field, val),) = body.items()
+        val = val["value"] if isinstance(val, dict) else val
+        terms = _TOKEN_RE.findall(str(val).lower())
+        if len(terms) != 1:
+            raise ValueError(f"term query needs one token: {val!r}")
+        return [terms]
+    if kind == "match":
+        ((_field, spec),) = body.items()
+        q = spec["query"] if isinstance(spec, dict) else spec
+        terms = _TOKEN_RE.findall(str(q).lower())
+        if not terms:
+            raise ValueError(f"match query has no tokens: {q!r}")
+        return [[t] for t in terms]
+    if kind == "match_phrase":
+        ((_field, spec),) = body.items()
+        q = spec["query"] if isinstance(spec, dict) else spec
+        terms = _TOKEN_RE.findall(str(q).lower())
+        if len(terms) < 1:
+            raise ValueError(f"match_phrase has no tokens: {q!r}")
+        return [terms]
+    raise ValueError(f"unsupported leaf query type {kind!r}")
+
+
+def _match_operator(node: dict) -> str:
+    kind, body = next(iter(node.items()))
+    if kind == "match":
+        ((_f, spec),) = body.items()
+        if isinstance(spec, dict):
+            return spec.get("operator", "or")
+    return "or"
+
+
+def clause_search(
+    docs: DataFrame,
+    *,
+    must: list | None = None,
+    should: list | None = None,
+    must_not: list | None = None,
+    minimum_should_match: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Generalized clause executor: clauses are term lists (len 1 =
+    term, >1 = exact phrase), grouped by bool role. Membership = all
+    ``must`` hit AND ≥ ``minimum_should_match`` ``should`` hit AND no
+    ``must_not`` hit; score = Σ BM25 contributions of must + hitting
+    should clauses (Lucene phrase weight for phrases). Single-pass
+    (module docstring). Returns (id, score, n_clauses_hit)."""
+    must = [list(c) for c in (must or [])]
+    should = [list(c) for c in (should or [])]
+    must_not = [list(c) for c in (must_not or [])]
+    if not must and not should:
+        raise ValueError("need at least one must or should clause")
+    if minimum_should_match is None:
+        minimum_should_match = 0 if must else 1
+    score_terms = sorted({t for c in must + should for t in c})
+    neg_only = sorted(
+        {c[0] for c in must_not if len(c) == 1} - set(score_terms)
+    )
+
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    toks = fan_out_scan(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        ).alias("_toks"),
+    )
+    cols = [F.size("_toks").cast("long").alias("dl")]
+    for i, t in enumerate(score_terms):
+        cols.append(
+            F.size(F.filter("_toks", _term_eq(t))).cast("long")
+            .alias(f"_tf{i}")
+        )
+    for j, t in enumerate(neg_only):
+        cols.append(
+            F.size(F.filter("_toks", _term_eq(t))).cast("long")
+            .alias(f"_ntf{j}")
+        )
+    all_clauses = must + should + must_not
+    for ci, terms in enumerate(all_clauses):
+        if len(terms) > 1:
+            cols.append(
+                _phrase_count_expr(F.col("_toks"), terms).alias(f"_pc{ci}")
+            )
+    proj = toks.select(F.col(id_col), *cols).persist()
+
+    aggs = [
+        F.sum((F.col("dl") > 0).cast("long")).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    ]
+    for i in range(len(score_terms)):
+        aggs.append(
+            F.sum((F.col(f"_tf{i}") > 0).cast("long"))
+            .cast("long").alias(f"_df{i}")
+        )
+    memo_key = (
+        proj._jdf.queryExecution().analyzed().semanticHash(),
+        ("dsl",) + tuple(score_terms),
+    )
+    row = _ADHOC_STATS_MEMO.get(memo_key)
+    if row is None:
+        row = proj.agg(*aggs).collect()[0]
+        if len(_ADHOC_STATS_MEMO) >= 256:
+            _ADHOC_STATS_MEMO.pop(next(iter(_ADHOC_STATS_MEMO)))
+        _ADHOC_STATS_MEMO[memo_key] = row
+    n_docs = int(row["n_docs"] or 0)
+    total_dl = int(row["total_dl"] or 0)
+    if n_docs == 0:
+        return proj.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("score"),
+            F.lit(0).cast("long").alias("n_clauses_hit"),
+        ).filter(F.lit(False))
+    avgdl = total_dl / n_docs
+    tidx = {t: i for i, t in enumerate(score_terms)}
+    nidx = {t: j for j, t in enumerate(neg_only)}
+
+    def idf_of(t: str) -> float:
+        df_ = int(row[f"_df{tidx[t]}"] or 0)
+        return (float(n_docs - df_) + 0.5) / (float(df_) + 0.5)
+
+    def clause_tf_idf(ci: int, terms: list[str]):
+        if len(terms) == 1:
+            return F.col(f"_tf{tidx[terms[0]]}"), idf_of(terms[0])
+        return F.col(f"_pc{ci}"), sum(idf_of(t) for t in terms)
+
+    zero = F.lit(0).cast("long")
+    total = zero
+    must_member = F.lit(True)
+    n_hit = zero
+    should_hits = zero
+    for ci, terms in enumerate(all_clauses[: len(must) + len(should)]):
+        tf, idf = clause_tf_idf(ci, terms)
+        tf_part = (tf * (k1 + 1)) / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+        cq = F.round(F.lit(idf) * tf_part * F.lit(float(_FP)), 0).cast(
+            "long"
+        )
+        hit = tf > 0
+        total = total + F.when(hit, cq).otherwise(zero)
+        n_hit = n_hit + hit.cast("long")
+        if ci < len(must):
+            must_member = must_member & hit
+        else:
+            should_hits = should_hits + hit.cast("long")
+    member = must_member & (
+        should_hits >= F.lit(int(minimum_should_match))
+    )
+    excl = F.lit(False)
+    for off, terms in enumerate(must_not):
+        ci = len(must) + len(should) + off
+        if len(terms) == 1:
+            t = terms[0]
+            col = (
+                F.col(f"_tf{tidx[t]}") if t in tidx
+                else F.col(f"_ntf{nidx[t]}")
+            )
+            excl = excl | (col > 0)
+        else:
+            excl = excl | (F.col(f"_pc{ci}") > 0)
+    return (
+        proj.filter(member & ~excl)
+        .select(
+            F.col(id_col),
+            (total.cast("decimal(38,0)") / F.lit(_FP))
+            .cast("double")
+            .alias("score"),
+            n_hit.alias("n_clauses_hit"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def execute_search_dsl(
+    docs: DataFrame,
+    dsl: dict,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Execute an OpenSearch query-DSL body (the ``query`` object of
+    a search request) against the document corpus. See the module
+    docstring for the supported shapes; every shape delegates to its
+    dedicated operator, so results are bit-identical to calling that
+    operator directly (asserted in tests)."""
+    if len(dsl) != 1:
+        raise ValueError("query body must have exactly one top-level key")
+    kind, body = next(iter(dsl.items()))
+    common = dict(text_col=text_col, id_col=id_col, top_k=top_k)
+    if kind in ("term", "match_phrase"):
+        return clause_search(docs, should=_leaf_clauses(dsl), **common)
+    if kind == "match":
+        clauses = _leaf_clauses(dsl)
+        if _match_operator(dsl) == "and":
+            return clause_search(docs, must=clauses, **common)
+        return clause_search(docs, should=clauses, **common)
+    if kind == "bool":
+        def many(key):
+            items = body.get(key, [])
+            items = items if isinstance(items, list) else [items]
+            return [c for node in items for c in _leaf_clauses(node)]
+
+        return clause_search(
+            docs,
+            must=many("must"),
+            should=many("should"),
+            must_not=many("must_not"),
+            minimum_should_match=body.get("minimum_should_match"),
+            **common,
+        )
+    if kind == "simple_query_string":
+        from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+            simple_query_string,
+        )
+
+        return simple_query_string(
+            docs,
+            body["query"],
+            default_operator=body.get("default_operator", "or"),
+            **common,
+        )
+    if kind == "dis_max":
+        from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+            dis_max_search,
+        )
+
+        clauses = []
+        for sub in body["queries"]:
+            for c in _leaf_clauses(sub):
+                clauses.append(" ".join(c))
+        return dis_max_search(
+            docs,
+            clauses,
+            tie_breaker=float(body.get("tie_breaker", 0.0)),
+            **common,
+        )
+    if kind == "function_score":
+        from aws_dms_cdc_data_pipeline_spark.operators.search import (
+            function_score,
+        )
+
+        fvf = body["field_value_factor"]
+        match = body["query"]
+        terms = [c[0] for c in _leaf_clauses(match)]
+        return function_score(
+            docs,
+            terms,
+            field_col=fvf["field"],
+            factor=float(fvf.get("factor", 1.0)),
+            modifier=fvf.get("modifier", "none"),
+            missing=float(fvf.get("missing", 1.0)),
+            boost_mode=body.get("boost_mode", "multiply"),
+            **common,
+        )
+    if kind == "rank_feature":
+        from aws_dms_cdc_data_pipeline_spark.operators.scoring import (
+            rank_feature_search,
+        )
+
+        match = body["query"]
+        terms = [c[0] for c in _leaf_clauses(match)]
+        return rank_feature_search(
+            docs,
+            terms,
+            feature_col=body["field"],
+            pivot=float(body["saturation"]["pivot"]),
+            boost=float(body.get("boost", 1.0)),
+            **common,
+        )
+    if kind == "pinned":
+        from aws_dms_cdc_data_pipeline_spark.operators.scoring import (
+            pinned_search,
+        )
+
+        match = body["organic"]
+        terms = [c[0] for c in _leaf_clauses(match)]
+        return pinned_search(
+            docs, terms, pinned_ids=[int(i) for i in body["ids"]], **common
+        )
+    raise ValueError(f"unsupported query type {kind!r}")
+
+
+def clause_search_oracle_sql(
+    *,
+    must: list | None = None,
+    should: list | None = None,
+    must_not: list | None = None,
+    minimum_should_match: int | None = None,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> str:
+    """DuckDB SQL computing the identical generalized clause search."""
+    must = [list(c) for c in (must or [])]
+    should = [list(c) for c in (should or [])]
+    must_not = [list(c) for c in (must_not or [])]
+    if minimum_should_match is None:
+        minimum_should_match = 0 if must else 1
+    score_terms = sorted({t for c in must + should for t in c})
+    neg_only = sorted(
+        {c[0] for c in must_not if len(c) == 1} - set(score_terms)
+    )
+    tidx = {t: i for i, t in enumerate(score_terms)}
+    nidx = {t: j for j, t in enumerate(neg_only)}
+    all_clauses = must + should + must_not
+
+    def tf_sql(t: str) -> str:
+        return f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT)"
+
+    def pc_sql(terms: list[str]) -> str:
+        L = len(terms)
+        conds = " AND ".join(
+            f"toks[i + {j}] = '{terms[j]}'" for j in range(L)
+        )
+        return (
+            f"CASE WHEN len(toks) >= {L} THEN "
+            f"CAST(len(list_filter(range(1, len(toks) - {L - 2}), "
+            f"i -> {conds})) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+
+    proj_cols = ["CAST(len(toks) AS BIGINT) AS dl"]
+    for i, t in enumerate(score_terms):
+        proj_cols.append(f"{tf_sql(t)} AS _tf{i}")
+    for j, t in enumerate(neg_only):
+        proj_cols.append(f"{tf_sql(t)} AS _ntf{j}")
+    for ci, terms in enumerate(all_clauses):
+        if len(terms) > 1:
+            proj_cols.append(f"{pc_sql(terms)} AS _pc{ci}")
+    stats_cols = [
+        "CAST(SUM(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs",
+        "CAST(SUM(dl) AS BIGINT) AS total_dl",
+    ]
+    for i in range(len(score_terms)):
+        stats_cols.append(
+            f"CAST(SUM(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS _df{i}"
+        )
+
+    def idf_expr(t: str) -> str:
+        i = tidx[t]
+        return f"((s.n_docs - s._df{i} + 0.5) / (s._df{i} + 0.5))"
+
+    contribs, hits = [], []
+    for ci, terms in enumerate(all_clauses[: len(must) + len(should)]):
+        if len(terms) == 1:
+            tf = f"p._tf{tidx[terms[0]]}"
+            idf = idf_expr(terms[0])
+        else:
+            tf = f"p._pc{ci}"
+            idf = " + ".join(idf_expr(t) for t in terms)
+        tf_part = (
+            f"(({tf}) * ({k1} + 1)) / (({tf}) + {k1} * ((1 - {b}) "
+            f"+ {b} * p.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))"
+        )
+        contribs.append(
+            f"CASE WHEN ({tf}) > 0 THEN CAST(round(({idf}) * ({tf_part}) "
+            f"* 1000000, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+        hits.append(f"(({tf}) > 0)")
+    total = " + ".join(f"({c})" for c in contribs)
+    n_hit = " + ".join(f"CAST({h} AS BIGINT)" for h in hits)
+    must_member = (
+        " AND ".join(hits[: len(must)]) if must else "TRUE"
+    )
+    should_hits = (
+        " + ".join(
+            f"CAST({h} AS BIGINT)" for h in hits[len(must):]
+        )
+        if should
+        else "0"
+    )
+    excls = []
+    for off, terms in enumerate(must_not):
+        ci = len(must) + len(should) + off
+        if len(terms) == 1:
+            t = terms[0]
+            col = f"p._tf{tidx[t]}" if t in tidx else f"p._ntf{nidx[t]}"
+            excls.append(f"({col} > 0)")
+        else:
+            excls.append(f"(p._pc{ci} > 0)")
+    not_excl = f"NOT ({' OR '.join(excls)})" if excls else "TRUE"
+    return f"""
+    WITH tokarr AS (
+        SELECT {id_col},
+               list_filter(string_split_regex(lower({text_col}),
+                           '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM {table}
+    ),
+    p AS (SELECT {id_col}, {', '.join(proj_cols)} FROM tokarr),
+    s AS (SELECT {', '.join(stats_cols)} FROM p)
+    SELECT p.{id_col},
+           CAST(CAST({total} AS DECIMAL(38,0)) / 1000000 AS DOUBLE)
+               AS score,
+           CAST({n_hit} AS BIGINT) AS n_clauses_hit
+    FROM p CROSS JOIN s
+    WHERE ({must_member}) AND (({should_hits}) >= {minimum_should_match})
+          AND {not_excl}
+    ORDER BY score DESC, p.{id_col} ASC
+    LIMIT {top_k}
+    """
+
+
+__all__ = [
+    "clause_search",
+    "clause_search_oracle_sql",
+    "execute_search_dsl",
+]

@@ -9230,6 +9230,53 @@ def late_interaction_topk_q(spark, sf_dir):
     )
 
 
+_DSL_BODY = {
+    "bool": {
+        "must": [{"term": {"text": "table"}}],
+        "should": [
+            {"term": {"text": "spark"}},
+            {"match_phrase": {"text": "merge group"}},
+        ],
+        "must_not": [{"term": {"text": "slow"}}],
+    }
+}
+
+
+def _dsl_bool_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        clause_search_oracle_sql,
+    )
+
+    return clause_search_oracle_sql(
+        must=[["table"]],
+        should=[["spark"], ["merge", "group"]],
+        must_not=[["slow"]],
+        top_k=20,
+    )
+
+
+@q(
+    "dsl_bool_search",
+    _dsl_bool_oracle(),
+    "Query-DSL dispatcher — the switch-over surface: an OpenSearch "
+    "JSON bool body (must term + should term/phrase + must_not) "
+    "executes through execute_search_dsl, compiling into the "
+    "generalized single-pass clause executor with ES role semantics "
+    "(must all required, should >= minimum_should_match with the ES "
+    "default, must_not excluding; must AND hitting should clauses "
+    "both contribute score). Routed shapes are bit-identical to "
+    "their dedicated operators (asserted in tests/test_dsl.py) "
+    "(operators/dsl.py:execute_search_dsl).",
+)
+def dsl_bool_search_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return execute_search_dsl(docs, _DSL_BODY, top_k=20)
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r14 window = the 7 queries new this round
