@@ -471,8 +471,232 @@ def clause_search_oracle_sql(
     """
 
 
+def _interval_seconds(spec: str) -> int:
+    """Parse an ES fixed_interval / calendar_interval string to whole
+    seconds (the calendar units a fixed epoch-floor can honor:
+    s/m/h/d/w — month/quarter/year need true calendar arithmetic and
+    are routed to date_trunc instead)."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)(s|m|h|d|w)", spec)
+    if not m:
+        raise ValueError(f"unsupported interval {spec!r}")
+    mult = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+    return int(m.group(1)) * mult[m.group(2)]
+
+
+def execute_aggs_dsl(rows: DataFrame, aggs: dict) -> dict:
+    """Execute an OpenSearch ``aggs`` body against a hit relation
+    (the rows a query produced, carrying their fields) — the
+    aggregation half of the switch-over surface. Returns
+    {agg_name: DataFrame}, one result per named aggregation, each
+    delegating to the engine's dedicated operator (exact where
+    OpenSearch sketches — the repo-wide stance).
+
+    Supported types: terms, date_histogram (fixed_interval s/m/h/d/w
+    or calendar_interval month/year via date_trunc), histogram
+    (explicit interval), range, filters (term-filter leaves),
+    percentiles (exact nearest-rank via the range-partitioned
+    prefix), stats, extended_stats, cardinality (EXACT distinct),
+    value_count, sum, avg, min, max.
+    """
+    if not aggs:
+        raise ValueError("aggs body is empty")
+    out = {}
+    for name, spec in aggs.items():
+        if len(spec) != 1:
+            raise ValueError(
+                f"agg {name!r} must have exactly one agg type"
+            )
+        kind, body = next(iter(spec.items()))
+        field = body.get("field")
+        if kind == "terms":
+            size = int(body.get("size", 10))
+            out[name] = (
+                rows.groupBy(F.col(field).alias("key"))
+                .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+                .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+                .limit(size)
+            )
+        elif kind == "date_histogram":
+            if "calendar_interval" in body and body[
+                "calendar_interval"
+            ] in ("month", "quarter", "year"):
+                unit = body["calendar_interval"]
+                out[name] = (
+                    rows.filter(F.col(field).isNotNull())
+                    .groupBy(
+                        F.date_trunc(unit, F.col(field)).alias("bucket_start")
+                    )
+                    .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+                    .orderBy("bucket_start")
+                )
+            else:
+                spec_s = body.get("fixed_interval") or body.get(
+                    "calendar_interval"
+                )
+                iv = _interval_seconds(spec_s)
+                uts = F.unix_timestamp(F.col(field))
+                floor = uts - ((uts % F.lit(iv) + F.lit(iv)) % F.lit(iv))
+                out[name] = (
+                    rows.filter(F.col(field).isNotNull())
+                    .groupBy(
+                        F.timestamp_seconds(floor).alias("bucket_start")
+                    )
+                    .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+                    .orderBy("bucket_start")
+                )
+        elif kind == "histogram":
+            iv = float(body["interval"])
+            if iv <= 0:
+                raise ValueError("histogram interval must be positive")
+            # 6-dp fixed-point flooring (the numeric_histogram
+            # portability pattern): bucket edges never depend on
+            # float division
+            ivq = int(round(iv * 1_000_000))
+            vq = F.floor(F.col(field).cast("double") * 1_000_000.0).cast(
+                "long"
+            )
+            bucket = (
+                F.floor(vq / F.lit(ivq)) * F.lit(ivq)
+            ).cast("double") / F.lit(1_000_000.0)
+            v = F.col(field).cast("double")
+            out[name] = (
+                rows.filter(
+                    v.isNotNull() & ~F.isnan(v)
+                    & (F.abs(v) != F.lit(float("inf")))
+                )
+                .groupBy(bucket.alias("bucket_start"))
+                .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+                .orderBy("bucket_start")
+            )
+        elif kind == "range":
+            from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+                range_buckets,
+            )
+
+            ranges = [
+                (
+                    r.get("key")
+                    or f"{r.get('from', '*')}-{r.get('to', '*')}",
+                    r.get("from"),
+                    r.get("to"),
+                )
+                for r in body["ranges"]
+            ]
+            out[name] = range_buckets(rows, field, ranges)
+        elif kind == "filters":
+            from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+                filters_agg,
+            )
+
+            preds = []
+            for key, node in body["filters"].items():
+                fkind, fbody = next(iter(node.items()))
+                if fkind != "term":
+                    raise ValueError(
+                        "filters agg supports term-filter leaves"
+                    )
+                ((ffield, fval),) = fbody.items()
+                fval = fval["value"] if isinstance(fval, dict) else fval
+                lit = (
+                    f"'{fval}'" if isinstance(fval, str) else repr(fval)
+                )
+                preds.append((key, f"{ffield} = {lit}"))
+            out[name] = filters_agg(
+                rows, preds,
+                other_bucket_key=(
+                    "_other" if body.get("other_bucket") else None
+                ),
+            )
+        elif kind == "percentiles":
+            from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+                _quantile_at_ranks,
+            )
+
+            percents = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
+            v = F.col(field).cast("double")
+            clean = rows.filter(
+                v.isNotNull() & ~F.isnan(v)
+                & (F.abs(v) != F.lit(float("inf")))
+            )
+            dist = clean.groupBy(
+                F.floor(v * 1_000_000.0).cast("long").alias("qv")
+            ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+            def ranks(total):
+                return {
+                    f"p{str(p).replace('.', '_')}": max(
+                        1, -(-int(round(p * 10)) * total // 1000)
+                    )
+                    for p in percents
+                }
+
+            vals, _total = _quantile_at_ranks(dist, ranks)
+            spark = rows.sparkSession
+            out[name] = spark.createDataFrame(
+                [
+                    (
+                        float(p),
+                        None
+                        if vals[f"p{str(p).replace('.', '_')}"] is None
+                        else vals[f"p{str(p).replace('.', '_')}"]
+                        / 1_000_000.0,
+                    )
+                    for p in percents
+                ],
+                "percent double, value double",
+            )
+        elif kind == "extended_stats":
+            from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+                extended_stats,
+            )
+
+            out[name] = extended_stats(
+                rows, field, sigma=float(body.get("sigma", 2.0))
+            )
+        elif kind == "stats":
+            v = F.col(field).cast("double")
+            clean = rows.filter(
+                v.isNotNull() & ~F.isnan(v)
+                & (F.abs(v) != F.lit(float("inf")))
+            )
+            out[name] = clean.agg(
+                F.count(F.lit(1)).cast("long").alias("count"),
+                F.min(v).alias("min"),
+                F.max(v).alias("max"),
+                F.sum(v.cast("decimal(18,6)")).cast("double").alias("sum"),
+                (
+                    F.sum(v.cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("avg"),
+            )
+        elif kind == "cardinality":
+            out[name] = rows.agg(
+                F.count_distinct(F.col(field)).cast("long").alias("value")
+            )
+        elif kind in ("value_count", "sum", "avg", "min", "max"):
+            v = F.col(field).cast("double")
+            clean = rows.filter(v.isNotNull())
+            expr = {
+                "value_count": F.count(F.col(field)).cast("long"),
+                "sum": F.sum(v.cast("decimal(18,6)")).cast("double"),
+                "avg": (
+                    F.sum(v.cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                "min": F.min(v),
+                "max": F.max(v),
+            }[kind]
+            out[name] = clean.agg(expr.alias("value"))
+        else:
+            raise ValueError(f"unsupported agg type {kind!r}")
+    return out
+
+
 __all__ = [
     "clause_search",
     "clause_search_oracle_sql",
+    "execute_aggs_dsl",
     "execute_search_dsl",
 ]

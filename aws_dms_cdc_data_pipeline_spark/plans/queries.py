@@ -9277,6 +9277,46 @@ def dsl_bool_search_q(spark, sf_dir):
     return execute_search_dsl(docs, _DSL_BODY, top_k=20)
 
 
+@q(
+    "aggs_dsl_daily_histogram",
+    """
+    WITH b AS (
+        SELECT to_timestamp(
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                   - ((CAST(floor(epoch(ts)) AS BIGINT) % 86400 + 86400)
+                      % 86400)
+               ) AS bucket_start,
+               CAST(COUNT(*) AS BIGINT) AS doc_count
+        FROM events
+        WHERE ts IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT CAST(bucket_start AS TIMESTAMP) AS bucket_start, doc_count
+    FROM b ORDER BY bucket_start
+    """,
+    "Aggregation-DSL dispatcher — the aggs half of the switch-over "
+    "surface: an OpenSearch date_histogram body with fixed_interval "
+    "1d executes through execute_aggs_dsl (terms / histograms / "
+    "range / filters / percentiles / stats / cardinality / metric "
+    "aggs all route to the engine's operators, exact where "
+    "OpenSearch sketches). Epoch-floor bucketing is the portable "
+    "double-mod form shared with E145 "
+    "(operators/dsl.py:execute_aggs_dsl).",
+)
+def aggs_dsl_daily_histogram_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_aggs_dsl,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = execute_aggs_dsl(
+        events,
+        {"daily": {"date_histogram": {"field": "ts",
+                                      "fixed_interval": "1d"}}},
+    )
+    return out["daily"]
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r14 window = the 7 queries new this round

@@ -169,3 +169,120 @@ def test_dsl_validation(docs):
         execute_search_dsl(docs, {"match": {}, "term": {}})
     with pytest.raises(ValueError, match="one token"):
         execute_search_dsl(docs, {"term": {"text": "two words"}})
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = []
+    for i in range(200):
+        rows.append(
+            (i, f"2024-01-{(i % 20) + 1:02d} 0{i % 10}:00:00",
+             i % 7, ["click", "view", "error"][i % 3],
+             float(i % 50) + 0.5)
+        )
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+        "event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_aggs_dsl_terms_and_metrics(events):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_aggs_dsl,
+    )
+
+    out = execute_aggs_dsl(
+        events,
+        {
+            "types": {"terms": {"field": "event_type", "size": 2}},
+            "card": {"cardinality": {"field": "user_id"}},
+            "stats": {"stats": {"field": "value"}},
+            "vsum": {"sum": {"field": "value"}},
+        },
+    )
+    types = out["types"].collect()
+    assert len(types) == 2
+    want = (
+        events.groupBy("event_type").count()
+        .orderBy(F.col("count").desc(), F.col("event_type"))
+        .collect()
+    )
+    assert [(r.key, r.doc_count) for r in types] == [
+        (w.event_type, w["count"]) for w in want[:2]
+    ]
+    assert out["card"].collect()[0].value == 7
+    st = out["stats"].collect()[0]
+    assert st["count"] == 200
+    assert st["min"] == 0.5 and st["max"] == 49.5
+    assert out["vsum"].collect()[0].value == pytest.approx(st["sum"])
+
+
+def test_aggs_dsl_histograms_and_percentiles(events):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_aggs_dsl,
+    )
+
+    out = execute_aggs_dsl(
+        events,
+        {
+            "daily": {"date_histogram": {"field": "ts",
+                                         "fixed_interval": "1d"}},
+            "vh": {"histogram": {"field": "value", "interval": 10}},
+            "pct": {"percentiles": {"field": "value",
+                                    "percents": [50, 95]}},
+        },
+    )
+    daily = out["daily"].collect()
+    assert sum(r.doc_count for r in daily) == 200
+    assert len(daily) == 20
+    vh = {r.bucket_start: r.doc_count for r in out["vh"].collect()}
+    assert set(vh) == {0.0, 10.0, 20.0, 30.0, 40.0}
+    assert sum(vh.values()) == 200
+    pct = {r.percent: r.value for r in out["pct"].collect()}
+    import numpy as np
+
+    vals = sorted(float(i % 50) + 0.5 for i in range(200))
+    # exact nearest-rank: ceil(p/100 * n)
+    assert pct[50.0] == vals[int(-(-50 * 200 // 100)) - 1]
+    assert pct[95.0] == vals[int(-(-95 * 200 // 100)) - 1]
+
+
+def test_aggs_dsl_range_and_filters(events):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_aggs_dsl,
+    )
+
+    out = execute_aggs_dsl(
+        events,
+        {
+            "vr": {"range": {"field": "value",
+                             "ranges": [{"key": "low", "to": 10},
+                                        {"key": "high", "from": 10}]}},
+            "byf": {"filters": {"filters": {
+                "clicks": {"term": {"event_type": "click"}},
+                "errors": {"term": {"event_type": "error"}},
+            }}},
+        },
+    )
+    vr = {r.range_key: r.n_hits for r in out["vr"].collect()}
+    assert vr["low"] + vr["high"] == 200
+    byf = {r.filter_key: r.n_hits for r in out["byf"].collect()}
+    n_click = events.filter(F.col("event_type") == "click").count()
+    n_err = events.filter(F.col("event_type") == "error").count()
+    assert byf == {"clicks": n_click, "errors": n_err}
+
+
+def test_aggs_dsl_validation(events):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_aggs_dsl,
+    )
+
+    with pytest.raises(ValueError, match="unsupported agg type"):
+        execute_aggs_dsl(events, {"x": {"geo_distance": {}}})
+    with pytest.raises(ValueError, match="unsupported interval"):
+        execute_aggs_dsl(
+            events, {"x": {"date_histogram": {"field": "ts",
+                                              "fixed_interval": "1q"}}}
+        )
+    with pytest.raises(ValueError, match="empty"):
+        execute_aggs_dsl(events, {})
