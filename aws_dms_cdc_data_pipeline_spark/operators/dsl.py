@@ -224,17 +224,17 @@ def clause_search(
             excl = excl | (col > 0)
         else:
             excl = excl | (F.col(f"_pc{ci}") > 0)
-    return (
-        proj.filter(member & ~excl)
-        .select(
-            F.col(id_col),
-            (total.cast("decimal(38,0)") / F.lit(_FP))
-            .cast("double")
-            .alias("score"),
-            n_hit.alias("n_clauses_hit"),
-        )
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(top_k)
+    out = proj.filter(member & ~excl).select(
+        F.col(id_col),
+        (total.cast("decimal(38,0)") / F.lit(_FP))
+        .cast("double")
+        .alias("score"),
+        n_hit.alias("n_clauses_hit"),
+    )
+    if top_k is None:  # UNCUT hit relation (the aggs-scope contract)
+        return out
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(
+        top_k
     )
 
 
@@ -255,6 +255,15 @@ def execute_search_dsl(
         raise ValueError("query body must have exactly one top-level key")
     kind, body = next(iter(dsl.items()))
     common = dict(text_col=text_col, id_col=id_col, top_k=top_k)
+    if kind == "match_all":
+        out = docs.select(
+            F.col(id_col),
+            F.lit(1.0).alias("score"),  # ES constant score
+            F.lit(0).cast("long").alias("n_clauses_hit"),
+        )
+        if top_k is None:
+            return out
+        return out.orderBy(F.col(id_col).asc()).limit(top_k)
     if kind in ("term", "match_phrase"):
         return clause_search(docs, should=_leaf_clauses(dsl), **common)
     if kind == "match":
@@ -694,9 +703,101 @@ def execute_aggs_dsl(rows: DataFrame, aggs: dict) -> dict:
     return out
 
 
+_UNCUT_KINDS = ("match_all", "match", "term", "match_phrase", "bool")
+
+
+def execute_search_request(
+    docs: DataFrame,
+    body: dict,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple:
+    """Execute a complete OpenSearch search REQUEST body — the full
+    switch-over call: ``{"query": ..., "aggs": ..., "size": ...,
+    "sort": ..., "_source": [...]}`` → ``(hits_page, aggs_results)``.
+
+    ES semantics honored exactly:
+
+    - aggregations run over the FULL query hit set (``size`` only
+      cuts the returned page) — so aggs require a query shape the
+      engine can evaluate uncut (match_all / match / term /
+      match_phrase / bool); the scored-top-k shapes
+      (simple_query_string, dis_max, …) work query-only.
+    - ``sort`` is a list of ``{field: {"order": ...}}`` entries or
+      the string ``"_score"`` (the default: score DESC, id ASC —
+      every sort closes with the id for determinism). Sort fields
+      and ``_source`` columns resolve from the document relation via
+      one id join of the already-cut page (or pre-cut relation for
+      field sorts).
+    - ``_source`` selects the returned document columns; the page
+      always carries (id, score).
+
+    Returns ``(page_df, {agg_name: DataFrame})`` — the aggs dict is
+    empty when the body has no aggs.
+    """
+    query = body.get("query", {"match_all": {}})
+    size = int(body.get("size", 10))
+    aggs = body.get("aggs") or body.get("aggregations") or {}
+    kind = next(iter(query)) if len(query) == 1 else None
+    wants_uncut = bool(aggs) or "sort" in body
+    if wants_uncut and kind not in _UNCUT_KINDS:
+        raise ValueError(
+            f"aggs/sort need an uncut hit relation; query type "
+            f"{kind!r} supports query-only bodies (supported with "
+            f"{_UNCUT_KINDS})"
+        )
+    if wants_uncut:
+        hits = execute_search_dsl(
+            docs, query, text_col=text_col, id_col=id_col, top_k=None
+        )
+    else:
+        hits = execute_search_dsl(
+            docs, query, text_col=text_col, id_col=id_col, top_k=size
+        )
+    hits = hits.persist() if wants_uncut else hits
+
+    agg_out = {}
+    if aggs:
+        hit_rows = docs.join(hits.select(id_col), id_col, "left_semi")
+        agg_out = execute_aggs_dsl(hit_rows, aggs)
+
+    source = body.get("_source")
+    sort = body.get("sort", "_score")
+    if sort == "_score" or sort == ["_score"]:
+        page = hits.orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        ).limit(size)
+        if source:
+            page = page.join(
+                docs.select(id_col, *source), id_col, "left"
+            ).orderBy(F.col("score").desc(), F.col(id_col).asc())
+        return page, agg_out
+    # field sorts: resolve fields from the doc relation BEFORE the cut
+    order_cols = []
+    fields = []
+    for entry in sort:
+        ((f_, spec),) = entry.items()
+        order = (
+            spec.get("order", "asc") if isinstance(spec, dict) else spec
+        )
+        if order not in ("asc", "desc"):
+            raise ValueError(f"sort order must be asc|desc: {order!r}")
+        fields.append(f_)
+        col = F.col(f_)
+        order_cols.append(col.asc() if order == "asc" else col.desc())
+    order_cols.append(F.col(id_col).asc())  # deterministic close
+    need = sorted(set(fields) | set(source or []))
+    joined = hits.join(docs.select(id_col, *need), id_col, "left")
+    page = joined.orderBy(*order_cols).limit(size)
+    keep = [id_col, "score"] + (source or [])
+    return page.select(*dict.fromkeys(keep)), agg_out
+
+
 __all__ = [
     "clause_search",
     "clause_search_oracle_sql",
     "execute_aggs_dsl",
     "execute_search_dsl",
+    "execute_search_request",
 ]

@@ -9317,6 +9317,52 @@ def aggs_dsl_daily_histogram_q(spark, sf_dir):
     return out["daily"]
 
 
+def _search_request_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        clause_search_oracle_sql,
+    )
+
+    hits = clause_search_oracle_sql(
+        should=[["merge"], ["window"]], top_k=10**9
+    )
+    return f"""
+    WITH hits AS ({hits})
+    SELECT h.doc_id, h.score, d.n_chars
+    FROM hits h JOIN documents d USING (doc_id)
+    ORDER BY d.n_chars DESC, h.doc_id ASC
+    LIMIT 12
+    """
+
+
+@q(
+    "search_request_sorted",
+    _search_request_oracle(),
+    "Full search-request executor — the complete switch-over call: "
+    "one JSON body carrying query + size + field sort + _source "
+    "executes end-to-end (ES semantics: sort fields resolve from the "
+    "doc relation before the cut, every sort closes on the id for "
+    "determinism, _source selects the returned columns). Aggs bodies "
+    "run over the FULL hit set (size only cuts the page) — asserted "
+    "in tests/test_dsl.py (operators/dsl.py:execute_search_request).",
+)
+def search_request_sorted_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_request,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    page, _aggs = execute_search_request(
+        docs,
+        {
+            "query": {"match": {"text": {"query": "merge window"}}},
+            "size": 12,
+            "sort": [{"n_chars": {"order": "desc"}}],
+            "_source": ["n_chars"],
+        },
+    )
+    return page
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r14 window = the 7 queries new this round

@@ -621,3 +621,88 @@ def start_index_maintainer(
 
 
 __all__ = ["percolate", "start_percolator", "start_index_maintainer"]
+
+
+def dsl_to_standing(query_id: str, dsl: dict) -> dict:
+    """Translate an OpenSearch query-DSL dict into a percolator
+    standing-query entry — the registration-side of the switch-over
+    surface (users register ALERTS as the same JSON bodies they
+    search with). Supported: match_phrase → phrase, term → term,
+    match (or → bool/should, and → bool/must), bool with term
+    leaves, match_phrase_prefix → phrase_prefix, wildcard / fuzzy /
+    regexp → their term-set types, simple_query_string → the sqs
+    type. Raises on shapes percolation cannot express (scored
+    re-rankers like function_score — percolation emits matches, not
+    scores)."""
+    if len(dsl) != 1:
+        raise ValueError("standing query body must have one key")
+    kind, body = next(iter(dsl.items()))
+
+    def field_val(b):
+        ((_f, v),) = b.items()
+        if isinstance(v, dict):
+            return v.get("value") or v.get("query")
+        return v
+
+    if kind == "match_phrase":
+        return {"query_id": query_id, "type": "phrase",
+                "phrase": str(field_val(body))}
+    if kind == "term":
+        return {"query_id": query_id, "type": "term",
+                "term": str(field_val(body))}
+    if kind == "match":
+        ((_f, spec),) = body.items()
+        q = spec["query"] if isinstance(spec, dict) else spec
+        op = (
+            spec.get("operator", "or") if isinstance(spec, dict) else "or"
+        )
+        terms = str(q).lower().split()
+        role = "must" if op == "and" else "should"
+        return {"query_id": query_id, "type": "bool", role: terms}
+    if kind == "bool":
+        out = {"query_id": query_id, "type": "bool"}
+        for role in ("must", "should", "must_not"):
+            nodes = body.get(role, [])
+            nodes = nodes if isinstance(nodes, list) else [nodes]
+            terms = []
+            for n in nodes:
+                nk, nb = next(iter(n.items()))
+                if nk != "term":
+                    raise ValueError(
+                        f"bool standing queries take term leaves, "
+                        f"got {nk!r}"
+                    )
+                terms.append(str(field_val(nb)))
+            if terms:
+                out[role] = terms
+        if "minimum_should_match" in body:
+            out["minimum_should_match"] = body["minimum_should_match"]
+        return out
+    if kind == "match_phrase_prefix":
+        return {"query_id": query_id, "type": "phrase_prefix",
+                "phrase": str(field_val(body))}
+    if kind == "wildcard":
+        return {"query_id": query_id, "type": "wildcard",
+                "pattern": str(field_val(body))}
+    if kind == "fuzzy":
+        ((_f, spec),) = body.items()
+        entry = {"query_id": query_id, "type": "fuzzy",
+                 "term": str(spec["value"] if isinstance(spec, dict)
+                             else spec)}
+        if isinstance(spec, dict) and "fuzziness" in spec:
+            entry["fuzziness"] = int(spec["fuzziness"])
+        return entry
+    if kind == "regexp":
+        return {"query_id": query_id, "type": "regexp",
+                "pattern": str(field_val(body))}
+    if kind == "simple_query_string":
+        return {
+            "query_id": query_id,
+            "type": "simple_query_string",
+            "query": body["query"],
+            "default_operator": body.get("default_operator", "or"),
+        }
+    raise ValueError(
+        f"query type {kind!r} is not percolatable (percolation emits "
+        "matches, not scores)"
+    )

@@ -286,3 +286,71 @@ def test_aggs_dsl_validation(events):
         )
     with pytest.raises(ValueError, match="empty"):
         execute_aggs_dsl(events, {})
+
+
+def test_search_request_aggs_over_full_hits_not_page(docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_request,
+    )
+
+    page, aggs = execute_search_request(
+        docs,
+        {
+            "query": {"match": {"text": {"query": "merge window"}}},
+            "size": 1,
+            "aggs": {"lens": {"stats": {"field": "n_chars"}}},
+        },
+    )
+    assert page.count() == 1                  # size cuts the page...
+    st = aggs["lens"].collect()[0]
+    assert st["count"] == 3                   # ...but aggs saw ALL hits
+    assert st["min"] == 90 and st["max"] == 400
+
+
+def test_search_request_field_sort_and_source(docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_request,
+    )
+
+    page, _ = execute_search_request(
+        docs,
+        {
+            "query": {"match": {"text": {"query": "merge window"}}},
+            "size": 10,
+            "sort": [{"n_chars": {"order": "desc"}}],
+            "_source": ["n_chars"],
+        },
+    )
+    rows = page.collect()
+    assert [r.doc_id for r in rows] == [2, 1, 4]   # 400, 100, 90
+    assert rows[0].n_chars == 400
+    assert set(page.columns) == {"doc_id", "score", "n_chars"}
+
+
+def test_search_request_match_all_and_defaults(docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_request,
+    )
+
+    page, aggs = execute_search_request(
+        docs, {"size": 3}  # no query -> match_all, default _score sort
+    )
+    assert aggs == {}
+    rows = page.collect()
+    assert len(rows) == 3
+    assert all(r.score == 1.0 for r in rows)
+
+
+def test_search_request_rejects_aggs_on_topk_shapes(docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_request,
+    )
+
+    with pytest.raises(ValueError, match="uncut"):
+        execute_search_request(
+            docs,
+            {
+                "query": {"simple_query_string": {"query": "spark"}},
+                "aggs": {"x": {"stats": {"field": "n_chars"}}},
+            },
+        )

@@ -878,3 +878,45 @@ def test_percolate_sqs_validation(spark):
             [{"query_id": "x", "type": "simple_query_string",
               "query": "a", "default_operator": "xor"}],
         )
+
+
+def test_dsl_to_standing_roundtrip(spark):
+    from aws_dms_cdc_data_pipeline_spark.streaming.percolate import (
+        dsl_to_standing,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps spark"),
+            (2, "system failure detected"),
+            (3, "sparkling quickstep"),
+        ],
+        "doc_id long, text string",
+    )
+    standing = [
+        dsl_to_standing("p1", {"match_phrase": {"text": "quick brown"}}),
+        dsl_to_standing("t1", {"term": {"text": "spark"}}),
+        dsl_to_standing(
+            "b1",
+            {"bool": {"must": [{"term": {"text": "system"}}],
+                      "must_not": [{"term": {"text": "spark"}}]}},
+        ),
+        dsl_to_standing("w1", {"wildcard": {"text": "spark*"}}),
+        dsl_to_standing(
+            "m1", {"match": {"text": {"query": "fox failure"}}}
+        ),
+    ]
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate(docs, standing).collect()
+    }
+    assert ("p1", 1) in got and ("p1", 3) not in got
+    assert ("t1", 1) in got and ("t1", 3) not in got
+    assert ("b1", 2) in got and ("b1", 1) not in got
+    assert ("w1", 1) in got and ("w1", 3) in got
+    assert ("m1", 1) in got and ("m1", 2) in got
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not percolatable"):
+        dsl_to_standing("x", {"function_score": {}})
