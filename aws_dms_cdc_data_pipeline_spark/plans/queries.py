@@ -9426,13 +9426,22 @@ _R14_WINDOW = [
     # full-oracle) displace the r10-stale fillers ann_quantized_topk /
     # asof_next_visit_tolerance / boilerplate_line_removal /
     # bpe_learned_merges (r10 evidence, code untouched — r15 tail).
-    # The continuation's other 10 new queries (rank_feature_docs,
+    # The continuation's other 26 new queries are ALL locally
+    # verified green (tools/verify_correctness.py; the full 50-slot
+    # window re-verified 44 oracle-PASS + 6 rows-only at close) and
+    # queue for the r15 window: rank_feature_docs,
     # distance_feature_events, pinned_search_docs,
     # decay_recency_orders, events_percentiles_bucket,
     # has_parent_lineitems, semdedup_groups, ann_pq_topk,
-    # bpe_encoded_docs, weekly_event_counts_from_cms) are locally
-    # oracle-verified green (tools/verify_correctness.py) and queue
-    # for the r15 window.
+    # bpe_encoded_docs, weekly_event_counts_from_cms,
+    # ann_filtered_topk, span_not_docs, rescore_docs,
+    # hard_negative_mining, span_corruption_examples,
+    # bm25_explain_doc, categorize_event_messages,
+    # ul2_denoiser_examples, supplier_pagerank,
+    # semdedup_incremental_batch, hybrid_search_normalized,
+    # late_interaction_topk, dsl_bool_search, aggs_dsl_daily_histogram,
+    # search_request_sorted, simple_query_string percolation
+    # (pytest-gated).
     "simple_query_string_docs",
     "has_child_orders",
     "dis_max_docs",
