@@ -255,6 +255,28 @@ def execute_search_dsl(
         raise ValueError("query body must have exactly one top-level key")
     kind, body = next(iter(dsl.items()))
     common = dict(text_col=text_col, id_col=id_col, top_k=top_k)
+    if kind == "ids":
+        # ids query: filter by document id, constant score (ES
+        # returns score 1 per match)
+        vals = [int(i) for i in body["values"]]
+        out = docs.filter(F.col(id_col).isin(vals)).select(
+            F.col(id_col),
+            F.lit(1.0).alias("score"),
+            F.lit(0).cast("long").alias("n_clauses_hit"),
+        )
+        if top_k is None:
+            return out
+        return out.orderBy(F.col(id_col).asc()).limit(top_k)
+    if kind == "exists":
+        # exists query: docs with a non-null field, constant score
+        out = docs.filter(F.col(body["field"]).isNotNull()).select(
+            F.col(id_col),
+            F.lit(1.0).alias("score"),
+            F.lit(0).cast("long").alias("n_clauses_hit"),
+        )
+        if top_k is None:
+            return out
+        return out.orderBy(F.col(id_col).asc()).limit(top_k)
     if kind == "match_all":
         out = docs.select(
             F.col(id_col),
@@ -703,7 +725,10 @@ def execute_aggs_dsl(rows: DataFrame, aggs: dict) -> dict:
     return out
 
 
-_UNCUT_KINDS = ("match_all", "match", "term", "match_phrase", "bool")
+_UNCUT_KINDS = (
+    "match_all", "match", "term", "match_phrase", "bool", "ids",
+    "exists",
+)
 
 
 def execute_search_request(

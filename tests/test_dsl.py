@@ -354,3 +354,26 @@ def test_search_request_rejects_aggs_on_topk_shapes(docs):
                 "aggs": {"x": {"stats": {"field": "n_chars"}}},
             },
         )
+
+
+def test_dsl_ids_and_exists(docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl, execute_search_request,
+    )
+
+    ids = execute_search_dsl(docs, {"ids": {"values": [2, 4, 99]}})
+    got = [(r.doc_id, r.score) for r in ids.collect()]
+    assert got == [(2, 1.0), (4, 1.0)]
+    # exists over a nullable column
+    nullable = docs.withColumn(
+        "maybe", F.when(F.col("doc_id") % 2 == 0, F.col("n_chars"))
+    )
+    ex = execute_search_dsl(nullable, {"exists": {"field": "maybe"}})
+    assert {r.doc_id for r in ex.collect()} == {2, 4}
+    # both work as agg-bearing request queries (uncut-capable)
+    _page, aggs = execute_search_request(
+        docs,
+        {"query": {"ids": {"values": [1, 2]}},
+         "aggs": {"s": {"stats": {"field": "n_chars"}}}},
+    )
+    assert aggs["s"].collect()[0]["count"] == 2
