@@ -15,7 +15,10 @@ the dispatcher adds NO new semantics):
   ``minimum_should_match`` over those leaves (one nesting level, the
   overwhelmingly common body)
 - ``simple_query_string`` → :func:`...querystring.simple_query_string`
-- ``dis_max`` → :func:`...querystring.dis_max_search`
+- ``dis_max`` → :func:`...querystring.dis_max_search` — each
+  sub-query compiles to ONE dis_max group (a multi-term match sums
+  its term contributions within the group; the max runs across
+  sub-queries, exactly ES)
 - ``function_score`` (field_value_factor) → :func:`...search.function_score`
 - ``rank_feature`` bool-should shape → :func:`...scoring.rank_feature_search`
 - ``pinned`` → :func:`...scoring.pinned_search`
@@ -75,6 +78,21 @@ def _leaf_clauses(node: dict) -> list[list[str]]:
             raise ValueError(f"match_phrase has no tokens: {q!r}")
         return [terms]
     raise ValueError(f"unsupported leaf query type {kind!r}")
+
+
+def _match_terms(node: dict, position: str) -> list[str]:
+    """Single tokens of a match/term inner query, for operators that
+    take a flat term list (function_score / rank_feature / pinned).
+    match_phrase is REJECTED here — silently keeping the first token
+    would drop phrase semantics."""
+    kind = next(iter(node))
+    if kind == "match_phrase":
+        raise ValueError(
+            f"match_phrase is not supported as the {position} inner "
+            "query (its operator scores flat terms; phrase semantics "
+            "would be silently dropped) — use match or term"
+        )
+    return [c[0] for c in _leaf_clauses(node)]
 
 
 def _match_operator(node: dict) -> str:
@@ -323,13 +341,17 @@ def execute_search_dsl(
             dis_max_search,
         )
 
-        clauses = []
-        for sub in body["queries"]:
-            for c in _leaf_clauses(sub):
-                clauses.append(" ".join(c))
+        # each sub-query is ONE dis_max group: a multi-term match
+        # sums its term contributions WITHIN the group (ES bool-sum
+        # inside the sub-query) and the max runs across groups
+        groups = [
+            [" ".join(c) for c in _leaf_clauses(sub)]
+            for sub in body["queries"]
+        ]
         return dis_max_search(
             docs,
-            clauses,
+            None,
+            groups=groups,
             tie_breaker=float(body.get("tie_breaker", 0.0)),
             **common,
         )
@@ -339,8 +361,7 @@ def execute_search_dsl(
         )
 
         fvf = body["field_value_factor"]
-        match = body["query"]
-        terms = [c[0] for c in _leaf_clauses(match)]
+        terms = _match_terms(body["query"], "function_score")
         return function_score(
             docs,
             terms,
@@ -356,8 +377,7 @@ def execute_search_dsl(
             rank_feature_search,
         )
 
-        match = body["query"]
-        terms = [c[0] for c in _leaf_clauses(match)]
+        terms = _match_terms(body["query"], "rank_feature")
         return rank_feature_search(
             docs,
             terms,
@@ -371,8 +391,7 @@ def execute_search_dsl(
             pinned_search,
         )
 
-        match = body["organic"]
-        terms = [c[0] for c in _leaf_clauses(match)]
+        terms = _match_terms(body["organic"], "pinned organic")
         return pinned_search(
             docs, terms, pinned_ids=[int(i) for i in body["ids"]], **common
         )
@@ -588,8 +607,10 @@ def execute_aggs_dsl(rows: DataFrame, aggs: dict) -> dict:
             vq = F.floor(F.col(field).cast("double") * 1_000_000.0).cast(
                 "long"
             )
+            # pure-integer floor (double-mod): exact for any long,
+            # matching retrieval.numeric_histogram's edge arithmetic
             bucket = (
-                F.floor(vq / F.lit(ivq)) * F.lit(ivq)
+                vq - ((vq % F.lit(ivq) + F.lit(ivq)) % F.lit(ivq))
             ).cast("double") / F.lit(1_000_000.0)
             v = F.col(field).cast("double")
             out[name] = (
@@ -765,7 +786,10 @@ def execute_search_request(
     size = int(body.get("size", 10))
     aggs = body.get("aggs") or body.get("aggregations") or {}
     kind = next(iter(query)) if len(query) == 1 else None
-    wants_uncut = bool(aggs) or "sort" in body
+    sort_spec = body.get("sort", "_score")
+    wants_uncut = bool(aggs) or (
+        "sort" in body and sort_spec not in ("_score", ["_score"])
+    )
     if wants_uncut and kind not in _UNCUT_KINDS:
         raise ValueError(
             f"aggs/sort need an uncut hit relation; query type "

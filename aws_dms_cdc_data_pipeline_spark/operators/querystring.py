@@ -393,6 +393,7 @@ def dis_max_search(
     docs: DataFrame,
     clauses: list[str],
     *,
+    groups: list[list[str]] | None = None,
     tie_breaker: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -416,20 +417,36 @@ def dis_max_search(
     quantized-exact longs throughout; the max/sum combine happens on
     the longs, one final decimal division).
 
+    When ``groups`` is given it replaces ``clauses``: each group is
+    one dis_max SUB-QUERY whose score is the SUM of its member
+    clauses' contributions (an ES ``match`` with N terms is one
+    sub-query summing N term scores), and the disjunction-max runs
+    over GROUP scores — ``max(group) + tie_breaker · Σ(other
+    groups)``. A flat ``clauses`` list is exactly singleton groups.
+
     Same single-pass shape as simple_query_string: one tokenize
     reduced in-row, 1-row stats collect, row-wise scoring,
-    TakeOrderedAndProject. Returns (id, score, n_clauses_hit).
+    TakeOrderedAndProject. Returns (id, score, n_clauses_hit) with
+    n_clauses_hit counting hit GROUPS (= clauses in the flat form).
     """
-    if not clauses:
+    if groups is None:
+        groups = [[c] for c in (clauses or [])]
+    if not groups:
         raise ValueError("dis_max_search needs at least one clause")
     if not (0.0 <= tie_breaker <= 1.0):
         raise ValueError("tie_breaker must be in [0, 1]")
     parsed: list[list[str]] = []
-    for c in clauses:
-        terms = _TOKEN_RE.findall(c.lower())
-        if not terms:
-            raise ValueError(f"clause {c!r} has no tokens")
-        parsed.append(terms)
+    group_of: list[int] = []
+    for gi, grp in enumerate(groups):
+        if not grp:
+            raise ValueError("dis_max group must have >= 1 clause")
+        for c in grp:
+            terms = _TOKEN_RE.findall(c.lower())
+            if not terms:
+                raise ValueError(f"clause {c!r} has no tokens")
+            parsed.append(terms)
+            group_of.append(gi)
+    n_groups = len(groups)
     score_terms = sorted({t for ts in parsed for t in ts})
 
     from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
@@ -511,22 +528,36 @@ def dis_max_search(
         clause_scores.append(F.when(tf > 0, cq).otherwise(zero))
         hit_flags.append(tf > 0)
 
+    # fold clause contributions into their sub-query (group) score:
+    # group score = Σ member clause longs, group hit = any member hit
+    group_scores = []
+    group_hits = []
+    for gi in range(n_groups):
+        members = [ci for ci, g in enumerate(group_of) if g == gi]
+        gs = clause_scores[members[0]]
+        gh = hit_flags[members[0]]
+        for ci in members[1:]:
+            gs = gs + clause_scores[ci]
+            gh = gh | hit_flags[ci]
+        group_scores.append(gs)
+        group_hits.append(gh)
+
     maxq = (
-        clause_scores[0]
-        if len(clause_scores) == 1
-        else F.greatest(*clause_scores)
+        group_scores[0]
+        if len(group_scores) == 1
+        else F.greatest(*group_scores)
     )
-    sumq = clause_scores[0]
-    for c in clause_scores[1:]:
+    sumq = group_scores[0]
+    for c in group_scores[1:]:
         sumq = sumq + c
     # combine on the exact longs; tie_breaker is ONE double multiply
     score = (
         maxq.cast("double")
         + F.lit(float(tie_breaker)) * (sumq - maxq).cast("double")
     ) / F.lit(float(_FP))
-    n_hit = hit_flags[0].cast("long")
-    member = hit_flags[0]
-    for hflag in hit_flags[1:]:
+    n_hit = group_hits[0].cast("long")
+    member = group_hits[0]
+    for hflag in group_hits[1:]:
         n_hit = n_hit + hflag.cast("long")
         member = member | hflag
     return (
@@ -544,6 +575,7 @@ def dis_max_search(
 def dis_max_oracle_sql(
     clauses: list[str],
     *,
+    groups: list[list[str]] | None = None,
     tie_breaker: float = 0.0,
     table: str = "documents",
     text_col: str = "text",
@@ -552,10 +584,20 @@ def dis_max_oracle_sql(
     b: float = 0.75,
     top_k: int = 20,
 ) -> str:
-    """DuckDB SQL computing the identical dis_max ranking."""
-    parsed = [_TOKEN_RE.findall(c.lower()) for c in clauses]
+    """DuckDB SQL computing the identical dis_max ranking (grouped
+    sub-query semantics when ``groups`` is given, mirroring
+    :func:`dis_max_search`)."""
+    if groups is None:
+        groups = [[c] for c in (clauses or [])]
+    parsed = []
+    group_of = []
+    for gi, grp in enumerate(groups):
+        for c in grp:
+            parsed.append(_TOKEN_RE.findall(c.lower()))
+            group_of.append(gi)
     if any(not ts for ts in parsed):
         raise ValueError("every clause needs at least one token")
+    n_groups = len(groups)
     score_terms = sorted({t for ts in parsed for t in ts})
     tidx = {t: i for i, t in enumerate(score_terms)}
 
@@ -610,12 +652,18 @@ def dis_max_oracle_sql(
             f"* 1000000, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         )
         hits.append(f"(({tf}) > 0)")
+    gqs, ghits = [], []
+    for gi in range(n_groups):
+        members = [ci for ci, g in enumerate(group_of) if g == gi]
+        gqs.append(" + ".join(f"({cqs[ci]})" for ci in members))
+        ghits.append("(" + " OR ".join(hits[ci] for ci in members) + ")")
     maxq = (
-        cqs[0] if len(cqs) == 1 else "greatest(" + ", ".join(cqs) + ")"
+        gqs[0] if len(gqs) == 1
+        else "greatest(" + ", ".join(f"({g})" for g in gqs) + ")"
     )
-    sumq = " + ".join(f"({c})" for c in cqs)
-    n_hit = " + ".join(f"CAST({h} AS BIGINT)" for h in hits)
-    member = " OR ".join(hits)
+    sumq = " + ".join(f"({g})" for g in gqs)
+    n_hit = " + ".join(f"CAST({h} AS BIGINT)" for h in ghits)
+    member = " OR ".join(ghits)
     return f"""
     WITH tokarr AS (
         SELECT {id_col},

@@ -377,3 +377,125 @@ def test_dsl_ids_and_exists(docs):
          "aggs": {"s": {"stats": {"field": "n_chars"}}}},
     )
     assert aggs["s"].collect()[0]["count"] == 2
+
+
+def test_dsl_dis_max_groups_sum_within_subquery(docs):
+    """ADVICE r14: a multi-term match sub-query is ONE dis_max group
+    (sum of its term contributions), not N independent clauses. With
+    a single match sub-query, dis_max == ES bool-should OR scoring
+    == clause_search over the same terms."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        clause_search,
+        execute_search_dsl,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        dis_max_search,
+    )
+
+    got = execute_search_dsl(
+        docs, {"dis_max": {"queries": [
+            {"match": {"text": {"query": "spark window"}}},
+        ]}}
+    )
+    want = clause_search(docs, should=[["spark"], ["window"]])
+    assert {(r.doc_id, r.score) for r in got.collect()} == {
+        (r.doc_id, r.score) for r in want.collect()
+    }
+    # two sub-queries: multi-term match group vs term group; a doc
+    # matching both match-terms must beat its single-term clause max
+    got2 = {
+        r.doc_id: r.score
+        for r in execute_search_dsl(
+            docs, {"dis_max": {"queries": [
+                {"match": {"text": {"query": "spark window"}}},
+                {"term": {"text": "merge"}},
+            ]}}
+        ).collect()
+    }
+    flat = {
+        r.doc_id: r.score
+        for r in dis_max_search(
+            docs, ["spark", "window", "merge"]
+        ).collect()
+    }
+    # doc 1 has spark+window: grouped score strictly exceeds the
+    # flat (max-of-singles) score
+    assert got2[1] > flat[1]
+    # n_clauses_hit counts GROUPS in the grouped form
+    grouped_hits = {
+        r.doc_id: r.n_clauses_hit
+        for r in execute_search_dsl(
+            docs, {"dis_max": {"queries": [
+                {"match": {"text": {"query": "spark window"}}},
+                {"term": {"text": "merge"}},
+            ]}}
+        ).collect()
+    }
+    # doc 1 hits both groups (has merge too); doc 4 (window filter
+    # filter) hits only the match group
+    assert grouped_hits[1] == 2
+    assert grouped_hits[4] == 1
+
+
+def test_dsl_match_phrase_rejected_in_flat_term_positions(docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    for body in (
+        {"function_score": {
+            "query": {"match_phrase": {"text": "merge window"}},
+            "field_value_factor": {"field": "n_chars"},
+        }},
+        {"rank_feature": {
+            "query": {"match_phrase": {"text": "merge window"}},
+            "field": "n_chars", "saturation": {"pivot": 100.0},
+        }},
+        {"pinned": {
+            "ids": [1],
+            "organic": {"match_phrase": {"text": "merge window"}},
+        }},
+    ):
+        with pytest.raises(ValueError, match="match_phrase"):
+            execute_search_dsl(docs, body)
+
+
+def test_search_request_score_sort_on_topk_shape(docs):
+    """Explicit sort:"_score" is the default behavior — it must NOT
+    force the uncut path, so top-k-only shapes accept it."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_request,
+    )
+
+    page, aggs = execute_search_request(
+        docs,
+        {"query": {"simple_query_string": {"query": "merge window"}},
+         "sort": "_score", "size": 3},
+    )
+    assert aggs == {}
+    rows = page.collect()
+    assert 0 < len(rows) <= 3
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_aggs_dsl_histogram_integer_edges(spark):
+    """ADVICE r14: histogram bucket edges use pure-integer double-mod
+    arithmetic — exact for values beyond double-division precision
+    (|quantized value| > ~9e9) and for negatives."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_aggs_dsl,
+    )
+
+    rows = [(1, 20000.000001), (2, 20000.999999), (3, -0.5),
+            (4, 1e10 + 0.25), (5, 1e10 + 0.75)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = execute_aggs_dsl(
+        df, {"h": {"histogram": {"field": "v", "interval": 0.5}}}
+    )["h"].collect()
+    got = {r.bucket_start: r.doc_count for r in out}
+    assert got[20000.0] == 1
+    assert got[20000.5] == 1
+    assert got[-0.5] == 1
+    assert got[1e10 + 0.0] == 1
+    assert got[1e10 + 0.5] == 1
