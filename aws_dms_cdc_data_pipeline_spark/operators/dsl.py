@@ -22,6 +22,16 @@ the dispatcher adds NO new semantics):
 - ``function_score`` (field_value_factor) → :func:`...search.function_score`
 - ``rank_feature`` bool-should shape → :func:`...scoring.rank_feature_search`
 - ``pinned`` → :func:`...scoring.pinned_search`
+- ``boosting`` → :func:`...search.boosting_search`
+- ``span_first`` / ``span_not`` (span_term legs) →
+  :func:`...search.span_first` / :func:`...querystring.span_not_search`
+- ``terms_set`` (needs ``index_tables={'tokens': ...}``) →
+  :func:`...search.terms_set_search`
+- ``more_like_this`` seed-document form (needs ``index_tables=
+  {'tokens': ..., 'dl': ...}``) → :func:`...retrieval.more_like_this`
+- ``knn`` with optional term ``filter`` (pre-filter semantics) →
+  :func:`...similarity.brute_force_topk` / ``filtered_topk`` — pass
+  the relation carrying the vector column
 
 Scoring and membership semantics are exactly the per-operator
 contracts (quantized-exact BM25, Lucene phrase weights); the
@@ -256,6 +266,18 @@ def clause_search(
     )
 
 
+def _span_term(node: dict, position: str) -> str:
+    """Extract the single token of a ``span_term`` leaf."""
+    if next(iter(node)) != "span_term":
+        raise ValueError(f"{position} expects a span_term leaf: {node}")
+    ((_field, val),) = node["span_term"].items()
+    val = val["value"] if isinstance(val, dict) else val
+    terms = _TOKEN_RE.findall(str(val).lower())
+    if len(terms) != 1:
+        raise ValueError(f"span_term needs one token: {val!r}")
+    return terms[0]
+
+
 def execute_search_dsl(
     docs: DataFrame,
     dsl: dict,
@@ -263,6 +285,7 @@ def execute_search_dsl(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_k: int = 20,
+    index_tables: dict | None = None,
 ) -> DataFrame:
     """Execute an OpenSearch query-DSL body (the ``query`` object of
     a search request) against the document corpus. See the module
@@ -394,6 +417,138 @@ def execute_search_dsl(
         terms = _match_terms(body["organic"], "pinned organic")
         return pinned_search(
             docs, terms, pinned_ids=[int(i) for i in body["ids"]], **common
+        )
+    if kind == "boosting":
+        from aws_dms_cdc_data_pipeline_spark.operators.search import (
+            boosting_search,
+        )
+
+        return boosting_search(
+            docs,
+            _match_terms(body["positive"], "boosting positive"),
+            _match_terms(body["negative"], "boosting negative"),
+            negative_boost=float(body.get("negative_boost", 0.5)),
+            **common,
+        )
+    if kind == "span_first":
+        from aws_dms_cdc_data_pipeline_spark.operators.search import (
+            span_first,
+        )
+
+        term = _span_term(body["match"], "span_first match")
+        out = span_first(
+            docs, term, end=int(body["end"]),
+            text_col=text_col, id_col=id_col,
+        )
+        return out if top_k is None else out.limit(top_k)
+    if kind == "span_not":
+        from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+            span_not_search,
+        )
+
+        return span_not_search(
+            docs,
+            _span_term(body["include"], "span_not include"),
+            _span_term(body["exclude"], "span_not exclude"),
+            pre=int(body.get("pre", 0)),
+            post=int(body.get("post", 0)),
+            text_col=text_col,
+            id_col=id_col,
+            top_k=top_k if top_k is not None else (1 << 31) - 1,
+        )
+    if kind == "terms_set":
+        from aws_dms_cdc_data_pipeline_spark.operators.search import (
+            terms_set_search,
+        )
+
+        if not index_tables or "tokens" not in index_tables:
+            raise ValueError(
+                "terms_set routing needs index_tables={'tokens': ...} "
+                "(the materialized token index — ensure_token_index)"
+            )
+        ((_field, spec),) = body.items()
+        terms = [
+            t for v in spec["terms"]
+            for t in _TOKEN_RE.findall(str(v).lower())
+        ]
+        msm = spec.get("minimum_should_match_field") or spec.get(
+            "minimum_should_match_script", {}
+        ).get("source")
+        if not msm:
+            raise ValueError(
+                "terms_set needs minimum_should_match_field or a "
+                "portable-SQL minimum_should_match_script.source"
+            )
+        return terms_set_search(
+            docs.sparkSession,
+            index_tables["tokens"],
+            docs,
+            terms,
+            msm_expr=msm,
+            id_col=id_col,
+            top_k=top_k if top_k is not None else (1 << 31) - 1,
+        )
+    if kind == "more_like_this":
+        from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+            more_like_this,
+        )
+
+        if not index_tables or not {"tokens", "dl"} <= set(index_tables):
+            raise ValueError(
+                "more_like_this routing needs index_tables={'tokens': "
+                "..., 'dl': ...} (ensure_token_index)"
+            )
+        like = body["like"]
+        like = like[0] if isinstance(like, list) else like
+        if not (isinstance(like, dict) and "_id" in like):
+            raise ValueError(
+                "more_like_this supports like=[{'_id': ...}] (seed-"
+                "document form); free-text like is not routed"
+            )
+        return more_like_this(
+            docs.sparkSession,
+            index_tables["tokens"],
+            index_tables["dl"],
+            like["_id"],
+            id_col=id_col,
+            m_terms=int(body.get("max_query_terms", 8)),
+            top_k=top_k if top_k is not None else (1 << 31) - 1,
+            fwd_table=index_tables.get("fwd"),
+        )
+    if kind == "knn":
+        from aws_dms_cdc_data_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+            filtered_topk,
+        )
+
+        field = body["field"]
+        if field not in docs.columns:
+            raise ValueError(
+                f"knn field {field!r} is not a column of the passed "
+                "relation — pass the table carrying the vectors"
+            )
+        qvec = [float(x) for x in body["query_vector"]]
+        queries = docs.sparkSession.createDataFrame(
+            [(0, qvec)], "query_id long, query_vec array<double>"
+        )
+        kk = int(body.get("k", 10))
+        flt = body.get("filter")
+        kw = dict(
+            k=kk, id_col=id_col, vec_col=field,
+            query_id_col="query_id", query_vec_col="query_vec",
+        )
+        if flt is None:
+            return brute_force_topk(docs, queries, **kw)
+        fkind, fbody = next(iter(flt.items()))
+        if fkind != "term":
+            raise ValueError(
+                "knn filter supports term leaves (pre-filter "
+                "semantics); got " + repr(fkind)
+            )
+        ((ffield, fval),) = fbody.items()
+        fval = fval["value"] if isinstance(fval, dict) else fval
+        return filtered_topk(
+            docs, queries, F.col(ffield) == F.lit(fval), **kw
         )
     raise ValueError(f"unsupported query type {kind!r}")
 

@@ -9363,6 +9363,141 @@ def search_request_sorted_q(spark, sf_dir):
     return page
 
 
+_DSL_TS_TERMS = ["table", "hash", "merge", "stream"]
+_DSL_TS_MSM = "CASE WHEN n_chars >= 400 THEN 3 ELSE 2 END"
+
+
+def _dsl_terms_set_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        terms_set_oracle_sql,
+    )
+
+    inner = terms_set_oracle_sql(
+        _DSL_TS_TERMS, msm_expr=_DSL_TS_MSM, top_k=20
+    )
+    return (
+        "SELECT doc_id, array_to_string(terms, ' ') AS terms, "
+        f"n_matched, total_tf, required, rank FROM ({inner})"
+    )
+
+
+@q(
+    "dsl_terms_set_search",
+    _dsl_terms_set_oracle(),
+    "terms_set through the query-DSL dispatcher — a saved OpenSearch "
+    "terms_set JSON body (terms + minimum_should_match_field) routes "
+    "to the indexed terms_set operator unchanged: per-DOCUMENT "
+    "required match counts over the term-bucketed token index, "
+    "bit-identical to the direct call (tests/test_dsl.py) "
+    "(operators/dsl.py:execute_search_dsl -> "
+    "operators/search.py:terms_set_search).",
+)
+def dsl_terms_set_search_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx_t, _ = _token_index_for(spark, sf_dir)
+    body = {"terms_set": {"text": {
+        "terms": _DSL_TS_TERMS,
+        "minimum_should_match_field": _DSL_TS_MSM,
+    }}}
+    res = execute_search_dsl(
+        docs, body, index_tables={"tokens": idx_t}, top_k=20
+    )
+    return res.withColumn("terms", F.array_join("terms", " "))
+
+
+@q(
+    "dsl_knn_filtered",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 3),
+    allowed AS (SELECT * FROM embeddings WHERE label = 2),
+    scored AS (
+        SELECT e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                   AS cosine
+        FROM allowed e CROSS JOIN q
+    )
+    SELECT CAST(0 AS BIGINT) AS query_id, vec_id, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id)
+              AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+    "knn through the query-DSL dispatcher — an OpenSearch knn body "
+    "(field + query_vector + k + term filter) routes to the exact "
+    "filtered vector search with PRE-FILTER semantics: the label "
+    "predicate pushes to the parquet scan before scoring, so the "
+    "page holds k true neighbors from the allowed subset "
+    "(operators/dsl.py:execute_search_dsl -> "
+    "operators/similarity.py:filtered_topk).",
+)
+def dsl_knn_filtered_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the JSON body carries a literal query vector; seed it from a
+    # fixed corpus row (1-row bounded collect, the PQ-codebook rule)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 3)
+        .select("embedding").collect()[0][0]
+    ]
+    body = {"knn": {
+        "field": "embedding", "query_vector": qvec, "k": 10,
+        "filter": {"term": {"label": 2}},
+    }}
+    out = execute_search_dsl(emb, body, id_col="vec_id")
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _dsl_dis_max_grouped_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        dis_max_oracle_sql,
+    )
+
+    return dis_max_oracle_sql(
+        None,
+        groups=[["table", "hash"], ["merge group"]],
+        tie_breaker=0.3,
+        top_k=20,
+    )
+
+
+@q(
+    "dsl_dis_max_grouped",
+    _dsl_dis_max_grouped_oracle(),
+    "Grouped dis_max through the query-DSL dispatcher — a dis_max "
+    "body whose sub-queries are a multi-term match and a "
+    "match_phrase: each sub-query is ONE dis_max group (the match "
+    "sums its term contributions within the group, ES bool-sum "
+    "inside the sub-query) and the disjunction-max runs across "
+    "groups with tie_breaker on the quantized-exact longs "
+    "(operators/dsl.py:execute_search_dsl -> "
+    "operators/querystring.py:dis_max_search groups=).",
+)
+def dsl_dis_max_grouped_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    body = {"dis_max": {
+        "queries": [
+            {"match": {"text": {"query": "table hash"}}},
+            {"match_phrase": {"text": "merge group"}},
+        ],
+        "tie_breaker": 0.3,
+    }}
+    return execute_search_dsl(docs, body, top_k=20)
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r14 window = the 7 queries new this round

@@ -164,7 +164,7 @@ def test_dsl_validation(docs):
     )
 
     with pytest.raises(ValueError, match="unsupported query type"):
-        execute_search_dsl(docs, {"knn": {}})
+        execute_search_dsl(docs, {"nested": {}})
     with pytest.raises(ValueError, match="one top-level key"):
         execute_search_dsl(docs, {"match": {}, "term": {}})
     with pytest.raises(ValueError, match="one token"):
@@ -499,3 +499,133 @@ def test_aggs_dsl_histogram_integer_edges(spark):
     assert got[-0.5] == 1
     assert got[1e10 + 0.0] == 1
     assert got[1e10 + 0.5] == 1
+
+
+def test_dsl_boosting_span_routes_equal_direct(docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        span_not_search,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        boosting_search,
+        span_first,
+    )
+
+    assert _rows(
+        execute_search_dsl(
+            docs,
+            {"boosting": {
+                "positive": {"match": {"text": "merge window"}},
+                "negative": {"term": {"text": "slow"}},
+                "negative_boost": 0.4,
+            }},
+        )
+    ) == _rows(
+        boosting_search(
+            docs, ["merge", "window"], ["slow"], negative_boost=0.4
+        )
+    )
+
+    assert _rows(
+        execute_search_dsl(
+            docs,
+            {"span_first": {
+                "match": {"span_term": {"text": "merge"}},
+                "end": 2,
+            }},
+        )
+    ) == _rows(span_first(docs, "merge", end=2))
+
+    assert _rows(
+        execute_search_dsl(
+            docs,
+            {"span_not": {
+                "include": {"span_term": {"text": "window"}},
+                "exclude": {"span_term": {"text": "filter"}},
+                "pre": 1, "post": 1,
+            }},
+        )
+    ) == _rows(
+        span_not_search(docs, "window", "filter", pre=1, post=1,
+                        top_k=20)
+    )
+
+
+def test_dsl_terms_set_and_mlt_routes(spark, docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        more_like_this,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+        terms_set_search,
+    )
+
+    idx, dl = ensure_token_index(spark, docs, "dsl_route_ts")
+    body = {"terms_set": {"text": {
+        "terms": ["spark", "merge", "window"],
+        "minimum_should_match_field":
+            "CASE WHEN n_chars >= 200 THEN 3 ELSE 1 END",
+    }}}
+    got = execute_search_dsl(
+        docs, body, index_tables={"tokens": idx}, top_k=10
+    )
+    want = terms_set_search(
+        spark, idx, docs, ["spark", "merge", "window"],
+        msm_expr="CASE WHEN n_chars >= 200 THEN 3 ELSE 1 END",
+        top_k=10,
+    )
+    assert _rows(got) == _rows(want)
+    with pytest.raises(ValueError, match="index_tables"):
+        execute_search_dsl(docs, body)
+
+    mlt_body = {"more_like_this": {
+        "like": [{"_id": 1}], "max_query_terms": 4,
+    }}
+    got_mlt = execute_search_dsl(
+        docs, mlt_body, index_tables={"tokens": idx, "dl": dl},
+        top_k=5,
+    )
+    want_mlt = more_like_this(spark, idx, dl, 1, m_terms=4, top_k=5)
+    assert _rows(got_mlt) == _rows(want_mlt)
+
+
+def test_dsl_knn_route(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        filtered_topk,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0], i % 2)
+         for i in range(20)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    body = {"knn": {"field": "embedding",
+                    "query_vector": [1.0, 2.0, 1.0], "k": 4}}
+    got = execute_search_dsl(vecs, body, id_col="vec_id")
+    q = spark.createDataFrame(
+        [(0, [1.0, 2.0, 1.0])],
+        "query_id long, query_vec array<double>",
+    )
+    want = brute_force_topk(vecs, q, k=4)
+    assert _rows(got) == _rows(want)
+
+    fbody = {"knn": {"field": "embedding",
+                     "query_vector": [1.0, 2.0, 1.0], "k": 4,
+                     "filter": {"term": {"label": 1}}}}
+    got_f = execute_search_dsl(vecs, fbody, id_col="vec_id")
+    want_f = filtered_topk(vecs, q, F.col("label") == F.lit(1), k=4)
+    assert _rows(got_f) == _rows(want_f)
+    with pytest.raises(ValueError, match="not a column"):
+        execute_search_dsl(
+            vecs, {"knn": {"field": "nope", "query_vector": [1.0]}},
+            id_col="vec_id",
+        )
