@@ -9498,6 +9498,68 @@ def dsl_dis_max_grouped_q(spark, sf_dir):
     return execute_search_dsl(docs, body, top_k=20)
 
 
+_SQS_STANDING = [
+    {"query_id": "sq_or", "type": "simple_query_string",
+     "query": '"stream table" fast -slow'},
+    {"query_id": "sq_and", "type": "simple_query_string",
+     "query": "spark window", "default_operator": "and"},
+]
+
+
+@q(
+    "percolate_sqs_alerts",
+    """
+    WITH dw AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    )
+    SELECT 'sq_or' AS query_id, doc_id,
+           CAST(h0 + h1 AS BIGINT) AS n_matches
+    FROM (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= 2 AND len(list_filter(
+                        range(1, len(ws)),
+                        i -> ws[i] = 'stream' AND ws[i + 1] = 'table'
+                    )) > 0 THEN 1 ELSE 0 END AS h0,
+               CASE WHEN list_contains(ws, 'fast') THEN 1 ELSE 0 END
+                   AS h1,
+               CASE WHEN list_contains(ws, 'slow') THEN 1 ELSE 0 END
+                   AS n0
+        FROM dw
+    )
+    WHERE n0 = 0 AND (h0 + h1) > 0
+    UNION ALL
+    SELECT 'sq_and' AS query_id, doc_id,
+           CAST(h0 + h1 AS BIGINT) AS n_matches
+    FROM (
+        SELECT doc_id,
+               CASE WHEN list_contains(ws, 'spark') THEN 1 ELSE 0 END
+                   AS h0,
+               CASE WHEN list_contains(ws, 'window') THEN 1 ELSE 0 END
+                   AS h1
+        FROM dw
+    )
+    WHERE h0 = 1 AND h1 = 1
+    """,
+    "simple_query_string PERCOLATION as a verifiable batch query — "
+    "the end-user saved-search alert shape: each standing sqs body "
+    "parses with the batch operator's parser, its clauses register "
+    "as internal phrase queries riding the ONE shared anchor-vote "
+    "corpus pass, and membership recombines per parent (or: any / "
+    "and: all positive clauses, no negative clause; n_matches = "
+    "positive clauses hit). Corpus work stays independent of the "
+    "standing-query count (streaming/percolate.py:percolate type "
+    "'simple_query_string').",
+)
+def percolate_sqs_alerts_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.streaming.percolate import percolate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return percolate(docs, _SQS_STANDING)
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r14 window = the 7 queries new this round
