@@ -9560,6 +9560,78 @@ def percolate_sqs_alerts_q(spark, sf_dir):
     return percolate(docs, _SQS_STANDING)
 
 
+def _vector_index_for(spark, sf_dir, *, pq=False):
+    """Build-or-reuse the persisted vector index for a fixture dir
+    (name encodes the dir, the _token_index_for precedent)."""
+    import re as _re
+
+    from aws_dms_cdc_data_pipeline_spark.operators.vector_index import (
+        ensure_vector_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    name = _re.sub(r"[^a-zA-Z0-9]+", "_", sf_dir.strip("/")).lower()
+    kw = dict(n_lists=16, iterations=3)
+    if pq:
+        kw.update(pq_m=8, pq_k=16, pq_sample=2048, pq_iterations=8)
+    return ensure_vector_index(spark, emb, name, **kw)
+
+
+@q(
+    "ann_ivf_indexed_topk",
+    None,  # trained-quantizer cell assignment is engine-internal
+    "IVF top-10 served FROM the persisted vector index "
+    "(vecidx_* catalog tables): centroids + cell-assigned corpus "
+    "materialize once (ensure_vector_index — the token-index "
+    "lifecycle for ANN), then every query statically prunes the "
+    "cell-PARTITIONED table to its n_probe cells — per-query read "
+    "~ N x n_probe / n_lists rows with no training and no corpus "
+    "assignment pass. Bit-identical to the session-memoized "
+    "ivf_topk on the same centroids (tests/test_vector_index.py). "
+    "Rows-only (iterative k-means, the E25 precedent) "
+    "(operators/vector_index.py:ivf_topk_indexed).",
+)
+def ann_ivf_indexed_topk_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.vector_index import (
+        ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    tables = _vector_index_for(spark, sf_dir)
+    out = ivf_topk_indexed(spark, tables, queries_df, k=10, n_probe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@q(
+    "ann_pq_indexed_topk",
+    None,  # iterative PQ codebooks are engine-internal (E209)
+    "PQ/ADC top-10 served FROM the persisted vector index: "
+    "codebooks + 16x-compressed corpus codes materialize once and "
+    "a fresh session scores queries with one table-gather + row-sum "
+    "pass over the codes table — float vectors never re-read, no "
+    "re-encoding. Bit-identical to pq_topk on the same artifacts "
+    "(tests/test_vector_index.py). Rows-only "
+    "(operators/vector_index.py:pq_topk_indexed).",
+)
+def ann_pq_indexed_topk_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.vector_index import (
+        pq_topk_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    tables = _vector_index_for(spark, sf_dir, pq=True)
+    out = pq_topk_indexed(spark, tables, queries_df, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r14 window = the 7 queries new this round
