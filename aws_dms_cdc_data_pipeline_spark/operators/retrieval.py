@@ -4298,6 +4298,7 @@ def frequent_item_sets(
     min_support: float = 0.1,
     max_size: int = 2,
     top_k: int = 25,
+    max_items: int | None = None,
 ) -> DataFrame:
     """``frequent_item_sets`` aggregation — the OpenSearch ML agg
     (market-basket / co-occurrence mining): item sets appearing in at
@@ -4321,9 +4322,19 @@ def frequent_item_sets(
     precedent: list columns don't hash portably cross-engine);
     support is one exact-long/exact-long double division. Ordered
     (support_count DESC, itemset ASC), top_k.
+
+    ``max_items`` bounds the one quadratic-per-row shape BY CONTRACT:
+    each transaction keeps only its first ``max_items`` sorted
+    distinct items before the pair expansion, capping the in-row
+    blow-up at max_items^2/2 regardless of transaction width (a
+    10 000-item basket would otherwise expand to 50 M pair rows).
+    Deterministic (sorted order) and mirrored by the oracle. None =
+    uncapped — only for inputs whose width the caller already bounds.
     """
     if not (0.0 < min_support <= 1.0):
         raise ValueError("min_support must be in (0, 1]")
+    if max_items is not None and max_items < 1:
+        raise ValueError("max_items must be >= 1")
     if max_size not in (1, 2):
         raise ValueError(
             "max_size must be 1 or 2 (exact tiers; larger sets are "
@@ -4331,6 +4342,8 @@ def frequent_item_sets(
             "pair output)"
         )
     items = F.array_sort(F.array_distinct(F.col(items_col)))
+    if max_items is not None:
+        items = F.slice(items, 1, int(max_items))
     base = tx.select(items.alias("_it")).persist()
     n_tx = base.count()
     if n_tx == 0:
@@ -4380,11 +4393,16 @@ def frequent_item_sets_oracle_sql(
     min_support: float = 0.1,
     max_size: int = 2,
     top_k: int = 25,
+    max_items: int | None = None,
 ) -> str:
     """DuckDB SQL computing the identical frequent item sets over
     ``tx_sql`` (a query yielding one row per transaction with an
     ``items`` list column)."""
     import math
+
+    items_expr = "list_sort(list_distinct(items))"
+    if max_items is not None:
+        items_expr = f"({items_expr})[1:{int(max_items)}]"
 
     pair_leg = """
     UNION ALL
@@ -4396,7 +4414,7 @@ def frequent_item_sets_oracle_sql(
     return f"""
     WITH raw AS ({tx_sql}),
     tx AS (SELECT row_number() OVER () AS txid,
-                  list_sort(list_distinct(items)) AS items
+                  {items_expr} AS items
            FROM raw),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tx FROM tx),
     singles AS (SELECT txid, unnest(items) AS item FROM tx),

@@ -1697,3 +1697,47 @@ def test_sampler_agg_facets_only_the_sample(spark):
     assert set(out) == {"en", "de"}  # fr and doc 2 are outside the sample
     assert out["en"]["n_hits"] == 1 and out["en"]["avg_score"] == 2.5
     assert out["de"]["n_hits"] == 2 and out["de"]["avg_score"] == 2.0
+
+
+def test_frequent_item_sets_max_items_cap(spark):
+    """The max_items knob bounds the in-row pair expansion BY
+    CONTRACT: each transaction keeps its first max_items sorted
+    distinct items, deterministically, mirrored by the oracle."""
+    import duckdb
+
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        frequent_item_sets,
+        frequent_item_sets_oracle_sql,
+    )
+
+    rows = [
+        (["e", "a", "c", "b", "d", "a"],),  # distinct-sorted: a b c d e
+        (["b", "a", "c"],),
+        (["a", "b"],),
+        (["z", "a", "q", "b"],),
+    ]
+    tx = spark.createDataFrame(rows, "items array<string>")
+    got = frequent_item_sets(
+        tx, items_col="items", min_support=0.25, max_items=3, top_k=50
+    ).collect()
+    got_rows = sorted(
+        (r.itemset, r.size, r.support_count, r.support) for r in got
+    )
+    # truncation keeps only {a,b,c} of tx1/tx2, {a,b} of tx3,
+    # {a,b,q} of tx4 -> 'd'/'e'/'z' never appear
+    assert not any(
+        it in ("d", "e", "z") for it, _, _, _ in got_rows
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE basket AS SELECT * FROM (VALUES "
+        "(['e','a','c','b','d','a']), (['b','a','c']), "
+        "(['a','b']), (['z','a','q','b'])) t(items)"
+    )
+    want = con.execute(
+        frequent_item_sets_oracle_sql(
+            "SELECT items FROM basket",
+            min_support=0.25, max_items=3, top_k=50,
+        )
+    ).fetchall()
+    assert got_rows == sorted(want)
