@@ -150,7 +150,14 @@ def run(spark, src: str = "/root/testdata/sf0.1", dst: str | None = None,
                       ("regional", "regional_revenue"),
                       ("topk", "topk_customers_by_revenue"),
                       ("transition", "event_transition_matrix"),
-                      ("exact_dedup", "exact_dedup_docs")):
+                      ("exact_dedup", "exact_dedup_docs"),
+                      # the four r14-weak search rows: each gets a
+                      # measured decade ratio like the stars, so
+                      # "0.38-1.46x at r13, >2x on the degraded r14
+                      # boot" resolves on evidence (r14 verdict #6)
+                      ("phrase", "phrase_search_docs"),
+                      ("phrase_indexed", "phrase_search_docs_indexed"),
+                      ("prox_indexed", "proximity_search_docs_indexed")):
         timed(key, name)
         sql = REGISTRY[name].oracle
         con.execute(sql).fetchall()
@@ -160,6 +167,16 @@ def run(spark, src: str = "/root/testdata/sf0.1", dst: str | None = None,
         out[f"{key}_ratio"] = round(
             out[f"{key}_sec"] / out[f"{key}_duckdb_sec"], 2
         )
+    # bm25_indexed was timed in the text tier above (warm-index
+    # steady pass); attach its decade ratio from the same oracle
+    sql = REGISTRY["bm25_keyword_search_indexed"].oracle
+    con.execute(sql).fetchall()
+    t0 = time.time()
+    con.execute(sql).fetchall()
+    out["bm25_indexed_duckdb_sec"] = round(time.time() - t0, 3)
+    out["bm25_indexed_ratio"] = round(
+        out["bm25_indexed_sec"] / out["bm25_indexed_duckdb_sec"], 2
+    )
     spark.catalog.clearCache()
     return out
 
