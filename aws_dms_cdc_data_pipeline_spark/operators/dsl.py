@@ -120,6 +120,7 @@ def clause_search(
     must: list | None = None,
     should: list | None = None,
     must_not: list | None = None,
+    filters: list | None = None,
     minimum_should_match: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -130,19 +131,25 @@ def clause_search(
     """Generalized clause executor: clauses are term lists (len 1 =
     term, >1 = exact phrase), grouped by bool role. Membership = all
     ``must`` hit AND ≥ ``minimum_should_match`` ``should`` hit AND no
-    ``must_not`` hit; score = Σ BM25 contributions of must + hitting
-    should clauses (Lucene phrase weight for phrases). Single-pass
-    (module docstring). Returns (id, score, n_clauses_hit)."""
+    ``must_not`` hit AND all ``filters`` hit; score = Σ BM25
+    contributions of must + hitting should clauses (Lucene phrase
+    weight for phrases) — ``filters`` is the ES FILTER CONTEXT:
+    required for membership, contributes NOTHING to score or
+    n_clauses_hit (a filters-only query scores every hit 0.0, the ES
+    bool-with-only-filter behavior). Single-pass (module docstring).
+    Returns (id, score, n_clauses_hit)."""
     must = [list(c) for c in (must or [])]
     should = [list(c) for c in (should or [])]
     must_not = [list(c) for c in (must_not or [])]
-    if not must and not should:
-        raise ValueError("need at least one must or should clause")
+    filters = [list(c) for c in (filters or [])]
+    if not must and not should and not filters:
+        raise ValueError("need at least one must/should/filter clause")
     if minimum_should_match is None:
-        minimum_should_match = 0 if must else 1
+        minimum_should_match = 0 if (must or filters) else 1
     score_terms = sorted({t for c in must + should for t in c})
     neg_only = sorted(
-        {c[0] for c in must_not if len(c) == 1} - set(score_terms)
+        {c[0] for c in must_not + filters if len(c) == 1}
+        - set(score_terms)
     )
 
     from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
@@ -167,7 +174,7 @@ def clause_search(
             F.size(F.filter("_toks", _term_eq(t))).cast("long")
             .alias(f"_ntf{j}")
         )
-    all_clauses = must + should + must_not
+    all_clauses = must + should + must_not + filters
     for ci, terms in enumerate(all_clauses):
         if len(terms) > 1:
             cols.append(
@@ -252,6 +259,18 @@ def clause_search(
             excl = excl | (col > 0)
         else:
             excl = excl | (F.col(f"_pc{ci}") > 0)
+    # filter context: required presence, zero score contribution
+    for off, terms in enumerate(filters):
+        ci = len(must) + len(should) + len(must_not) + off
+        if len(terms) == 1:
+            t = terms[0]
+            col = (
+                F.col(f"_tf{tidx[t]}") if t in tidx
+                else F.col(f"_ntf{nidx[t]}")
+            )
+            member = member & (col > 0)
+        else:
+            member = member & (F.col(f"_pc{ci}") > 0)
     out = proj.filter(member & ~excl).select(
         F.col(id_col),
         (total.cast("decimal(38,0)") / F.lit(_FP))
@@ -345,6 +364,7 @@ def execute_search_dsl(
             must=many("must"),
             should=many("should"),
             must_not=many("must_not"),
+            filters=many("filter"),
             minimum_should_match=body.get("minimum_should_match"),
             **common,
         )
@@ -558,6 +578,7 @@ def clause_search_oracle_sql(
     must: list | None = None,
     should: list | None = None,
     must_not: list | None = None,
+    filters: list | None = None,
     minimum_should_match: int | None = None,
     table: str = "documents",
     text_col: str = "text",
@@ -570,15 +591,17 @@ def clause_search_oracle_sql(
     must = [list(c) for c in (must or [])]
     should = [list(c) for c in (should or [])]
     must_not = [list(c) for c in (must_not or [])]
+    filters = [list(c) for c in (filters or [])]
     if minimum_should_match is None:
-        minimum_should_match = 0 if must else 1
+        minimum_should_match = 0 if (must or filters) else 1
     score_terms = sorted({t for c in must + should for t in c})
     neg_only = sorted(
-        {c[0] for c in must_not if len(c) == 1} - set(score_terms)
+        {c[0] for c in must_not + filters if len(c) == 1}
+        - set(score_terms)
     )
     tidx = {t: i for i, t in enumerate(score_terms)}
     nidx = {t: j for j, t in enumerate(neg_only)}
-    all_clauses = must + should + must_not
+    all_clauses = must + should + must_not + filters
 
     def tf_sql(t: str) -> str:
         return f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT)"
@@ -633,8 +656,14 @@ def clause_search_oracle_sql(
             f"* 1000000, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         )
         hits.append(f"(({tf}) > 0)")
-    total = " + ".join(f"({c})" for c in contribs)
-    n_hit = " + ".join(f"CAST({h} AS BIGINT)" for h in hits)
+    total = (
+        " + ".join(f"({c})" for c in contribs)
+        if contribs else "CAST(0 AS BIGINT)"
+    )
+    n_hit = (
+        " + ".join(f"CAST({h} AS BIGINT)" for h in hits)
+        if hits else "CAST(0 AS BIGINT)"
+    )
     must_member = (
         " AND ".join(hits[: len(must)]) if must else "TRUE"
     )
@@ -655,6 +684,17 @@ def clause_search_oracle_sql(
         else:
             excls.append(f"(p._pc{ci} > 0)")
     not_excl = f"NOT ({' OR '.join(excls)})" if excls else "TRUE"
+    # filter context: required presence, no score contribution
+    flt_hits = []
+    for off, terms in enumerate(filters):
+        ci = len(must) + len(should) + len(must_not) + off
+        if len(terms) == 1:
+            t = terms[0]
+            col = f"p._tf{tidx[t]}" if t in tidx else f"p._ntf{nidx[t]}"
+            flt_hits.append(f"({col} > 0)")
+        else:
+            flt_hits.append(f"(p._pc{ci} > 0)")
+    flt_member = " AND ".join(flt_hits) if flt_hits else "TRUE"
     return f"""
     WITH tokarr AS (
         SELECT {id_col},
@@ -670,7 +710,7 @@ def clause_search_oracle_sql(
            CAST({n_hit} AS BIGINT) AS n_clauses_hit
     FROM p CROSS JOIN s
     WHERE ({must_member}) AND (({should_hits}) >= {minimum_should_match})
-          AND {not_excl}
+          AND {not_excl} AND ({flt_member})
     ORDER BY score DESC, p.{id_col} ASC
     LIMIT {top_k}
     """
@@ -704,22 +744,85 @@ def execute_aggs_dsl(rows: DataFrame, aggs: dict) -> dict:
     percentiles (exact nearest-rank via the range-partitioned
     prefix), stats, extended_stats, cardinality (EXACT distinct),
     value_count, sum, avg, min, max.
+
+    SUB-AGGREGATIONS (the standard Kibana body — buckets carrying
+    per-bucket metrics): terms / date_histogram / histogram accept a
+    sibling ``aggs`` key whose entries are METRIC aggs (value_count /
+    sum / avg / min / max / cardinality); each lands as one output
+    column named by its agg name, computed in the SAME map-side-
+    combined groupBy — nesting adds zero extra shuffles. Bucket
+    aggs under buckets (and sub-aggs on range/filters/percentiles)
+    raise a reasoned error.
     """
     if not aggs:
         raise ValueError("aggs body is empty")
+
+    def metric_cols(sub: dict) -> list:
+        cols = []
+        for sname, sspec in sub.items():
+            if len(sspec) != 1:
+                raise ValueError(
+                    f"sub-agg {sname!r} must have exactly one type"
+                )
+            skind, sbody = next(iter(sspec.items()))
+            sf = sbody.get("field")
+            v = F.col(sf).cast("double")
+            if skind == "value_count":
+                cols.append(F.count(F.col(sf)).cast("long").alias(sname))
+            elif skind == "sum":
+                cols.append(
+                    F.sum(v.cast("decimal(18,6)")).cast("double")
+                    .alias(sname)
+                )
+            elif skind == "avg":
+                cols.append(
+                    (
+                        F.sum(v.cast("decimal(18,6)")).cast("double")
+                        / F.count(v)
+                    ).alias(sname)
+                )
+            elif skind == "min":
+                cols.append(F.min(v).alias(sname))
+            elif skind == "max":
+                cols.append(F.max(v).alias(sname))
+            elif skind == "cardinality":
+                cols.append(
+                    F.count_distinct(F.col(sf)).cast("long").alias(sname)
+                )
+            else:
+                raise ValueError(
+                    f"sub-agg type {skind!r} not supported under a "
+                    "bucket agg (metric sub-aggs only: value_count/"
+                    "sum/avg/min/max/cardinality)"
+                )
+        return cols
+
     out = {}
     for name, spec in aggs.items():
+        spec = dict(spec)
+        sub = spec.pop("aggs", None) or spec.pop("aggregations", None)
         if len(spec) != 1:
             raise ValueError(
                 f"agg {name!r} must have exactly one agg type"
             )
         kind, body = next(iter(spec.items()))
+        if sub is not None and kind not in (
+            "terms", "date_histogram", "histogram"
+        ):
+            raise ValueError(
+                f"sub-aggs are supported under terms/date_histogram/"
+                f"histogram buckets, not {kind!r}"
+            )
+        subcols = metric_cols(sub) if sub else []
         field = body.get("field")
         if kind == "terms":
             size = int(body.get("size", 10))
             out[name] = (
                 rows.groupBy(F.col(field).alias("key"))
-                .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("doc_count"),
+                    *subcols,
+                )
                 .orderBy(F.col("doc_count").desc(), F.col("key").asc())
                 .limit(size)
             )
@@ -733,7 +836,10 @@ def execute_aggs_dsl(rows: DataFrame, aggs: dict) -> dict:
                     .groupBy(
                         F.date_trunc(unit, F.col(field)).alias("bucket_start")
                     )
-                    .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+                    .agg(
+                        F.count(F.lit(1)).cast("long").alias("doc_count"),
+                        *subcols,
+                    )
                     .orderBy("bucket_start")
                 )
             else:
@@ -748,7 +854,10 @@ def execute_aggs_dsl(rows: DataFrame, aggs: dict) -> dict:
                     .groupBy(
                         F.timestamp_seconds(floor).alias("bucket_start")
                     )
-                    .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+                    .agg(
+                        F.count(F.lit(1)).cast("long").alias("doc_count"),
+                        *subcols,
+                    )
                     .orderBy("bucket_start")
                 )
         elif kind == "histogram":
@@ -774,7 +883,10 @@ def execute_aggs_dsl(rows: DataFrame, aggs: dict) -> dict:
                     & (F.abs(v) != F.lit(float("inf")))
                 )
                 .groupBy(bucket.alias("bucket_start"))
-                .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("doc_count"),
+                    *subcols,
+                )
                 .orderBy("bucket_start")
             )
         elif kind == "range":
@@ -939,6 +1051,9 @@ def execute_search_request(
     """
     query = body.get("query", {"match_all": {}})
     size = int(body.get("size", 10))
+    from_ = int(body.get("from", 0))
+    if from_ < 0:
+        raise ValueError("from must be >= 0")
     aggs = body.get("aggs") or body.get("aggregations") or {}
     kind = next(iter(query)) if len(query) == 1 else None
     sort_spec = body.get("sort", "_score")
@@ -956,8 +1071,12 @@ def execute_search_request(
             docs, query, text_col=text_col, id_col=id_col, top_k=None
         )
     else:
+        # offset paging: the top-k shapes cut at from+size, then the
+        # page slices the cut (ES from/size — deep paging stays the
+        # keyset search_after operator's job, E143)
         hits = execute_search_dsl(
-            docs, query, text_col=text_col, id_col=id_col, top_k=size
+            docs, query, text_col=text_col, id_col=id_col,
+            top_k=from_ + size,
         )
     hits = hits.persist() if wants_uncut else hits
 
@@ -966,12 +1085,17 @@ def execute_search_request(
         hit_rows = docs.join(hits.select(id_col), id_col, "left_semi")
         agg_out = execute_aggs_dsl(hit_rows, aggs)
 
+    def slice_page(ordered):
+        return ordered.offset(from_).limit(size) if from_ else (
+            ordered.limit(size)
+        )
+
     source = body.get("_source")
     sort = body.get("sort", "_score")
     if sort == "_score" or sort == ["_score"]:
-        page = hits.orderBy(
-            F.col("score").desc(), F.col(id_col).asc()
-        ).limit(size)
+        page = slice_page(
+            hits.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        )
         if source:
             page = page.join(
                 docs.select(id_col, *source), id_col, "left"
@@ -993,7 +1117,7 @@ def execute_search_request(
     order_cols.append(F.col(id_col).asc())  # deterministic close
     need = sorted(set(fields) | set(source or []))
     joined = hits.join(docs.select(id_col, *need), id_col, "left")
-    page = joined.orderBy(*order_cols).limit(size)
+    page = slice_page(joined.orderBy(*order_cols))
     keep = [id_col, "score"] + (source or [])
     return page.select(*dict.fromkeys(keep)), agg_out
 

@@ -629,3 +629,128 @@ def test_dsl_knn_route(spark):
             vecs, {"knn": {"field": "nope", "query_vector": [1.0]}},
             id_col="vec_id",
         )
+
+
+def test_dsl_bool_filter_context(docs):
+    """ES filter context: required for membership, contributes zero
+    score and zero n_clauses_hit; filters-only bodies score 0.0."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    scored = {
+        r.doc_id: (r.score, r.n_clauses_hit)
+        for r in execute_search_dsl(
+            docs,
+            {"bool": {"must": [{"term": {"text": "window"}}],
+                      "filter": [{"term": {"text": "spark"}}]}},
+        ).collect()
+    }
+    # membership: window AND spark -> doc 1 only
+    assert set(scored) == {1}
+    must_both = {
+        r.doc_id: (r.score, r.n_clauses_hit)
+        for r in execute_search_dsl(
+            docs,
+            {"bool": {"must": [{"term": {"text": "window"}},
+                               {"term": {"text": "spark"}}]}},
+        ).collect()
+    }
+    window_only = {
+        r.doc_id: r.score
+        for r in execute_search_dsl(
+            docs, {"term": {"text": "window"}}
+        ).collect()
+    }
+    # filter contributes NO score: equals the window-only score,
+    # strictly below the must-both score; hit count excludes it
+    assert scored[1][0] == window_only[1]
+    assert scored[1][0] < must_both[1][0]
+    assert scored[1][1] == 1 and must_both[1][1] == 2
+    # filters-only: membership only, constant 0.0 score
+    fo = execute_search_dsl(
+        docs,
+        {"bool": {"filter": [{"match_phrase": {"text": "merge window"}}]}},
+    ).collect()
+    # docs 1 and 2 both contain the adjacent pair "merge window"
+    assert {r.doc_id for r in fo} == {1, 2}
+    assert all(r.score == 0.0 and r.n_clauses_hit == 0 for r in fo)
+
+
+def test_aggs_dsl_sub_aggregations(events):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_aggs_dsl,
+    )
+
+    out = execute_aggs_dsl(
+        events,
+        {"types": {
+            "terms": {"field": "event_type", "size": 3},
+            "aggs": {
+                "avg_v": {"avg": {"field": "value"}},
+                "sum_v": {"sum": {"field": "value"}},
+                "users": {"cardinality": {"field": "user_id"}},
+                "max_v": {"max": {"field": "value"}},
+            },
+        }},
+    )["types"]
+    want = (
+        events.groupBy(F.col("event_type").alias("key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("value")
+            ).alias("avg_v"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("sum_v"),
+            F.count_distinct("user_id").cast("long").alias("users"),
+            F.max(F.col("value").cast("double")).alias("max_v"),
+        )
+        .orderBy(F.col("doc_count").desc(), F.col("key"))
+        .limit(3)
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    with pytest.raises(ValueError, match="sub-agg"):
+        execute_aggs_dsl(
+            events,
+            {"bad": {"range": {"field": "value", "ranges": [{"to": 5}]},
+                     "aggs": {"m": {"avg": {"field": "value"}}}}},
+        )
+    with pytest.raises(ValueError, match="not supported under"):
+        execute_aggs_dsl(
+            events,
+            {"bad": {"terms": {"field": "event_type"},
+                     "aggs": {"t2": {"terms": {"field": "user_id"}}}}},
+        )
+
+
+def test_search_request_from_offset_paging(docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_request,
+    )
+
+    full, _ = execute_search_request(
+        docs, {"query": {"match": {"text": {"query": "merge window"}}},
+               "size": 10},
+    )
+    full_ids = [r.doc_id for r in full.collect()]
+    page2, _ = execute_search_request(
+        docs, {"query": {"match": {"text": {"query": "merge window"}}},
+               "size": 2, "from": 2},
+    )
+    assert [r.doc_id for r in page2.collect()] == full_ids[2:4]
+    # field-sort path pages identically
+    fs_full, _ = execute_search_request(
+        docs, {"query": {"match": {"text": {"query": "merge window"}}},
+               "size": 10, "sort": [{"n_chars": {"order": "desc"}}]},
+    )
+    fs_ids = [r.doc_id for r in fs_full.collect()]
+    fs_page, _ = execute_search_request(
+        docs, {"query": {"match": {"text": {"query": "merge window"}}},
+               "size": 2, "from": 1,
+               "sort": [{"n_chars": {"order": "desc"}}]},
+    )
+    assert [r.doc_id for r in fs_page.collect()] == fs_ids[1:3]
