@@ -661,7 +661,12 @@ def dsl_to_standing(query_id: str, dsl: dict) -> dict:
         return {"query_id": query_id, "type": "bool", role: terms}
     if kind == "bool":
         out = {"query_id": query_id, "type": "bool"}
-        for role in ("must", "should", "must_not"):
+        # DSL filter context folds into must: percolation emits
+        # MATCHES, not scores, so required-presence-without-scoring
+        # and required-presence are the same thing here (text term
+        # leaves only — attrs predicates stay rejected below)
+        for role, dest in (("must", "must"), ("should", "should"),
+                           ("must_not", "must_not"), ("filter", "must")):
             nodes = body.get(role, [])
             nodes = nodes if isinstance(nodes, list) else [nodes]
             terms = []
@@ -674,7 +679,7 @@ def dsl_to_standing(query_id: str, dsl: dict) -> dict:
                     )
                 terms.append(str(field_val(nb)))
             if terms:
-                out[role] = terms
+                out[dest] = out.get(dest, []) + terms
         if "minimum_should_match" in body:
             out["minimum_should_match"] = body["minimum_should_match"]
         return out

@@ -920,3 +920,29 @@ def test_dsl_to_standing_roundtrip(spark):
 
     with _pt.raises(ValueError, match="not percolatable"):
         dsl_to_standing("x", {"function_score": {}})
+
+
+def test_dsl_to_standing_filter_folds_into_must(spark):
+    """DSL bool filter context registers as must: percolation emits
+    matches, not scores, so required-presence-without-scoring and
+    required-presence coincide."""
+    from aws_dms_cdc_data_pipeline_spark.streaming.percolate import (
+        dsl_to_standing,
+        percolate,
+    )
+
+    entry = dsl_to_standing(
+        "f1",
+        {"bool": {"must": [{"term": {"text": "system"}}],
+                  "filter": [{"term": {"text": "failure"}}]}},
+    )
+    assert sorted(entry["must"]) == ["failure", "system"]
+    docs = spark.createDataFrame(
+        [(1, "system failure detected"), (2, "system healthy")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate(docs, [entry]).collect()
+    }
+    assert got == {("f1", 1)}
