@@ -11,9 +11,16 @@ the dispatcher adds NO new semantics):
 
 - ``match`` (operator and|or), ``term``, ``match_phrase`` — compiled
   into the generalized clause executor below
-- ``bool`` with ``must`` / ``should`` / ``must_not`` /
-  ``minimum_should_match`` over those leaves (one nesting level, the
-  overwhelmingly common body)
+- ``bool`` with ``must`` / ``should`` / ``must_not`` / ``filter`` /
+  ``minimum_should_match`` (one nesting level, the overwhelmingly
+  common body). ``filter`` is the ES FILTER CONTEXT: text leaves
+  (term/match_phrase) and METADATA leaves (range/terms/exists over
+  the relation's other columns — the Kibana time-range + field-
+  filter shape) are required for membership but contribute zero
+  score; BM25 stats stay corpus-wide (ES never lets filter context
+  touch index statistics)
+- standalone ``range`` / ``terms`` / ``ids`` / ``exists`` /
+  ``match_all`` — constant-score membership
 - ``simple_query_string`` → :func:`...querystring.simple_query_string`
 - ``dis_max`` → :func:`...querystring.dis_max_search` — each
   sub-query compiles to ONE dis_max group (a multi-term match sums
@@ -105,6 +112,39 @@ def _match_terms(node: dict, position: str) -> list[str]:
     return [c[0] for c in _leaf_clauses(node)]
 
 
+
+def _meta_condition(node: dict):
+    """Compile a METADATA filter leaf (range / terms / exists) into a
+    boolean Column, or return None when the leaf is a text clause
+    (term / match / match_phrase — handled by the clause executor).
+    The range bounds compare on the column's own type (timestamps
+    compare as timestamps — the Kibana time-range shape)."""
+    kind, body = next(iter(node.items()))
+    if kind == "range":
+        ((field, spec),) = body.items()
+        cond = F.lit(True)
+        ops = {"gte": "__ge__", "gt": "__gt__",
+               "lte": "__le__", "lt": "__lt__"}
+        seen = False
+        for key, dunder in ops.items():
+            if key in spec:
+                cond = cond & getattr(F.col(field), dunder)(
+                    F.lit(spec[key])
+                )
+                seen = True
+        if not seen:
+            raise ValueError(f"range filter needs gte/gt/lte/lt: {spec}")
+        return cond
+    if kind == "terms":
+        ((field, vals),) = body.items()
+        if not isinstance(vals, list) or not vals:
+            raise ValueError("terms filter needs a non-empty value list")
+        return F.col(field).isin(vals)
+    if kind == "exists":
+        return F.col(body["field"]).isNotNull()
+    return None
+
+
 def _match_operator(node: dict) -> str:
     kind, body = next(iter(node.items()))
     if kind == "match":
@@ -121,6 +161,7 @@ def clause_search(
     should: list | None = None,
     must_not: list | None = None,
     filters: list | None = None,
+    extra_filter=None,
     minimum_should_match: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -137,12 +178,20 @@ def clause_search(
     required for membership, contributes NOTHING to score or
     n_clauses_hit (a filters-only query scores every hit 0.0, the ES
     bool-with-only-filter behavior). Single-pass (module docstring).
-    Returns (id, score, n_clauses_hit)."""
+    Returns (id, score, n_clauses_hit).
+
+    ``extra_filter`` is the METADATA leg of the filter context — a
+    boolean Column over the docs relation's other fields (range /
+    terms / exists leaves: the Kibana time-range + field-filter
+    shape). Membership only; BM25 stats (df, avgdl, N) stay
+    CORPUS-WIDE exactly as ES computes them (filter context never
+    changes index statistics), so the same document scores
+    identically with or without the filter."""
     must = [list(c) for c in (must or [])]
     should = [list(c) for c in (should or [])]
     must_not = [list(c) for c in (must_not or [])]
     filters = [list(c) for c in (filters or [])]
-    if not must and not should and not filters:
+    if not must and not should and not filters and extra_filter is None:
         raise ValueError("need at least one must/should/filter clause")
     if minimum_should_match is None:
         minimum_should_match = 0 if (must or filters) else 1
@@ -156,14 +205,22 @@ def clause_search(
         fan_out_scan,
     )
 
-    toks = fan_out_scan(docs.select(id_col, text_col)).select(
+    base_cols = [F.col(id_col), F.col(text_col)]
+    if extra_filter is not None:
+        base_cols.append(
+            F.coalesce(extra_filter.cast("boolean"), F.lit(False))
+            .alias("_meta_ok")
+        )
+    meta = [F.col("_meta_ok")] if extra_filter is not None else []
+    toks = fan_out_scan(docs.select(*base_cols)).select(
         F.col(id_col),
         F.filter(
             F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
             lambda x: x != F.lit(""),
         ).alias("_toks"),
+        *meta,
     )
-    cols = [F.size("_toks").cast("long").alias("dl")]
+    cols = [F.size("_toks").cast("long").alias("dl"), *meta]
     for i, t in enumerate(score_terms):
         cols.append(
             F.size(F.filter("_toks", _term_eq(t))).cast("long")
@@ -271,6 +328,8 @@ def clause_search(
             member = member & (col > 0)
         else:
             member = member & (F.col(f"_pc{ci}") > 0)
+    if extra_filter is not None:
+        member = member & F.col("_meta_ok")
     out = proj.filter(member & ~excl).select(
         F.col(id_col),
         (total.cast("decimal(38,0)") / F.lit(_FP))
@@ -337,6 +396,18 @@ def execute_search_dsl(
         if top_k is None:
             return out
         return out.orderBy(F.col(id_col).asc()).limit(top_k)
+    if kind in ("range", "terms"):
+        # metadata membership queries: constant score (ES filter-ish
+        # shapes used standalone), deterministic id order
+        cond = _meta_condition(dsl)
+        out = docs.filter(cond).select(
+            F.col(id_col),
+            F.lit(1.0).alias("score"),
+            F.lit(0).cast("long").alias("n_clauses_hit"),
+        )
+        if top_k is None:
+            return out
+        return out.orderBy(F.col(id_col).asc()).limit(top_k)
     if kind == "match_all":
         out = docs.select(
             F.col(id_col),
@@ -359,12 +430,30 @@ def execute_search_dsl(
             items = items if isinstance(items, list) else [items]
             return [c for node in items for c in _leaf_clauses(node)]
 
+        # filter context splits into text clauses (term/match_phrase
+        # -> presence columns) and METADATA leaves (range/terms/
+        # exists -> one boolean Column ANDed into membership; BM25
+        # stats stay corpus-wide, the ES filter-context contract)
+        flt_nodes = body.get("filter", [])
+        flt_nodes = (
+            flt_nodes if isinstance(flt_nodes, list) else [flt_nodes]
+        )
+        text_flt, meta_cond = [], None
+        for node in flt_nodes:
+            cond = _meta_condition(node)
+            if cond is not None:
+                meta_cond = (
+                    cond if meta_cond is None else meta_cond & cond
+                )
+            else:
+                text_flt.extend(_leaf_clauses(node))
         return clause_search(
             docs,
             must=many("must"),
             should=many("should"),
             must_not=many("must_not"),
-            filters=many("filter"),
+            filters=text_flt,
+            extra_filter=meta_cond,
             minimum_should_match=body.get("minimum_should_match"),
             **common,
         )
@@ -579,6 +668,7 @@ def clause_search_oracle_sql(
     should: list | None = None,
     must_not: list | None = None,
     filters: list | None = None,
+    extra_where: str | None = None,
     minimum_should_match: int | None = None,
     table: str = "documents",
     text_col: str = "text",
@@ -587,7 +677,10 @@ def clause_search_oracle_sql(
     b: float = 0.75,
     top_k: int = 20,
 ) -> str:
-    """DuckDB SQL computing the identical generalized clause search."""
+    """DuckDB SQL computing the identical generalized clause search.
+    ``extra_where`` mirrors clause_search's extra_filter: a SQL
+    predicate over the table's other columns, ANDed into membership
+    AFTER the corpus-wide stats (never into the stats themselves)."""
     must = [list(c) for c in (must or [])]
     should = [list(c) for c in (should or [])]
     must_not = [list(c) for c in (must_not or [])]
@@ -695,14 +788,20 @@ def clause_search_oracle_sql(
         else:
             flt_hits.append(f"(p._pc{ci} > 0)")
     flt_member = " AND ".join(flt_hits) if flt_hits else "TRUE"
+    meta_sel = (
+        f", COALESCE(CAST(({extra_where}) AS BOOLEAN), FALSE) AS _meta_ok"
+        if extra_where else ""
+    )
+    meta_proj = ", _meta_ok" if extra_where else ""
+    meta_member = "p._meta_ok" if extra_where else "TRUE"
     return f"""
     WITH tokarr AS (
         SELECT {id_col},
                list_filter(string_split_regex(lower({text_col}),
-                           '[^a-z0-9]+'), x -> x <> '') AS toks
+                           '[^a-z0-9]+'), x -> x <> '') AS toks{meta_sel}
         FROM {table}
     ),
-    p AS (SELECT {id_col}, {', '.join(proj_cols)} FROM tokarr),
+    p AS (SELECT {id_col}{meta_proj}, {', '.join(proj_cols)} FROM tokarr),
     s AS (SELECT {', '.join(stats_cols)} FROM p)
     SELECT p.{id_col},
            CAST(CAST({total} AS DECIMAL(38,0)) / 1000000 AS DOUBLE)
@@ -710,7 +809,7 @@ def clause_search_oracle_sql(
            CAST({n_hit} AS BIGINT) AS n_clauses_hit
     FROM p CROSS JOIN s
     WHERE ({must_member}) AND (({should_hits}) >= {minimum_should_match})
-          AND {not_excl} AND ({flt_member})
+          AND {not_excl} AND ({flt_member}) AND ({meta_member})
     ORDER BY score DESC, p.{id_col} ASC
     LIMIT {top_k}
     """
@@ -1015,7 +1114,7 @@ def execute_aggs_dsl(rows: DataFrame, aggs: dict) -> dict:
 
 _UNCUT_KINDS = (
     "match_all", "match", "term", "match_phrase", "bool", "ids",
-    "exists",
+    "exists", "range", "terms",
 )
 
 

@@ -754,3 +754,65 @@ def test_search_request_from_offset_paging(docs):
                "sort": [{"n_chars": {"order": "desc"}}]},
     )
     assert [r.doc_id for r in fs_page.collect()] == fs_ids[1:3]
+
+
+def test_dsl_metadata_filter_leaves(docs):
+    """range/terms/exists leaves in bool filter context: membership
+    only, BM25 stats stay corpus-wide (the same doc scores
+    identically with and without the metadata filter)."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    base = {
+        r.doc_id: r.score
+        for r in execute_search_dsl(
+            docs, {"match": {"text": {"query": "window"}}}
+        ).collect()
+    }
+    filtered = {
+        r.doc_id: r.score
+        for r in execute_search_dsl(
+            docs,
+            {"bool": {
+                "must": [{"term": {"text": "window"}}],
+                "filter": [{"range": {"n_chars": {"gte": 100,
+                                                  "lt": 500}}}],
+            }},
+        ).collect()
+    }
+    # docs with window: 1(100) 2(400) 4(90); range keeps 1, 2
+    assert set(filtered) == {1, 2}
+    assert filtered[1] == base[1] and filtered[2] == base[2]
+    # terms leaf + text filter clause combined
+    combo = execute_search_dsl(
+        docs,
+        {"bool": {
+            "must": [{"term": {"text": "window"}}],
+            "filter": [{"terms": {"n_chars": [100, 90]}},
+                       {"term": {"text": "filter"}}],
+        }},
+    ).collect()
+    assert {r.doc_id for r in combo} == {1, 4}
+    # standalone range query: constant-score membership
+    rng = execute_search_dsl(
+        docs, {"range": {"n_chars": {"gte": 250}}}
+    ).collect()
+    assert {r.doc_id for r in rng} == {2, 3}
+    assert all(r.score == 1.0 for r in rng)
+
+
+def test_search_request_range_query_with_aggs(docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_request,
+    )
+
+    page, aggs = execute_search_request(
+        docs,
+        {"query": {"range": {"n_chars": {"gte": 100}}},
+         "size": 2,
+         "aggs": {"chars": {"stats": {"field": "n_chars"}}}},
+    )
+    assert len(page.collect()) == 2
+    st = aggs["chars"].collect()[0]
+    assert st["count"] == 3 and st["min"] == 100.0 and st["max"] == 400.0
