@@ -9722,6 +9722,48 @@ def aggs_dsl_type_value_stats_q(spark, sf_dir):
     )
 
 
+def _dsl_meta_filter_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        clause_search_oracle_sql,
+    )
+
+    return clause_search_oracle_sql(
+        must=[["table"]],
+        should=[["merge"]],
+        extra_where="n_chars >= 200 AND lang IN ('en', 'de')",
+        top_k=20,
+    )
+
+
+@q(
+    "dsl_bool_meta_filter",
+    _dsl_meta_filter_oracle(),
+    "METADATA filter leaves through the query-DSL dispatcher — the "
+    "Kibana saved-search shape (text query + field/range filters): "
+    "a bool body whose filter array carries range (n_chars >= 200) "
+    "and terms (lang in en/de) leaves compiles to ONE boolean "
+    "column ANDed into membership; BM25 stats stay CORPUS-WIDE (the "
+    "ES contract that filter context never changes index "
+    "statistics), so hits score identically with or without the "
+    "filter (operators/dsl.py:clause_search extra_filter=).",
+)
+def dsl_bool_meta_filter_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    body = {"bool": {
+        "must": [{"term": {"text": "table"}}],
+        "should": [{"term": {"text": "merge"}}],
+        "filter": [
+            {"range": {"n_chars": {"gte": 200}}},
+            {"terms": {"lang": ["en", "de"]}},
+        ],
+    }}
+    return execute_search_dsl(docs, body, top_k=20)
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r15 window (the r14 verdict's ask #1) =
@@ -9734,10 +9776,11 @@ def aggs_dsl_type_value_stats_q(spark, sf_dir):
 # flat clauses are singleton groups, bit-compat asserted;
 # frequent_token_sets rides the max_items knob at its uncapped
 # default) + 17 fillers from the oldest (r10) stale tail in
-# alphabetical order (the last two fillers ceded their slots to the
-# two late-round additions dsl_bool_filter_search /
-# aggs_dsl_type_value_stats). The remaining 23 r10-stale rows queue
-# for r16: min_cost_supplier, percentile_order_prices,
+# alphabetical order (three fillers ceded their slots to the
+# late-round additions dsl_bool_filter_search /
+# aggs_dsl_type_value_stats / dsl_bool_meta_filter). The remaining
+# 23 r10-stale rows queue
+# for r16 (23 rows): min_cost_supplier, percentile_order_prices,
 # promo_revenue_share, range_join_promo_events, redact_pii_docs,
 # regexp_part_names, scalar_conditional_funcs, scalar_date_funcs,
 # scalar_math_funcs, search_date_histogram, session_window_stats,
