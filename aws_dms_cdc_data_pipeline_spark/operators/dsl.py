@@ -39,6 +39,10 @@ the dispatcher adds NO new semantics):
 - ``knn`` with optional term ``filter`` (pre-filter semantics) →
   :func:`...similarity.brute_force_topk` / ``filtered_topk`` — pass
   the relation carrying the vector column
+- ``wildcard`` / ``fuzzy`` / ``regexp`` (need ``index_tables=
+  {'tokens': ...}``), ``match_phrase_prefix`` (needs
+  ``{'positions': ...}``), ``multi_match`` (best_fields /
+  cross_fields with ``field^boost`` syntax) → their operators
 
 Scoring and membership semantics are exactly the per-operator
 contracts (quantized-exact BM25, Lucene phrase weights); the
@@ -659,6 +663,88 @@ def execute_search_dsl(
         return filtered_topk(
             docs, queries, F.col(ffield) == F.lit(fval), **kw
         )
+    if kind in ("wildcard", "fuzzy", "regexp"):
+        if not index_tables or "tokens" not in index_tables:
+            raise ValueError(
+                f"{kind} routing needs index_tables={{'tokens': ...}} "
+                "(the materialized token index — ensure_token_index)"
+            )
+        spark = docs.sparkSession
+        idx = index_tables["tokens"]
+        ((_field, spec),) = body.items()
+        val = spec["value"] if isinstance(spec, dict) else spec
+        kk = top_k if top_k is not None else (1 << 31) - 1
+        if kind == "wildcard":
+            from aws_dms_cdc_data_pipeline_spark.operators.search import (
+                wildcard_search,
+            )
+
+            return wildcard_search(
+                spark, idx, str(val), id_col=id_col, top_k=kk
+            )
+        if kind == "regexp":
+            from aws_dms_cdc_data_pipeline_spark.operators.search import (
+                regexp_search,
+            )
+
+            return regexp_search(
+                spark, idx, str(val), id_col=id_col, top_k=kk
+            )
+        from aws_dms_cdc_data_pipeline_spark.operators.search import (
+            fuzzy_search,
+        )
+
+        kw = {}
+        if isinstance(spec, dict):
+            if "fuzziness" in spec:
+                kw["fuzziness"] = int(spec["fuzziness"])
+            if "prefix_length" in spec:
+                kw["prefix_length"] = int(spec["prefix_length"])
+            if "max_expansions" in spec:
+                kw["max_expansions"] = int(spec["max_expansions"])
+        return fuzzy_search(
+            spark, idx, str(val), id_col=id_col, top_k=kk, **kw
+        )
+    if kind == "match_phrase_prefix":
+        from aws_dms_cdc_data_pipeline_spark.operators.search import (
+            match_phrase_prefix,
+        )
+
+        if not index_tables or "positions" not in index_tables:
+            raise ValueError(
+                "match_phrase_prefix routing needs index_tables="
+                "{'positions': ...} (ensure_position_index)"
+            )
+        ((_field, spec),) = body.items()
+        q = spec["query"] if isinstance(spec, dict) else spec
+        kw = {}
+        if isinstance(spec, dict) and "max_expansions" in spec:
+            kw["max_expansions"] = int(spec["max_expansions"])
+        out = match_phrase_prefix(
+            docs.sparkSession, index_tables["positions"], str(q),
+            id_col=id_col, **kw,
+        )
+        return out if top_k is None else out.limit(top_k)
+    if kind == "multi_match":
+        from aws_dms_cdc_data_pipeline_spark.operators.search import (
+            multi_match,
+        )
+
+        terms = _TOKEN_RE.findall(str(body["query"]).lower())
+        if not terms:
+            raise ValueError("multi_match query has no tokens")
+        fields = {}
+        for f_ in body["fields"]:
+            name, _, boost = str(f_).partition("^")
+            fields[name] = float(boost) if boost else 1.0
+        mode = body.get("type", "best_fields")
+        return multi_match(
+            docs, terms, fields,
+            mode=mode,
+            tie_breaker=float(body.get("tie_breaker", 0.0)),
+            id_col=id_col, top_k=top_k if top_k is not None
+            else (1 << 31) - 1,
+        )
     raise ValueError(f"unsupported query type {kind!r}")
 
 
@@ -842,7 +928,10 @@ def execute_aggs_dsl(rows: DataFrame, aggs: dict) -> dict:
     (explicit interval), range, filters (term-filter leaves),
     percentiles (exact nearest-rank via the range-partitioned
     prefix), stats, extended_stats, cardinality (EXACT distinct),
-    value_count, sum, avg, min, max.
+    value_count, sum, avg, min, max, multi_terms, weighted_avg,
+    boxplot, median_absolute_deviation, string_stats,
+    percentile_ranks — the sketch-backed OpenSearch metrics all
+    compute EXACT here (the repo-wide stance).
 
     SUB-AGGREGATIONS (the standard Kibana body — buckets carrying
     per-bucket metrics): terms / date_histogram / histogram accept a
@@ -1107,6 +1196,49 @@ def execute_aggs_dsl(rows: DataFrame, aggs: dict) -> dict:
                 "max": F.max(v),
             }[kind]
             out[name] = clean.agg(expr.alias("value"))
+        elif kind == "multi_terms":
+            from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+                multi_terms,
+            )
+
+            keys = [t["field"] for t in body["terms"]]
+            out[name] = multi_terms(
+                rows, keys, size=int(body.get("size", 10))
+            )
+        elif kind == "weighted_avg":
+            from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+                weighted_avg,
+            )
+
+            out[name] = weighted_avg(
+                rows, body["value"]["field"], body["weight"]["field"]
+            )
+        elif kind == "boxplot":
+            from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+                boxplot_agg,
+            )
+
+            out[name] = boxplot_agg(rows, field)
+        elif kind == "median_absolute_deviation":
+            from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+                mad_agg,
+            )
+
+            out[name] = mad_agg(rows, field)
+        elif kind == "string_stats":
+            from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+                string_stats,
+            )
+
+            out[name] = string_stats(rows, field)
+        elif kind == "percentile_ranks":
+            from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+                percentile_ranks,
+            )
+
+            out[name] = percentile_ranks(
+                rows, field, [float(v) for v in body["values"]]
+            )
         else:
             raise ValueError(f"unsupported agg type {kind!r}")
     return out

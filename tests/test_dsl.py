@@ -816,3 +816,121 @@ def test_search_request_range_query_with_aggs(docs):
     assert len(page.collect()) == 2
     st = aggs["chars"].collect()[0]
     assert st["count"] == 3 and st["min"] == 100.0 and st["max"] == 400.0
+
+
+def test_dsl_termlevel_routes_equal_direct(spark, docs):
+    """wildcard / fuzzy / regexp / match_phrase_prefix / multi_match
+    route from JSON to their indexed/ad-hoc operators unchanged."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_position_index,
+        ensure_token_index,
+        fuzzy_search,
+        match_phrase_prefix,
+        multi_match,
+        regexp_search,
+        wildcard_search,
+    )
+
+    idx, _dl = ensure_token_index(spark, docs, "dsl_route_tl")
+    pos = ensure_position_index(spark, docs, "dsl_route_tl")
+    it = {"tokens": idx, "positions": pos}
+
+    assert _rows(
+        execute_search_dsl(
+            docs, {"wildcard": {"text": {"value": "mer*"}}},
+            index_tables=it,
+        )
+    ) == _rows(wildcard_search(spark, idx, "mer*"))
+
+    assert _rows(
+        execute_search_dsl(
+            docs,
+            {"fuzzy": {"text": {"value": "window", "fuzziness": 1}}},
+            index_tables=it,
+        )
+    ) == _rows(fuzzy_search(spark, idx, "window", fuzziness=1))
+
+    assert _rows(
+        execute_search_dsl(
+            docs, {"regexp": {"text": {"value": "fil.*"}}},
+            index_tables=it,
+        )
+    ) == _rows(regexp_search(spark, idx, "fil.*"))
+
+    assert _rows(
+        execute_search_dsl(
+            docs, {"match_phrase_prefix": {"text": {"query": "merge win"}}},
+            index_tables=it, top_k=10,
+        )
+    ) == _rows(
+        match_phrase_prefix(spark, pos, "merge win").limit(10)
+    )
+
+    with pytest.raises(ValueError, match="index_tables"):
+        execute_search_dsl(docs, {"wildcard": {"text": "x*"}})
+
+    docs2 = docs.withColumnRenamed("text", "body").withColumn(
+        "title", F.col("body")
+    )
+    assert _rows(
+        execute_search_dsl(
+            docs2,
+            {"multi_match": {"query": "merge window",
+                             "fields": ["body", "title^2"],
+                             "type": "best_fields",
+                             "tie_breaker": 0.3}},
+        )
+    ) == _rows(
+        multi_match(
+            docs2, ["merge", "window"], {"body": 1.0, "title": 2.0},
+            mode="best_fields", tie_breaker=0.3,
+        )
+    )
+
+
+def test_aggs_dsl_metric_agg_routes(events, docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_aggs_dsl,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        boxplot_agg,
+        mad_agg,
+        multi_terms,
+        percentile_ranks,
+        string_stats,
+        weighted_avg,
+    )
+
+    out = execute_aggs_dsl(
+        events,
+        {
+            "mt": {"multi_terms": {
+                "terms": [{"field": "event_type"},
+                          {"field": "user_id"}],
+                "size": 4}},
+            "wa": {"weighted_avg": {"value": {"field": "value"},
+                                    "weight": {"field": "user_id"}}},
+            "bp": {"boxplot": {"field": "value"}},
+            "mad": {"median_absolute_deviation": {"field": "value"}},
+            "pr": {"percentile_ranks": {"field": "value",
+                                        "values": [10.5, 40.5]}},
+        },
+    )
+    assert _rows(out["mt"]) == _rows(
+        multi_terms(events, ["event_type", "user_id"], size=4)
+    )
+    assert _rows(out["wa"]) == _rows(
+        weighted_avg(events, "value", "user_id")
+    )
+    assert _rows(out["bp"]) == _rows(boxplot_agg(events, "value"))
+    assert _rows(out["mad"]) == _rows(mad_agg(events, "value"))
+    assert _rows(out["pr"]) == _rows(
+        percentile_ranks(events, "value", [10.5, 40.5])
+    )
+    ss = execute_aggs_dsl(
+        docs, {"ss": {"string_stats": {"field": "text"}}}
+    )["ss"]
+    assert _rows(ss) == _rows(string_stats(docs, "text"))
