@@ -915,7 +915,13 @@ def _interval_seconds(spec: str) -> int:
     return int(m.group(1)) * mult[m.group(2)]
 
 
-def execute_aggs_dsl(rows: DataFrame, aggs: dict) -> dict:
+def execute_aggs_dsl(
+    rows: DataFrame,
+    aggs: dict,
+    *,
+    background: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> dict:
     """Execute an OpenSearch ``aggs`` body against a hit relation
     (the rows a query produced, carrying their fields) — the
     aggregation half of the switch-over surface. Returns
@@ -1239,6 +1245,28 @@ def execute_aggs_dsl(rows: DataFrame, aggs: dict) -> dict:
             out[name] = percentile_ranks(
                 rows, field, [float(v) for v in body["values"]]
             )
+        elif kind == "significant_text":
+            from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+                significant_text,
+            )
+
+            if background is None:
+                raise ValueError(
+                    "significant_text needs the BACKGROUND corpus "
+                    "(JLH compares hit-set term shares against it) — "
+                    "run it through execute_search_request, which "
+                    "passes the full relation, or call "
+                    "execute_aggs_dsl(background=...)"
+                )
+            out[name] = significant_text(
+                background, rows.select(id_col),
+                text_col=field, id_col=id_col,
+                top_k=int(body.get("size", 10)),
+                min_doc_count=int(body.get("min_doc_count", 2)),
+                filter_duplicate_text=bool(
+                    body.get("filter_duplicate_text", True)
+                ),
+            )
         else:
             raise ValueError(f"unsupported agg type {kind!r}")
     return out
@@ -1314,7 +1342,9 @@ def execute_search_request(
     agg_out = {}
     if aggs:
         hit_rows = docs.join(hits.select(id_col), id_col, "left_semi")
-        agg_out = execute_aggs_dsl(hit_rows, aggs)
+        agg_out = execute_aggs_dsl(
+            hit_rows, aggs, background=docs, id_col=id_col
+        )
 
     def slice_page(ordered):
         return ordered.offset(from_).limit(size) if from_ else (

@@ -934,3 +934,30 @@ def test_aggs_dsl_metric_agg_routes(events, docs):
         docs, {"ss": {"string_stats": {"field": "text"}}}
     )["ss"]
     assert _rows(ss) == _rows(string_stats(docs, "text"))
+
+
+def test_search_request_significant_text_agg(docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_aggs_dsl,
+        execute_search_request,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        significant_text,
+    )
+
+    page, aggs = execute_search_request(
+        docs,
+        {"query": {"term": {"text": "window"}},
+         "size": 5,
+         "aggs": {"sig": {"significant_text": {"field": "text",
+                                               "min_doc_count": 1}}}},
+    )
+    hits = docs.filter(F.col("text").contains("window"))
+    want = significant_text(
+        docs, hits.select("doc_id"), min_doc_count=1
+    )
+    assert _rows(aggs["sig"]) == _rows(want)
+    with pytest.raises(ValueError, match="BACKGROUND"):
+        execute_aggs_dsl(
+            docs, {"sig": {"significant_text": {"field": "text"}}}
+        )
