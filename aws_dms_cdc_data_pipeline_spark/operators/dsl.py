@@ -1278,6 +1278,102 @@ _UNCUT_KINDS = (
 )
 
 
+
+def _hybrid_knn_request(
+    docs: DataFrame,
+    body: dict,
+    *,
+    text_col: str,
+    id_col: str,
+) -> tuple:
+    """The ES 8 HYBRID search request: a top-level ``knn`` clause
+    beside (or instead of) ``query``. Semantics follow ES:
+
+    - knn only → the page is the vector result (score = cosine);
+    - query + knn, no ``rank`` → scores COMBINE BY SUM per document
+      (the ES default: a doc found by both legs adds its BM25 and
+      its cosine — scales differ by design, exactly as ES documents);
+    - query + knn + ``rank: {rrf: {...}}`` → reciprocal-rank fusion
+      via the dedicated operator (E135), rank_constant /
+      rank_window_size honored.
+
+    aggs/sort/_source are not combined with hybrid bodies (reasoned
+    error) — ES computes hybrid pages score-sorted; facet them with
+    a follow-up ids query.
+    """
+    for bad in ("aggs", "aggregations", "sort", "_source"):
+        if bad in body:
+            raise ValueError(
+                f"hybrid knn bodies do not combine with {bad!r} — "
+                "page first, then run aggs over an ids query"
+            )
+    size = int(body.get("size", 10))
+    knn = body["knn"]
+    window = int(
+        body.get("rank", {}).get("rrf", {}).get(
+            "rank_window_size", max(size, int(knn.get("k", 10)))
+        )
+    )
+    knn_res = execute_search_dsl(
+        docs, {"knn": knn}, text_col=text_col, id_col=id_col,
+        top_k=None,
+    )
+    if "query" not in body:
+        page = (
+            knn_res.select(
+                F.col(id_col), F.col("cosine").alias("score")
+            )
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(size)
+        )
+        return page, {}
+    lex = execute_search_dsl(
+        docs, body["query"], text_col=text_col, id_col=id_col,
+        top_k=window,
+    )
+    rank_spec = body.get("rank")
+    if rank_spec is not None:
+        from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+            rrf_fuse,
+        )
+
+        if "rrf" not in rank_spec:
+            raise ValueError("rank supports the rrf method")
+        from pyspark.sql import Window as _W
+
+        w = _W.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        lex_ranked = lex.select(
+            F.col(id_col), F.row_number().over(w).alias("rank")
+        )
+        knn_ranked = knn_res.select(F.col(id_col), F.col("rank"))
+        fused = rrf_fuse(
+            [lex_ranked, knn_ranked],
+            id_col=id_col,
+            k_const=int(rank_spec["rrf"].get("rank_constant", 60)),
+            top_k=size,
+        )
+        return fused.select(
+            F.col(id_col), F.col("rrf_score").alias("score"),
+            "n_legs_hit",
+        ), {}
+    # no rank: ES sums the legs' scores per document
+    lexs = lex.select(F.col(id_col), F.col("score").alias("_lex"))
+    knns = knn_res.select(F.col(id_col), F.col("cosine").alias("_knn"))
+    page = (
+        lexs.join(knns, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            (
+                F.coalesce(F.col("_lex"), F.lit(0.0))
+                + F.coalesce(F.col("_knn"), F.lit(0.0))
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(size)
+    )
+    return page, {}
+
+
 def execute_search_request(
     docs: DataFrame,
     body: dict,
@@ -1308,6 +1404,10 @@ def execute_search_request(
     Returns ``(page_df, {agg_name: DataFrame})`` — the aggs dict is
     empty when the body has no aggs.
     """
+    if "knn" in body:
+        return _hybrid_knn_request(
+            docs, body, text_col=text_col, id_col=id_col
+        )
     query = body.get("query", {"match_all": {}})
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))

@@ -9764,6 +9764,76 @@ def dsl_bool_meta_filter_q(spark, sf_dir):
     return execute_search_dsl(docs, body, top_k=20)
 
 
+def _hybrid_sum_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        clause_search_oracle_sql,
+    )
+
+    lex = clause_search_oracle_sql(
+        should=[["table"], ["hash"]], top_k=20
+    )
+    return f"""
+    WITH lex AS (SELECT doc_id, score FROM ({lex})),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 5),
+    scored AS (
+        SELECT e.vec_id AS doc_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            q.qv), 6) AS cosine
+        FROM embeddings e CROSS JOIN q
+    ),
+    knn AS (
+        SELECT doc_id, cosine
+        FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, doc_id)
+                  AS rnk FROM scored)
+        WHERE rnk <= 20
+    )
+    SELECT doc_id,
+           COALESCE(l.score, 0) + COALESCE(k.cosine, 0) AS score
+    FROM lex l FULL OUTER JOIN knn k USING (doc_id)
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 15
+    """
+
+
+@q(
+    "search_request_hybrid_sum",
+    _hybrid_sum_oracle(),
+    "ES 8 HYBRID search request — a top-level knn clause beside the "
+    "lexical query in ONE JSON body: the BM25 leg (match over "
+    "table/hash, cut at the rank window) and the exact-cosine knn "
+    "leg (k=20 over the joined embedding column) combine BY SUM per "
+    "document, the ES default when no rank method is named (rank: "
+    "rrf routes to the E135 fusion operator instead — "
+    "tests/test_dsl.py). Each leg is its own single-pass operator; "
+    "the combine is one full-outer join of two k-sized relations "
+    "(operators/dsl.py:_hybrid_knn_request).",
+)
+def search_request_hybrid_sum_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_request,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    rel = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id",
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 5)
+        .select("embedding").collect()[0][0]
+    ]
+    page, _aggs = execute_search_request(
+        rel,
+        {"query": {"match": {"text": {"query": "table hash"}}},
+         "knn": {"field": "embedding", "query_vector": qvec, "k": 20},
+         "size": 15},
+    )
+    return page
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r15 window (the r14 verdict's ask #1) =
@@ -9780,7 +9850,8 @@ def dsl_bool_meta_filter_q(spark, sf_dir):
 # late-round additions dsl_bool_filter_search /
 # aggs_dsl_type_value_stats / dsl_bool_meta_filter). The remaining
 # 23 r10-stale rows queue
-# for r16 (23 rows): min_cost_supplier, percentile_order_prices,
+# for r16 (24 rows): join_full_nation_activity, min_cost_supplier,
+# percentile_order_prices,
 # promo_revenue_share, range_join_promo_events, redact_pii_docs,
 # regexp_part_names, scalar_conditional_funcs, scalar_date_funcs,
 # scalar_math_funcs, search_date_histogram, session_window_stats,

@@ -961,3 +961,70 @@ def test_search_request_significant_text_agg(docs):
         execute_aggs_dsl(
             docs, {"sig": {"significant_text": {"field": "text"}}}
         )
+
+
+def test_search_request_hybrid_knn(spark):
+    """ES 8 hybrid body: top-level knn beside query — knn-only,
+    sum-combine (ES default), and rank.rrf via the E135 operator."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+        execute_search_request,
+    )
+
+    rows = [
+        (1, "spark merge window", [1.0, 0.0, 0.0]),
+        (2, "merge merge window", [0.9, 0.1, 0.0]),
+        (3, "slow table scan", [0.0, 1.0, 0.0]),
+        (4, "window filter", [0.0, 0.0, 1.0]),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+    knn = {"field": "embedding", "query_vector": [1.0, 0.05, 0.0],
+           "k": 3}
+
+    only, aggs = execute_search_request(
+        docs, {"knn": knn, "size": 2}
+    )
+    assert aggs == {}
+    got = [(r.doc_id, r.score) for r in only.collect()]
+    assert [d for d, _ in got] == [1, 2]  # nearest by cosine
+
+    # sum combine: doc in both legs adds BM25 + cosine
+    summed, _ = execute_search_request(
+        docs,
+        {"query": {"term": {"text": "merge"}}, "knn": knn, "size": 4},
+    )
+    lex = {
+        r.doc_id: r.score
+        for r in execute_search_dsl(
+            docs, {"term": {"text": "merge"}}
+        ).collect()
+    }
+    knn_scores = {
+        r.doc_id: r.cosine
+        for r in execute_search_dsl(
+            docs, {"knn": knn}, id_col="doc_id"
+        ).collect()
+    }
+    want = {
+        d: lex.get(d, 0.0) + knn_scores.get(d, 0.0)
+        for d in set(lex) | set(knn_scores)
+    }
+    got_sum = {r.doc_id: r.score for r in summed.collect()}
+    assert got_sum == pytest.approx(want)
+
+    # rrf: both-leg doc must out-fuse single-leg docs at equal ranks
+    fused, _ = execute_search_request(
+        docs,
+        {"query": {"term": {"text": "merge"}}, "knn": knn,
+         "rank": {"rrf": {"rank_constant": 60}}, "size": 4},
+    )
+    frows = {r.doc_id: (r.score, r.n_legs_hit) for r in fused.collect()}
+    assert frows[1][1] == 2 and frows[2][1] == 2
+    assert frows[1][0] > frows[4][0] if 4 in frows else True
+
+    with pytest.raises(ValueError, match="hybrid"):
+        execute_search_request(
+            docs, {"knn": knn, "aggs": {"x": {"terms": {"field": "text"}}}}
+        )
