@@ -429,6 +429,22 @@ def execute_search_dsl(
             return clause_search(docs, must=clauses, **common)
         return clause_search(docs, should=clauses, **common)
     if kind == "bool":
+        def items_of(key):
+            v = body.get(key, [])
+            return v if isinstance(v, list) else [v]
+
+        # nested bool sub-queries route to the recursive tree
+        # executor (any depth, same single-pass machinery)
+        if any(
+            next(iter(n)) == "bool"
+            for role in ("must", "should", "must_not", "filter")
+            for n in items_of(role)
+        ):
+            return bool_tree_search(
+                docs, dsl, text_col=text_col, id_col=id_col,
+                top_k=top_k,
+            )
+
         def many(key):
             items = body.get(key, [])
             items = items if isinstance(items, list) else [items]
@@ -896,6 +912,446 @@ def clause_search_oracle_sql(
     FROM p CROSS JOIN s
     WHERE ({must_member}) AND (({should_hits}) >= {minimum_should_match})
           AND {not_excl} AND ({flt_member}) AND ({meta_member})
+    ORDER BY score DESC, p.{id_col} ASC
+    LIMIT {top_k}
+    """
+
+
+
+
+# --------------------------------------------------------------------
+# Recursive bool trees — nested bool at ANY depth, still single-pass.
+# The clause executor's machinery already yields per-leaf hit/score
+# columns off one shared tokenize; a nested bool is just a recursive
+# member/score EXPRESSION over those columns, so the plan stays one
+# projection + one 1-row stats collect + one filter, no matter how
+# deep the JSON nests (where ES walks a query tree per document, the
+# whole tree compiles into whole-stage-codegen'd column algebra).
+# --------------------------------------------------------------------
+
+
+def _meta_sql(node: dict) -> str:
+    """DuckDB predicate for a metadata filter leaf (mirror of
+    :func:`_meta_condition`)."""
+    kind, body = next(iter(node.items()))
+
+    def lit(v):
+        return f"'{v}'" if isinstance(v, str) else repr(v)
+
+    if kind == "range":
+        ((field, spec),) = body.items()
+        ops = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+        parts = [
+            f"{field} {op} {lit(spec[key])}"
+            for key, op in ops.items() if key in spec
+        ]
+        if not parts:
+            raise ValueError(f"range filter needs gte/gt/lte/lt: {spec}")
+        return "(" + " AND ".join(parts) + ")"
+    if kind == "terms":
+        ((field, vals),) = body.items()
+        return f"{field} IN ({', '.join(lit(v) for v in vals)})"
+    if kind == "exists":
+        return f"{body['field']} IS NOT NULL"
+    raise ValueError(f"not a metadata leaf: {kind!r}")
+
+
+def _parse_bool_tree(node: dict):
+    """JSON query node → internal tree: ("clause", terms) leaves,
+    ("meta", json) leaves, ("bool", must, should, must_not, f_text,
+    f_meta, msm) internal nodes. match desugars to its ES bool form
+    (or → should/msm=1, and → must) so scoring is sum-of-hitting-
+    terms exactly like the flat executor."""
+    kind = next(iter(node))
+    if kind == "bool":
+        b = node["bool"]
+
+        def lst(key):
+            v = b.get(key, [])
+            return v if isinstance(v, list) else [v]
+
+        must = [_parse_bool_tree(n) for n in lst("must")]
+        should = [_parse_bool_tree(n) for n in lst("should")]
+        must_not = [_parse_bool_tree(n) for n in lst("must_not")]
+        f_text, f_meta = [], []
+        for n in lst("filter"):
+            if next(iter(n)) in ("range", "terms", "exists"):
+                f_meta.append(n)
+            else:
+                f_text.append(_parse_bool_tree(n))
+        return ("bool", must, should, must_not, f_text, f_meta,
+                b.get("minimum_should_match"))
+    if kind in ("term", "match", "match_phrase"):
+        clauses = _leaf_clauses(node)
+        if kind == "match" and len(clauses) > 1:
+            leaves = [("clause", c) for c in clauses]
+            if _match_operator(node) == "and":
+                return ("bool", leaves, [], [], [], [], None)
+            return ("bool", [], leaves, [], [], [], 1)
+        return ("clause", clauses[0])
+    raise ValueError(
+        f"query type {kind!r} is not supported inside a bool tree "
+        "(term / match / match_phrase / bool / range / terms / exists)"
+    )
+
+
+def _tree_leaves(tree, clauses, metas):
+    """Collect clause and meta leaves in deterministic walk order."""
+    if tree[0] == "clause":
+        clauses.append(tree[1])
+        return
+    _, must, should, must_not, f_text, f_meta, _msm = tree
+    for ch in must + should + must_not + f_text:
+        _tree_leaves(ch, clauses, metas)
+    metas.extend(f_meta)
+
+
+def bool_tree_search(
+    docs: DataFrame,
+    dsl: dict,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Execute a bool query with NESTED bool sub-queries (any depth)
+    in one pass. ES semantics per node: must all match (scores sum),
+    should ≥ minimum_should_match match (hitting scores sum; msm
+    defaults 0-with-must/filter, 1 otherwise), must_not none match,
+    filter matches without scoring (text leaves and range/terms/
+    exists metadata leaves). A nested bool contributes its summed
+    score when it matches, nothing otherwise. BM25 stats are
+    corpus-wide. Returns (id, score, n_clauses_hit) — n_clauses_hit
+    counts TOP-LEVEL must/should children hit."""
+    tree = _parse_bool_tree(dsl)
+    leaf_clauses: list[list[str]] = []
+    meta_nodes: list[dict] = []
+    _tree_leaves(tree, leaf_clauses, meta_nodes)
+    if not leaf_clauses and not meta_nodes:
+        raise ValueError("bool tree has no leaves")
+    score_terms = sorted({t for c in leaf_clauses for t in c})
+
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    base_cols = [F.col(id_col), F.col(text_col)]
+    for j, mnode in enumerate(meta_nodes):
+        base_cols.append(
+            F.coalesce(
+                _meta_condition(mnode).cast("boolean"), F.lit(False)
+            ).alias(f"_m{j}")
+        )
+    mcols = [F.col(f"_m{j}") for j in range(len(meta_nodes))]
+    toks = fan_out_scan(docs.select(*base_cols)).select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        ).alias("_toks"),
+        *mcols,
+    )
+    cols = [F.size("_toks").cast("long").alias("dl"), *mcols]
+    for i, t in enumerate(score_terms):
+        cols.append(
+            F.size(F.filter("_toks", _term_eq(t))).cast("long")
+            .alias(f"_tf{i}")
+        )
+    for ci, terms in enumerate(leaf_clauses):
+        if len(terms) > 1:
+            cols.append(
+                _phrase_count_expr(F.col("_toks"), terms).alias(f"_pc{ci}")
+            )
+    proj = toks.select(F.col(id_col), *cols).persist()
+
+    aggs = [
+        F.sum((F.col("dl") > 0).cast("long")).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    ]
+    for i in range(len(score_terms)):
+        aggs.append(
+            F.sum((F.col(f"_tf{i}") > 0).cast("long"))
+            .cast("long").alias(f"_df{i}")
+        )
+    memo_key = (
+        proj._jdf.queryExecution().analyzed().semanticHash(),
+        ("dsl_tree",) + tuple(score_terms),
+    )
+    row = _ADHOC_STATS_MEMO.get(memo_key)
+    if row is None:
+        row = proj.agg(*aggs).collect()[0]
+        if len(_ADHOC_STATS_MEMO) >= 256:
+            _ADHOC_STATS_MEMO.pop(next(iter(_ADHOC_STATS_MEMO)))
+        _ADHOC_STATS_MEMO[memo_key] = row
+    n_docs = int(row["n_docs"] or 0)
+    total_dl = int(row["total_dl"] or 0)
+    if n_docs == 0:
+        return proj.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("score"),
+            F.lit(0).cast("long").alias("n_clauses_hit"),
+        ).filter(F.lit(False))
+    avgdl = total_dl / n_docs
+    tidx = {t: i for i, t in enumerate(score_terms)}
+
+    def idf_of(t: str) -> float:
+        df_ = int(row[f"_df{tidx[t]}"] or 0)
+        return (float(n_docs - df_) + 0.5) / (float(df_) + 0.5)
+
+    zero = F.lit(0).cast("long")
+    clause_iter = iter(range(len(leaf_clauses)))
+    meta_iter = iter(range(len(meta_nodes)))
+
+    def eval_node(node):
+        """→ (member Column, quantized score Column)."""
+        if node[0] == "clause":
+            ci = next(clause_iter)
+            terms = leaf_clauses[ci]
+            if len(terms) == 1:
+                tf = F.col(f"_tf{tidx[terms[0]]}")
+                idf = idf_of(terms[0])
+            else:
+                tf = F.col(f"_pc{ci}")
+                idf = sum(idf_of(t) for t in terms)
+            tf_part = (tf * (k1 + 1)) / (
+                tf
+                + F.lit(k1)
+                * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            )
+            cq = F.round(
+                F.lit(idf) * tf_part * F.lit(float(_FP)), 0
+            ).cast("long")
+            hit = tf > 0
+            return hit, F.when(hit, cq).otherwise(zero)
+        _, must, should, must_not, f_text, f_meta, msm = node
+        if msm is None:
+            msm = 0 if (must or f_text or f_meta) else 1
+        member = F.lit(True)
+        scoreq = zero
+        should_hits = zero
+        for ch in must:
+            m, sq = eval_node(ch)
+            member = member & m
+            scoreq = scoreq + F.when(m, sq).otherwise(zero)
+        for ch in should:
+            m, sq = eval_node(ch)
+            should_hits = should_hits + m.cast("long")
+            scoreq = scoreq + F.when(m, sq).otherwise(zero)
+        for ch in must_not:
+            m, _sq = eval_node(ch)
+            member = member & ~m
+        for ch in f_text:
+            m, _sq = eval_node(ch)
+            member = member & m
+        for _ in f_meta:
+            member = member & F.col(f"_m{next(meta_iter)}")
+        member = member & (should_hits >= F.lit(int(msm)))
+        return member, scoreq
+
+    # n_clauses_hit: top-level must/should children hit — evaluate
+    # the tree ONCE (the iterators walk leaves in _tree_leaves order)
+    _, t_must, t_should, t_must_not, t_ftext, t_fmeta, t_msm = tree
+    if t_msm is None:
+        t_msm = 0 if (t_must or t_ftext or t_fmeta) else 1
+    member = F.lit(True)
+    scoreq = zero
+    n_hit = zero
+    should_hits = zero
+    for ch in t_must:
+        m, sq = eval_node(ch)
+        member = member & m
+        scoreq = scoreq + F.when(m, sq).otherwise(zero)
+        n_hit = n_hit + m.cast("long")
+    for ch in t_should:
+        m, sq = eval_node(ch)
+        should_hits = should_hits + m.cast("long")
+        scoreq = scoreq + F.when(m, sq).otherwise(zero)
+        n_hit = n_hit + m.cast("long")
+    for ch in t_must_not:
+        m, _sq = eval_node(ch)
+        member = member & ~m
+    for ch in t_ftext:
+        m, _sq = eval_node(ch)
+        member = member & m
+    for _ in t_fmeta:
+        member = member & F.col(f"_m{next(meta_iter)}")
+    member = member & (should_hits >= F.lit(int(t_msm)))
+    out = proj.filter(member).select(
+        F.col(id_col),
+        (scoreq.cast("decimal(38,0)") / F.lit(_FP))
+        .cast("double")
+        .alias("score"),
+        n_hit.alias("n_clauses_hit"),
+    )
+    if top_k is None:
+        return out
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(
+        top_k
+    )
+
+
+def bool_tree_oracle_sql(
+    dsl: dict,
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> str:
+    """DuckDB SQL computing the identical nested-bool search (same
+    recursion over the same per-leaf columns)."""
+    tree = _parse_bool_tree(dsl)
+    leaf_clauses: list[list[str]] = []
+    meta_nodes: list[dict] = []
+    _tree_leaves(tree, leaf_clauses, meta_nodes)
+    score_terms = sorted({t for c in leaf_clauses for t in c})
+    tidx = {t: i for i, t in enumerate(score_terms)}
+
+    def tf_sql(t: str) -> str:
+        return f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT)"
+
+    def pc_sql(terms: list[str]) -> str:
+        L = len(terms)
+        conds = " AND ".join(
+            f"toks[i + {j}] = '{terms[j]}'" for j in range(L)
+        )
+        return (
+            f"CASE WHEN len(toks) >= {L} THEN "
+            f"CAST(len(list_filter(range(1, len(toks) - {L - 2}), "
+            f"i -> {conds})) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+
+    meta_sel = "".join(
+        f", COALESCE(CAST(({_meta_sql(mn)}) AS BOOLEAN), FALSE) AS _m{j}"
+        for j, mn in enumerate(meta_nodes)
+    )
+    meta_proj = "".join(f", _m{j}" for j in range(len(meta_nodes)))
+    proj_cols = ["CAST(len(toks) AS BIGINT) AS dl"]
+    for i, t in enumerate(score_terms):
+        proj_cols.append(f"{tf_sql(t)} AS _tf{i}")
+    for ci, terms in enumerate(leaf_clauses):
+        if len(terms) > 1:
+            proj_cols.append(f"{pc_sql(terms)} AS _pc{ci}")
+    stats_cols = [
+        "CAST(SUM(CASE WHEN dl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs",
+        "CAST(SUM(dl) AS BIGINT) AS total_dl",
+    ]
+    for i in range(len(score_terms)):
+        stats_cols.append(
+            f"CAST(SUM(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS _df{i}"
+        )
+
+    def idf_expr(t: str) -> str:
+        i = tidx[t]
+        return f"((s.n_docs - s._df{i} + 0.5) / (s._df{i} + 0.5))"
+
+    clause_iter = iter(range(len(leaf_clauses)))
+    meta_iter = iter(range(len(meta_nodes)))
+
+    def eval_node(node):
+        """→ (member SQL, quantized-score SQL)."""
+        if node[0] == "clause":
+            ci = next(clause_iter)
+            terms = leaf_clauses[ci]
+            if len(terms) == 1:
+                tf = f"p._tf{tidx[terms[0]]}"
+                idf = idf_expr(terms[0])
+            else:
+                tf = f"p._pc{ci}"
+                idf = " + ".join(idf_expr(t) for t in terms)
+            tf_part = (
+                f"(({tf}) * ({k1} + 1)) / (({tf}) + {k1} * ((1 - {b}) "
+                f"+ {b} * p.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))"
+            )
+            cq = (
+                f"CASE WHEN ({tf}) > 0 THEN CAST(round(({idf}) * "
+                f"({tf_part}) * 1000000, 0) AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END"
+            )
+            return f"(({tf}) > 0)", cq
+        _, must, should, must_not, f_text, f_meta, msm = node
+        if msm is None:
+            msm = 0 if (must or f_text or f_meta) else 1
+        members, scores, shoulds = [], [], []
+        for ch in must:
+            m, sq = eval_node(ch)
+            members.append(m)
+            scores.append(f"CASE WHEN {m} THEN ({sq}) "
+                          f"ELSE CAST(0 AS BIGINT) END")
+        for ch in should:
+            m, sq = eval_node(ch)
+            shoulds.append(f"CAST({m} AS BIGINT)")
+            scores.append(f"CASE WHEN {m} THEN ({sq}) "
+                          f"ELSE CAST(0 AS BIGINT) END")
+        for ch in must_not:
+            m, _sq = eval_node(ch)
+            members.append(f"(NOT {m})")
+        for ch in f_text:
+            m, _sq = eval_node(ch)
+            members.append(m)
+        for _ in f_meta:
+            members.append(f"p._m{next(meta_iter)}")
+        sh = " + ".join(shoulds) if shoulds else "0"
+        members.append(f"(({sh}) >= {int(msm)})")
+        member = "(" + " AND ".join(members) + ")"
+        score = (
+            "(" + " + ".join(f"({c})" for c in scores) + ")"
+            if scores else "CAST(0 AS BIGINT)"
+        )
+        return member, score
+
+    _, t_must, t_should, t_must_not, t_ftext, t_fmeta, t_msm = tree
+    if t_msm is None:
+        t_msm = 0 if (t_must or t_ftext or t_fmeta) else 1
+    members, scores, shoulds, hits = [], [], [], []
+    for ch in t_must:
+        m, sq = eval_node(ch)
+        members.append(m)
+        hits.append(f"CAST({m} AS BIGINT)")
+        scores.append(f"CASE WHEN {m} THEN ({sq}) "
+                      f"ELSE CAST(0 AS BIGINT) END")
+    for ch in t_should:
+        m, sq = eval_node(ch)
+        shoulds.append(f"CAST({m} AS BIGINT)")
+        hits.append(f"CAST({m} AS BIGINT)")
+        scores.append(f"CASE WHEN {m} THEN ({sq}) "
+                      f"ELSE CAST(0 AS BIGINT) END")
+    for ch in t_must_not:
+        m, _sq = eval_node(ch)
+        members.append(f"(NOT {m})")
+    for ch in t_ftext:
+        m, _sq = eval_node(ch)
+        members.append(m)
+    for _ in t_fmeta:
+        members.append(f"p._m{next(meta_iter)}")
+    sh = " + ".join(shoulds) if shoulds else "0"
+    members.append(f"(({sh}) >= {int(t_msm)})")
+    member = " AND ".join(members)
+    total = (
+        " + ".join(f"({c})" for c in scores)
+        if scores else "CAST(0 AS BIGINT)"
+    )
+    n_hit = " + ".join(hits) if hits else "CAST(0 AS BIGINT)"
+    return f"""
+    WITH tokarr AS (
+        SELECT {id_col},
+               list_filter(string_split_regex(lower({text_col}),
+                           '[^a-z0-9]+'), x -> x <> '') AS toks{meta_sel}
+        FROM {table}
+    ),
+    p AS (SELECT {id_col}{meta_proj}, {', '.join(proj_cols)} FROM tokarr),
+    s AS (SELECT {', '.join(stats_cols)} FROM p)
+    SELECT p.{id_col},
+           CAST(CAST({total} AS DECIMAL(38,0)) / 1000000 AS DOUBLE)
+               AS score,
+           CAST({n_hit} AS BIGINT) AS n_clauses_hit
+    FROM p CROSS JOIN s
+    WHERE {member}
     ORDER BY score DESC, p.{id_col} ASC
     LIMIT {top_k}
     """
@@ -1484,6 +1940,8 @@ def execute_search_request(
 
 
 __all__ = [
+    "bool_tree_oracle_sql",
+    "bool_tree_search",
     "clause_search",
     "clause_search_oracle_sql",
     "execute_aggs_dsl",

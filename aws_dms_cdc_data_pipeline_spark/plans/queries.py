@@ -9834,6 +9834,50 @@ def search_request_hybrid_sum_q(spark, sf_dir):
     return page
 
 
+_NESTED_BOOL_BODY = {"bool": {
+    "must": [{"term": {"text": "table"}}],
+    "should": [
+        {"bool": {
+            "must": [{"term": {"text": "merge"}}],
+            "must_not": [{"term": {"text": "slow"}}],
+        }},
+        {"match_phrase": {"text": "hash join"}},
+    ],
+    "filter": [{"range": {"n_chars": {"gte": 150}}}],
+}}
+
+
+def _nested_bool_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        bool_tree_oracle_sql,
+    )
+
+    return bool_tree_oracle_sql(_NESTED_BOOL_BODY, top_k=20)
+
+
+@q(
+    "dsl_nested_bool_search",
+    _nested_bool_oracle(),
+    "NESTED bool through the query-DSL dispatcher — a bool body "
+    "whose should array carries a full sub-bool (must merge, "
+    "must_not slow) beside a phrase, plus a range filter leaf: the "
+    "recursive tree executor compiles the whole tree into one "
+    "member/score column expression over the SAME single tokenize "
+    "pass (arbitrary depth, zero extra scans — where OpenSearch "
+    "walks a query tree per document, the tree is whole-stage-"
+    "codegen'd column algebra). Sub-bool scores sum when the "
+    "sub-bool matches, ES-exact "
+    "(operators/dsl.py:bool_tree_search).",
+)
+def dsl_nested_bool_search_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return execute_search_dsl(docs, _NESTED_BOOL_BODY, top_k=20)
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r15 window (the r14 verdict's ask #1) =
@@ -9850,7 +9894,8 @@ def search_request_hybrid_sum_q(spark, sf_dir):
 # late-round additions dsl_bool_filter_search /
 # aggs_dsl_type_value_stats / dsl_bool_meta_filter). The remaining
 # 23 r10-stale rows queue
-# for r16 (24 rows): join_full_nation_activity, min_cost_supplier,
+# for r16 (25 rows): fk_integrity_audit, join_full_nation_activity,
+# min_cost_supplier,
 # percentile_order_prices,
 # promo_revenue_share, range_join_promo_events, redact_pii_docs,
 # regexp_part_names, scalar_conditional_funcs, scalar_date_funcs,
@@ -9910,7 +9955,7 @@ _R15_WINDOW = [
     "contrastive_negative_samples",
     "doc_length_histogram",
     "doc_novelty_scores",
-    "fk_integrity_audit",
+    "dsl_nested_bool_search",
     "grouping_sets_revenue",
     "join_full_nation_activity",
     "dsl_bool_filter_search",

@@ -1028,3 +1028,58 @@ def test_search_request_hybrid_knn(spark):
         execute_search_request(
             docs, {"knn": knn, "aggs": {"x": {"terms": {"field": "text"}}}}
         )
+
+
+def test_dsl_nested_bool_tree(spark, docs):
+    """Nested bool at depth: membership/scoring recursion matches
+    both hand-computed membership and the DuckDB oracle builder."""
+    import duckdb
+
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        bool_tree_oracle_sql,
+        execute_search_dsl,
+    )
+
+    body = {"bool": {
+        "must": [{"term": {"text": "window"}}],
+        "should": [
+            {"bool": {
+                "must": [{"term": {"text": "merge"}}],
+                "must_not": [{"term": {"text": "slow"}}],
+            }},
+            {"term": {"text": "fast"}},
+        ],
+        "filter": [{"range": {"n_chars": {"gte": 95}}}],
+    }}
+    got = execute_search_dsl(docs, body, top_k=10).collect()
+    # window AND n_chars>=95: docs 1(100), 2(400); both also match
+    # the inner bool (merge, no slow)
+    assert {r.doc_id for r in got} == {1, 2}
+    by_id = {r.doc_id: (r.score, r.n_clauses_hit) for r in got}
+    # doc 1 hits must(window) + inner-bool + fast = 3 top children
+    assert by_id[1][1] == 3
+    assert by_id[2][1] == 2  # window + inner bool
+
+    con = duckdb.connect()
+    con.register("documents_df", None) if False else None
+    rows = [(r.doc_id, r.text, r.n_chars) for r in docs.collect()]
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+        "n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = con.execute(bool_tree_oracle_sql(body, top_k=10)).fetchall()
+    assert sorted(tuple(r) for r in got) == sorted(want)
+
+    # deep nesting (3 levels) stays consistent with flat equivalents:
+    # should(msm=1) of a single bool == that bool's members
+    deep = {"bool": {"should": [
+        {"bool": {"should": [
+            {"bool": {"must": [{"term": {"text": "spark"}}]}},
+        ]}},
+    ]}}
+    got_deep = {r.doc_id for r in execute_search_dsl(
+        docs, deep, top_k=10).collect()}
+    flat = {r.doc_id for r in execute_search_dsl(
+        docs, {"term": {"text": "spark"}}, top_k=10).collect()}
+    assert got_deep == flat
