@@ -9889,18 +9889,19 @@ def dsl_nested_bool_search_q(spark, sf_dir):
 # CODE r15 changed (dis_max_docs rides the grouped-scoring rewrite —
 # flat clauses are singleton groups, bit-compat asserted;
 # frequent_token_sets rides the max_items knob at its uncapped
-# default) + 17 fillers from the oldest (r10) stale tail in
-# alphabetical order (three fillers ceded their slots to the
-# late-round additions dsl_bool_filter_search /
-# aggs_dsl_type_value_stats / dsl_bool_meta_filter). The remaining
-# 23 r10-stale rows queue
-# for r16 (25 rows): fk_integrity_audit, join_full_nation_activity,
-# min_cost_supplier,
-# percentile_order_prices,
-# promo_revenue_share, range_join_promo_events, redact_pii_docs,
-# regexp_part_names, scalar_conditional_funcs, scalar_date_funcs,
-# scalar_math_funcs, search_date_histogram, session_window_stats,
-# sessionize_events, set_except_all_orders, significant_terms_hits,
+# default) + the 7 late-round additions (dsl_bool_filter_search,
+# aggs_dsl_type_value_stats, dsl_bool_meta_filter,
+# search_request_hybrid_sum, dsl_nested_bool_search — each a new
+# oracle-gated surface this round; window slots ceded by five r10
+# fillers) + 12 fillers from the oldest (r10) stale tail in
+# alphabetical order. The remaining 26 r10-stale rows queue for r16:
+# fk_integrity_audit, grouping_sets_revenue,
+# join_full_nation_activity, min_cost_supplier,
+# percentile_order_prices, promo_revenue_share,
+# range_join_promo_events, redact_pii_docs, regexp_part_names,
+# scalar_conditional_funcs, scalar_date_funcs, scalar_math_funcs,
+# search_date_histogram, session_window_stats, sessionize_events,
+# set_except_all_orders, significant_terms_hits,
 # source_overlap_matrix, text_repetition_scores, time_rollup_events,
 # token_index_stats, top_hits_per_facet, unigram_logprob_scores,
 # vocab_top_terms, window_distribution_funcs, window_range_7day_spend.
@@ -9942,7 +9943,7 @@ _R15_WINDOW = [
     # code changed in r15
     "dis_max_docs",
     "frequent_token_sets",
-    # oldest (r10) stale tail, alphabetical — 17 of 38; rest r16
+    # oldest (r10) stale tail, alphabetical — 12 of 38; rest r16
     "ann_quantized_topk",
     "asof_next_visit_tolerance",
     "boilerplate_line_removal",
@@ -9956,8 +9957,8 @@ _R15_WINDOW = [
     "doc_length_histogram",
     "doc_novelty_scores",
     "dsl_nested_bool_search",
-    "grouping_sets_revenue",
-    "join_full_nation_activity",
+    "dsl_bool_meta_filter",
+    "search_request_hybrid_sum",
     "dsl_bool_filter_search",
     "aggs_dsl_type_value_stats",
 ]
