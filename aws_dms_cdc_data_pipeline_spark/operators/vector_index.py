@@ -277,9 +277,72 @@ def append_to_vector_index(
 
 __all__ = [
     "append_to_vector_index",
+    "compact_vector_index",
     "ensure_vector_index",
     "ivf_topk_indexed",
     "load_centroids",
     "load_codebooks",
     "pq_topk_indexed",
 ]
+
+
+def compact_vector_index(spark, tables: dict) -> dict:
+    """Compact the append-accumulated index tables: every
+    :func:`append_to_vector_index` batch adds one file per written
+    cell partition (and one per codes append), so a long-lived
+    maintained index pays the small-files tax on every probe — the
+    same hygiene job as the token index's E141 compaction. Rewrites
+    each table's rows once under the SAME layout (cells stay
+    partitioned by ``_cell``, so static probe pruning keeps working;
+    results bit-identical, tested) via the staging + backup-rename
+    commit protocol of
+    :func:`...search.compact_token_index` — at no point is the only
+    copy deleted. Returns per-table
+    ``{"files_before", "files_after", "rows"}``.
+    """
+    out = {}
+    for key in ("cells", "codes"):
+        table = tables.get(key)
+        if table is None or not spark.catalog.tableExists(table):
+            continue
+        tmp = f"{table}_compact_tmp"
+        # cells is PARTITIONED: the rename protocol is unsafe there
+        # (a renamed partitioned table keeps partition metadata
+        # pointing at the ORIGINAL paths — the serving table reads 0
+        # rows and dropping the backup can delete the new data). Use
+        # copy-overwrite instead: stage a full compacted copy, then
+        # overwrite the serving table FROM the stage. A failure
+        # before the overwrite leaves the original untouched; a
+        # failure mid-overwrite leaves the complete stage on disk —
+        # retry resumes from it (recovery branch below).
+        staged = spark.catalog.tableExists(tmp)
+        if not staged:
+            _drop_stale_location(spark, tmp)
+        src = spark.table(tmp if staged else table)
+        files_before = len(
+            spark.table(table).inputFiles()
+        ) if spark.catalog.tableExists(table) else 0
+        rows = src.count()
+        if key == "cells":
+            # one file per cell partition: coalesce WITHIN each cell
+            if not staged:
+                (
+                    src.repartition("_cell").write.mode("overwrite")
+                    .partitionBy("_cell").saveAsTable(tmp)
+                )
+            (
+                spark.table(tmp).write.mode("overwrite")
+                .partitionBy("_cell").saveAsTable(table)
+            )
+        else:
+            if not staged:
+                src.coalesce(1).write.mode("overwrite").saveAsTable(tmp)
+            spark.table(tmp).write.mode("overwrite").saveAsTable(table)
+        spark.sql(f"DROP TABLE {tmp}")
+        spark.catalog.refreshTable(table)
+        out[key] = {
+            "files_before": files_before,
+            "files_after": len(spark.table(table).inputFiles()),
+            "rows": rows,
+        }
+    return out

@@ -140,3 +140,34 @@ def test_append_matches_rebuild_with_same_artifacts(spark):
         ).collect()
     }
     assert got_ids & set(range(200, 240))
+
+
+def test_compact_vector_index_preserves_results(spark):
+    from aws_dms_cdc_data_pipeline_spark.operators.vector_index import (
+        append_to_vector_index,
+        compact_vector_index,
+        ensure_vector_index,
+        ivf_topk_indexed,
+        pq_topk_indexed,
+    )
+
+    base = _mk_vectors(spark, n=160)
+    tables = ensure_vector_index(
+        spark, base, "t_vecidx_cmp", n_lists=4, iterations=2,
+        pq_m=4, pq_k=8, pq_sample=160, pq_iterations=3,
+    )
+    for start in (160, 200, 240):
+        append_to_vector_index(
+            spark, _mk_vectors(spark, n=40, start=start), tables
+        )
+    q = _queries(spark, base)
+    before_ivf = _rows(ivf_topk_indexed(spark, tables, q, k=5,
+                                        n_probe=2))
+    before_pq = _rows(pq_topk_indexed(spark, tables, q, k=5))
+    stats = compact_vector_index(spark, tables)
+    assert stats["cells"]["files_after"] < stats["cells"]["files_before"]
+    assert stats["codes"]["files_after"] <= stats["codes"]["files_before"]
+    assert _rows(
+        ivf_topk_indexed(spark, tables, q, k=5, n_probe=2)
+    ) == before_ivf
+    assert _rows(pq_topk_indexed(spark, tables, q, k=5)) == before_pq
