@@ -508,6 +508,45 @@ def execute_search_dsl(
             **common,
         )
     if kind == "function_score":
+        if "functions" in body:
+            # decay functions (gauss|exp|linear over a date field):
+            # the recency-ranking shape — routes to the dedicated
+            # decay operator over the full relation (match_all);
+            # combining decay with a scored text query is not routed
+            from aws_dms_cdc_data_pipeline_spark.operators.scoring import (
+                decay_function_score,
+            )
+
+            fns = body["functions"]
+            if len(fns) != 1:
+                raise ValueError("function_score routes ONE function")
+            fkind, fbody = next(iter(fns[0].items()))
+            if fkind not in ("gauss", "exp", "linear"):
+                raise ValueError(
+                    f"unsupported function_score function {fkind!r}"
+                )
+            inner = body.get("query", {"match_all": {}})
+            if next(iter(inner)) != "match_all":
+                raise ValueError(
+                    "decay function_score routes match_all queries "
+                    "(the operator ranks the whole relation by "
+                    "recency); filter first, then rank"
+                )
+            ((field_, spec),) = fbody.items()
+            return decay_function_score(
+                docs,
+                date_col=field_,
+                origin=spec["origin"],
+                scale_seconds=_interval_seconds(spec["scale"]),
+                offset_seconds=(
+                    _interval_seconds(spec["offset"])
+                    if "offset" in spec else 0
+                ),
+                decay=float(spec.get("decay", 0.5)),
+                kind=fkind,
+                id_col=id_col,
+                top_k=top_k if top_k is not None else (1 << 31) - 1,
+            )
         from aws_dms_cdc_data_pipeline_spark.operators.search import (
             function_score,
         )
@@ -679,6 +718,27 @@ def execute_search_dsl(
         return filtered_topk(
             docs, queries, F.col(ffield) == F.lit(fval), **kw
         )
+    if kind == "span_near":
+        from aws_dms_cdc_data_pipeline_spark.operators.search import (
+            proximity_search,
+        )
+
+        clauses = body["clauses"]
+        if len(clauses) != 2:
+            raise ValueError(
+                "span_near routes two span_term clauses (the "
+                "proximity operator's pair shape); got "
+                f"{len(clauses)}"
+            )
+        a = _span_term(clauses[0], "span_near clause")
+        b_ = _span_term(clauses[1], "span_near clause")
+        out = proximity_search(
+            docs, a, b_,
+            slop=int(body.get("slop", 5)),
+            in_order=bool(body.get("in_order", False)),
+            text_col=text_col, id_col=id_col,
+        )
+        return out if top_k is None else out.limit(top_k)
     if kind in ("wildcard", "fuzzy", "regexp"):
         if not index_tables or "tokens" not in index_tables:
             raise ValueError(

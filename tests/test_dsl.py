@@ -1083,3 +1083,59 @@ def test_dsl_nested_bool_tree(spark, docs):
     flat = {r.doc_id for r in execute_search_dsl(
         docs, {"term": {"text": "spark"}}, top_k=10).collect()}
     assert got_deep == flat
+
+
+def test_dsl_span_near_and_decay_routes(spark, docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.scoring import (
+        decay_function_score,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        proximity_search,
+    )
+
+    body = {"span_near": {
+        "clauses": [{"span_term": {"text": "merge"}},
+                    {"span_term": {"text": "filter"}}],
+        "slop": 3, "in_order": True,
+    }}
+    assert _rows(execute_search_dsl(docs, body, top_k=10)) == _rows(
+        proximity_search(docs, "merge", "filter", slop=3,
+                         in_order=True).limit(10)
+    )
+    with pytest.raises(ValueError, match="two span_term"):
+        execute_search_dsl(
+            docs, {"span_near": {"clauses": [
+                {"span_term": {"text": "a"}}]}},
+        )
+
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 25) + 1:02d} 00:00:00") for i in range(50)],
+        "event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    dbody = {"function_score": {
+        "query": {"match_all": {}},
+        "functions": [{"linear": {"ts": {
+            "origin": "2024-01-25 00:00:00", "scale": "10d",
+            "offset": "1d", "decay": 0.5,
+        }}}],
+    }}
+    got = execute_search_dsl(ev, dbody, id_col="event_id", top_k=10)
+    want = decay_function_score(
+        ev, date_col="ts", origin="2024-01-25 00:00:00",
+        scale_seconds=864000, offset_seconds=86400, decay=0.5,
+        kind="linear", id_col="event_id", top_k=10,
+    )
+    assert _rows(got) == _rows(want)
+    with pytest.raises(ValueError, match="match_all"):
+        execute_search_dsl(
+            ev,
+            {"function_score": {
+                "query": {"term": {"text": "x"}},
+                "functions": [{"gauss": {"ts": {
+                    "origin": "2024-01-01", "scale": "1d"}}}],
+            }},
+            id_col="event_id",
+        )
