@@ -1795,6 +1795,108 @@ _UNCUT_KINDS = (
 
 
 
+
+def _ranked_leg(docs, retriever, *, window, text_col, id_col):
+    """Evaluate one retriever to a ranked (id, rank) leg."""
+    kind, rbody = next(iter(retriever.items()))
+    from pyspark.sql import Window as _W
+
+    if kind == "standard":
+        hits = execute_search_dsl(
+            docs, rbody["query"], text_col=text_col, id_col=id_col,
+            top_k=window,
+        )
+        w = _W.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        return hits.select(
+            F.col(id_col), F.row_number().over(w).alias("rank")
+        )
+    if kind == "knn":
+        res = execute_search_dsl(
+            docs, {"knn": rbody}, text_col=text_col, id_col=id_col,
+            top_k=None,
+        )
+        return res.select(F.col(id_col), F.col("rank"))
+    if kind == "rrf":
+        fused = _rrf_retriever(
+            docs, rbody, text_col=text_col, id_col=id_col,
+            size=window,
+        )
+        w = _W.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        return fused.select(
+            F.col(id_col), F.row_number().over(w).alias("rank")
+        )
+    raise ValueError(f"unsupported retriever type {kind!r}")
+
+
+def _rrf_retriever(docs, rbody, *, text_col, id_col, size):
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    retrievers = rbody["retrievers"]
+    if len(retrievers) < 2:
+        raise ValueError("rrf retriever needs >= 2 child retrievers")
+    window = int(rbody.get("rank_window_size", max(size, 10)))
+    legs = [
+        _ranked_leg(docs, r, window=window, text_col=text_col,
+                    id_col=id_col)
+        for r in retrievers
+    ]
+    fused = rrf_fuse(
+        legs, id_col=id_col,
+        k_const=int(rbody.get("rank_constant", 60)),
+        top_k=size,
+    )
+    return fused.select(
+        F.col(id_col), F.col("rrf_score").alias("score"), "n_legs_hit"
+    )
+
+
+def _retriever_request(
+    docs: DataFrame,
+    body: dict,
+    *,
+    text_col: str,
+    id_col: str,
+) -> tuple:
+    """The ES 8.14 RETRIEVER API — compositional ranking in one JSON
+    body: ``{"retriever": {"rrf": {"retrievers": [{"standard":
+    {"query": ...}}, {"knn": ...}], "rank_constant": N,
+    "rank_window_size": W}}, "size": k}``. standard legs rank by
+    their operator scores, knn legs by exact cosine, and rrf fuses
+    ANY number of legs (nested rrf recurses). Pages score-sorted;
+    aggs/sort do not combine (the hybrid-body contract)."""
+    for bad in ("aggs", "aggregations", "sort", "query", "knn"):
+        if bad in body:
+            raise ValueError(
+                f"retriever bodies do not combine with {bad!r}"
+            )
+    size = int(body.get("size", 10))
+    retriever = body["retriever"]
+    kind = next(iter(retriever))
+    if kind == "rrf":
+        return _rrf_retriever(
+            docs, retriever["rrf"], text_col=text_col,
+            id_col=id_col, size=size,
+        ), {}
+    if kind == "standard":
+        return execute_search_dsl(
+            docs, retriever["standard"]["query"],
+            text_col=text_col, id_col=id_col, top_k=size,
+        ), {}
+    if kind == "knn":
+        res = execute_search_dsl(
+            docs, {"knn": retriever["knn"]},
+            text_col=text_col, id_col=id_col, top_k=None,
+        )
+        return res.select(
+            F.col(id_col), F.col("cosine").alias("score")
+        ).orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(
+            size
+        ), {}
+    raise ValueError(f"unsupported retriever type {kind!r}")
+
+
 def _hybrid_knn_request(
     docs: DataFrame,
     body: dict,
@@ -1920,6 +2022,10 @@ def execute_search_request(
     Returns ``(page_df, {agg_name: DataFrame})`` — the aggs dict is
     empty when the body has no aggs.
     """
+    if "retriever" in body:
+        return _retriever_request(
+            docs, body, text_col=text_col, id_col=id_col
+        )
     if "knn" in body:
         return _hybrid_knn_request(
             docs, body, text_col=text_col, id_col=id_col

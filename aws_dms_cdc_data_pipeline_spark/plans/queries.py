@@ -9878,6 +9878,97 @@ def dsl_nested_bool_search_q(spark, sf_dir):
     return execute_search_dsl(docs, _NESTED_BOOL_BODY, top_k=20)
 
 
+def _retriever_rrf_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        clause_search_oracle_sql,
+    )
+
+    lex = clause_search_oracle_sql(
+        should=[["merge"], ["stream"]], top_k=25
+    )
+    return f"""
+    WITH lexhits AS ({lex}),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM lexhits
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 9),
+    scored AS (
+        SELECT e.vec_id AS doc_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            q.qv), 6) AS cosine
+        FROM embeddings e CROSS JOIN q
+    ),
+    knn AS (
+        SELECT doc_id, rnk AS rank
+        FROM (SELECT *, row_number() OVER (ORDER BY cosine DESC, doc_id)
+                  AS rnk FROM scored)
+        WHERE rnk <= 20
+    ),
+    legs AS (
+        SELECT doc_id,
+               CAST(round(1000000.0 / (60 + rank), 0) AS BIGINT) AS c
+        FROM lex
+        UNION ALL
+        SELECT doc_id,
+               CAST(round(1000000.0 / (60 + rank), 0) AS BIGINT) AS c
+        FROM knn
+    )
+    SELECT doc_id,
+           CAST(CAST(SUM(c) AS DECIMAL(38,0)) / 1000000 AS DOUBLE)
+               AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_legs_hit
+    FROM legs GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 15
+    """
+
+
+@q(
+    "search_request_retriever_rrf",
+    _retriever_rrf_oracle(),
+    "ES 8.14 RETRIEVER API — compositional ranking in one JSON body: "
+    "an rrf retriever fusing a standard (BM25 match over "
+    "merge/stream, rank window 25) leg with an exact-cosine knn leg "
+    "(k=20) through the E135 reciprocal-rank-fusion operator "
+    "(quantized per-leg contributions, order-independent exact sum; "
+    "rank_constant/rank_window_size honored; nested rrf recurses). "
+    "The modern OpenSearch/ES hybrid syntax executing unchanged "
+    "(operators/dsl.py:_retriever_request).",
+)
+def search_request_retriever_rrf_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_request,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    rel = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id",
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 9)
+        .select("embedding").collect()[0][0]
+    ]
+    page, _aggs = execute_search_request(
+        rel,
+        {"retriever": {"rrf": {
+            "retrievers": [
+                {"standard": {"query": {
+                    "match": {"text": {"query": "merge stream"}}}}},
+                {"knn": {"field": "embedding", "query_vector": qvec,
+                         "k": 20}},
+            ],
+            "rank_constant": 60, "rank_window_size": 25,
+        }}, "size": 15},
+    )
+    return page
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r15 window (the r14 verdict's ask #1) =
@@ -9895,7 +9986,7 @@ def dsl_nested_bool_search_q(spark, sf_dir):
 # oracle-gated surface this round; window slots ceded by five r10
 # fillers) + 12 fillers from the oldest (r10) stale tail in
 # alphabetical order. The remaining 26 r10-stale rows queue for r16:
-# fk_integrity_audit, grouping_sets_revenue,
+# doc_novelty_scores, fk_integrity_audit, grouping_sets_revenue,
 # join_full_nation_activity, min_cost_supplier,
 # percentile_order_prices, promo_revenue_share,
 # range_join_promo_events, redact_pii_docs, regexp_part_names,
@@ -9955,7 +10046,7 @@ _R15_WINDOW = [
     "cohort_retention",
     "contrastive_negative_samples",
     "doc_length_histogram",
-    "doc_novelty_scores",
+    "search_request_retriever_rrf",
     "dsl_nested_bool_search",
     "dsl_bool_meta_filter",
     "search_request_hybrid_sum",

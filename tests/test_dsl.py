@@ -1139,3 +1139,57 @@ def test_dsl_span_near_and_decay_routes(spark, docs):
             }},
             id_col="event_id",
         )
+
+
+def test_search_request_retriever_rrf(spark):
+    """ES 8.14 retriever API: rrf over standard + knn legs equals
+    manual rrf_fuse of the two ranked legs."""
+    from pyspark.sql import Window as W
+
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+        execute_search_request,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    rows = [
+        (1, "spark merge window", [1.0, 0.0, 0.0]),
+        (2, "merge merge window", [0.9, 0.1, 0.0]),
+        (3, "slow table scan", [0.0, 1.0, 0.0]),
+        (4, "window filter", [0.0, 0.0, 1.0]),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+    knn = {"field": "embedding", "query_vector": [1.0, 0.05, 0.0],
+           "k": 3}
+    page, aggs = execute_search_request(
+        docs,
+        {"retriever": {"rrf": {
+            "retrievers": [
+                {"standard": {"query": {"term": {"text": "merge"}}}},
+                {"knn": knn},
+            ],
+            "rank_constant": 60, "rank_window_size": 4,
+        }}, "size": 4},
+    )
+    assert aggs == {}
+    lex = execute_search_dsl(
+        docs, {"term": {"text": "merge"}}, top_k=4
+    )
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    leg1 = lex.select("doc_id", F.row_number().over(w).alias("rank"))
+    leg2 = execute_search_dsl(docs, {"knn": knn}).select(
+        "doc_id", "rank"
+    )
+    want = rrf_fuse([leg1, leg2], k_const=60, top_k=4).select(
+        "doc_id", F.col("rrf_score").alias("score"), "n_legs_hit"
+    )
+    assert _rows(page) == _rows(want)
+    with pytest.raises(ValueError, match="do not combine"):
+        execute_search_request(
+            docs, {"retriever": {"rrf": {"retrievers": []}},
+                   "query": {"match_all": {}}},
+        )
