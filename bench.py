@@ -138,6 +138,21 @@ HEADLINE = (
     "has_child_orders",
     "weekly_event_counts_from_cms",
     "ann_pq_topk",
+    # r15: the switch-over execution paths with corpus-scale cost
+    # shapes — sqs percolation (one positional corpus pass), the
+    # recursive nested-bool tree (one tokenize pass), the two hybrid
+    # page shapes (tokenize + full vector scan), and the persisted
+    # vector-index serving paths (partition-pruned IVF probe, PQ/ADC
+    # codes scan). The bounded DSL routing queries (terms_set / knn /
+    # meta-filter pages over indexed or pre-cut relations) are
+    # wall-noise and stay out — dsl_nested_bool_search covers the
+    # clause-executor family's corpus cost.
+    "percolate_sqs_alerts",
+    "dsl_nested_bool_search",
+    "search_request_hybrid_sum",
+    "search_request_retriever_rrf",
+    "ann_ivf_indexed_topk",
+    "ann_pq_indexed_topk",
 )
 
 
