@@ -2018,6 +2018,11 @@ def execute_search_request(
       field sorts).
     - ``_source`` selects the returned document columns; the page
       always carries (id, score).
+    - ``from`` pages by offset (top-k shapes cut at from+size).
+    - a top-level ``knn`` clause makes the body HYBRID (sum combine
+      or rank.rrf — :func:`_hybrid_knn_request`); a ``retriever``
+      body routes to the ES 8.14 compositional-ranking API
+      (:func:`_retriever_request`).
 
     Returns ``(page_df, {agg_name: DataFrame})`` — the aggs dict is
     empty when the body has no aggs.
