@@ -1622,9 +1622,13 @@ def execute_aggs_dsl(
             preds = []
             for key, node in body["filters"].items():
                 fkind, fbody = next(iter(node.items()))
+                if fkind in ("range", "terms", "exists"):
+                    preds.append((key, _meta_sql(node)))
+                    continue
                 if fkind != "term":
                     raise ValueError(
-                        "filters agg supports term-filter leaves"
+                        "filters agg supports term / range / terms "
+                        "/ exists leaves"
                     )
                 ((ffield, fval),) = fbody.items()
                 fval = fval["value"] if isinstance(fval, dict) else fval
@@ -1718,6 +1722,50 @@ def execute_aggs_dsl(
                 "max": F.max(v),
             }[kind]
             out[name] = clean.agg(expr.alias("value"))
+        elif kind == "composite":
+            from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+                composite_agg_page,
+            )
+
+            src_names = []
+            proj = rows
+            for src in body["sources"]:
+                ((sname, sspec),) = src.items()
+                skind, sbody = next(iter(sspec.items()))
+                if skind == "terms":
+                    proj = proj.withColumn(
+                        sname, F.col(sbody["field"])
+                    )
+                elif skind == "date_histogram":
+                    iv = _interval_seconds(
+                        sbody.get("fixed_interval")
+                        or sbody.get("calendar_interval")
+                    )
+                    uts = F.unix_timestamp(F.col(sbody["field"]))
+                    proj = proj.withColumn(
+                        sname,
+                        F.timestamp_seconds(
+                            uts - ((uts % F.lit(iv) + F.lit(iv))
+                                   % F.lit(iv))
+                        ),
+                    )
+                else:
+                    raise ValueError(
+                        "composite sources support terms / "
+                        f"date_histogram, got {skind!r}"
+                    )
+                src_names.append(sname)
+            after = body.get("after")
+            out[name] = composite_agg_page(
+                proj,
+                src_names,
+                {"doc_count": F.count(F.lit(1)).cast("long")},
+                after=(
+                    tuple(after[n] for n in src_names)
+                    if after is not None else None
+                ),
+                size=int(body.get("size", 10)),
+            )
         elif kind == "multi_terms":
             from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
                 multi_terms,

@@ -1193,3 +1193,64 @@ def test_search_request_retriever_rrf(spark):
             docs, {"retriever": {"rrf": {"retrievers": []}},
                    "query": {"match_all": {}}},
         )
+
+
+def test_aggs_dsl_composite_and_filter_leaves(events):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_aggs_dsl,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        composite_agg_page,
+    )
+
+    body = {"comp": {"composite": {
+        "sources": [{"etype": {"terms": {"field": "event_type"}}},
+                    {"day": {"date_histogram": {"field": "ts",
+                                                "fixed_interval": "1d"}}}],
+        "size": 5,
+    }}}
+    out = execute_aggs_dsl(events, body)["comp"]
+    proj = events.withColumn("etype", F.col("event_type")).withColumn(
+        "day",
+        F.timestamp_seconds(
+            F.unix_timestamp("ts")
+            - ((F.unix_timestamp("ts") % 86400 + 86400) % 86400)
+        ),
+    )
+    want = composite_agg_page(
+        proj, ["etype", "day"],
+        {"doc_count": F.count(F.lit(1)).cast("long")}, size=5,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # after-key pages strictly after
+    first = out.collect()
+    last = (first[-1]["etype"], str(first[-1]["day"]))
+    page2 = execute_aggs_dsl(
+        events,
+        {"comp": {"composite": {
+            "sources": body["comp"]["composite"]["sources"],
+            "size": 5,
+            "after": {"etype": last[0], "day": last[1]},
+        }}},
+    )["comp"].collect()
+    assert all(
+        (r["etype"], str(r["day"])) > last for r in page2
+    )
+
+    # filters agg with range/exists leaves
+    fa = execute_aggs_dsl(
+        events,
+        {"fa": {"filters": {"filters": {
+            "low": {"range": {"value": {"lt": 10}}},
+            "has_user": {"exists": {"field": "user_id"}},
+            "clicks": {"term": {"event_type": "click"}},
+        }}}},
+    )["fa"].collect()
+    by_key = {r.filter_key: r.n_hits for r in fa}
+    n_low = events.filter("value < 10").count()
+    n_click = events.filter("event_type = 'click'").count()
+    assert by_key["low"] == n_low
+    assert by_key["has_user"] == 200
+    assert by_key["clicks"] == n_click
