@@ -1508,6 +1508,7 @@ def execute_aggs_dsl(
         return cols
 
     out = {}
+    pipeline = []
     for name, spec in aggs.items():
         spec = dict(spec)
         sub = spec.pop("aggs", None) or spec.pop("aggregations", None)
@@ -1831,8 +1832,46 @@ def execute_aggs_dsl(
                     body.get("filter_duplicate_text", True)
                 ),
             )
+        elif kind in ("derivative", "cumulative_sum", "moving_fn",
+                      "moving_avg"):
+            pipeline.append((name, kind, body))
+            continue
         else:
             raise ValueError(f"unsupported agg type {kind!r}")
+    # second pass: PIPELINE aggs reference a sibling bucket agg via
+    # buckets_path ("daily>doc_count") — computed over that sibling's
+    # bounded bucket relation (never the corpus), the E153 contract
+    for name, kind, body in pipeline:
+        from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+            histogram_pipeline,
+        )
+
+        path = body["buckets_path"]
+        src_name, _, metric = path.partition(">")
+        if src_name not in out:
+            raise ValueError(
+                f"buckets_path {path!r} references unknown sibling "
+                f"agg {src_name!r} (pipeline aggs come AFTER their "
+                "source in the body)"
+            )
+        src = out[src_name]
+        metric = metric or "doc_count"
+        order_col = (
+            "bucket_start" if "bucket_start" in src.columns else "key"
+        )
+        piped = histogram_pipeline(
+            src, value_col=metric, order_col=order_col,
+            window=int(body.get("window", 3)),
+        )
+        col = {
+            "derivative": "derivative",
+            "cumulative_sum": "cumulative_sum",
+            "moving_fn": "moving_avg",
+            "moving_avg": "moving_avg",
+        }[kind]
+        out[name] = piped.select(
+            order_col, F.col(col).alias("value")
+        )
     return out
 
 

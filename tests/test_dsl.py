@@ -1254,3 +1254,45 @@ def test_aggs_dsl_composite_and_filter_leaves(events):
     assert by_key["low"] == n_low
     assert by_key["has_user"] == 200
     assert by_key["clicks"] == n_click
+
+
+def test_aggs_dsl_pipeline_buckets_path(events):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_aggs_dsl,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        histogram_pipeline,
+    )
+
+    out = execute_aggs_dsl(
+        events,
+        {
+            "daily": {"date_histogram": {"field": "ts",
+                                         "fixed_interval": "1d"}},
+            "deriv": {"derivative": {"buckets_path": "daily>doc_count"}},
+            "cum": {"cumulative_sum": {"buckets_path": "daily>doc_count"}},
+            "mov": {"moving_fn": {"buckets_path": "daily>doc_count",
+                                  "window": 4}},
+        },
+    )
+    piped = histogram_pipeline(
+        out["daily"], value_col="doc_count",
+        order_col="bucket_start", window=4,
+    )
+    want = {
+        "deriv": [(str(r.bucket_start), r.derivative)
+                  for r in piped.collect()],
+        "cum": [(str(r.bucket_start), r.cumulative_sum)
+                for r in piped.collect()],
+        "mov": [(str(r.bucket_start), r.moving_avg)
+                for r in piped.collect()],
+    }
+    for key in ("deriv", "cum", "mov"):
+        got = [(str(r.bucket_start), r.value)
+               for r in out[key].orderBy("bucket_start").collect()]
+        assert got == sorted(want[key]), key
+    with pytest.raises(ValueError, match="unknown sibling"):
+        execute_aggs_dsl(
+            events,
+            {"d": {"derivative": {"buckets_path": "nope>doc_count"}}},
+        )
