@@ -1453,7 +1453,12 @@ def execute_aggs_dsl(
     value_count, sum, avg, min, max, multi_terms, weighted_avg,
     boxplot, median_absolute_deviation, string_stats,
     percentile_ranks — the sketch-backed OpenSearch metrics all
-    compute EXACT here (the repo-wide stance).
+    compute EXACT here (the repo-wide stance). composite (terms +
+    date_histogram sources, after-key paging) and the PIPELINE aggs
+    (derivative / cumulative_sum / moving_fn via buckets_path;
+    bucket_script / bucket_selector with painless params.X
+    translation; bucket_sort) route to their operators over the
+    bounded bucket relations.
 
     SUB-AGGREGATIONS (the standard Kibana body — buckets carrying
     per-bucket metrics): terms / date_histogram / histogram accept a
@@ -1833,7 +1838,8 @@ def execute_aggs_dsl(
                 ),
             )
         elif kind in ("derivative", "cumulative_sum", "moving_fn",
-                      "moving_avg"):
+                      "moving_avg", "bucket_script", "bucket_selector",
+                      "bucket_sort"):
             pipeline.append((name, kind, body))
             continue
         else:
@@ -1843,9 +1849,72 @@ def execute_aggs_dsl(
     # bounded bucket relation (never the corpus), the E153 contract
     for name, kind, body in pipeline:
         from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+            bucket_script_selector,
+            bucket_sort,
             histogram_pipeline,
         )
 
+        if kind in ("bucket_script", "bucket_selector"):
+            # painless params.X -> the referenced metric column; all
+            # paths must reference ONE sibling agg (cross-sibling
+            # scripts would need a bucket-key join — not routed)
+            paths = body["buckets_path"]
+            srcs = {p.partition(">")[0] for p in paths.values()}
+            if len(srcs) != 1:
+                raise ValueError(
+                    "bucket_script/selector paths must reference one "
+                    f"sibling agg, got {sorted(srcs)}"
+                )
+            (src_name,) = srcs
+            if src_name not in out:
+                raise ValueError(
+                    f"buckets_path references unknown sibling "
+                    f"{src_name!r}"
+                )
+            src = out[src_name]
+            script = body["script"]
+            for var, p in paths.items():
+                metric = p.partition(">")[2] or "doc_count"
+                script = script.replace(f"params.{var}", metric)
+            order_col = (
+                "bucket_start" if "bucket_start" in src.columns
+                else "key"
+            )
+            if kind == "bucket_script":
+                out[name] = bucket_script_selector(
+                    src, script=script, script_alias=name,
+                    order_col=order_col,
+                )
+            else:
+                out[name] = bucket_script_selector(
+                    src, script=f"CAST(({script}) AS BOOLEAN)",
+                    script_alias="_sel", selector="_sel",
+                    order_col=order_col,
+                ).drop("_sel")
+            continue
+        if kind == "bucket_sort":
+            src_name = body["buckets_path"]
+            if src_name not in out:
+                raise ValueError(
+                    f"bucket_sort buckets_path references unknown "
+                    f"sibling {src_name!r}"
+                )
+            sort = []
+            for entry in body.get("sort", []):
+                ((col, spec_),) = entry.items()
+                order = (
+                    spec_.get("order", "asc")
+                    if isinstance(spec_, dict) else spec_
+                )
+                sort.append((col, order))
+            out[name] = bucket_sort(
+                out[src_name], sort,
+                from_=int(body.get("from", 0)),
+                size=(
+                    int(body["size"]) if "size" in body else None
+                ),
+            )
+            continue
         path = body["buckets_path"]
         src_name, _, metric = path.partition(">")
         if src_name not in out:

@@ -1296,3 +1296,38 @@ def test_aggs_dsl_pipeline_buckets_path(events):
             events,
             {"d": {"derivative": {"buckets_path": "nope>doc_count"}}},
         )
+
+
+def test_aggs_dsl_bucket_script_selector_sort(events):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_aggs_dsl,
+    )
+
+    out = execute_aggs_dsl(
+        events,
+        {
+            "types": {"terms": {"field": "event_type", "size": 10}},
+            "share": {"bucket_script": {
+                "buckets_path": {"c": "types>doc_count"},
+                "script": "CAST(params.c AS DOUBLE) / 200.0",
+            }},
+            "big": {"bucket_selector": {
+                "buckets_path": {"c": "types>doc_count"},
+                "script": "params.c >= 67",
+            }},
+            "top2": {"bucket_sort": {
+                "buckets_path": "types",
+                "sort": [{"doc_count": {"order": "desc"}},
+                         {"key": {"order": "asc"}}],
+                "size": 2,
+            }},
+        },
+    )
+    counts = {r.key: r.doc_count for r in out["types"].collect()}
+    shares = {r.key: r.share for r in out["share"].collect()}
+    assert shares == {k: v / 200.0 for k, v in counts.items()}
+    big = {r.key for r in out["big"].collect()}
+    assert big == {k for k, v in counts.items() if v >= 67}
+    top2 = [r.key for r in out["top2"].collect()]
+    want = sorted(counts, key=lambda k: (-counts[k], k))[:2]
+    assert top2 == want
