@@ -348,6 +348,72 @@ def clause_search(
     )
 
 
+
+def _indexed_flat_route(docs, dsl, index_tables, *, id_col, top_k):
+    """Serve FLAT single-token term/match/bool bodies from the
+    materialized token index (bool_search_many) — the serving-rate
+    shape: per-query work is the probe terms' bucket-pruned postings,
+    the corpus is never re-tokenized. Scores are bit-identical to
+    the ad-hoc clause executor (same BM25 arithmetic and quantized
+    longs — asserted in tests); returns None when the body needs the
+    ad-hoc path (phrases, filter context, metadata leaves)."""
+    kind, body = next(iter(dsl.items()))
+
+    def single(node):
+        k2 = next(iter(node))
+        if k2 not in ("term", "match"):
+            return None
+        cls = _leaf_clauses(node)
+        if any(len(c) != 1 for c in cls):
+            return None
+        return [c[0] for c in cls]
+
+    spec = {"must": [], "should": [], "must_not": []}
+    msm = None
+    if kind == "bool":
+        if set(body) - {"must", "should", "must_not",
+                        "minimum_should_match"}:
+            return None  # filter context -> ad-hoc path
+        for role in ("must", "should", "must_not"):
+            items = body.get(role, [])
+            items = items if isinstance(items, list) else [items]
+            for node in items:
+                ts = single(node)
+                if ts is None:
+                    return None
+                # NOTE: a multi-term match inside must flattens to
+                # one must clause per term — the flat clause
+                # executor's documented behavior, mirrored exactly
+                spec[role].extend(ts)
+        msm = body.get("minimum_should_match")
+    else:
+        ts = single(dsl)
+        if ts is None:
+            return None
+        if kind == "match" and _match_operator(dsl) == "and":
+            spec["must"] = ts
+        else:
+            spec["should"] = ts
+    if not spec["must"] and not spec["should"]:
+        return None
+    if msm is not None:
+        spec["minimum_should_match"] = msm
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        bool_search_many,
+    )
+
+    spark = docs.sparkSession
+    out = bool_search_many(
+        spark, index_tables["tokens"], index_tables["dl"],
+        {"q": spec}, id_col=id_col,
+        top_k=top_k if top_k is not None else (1 << 31) - 1,
+    )
+    return out.select(
+        F.col(id_col), F.col("score"),
+        F.col("n_terms_hit").alias("n_clauses_hit"),
+    )
+
+
 def _span_term(node: dict, position: str) -> str:
     """Extract the single token of a ``span_term`` leaf."""
     if next(iter(node)) != "span_term":
@@ -428,6 +494,14 @@ def execute_search_dsl(
         if _match_operator(dsl) == "and":
             return clause_search(docs, must=clauses, **common)
         return clause_search(docs, should=clauses, **common)
+    if kind in ("term", "match", "bool") and index_tables and {
+        "tokens", "dl"
+    } <= set(index_tables):
+        routed = _indexed_flat_route(
+            docs, dsl, index_tables, id_col=id_col, top_k=top_k
+        )
+        if routed is not None:
+            return routed
     if kind == "bool":
         def items_of(key):
             v = body.get(key, [])

@@ -1331,3 +1331,37 @@ def test_aggs_dsl_bucket_script_selector_sort(events):
     top2 = [r.key for r in out["top2"].collect()]
     want = sorted(counts, key=lambda k: (-counts[k], k))[:2]
     assert top2 == want
+
+
+def test_dsl_indexed_flat_route_equals_adhoc(spark, docs):
+    """With index_tables, flat single-token term/match/bool bodies
+    serve from the token index — scores bit-identical to the ad-hoc
+    clause executor; phrase/filter bodies fall back transparently."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+    )
+
+    idx, dl = ensure_token_index(spark, docs, "dsl_flatroute")
+    it = {"tokens": idx, "dl": dl}
+    bodies = [
+        {"term": {"text": "spark"}},
+        {"match": {"text": {"query": "spark window"}}},
+        {"match": {"text": {"query": "spark window",
+                            "operator": "and"}}},
+        {"bool": {"must": [{"term": {"text": "window"}}],
+                  "should": [{"term": {"text": "spark"}},
+                             {"term": {"text": "merge"}}],
+                  "must_not": [{"term": {"text": "slow"}}]}},
+        # fallback shapes: phrase leaf / filter context — identical
+        # results through the ad-hoc path
+        {"bool": {"must": [{"match_phrase": {"text": "merge window"}}]}},
+        {"bool": {"must": [{"term": {"text": "window"}}],
+                  "filter": [{"range": {"n_chars": {"gte": 95}}}]}},
+    ]
+    for body in bodies:
+        a = _rows(execute_search_dsl(docs, body, index_tables=it))
+        b = _rows(execute_search_dsl(docs, body))
+        assert a == b, body
