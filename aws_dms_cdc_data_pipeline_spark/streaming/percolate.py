@@ -700,6 +700,28 @@ def dsl_to_standing(query_id: str, dsl: dict) -> dict:
     if kind == "regexp":
         return {"query_id": query_id, "type": "regexp",
                 "pattern": str(field_val(body))}
+    if kind == "span_near":
+        clauses = body.get("clauses", [])
+        if len(clauses) != 2:
+            raise ValueError(
+                "span_near standing queries take two span_term "
+                f"clauses, got {len(clauses)}"
+            )
+        terms = []
+        for n in clauses:
+            if next(iter(n)) != "span_term":
+                raise ValueError(
+                    "span_near standing queries take span_term legs"
+                )
+            terms.append(str(field_val(n["span_term"])))
+        entry = {
+            "query_id": query_id, "type": "near",
+            "term_a": terms[0], "term_b": terms[1],
+            "slop": int(body.get("slop", 5)),
+        }
+        if body.get("in_order"):
+            entry["in_order"] = True
+        return entry
     if kind == "simple_query_string":
         return {
             "query_id": query_id,

@@ -946,3 +946,31 @@ def test_dsl_to_standing_filter_folds_into_must(spark):
         for r in percolate(docs, [entry]).collect()
     }
     assert got == {("f1", 1)}
+
+
+def test_dsl_to_standing_span_near(spark):
+    from aws_dms_cdc_data_pipeline_spark.streaming.percolate import (
+        dsl_to_standing,
+        percolate,
+    )
+
+    entry = dsl_to_standing(
+        "n1",
+        {"span_near": {
+            "clauses": [{"span_term": {"text": "stream"}},
+                        {"span_term": {"text": "hash"}}],
+            "slop": 3, "in_order": True,
+        }},
+    )
+    assert entry == {"query_id": "n1", "type": "near",
+                     "term_a": "stream", "term_b": "hash",
+                     "slop": 3, "in_order": True}
+    docs = spark.createDataFrame(
+        [(1, "stream table hash"), (2, "hash join stream")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate(docs, [entry]).collect()
+    }
+    assert got == {("n1", 1)}  # in_order drops doc 2
