@@ -1511,6 +1511,7 @@ def execute_aggs_dsl(
     *,
     background: DataFrame | None = None,
     id_col: str = "doc_id",
+    index_tables: dict | None = None,
 ) -> dict:
     """Execute an OpenSearch ``aggs`` body against a hit relation
     (the rows a query produced, carrying their fields) — the
@@ -1889,6 +1890,29 @@ def execute_aggs_dsl(
             out[name] = percentile_ranks(
                 rows, field, [float(v) for v in body["values"]]
             )
+        elif kind == "significant_terms":
+            from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+                significant_terms,
+            )
+
+            if not index_tables or not {"tokens", "dl"} <= set(
+                index_tables
+            ):
+                raise ValueError(
+                    "significant_terms routes through the token "
+                    "index — pass index_tables={'tokens': ..., "
+                    "'dl': ...} (or use significant_text for the "
+                    "ad-hoc path)"
+                )
+            out[name] = significant_terms(
+                rows.sparkSession,
+                index_tables["tokens"],
+                index_tables["dl"],
+                rows.select(id_col),
+                id_col=id_col,
+                top_k=int(body.get("size", 10)),
+                min_doc_count=int(body.get("min_doc_count", 2)),
+            )
         elif kind == "significant_text":
             from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
                 significant_text,
@@ -2228,6 +2252,7 @@ def execute_search_request(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index_tables: dict | None = None,
 ) -> tuple:
     """Execute a complete OpenSearch search REQUEST body — the full
     switch-over call: ``{"query": ..., "aggs": ..., "size": ...,
@@ -2284,7 +2309,8 @@ def execute_search_request(
         )
     if wants_uncut:
         hits = execute_search_dsl(
-            docs, query, text_col=text_col, id_col=id_col, top_k=None
+            docs, query, text_col=text_col, id_col=id_col, top_k=None,
+            index_tables=index_tables,
         )
     else:
         # offset paging: the top-k shapes cut at from+size, then the
@@ -2292,7 +2318,7 @@ def execute_search_request(
         # keyset search_after operator's job, E143)
         hits = execute_search_dsl(
             docs, query, text_col=text_col, id_col=id_col,
-            top_k=from_ + size,
+            top_k=from_ + size, index_tables=index_tables,
         )
     hits = hits.persist() if wants_uncut else hits
 
@@ -2300,7 +2326,8 @@ def execute_search_request(
     if aggs:
         hit_rows = docs.join(hits.select(id_col), id_col, "left_semi")
         agg_out = execute_aggs_dsl(
-            hit_rows, aggs, background=docs, id_col=id_col
+            hit_rows, aggs, background=docs, id_col=id_col,
+            index_tables=index_tables,
         )
 
     def slice_page(ordered):

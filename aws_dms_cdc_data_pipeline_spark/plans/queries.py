@@ -9969,6 +9969,52 @@ def search_request_retriever_rrf_q(spark, sf_dir):
     return page
 
 
+@q(
+    "aggs_dsl_daily_cumsum",
+    """
+    WITH b AS (
+        SELECT to_timestamp(
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                   - ((CAST(floor(epoch(ts)) AS BIGINT) % 86400 + 86400)
+                      % 86400)
+               ) AS bucket_start,
+               CAST(COUNT(*) AS BIGINT) AS doc_count
+        FROM events
+        WHERE ts IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT CAST(bucket_start AS TIMESTAMP) AS bucket_start,
+           CAST(SUM(doc_count) OVER (ORDER BY bucket_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS value
+    FROM b ORDER BY bucket_start
+    """,
+    "PIPELINE aggregation through the aggs-DSL dispatcher — an "
+    "OpenSearch body pairing a daily date_histogram with a "
+    "cumulative_sum whose buckets_path references it: the pipeline "
+    "pass computes the running total over the sibling's BOUNDED "
+    "bucket relation (<= buckets rows — never corpus work; exact "
+    "long arithmetic) exactly as the E153 operator does standalone "
+    "(operators/dsl.py:execute_aggs_dsl pipeline pass).",
+)
+def aggs_dsl_daily_cumsum_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_aggs_dsl,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = execute_aggs_dsl(
+        events,
+        {
+            "daily": {"date_histogram": {"field": "ts",
+                                         "fixed_interval": "1d"}},
+            "cum": {"cumulative_sum": {"buckets_path":
+                                       "daily>doc_count"}},
+        },
+    )
+    return out["cum"]
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r15 window (the r14 verdict's ask #1) =
@@ -9986,7 +10032,8 @@ def search_request_retriever_rrf_q(spark, sf_dir):
 # oracle-gated surface this round; window slots ceded by five r10
 # fillers) + 12 fillers from the oldest (r10) stale tail in
 # alphabetical order. The remaining 26 r10-stale rows queue for r16:
-# doc_novelty_scores, fk_integrity_audit, grouping_sets_revenue,
+# doc_length_histogram, doc_novelty_scores, fk_integrity_audit,
+# grouping_sets_revenue,
 # join_full_nation_activity, min_cost_supplier,
 # percentile_order_prices, promo_revenue_share,
 # range_join_promo_events, redact_pii_docs, regexp_part_names,
@@ -10045,7 +10092,7 @@ _R15_WINDOW = [
     "cdc_snapshot_diff",
     "cohort_retention",
     "contrastive_negative_samples",
-    "doc_length_histogram",
+    "aggs_dsl_daily_cumsum",
     "search_request_retriever_rrf",
     "dsl_nested_bool_search",
     "dsl_bool_meta_filter",

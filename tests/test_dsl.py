@@ -1365,3 +1365,44 @@ def test_dsl_indexed_flat_route_equals_adhoc(spark, docs):
         a = _rows(execute_search_dsl(docs, body, index_tables=it))
         b = _rows(execute_search_dsl(docs, body))
         assert a == b, body
+
+
+def test_aggs_dsl_significant_terms_indexed(spark, docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_aggs_dsl,
+        execute_search_request,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        significant_terms,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+    )
+
+    idx, dl = ensure_token_index(spark, docs, "dsl_sigterms")
+    it = {"tokens": idx, "dl": dl}
+    hits = docs.filter(F.col("text").contains("window"))
+    got = execute_aggs_dsl(
+        hits,
+        {"sig": {"significant_terms": {"field": "text",
+                                       "min_doc_count": 1}}},
+        index_tables=it,
+    )["sig"]
+    want = significant_terms(
+        spark, idx, dl, hits.select("doc_id"), min_doc_count=1
+    )
+    assert _rows(got) == _rows(want)
+    with pytest.raises(ValueError, match="token "):
+        execute_aggs_dsl(
+            hits,
+            {"sig": {"significant_terms": {"field": "text"}}},
+        )
+    # threaded through the full search request
+    _page, aggs = execute_search_request(
+        docs,
+        {"query": {"term": {"text": "window"}},
+         "aggs": {"sig": {"significant_terms": {
+             "field": "text", "min_doc_count": 1}}}},
+        index_tables=it,
+    )
+    assert _rows(aggs["sig"]) == _rows(want)
