@@ -381,9 +381,13 @@ def _indexed_flat_route(docs, dsl, index_tables, *, id_col, top_k):
                 ts = single(node)
                 if ts is None:
                     return None
-                # NOTE: a multi-term match inside must flattens to
-                # one must clause per term — the flat clause
-                # executor's documented behavior, mirrored exactly
+                if len(ts) > 1 and next(iter(node)) == "match":
+                    # multi-term match inside a bool desugars to its
+                    # ES bool form (or -> should/msm=1, and -> must)
+                    # — a NESTED group the flat spec can't express;
+                    # fall through to bool_tree_search (flattening it
+                    # per-term turned or-matches into AND)
+                    return None
                 spec[role].extend(ts)
         msm = body.get("minimum_should_match")
     else:
@@ -487,6 +491,19 @@ def execute_search_dsl(
         if top_k is None:
             return out
         return out.orderBy(F.col(id_col).asc()).limit(top_k)
+    if kind in ("term", "match", "bool") and index_tables and {
+        "tokens", "dl"
+    } <= set(index_tables):
+        # indexed serving FIRST: flat single-token term/match/bool
+        # bodies must reach the token index before the ad-hoc
+        # term/match branches below can swallow them (checking after
+        # those branches made the index route unreachable for the
+        # commonest Discover shapes — the r15 dead-route defect)
+        routed = _indexed_flat_route(
+            docs, dsl, index_tables, id_col=id_col, top_k=top_k
+        )
+        if routed is not None:
+            return routed
     if kind in ("term", "match_phrase"):
         return clause_search(docs, should=_leaf_clauses(dsl), **common)
     if kind == "match":
@@ -494,23 +511,26 @@ def execute_search_dsl(
         if _match_operator(dsl) == "and":
             return clause_search(docs, must=clauses, **common)
         return clause_search(docs, should=clauses, **common)
-    if kind in ("term", "match", "bool") and index_tables and {
-        "tokens", "dl"
-    } <= set(index_tables):
-        routed = _indexed_flat_route(
-            docs, dsl, index_tables, id_col=id_col, top_k=top_k
-        )
-        if routed is not None:
-            return routed
     if kind == "bool":
         def items_of(key):
             v = body.get(key, [])
             return v if isinstance(v, list) else [v]
 
-        # nested bool sub-queries route to the recursive tree
-        # executor (any depth, same single-pass machinery)
+        # nested bool sub-queries AND multi-term match leaves route
+        # to the recursive tree executor (any depth, same single-pass
+        # machinery). A multi-term match inside a bool is ES-desugared
+        # there to ONE child of its role (or -> should/msm=1,
+        # and -> must); flattening it into one flat clause per term
+        # turned or-matches into AND and miscounted
+        # minimum_should_match (r15 ADVICE).
+        def _needs_tree(n):
+            k2 = next(iter(n))
+            if k2 == "bool":
+                return True
+            return k2 == "match" and len(_leaf_clauses(n)) > 1
+
         if any(
-            next(iter(n)) == "bool"
+            _needs_tree(n)
             for role in ("must", "should", "must_not", "filter")
             for n in items_of(role)
         ):
@@ -808,8 +828,9 @@ def execute_search_dsl(
         b_ = _span_term(clauses[1], "span_near clause")
         out = proximity_search(
             docs, a, b_,
-            slop=int(body.get("slop", 5)),
-            in_order=bool(body.get("in_order", False)),
+            # ES SpanNearQueryBuilder defaults: slop=0, in_order=true
+            slop=int(body.get("slop", 0)),
+            in_order=bool(body.get("in_order", True)),
             text_col=text_col, id_col=id_col,
         )
         return out if top_k is None else out.limit(top_k)
@@ -1070,7 +1091,9 @@ def _meta_sql(node: dict) -> str:
     kind, body = next(iter(node.items()))
 
     def lit(v):
-        return f"'{v}'" if isinstance(v, str) else repr(v)
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
 
     if kind == "range":
         ((field, spec),) = body.items()
@@ -1714,7 +1737,8 @@ def execute_aggs_dsl(
                 ((ffield, fval),) = fbody.items()
                 fval = fval["value"] if isinstance(fval, dict) else fval
                 lit = (
-                    f"'{fval}'" if isinstance(fval, str) else repr(fval)
+                    "'" + str(fval).replace("'", "''") + "'"
+                    if isinstance(fval, str) else repr(fval)
                 )
                 preds.append((key, f"{ffield} = {lit}"))
             out[name] = filters_agg(
@@ -1971,9 +1995,15 @@ def execute_aggs_dsl(
                 )
             src = out[src_name]
             script = body["script"]
+            # word-boundary substitution: plain replace() mangled a
+            # param whose name prefixes another (params.a / params.ab)
+            import re as _re
+
             for var, p in paths.items():
                 metric = p.partition(">")[2] or "doc_count"
-                script = script.replace(f"params.{var}", metric)
+                script = _re.sub(
+                    rf"params\.{_re.escape(var)}\b", metric, script
+                )
             order_col = (
                 "bucket_start" if "bucket_start" in src.columns
                 else "key"

@@ -9498,6 +9498,78 @@ def dsl_dis_max_grouped_q(spark, sf_dir):
     return execute_search_dsl(docs, body, top_k=20)
 
 
+def _dsl_term_indexed_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        clause_search_oracle_sql,
+    )
+
+    return clause_search_oracle_sql(should=[["stream"]], top_k=20)
+
+
+@q(
+    "dsl_term_indexed_search",
+    _dsl_term_indexed_oracle(),
+    "Flat term body SERVED FROM THE TOKEN INDEX — the commonest "
+    "Discover query shape against the production serving path: with "
+    "index_tables passed, execute_search_dsl routes a bare "
+    "{'term': ...} body through _indexed_flat_route to "
+    "bool_search_many over the term-bucketed token index (bucket-"
+    "pruned postings, the corpus is never re-tokenized), scores "
+    "bit-identical to the ad-hoc clause executor (the r15 dead-route "
+    "defect fixed: the indexed check now precedes the ad-hoc "
+    "term/match branches, and tests/test_dsl.py asserts the routed "
+    "plan's inputFiles actually read the tokidx relation) "
+    "(operators/dsl.py:_indexed_flat_route -> "
+    "operators/search.py:bool_search_many).",
+)
+def dsl_term_indexed_search_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx_t, dl_t = _token_index_for(spark, sf_dir)
+    return execute_search_dsl(
+        docs, {"term": {"text": "stream"}},
+        index_tables={"tokens": idx_t, "dl": dl_t}, top_k=20,
+    )
+
+
+def _dsl_match_indexed_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        clause_search_oracle_sql,
+    )
+
+    return clause_search_oracle_sql(
+        should=[["stream"], ["hash"]], top_k=20
+    )
+
+
+@q(
+    "dsl_match_indexed_search",
+    _dsl_match_indexed_oracle(),
+    "Flat multi-term or-match SERVED FROM THE TOKEN INDEX — the "
+    "bare {'match': ...} body ES-desugars to should-of-single-terms "
+    "with minimum_should_match=1 and routes through "
+    "_indexed_flat_route to the bucket-pruned postings of the token "
+    "index (no corpus re-tokenize), scores bit-identical to the "
+    "ad-hoc clause executor (plan-asserted index read in "
+    "tests/test_dsl.py) (operators/dsl.py:_indexed_flat_route -> "
+    "operators/search.py:bool_search_many).",
+)
+def dsl_match_indexed_search_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx_t, dl_t = _token_index_for(spark, sf_dir)
+    return execute_search_dsl(
+        docs, {"match": {"text": {"query": "stream hash"}}},
+        index_tables={"tokens": idx_t, "dl": dl_t}, top_k=20,
+    )
+
+
 _SQS_STANDING = [
     {"query_id": "sq_or", "type": "simple_query_string",
      "query": '"stream table" fast -slow'},

@@ -717,9 +717,10 @@ def dsl_to_standing(query_id: str, dsl: dict) -> dict:
         entry = {
             "query_id": query_id, "type": "near",
             "term_a": terms[0], "term_b": terms[1],
-            "slop": int(body.get("slop", 5)),
+            # ES SpanNearQueryBuilder defaults: slop=0, in_order=true
+            "slop": int(body.get("slop", 0)),
         }
-        if body.get("in_order"):
+        if bool(body.get("in_order", True)):
             entry["in_order"] = True
         return entry
     if kind == "simple_query_string":
