@@ -43,6 +43,23 @@ the dispatcher adds NO new semantics):
   {'tokens': ...}``), ``match_phrase_prefix`` (needs
   ``{'positions': ...}``), ``multi_match`` (best_fields /
   cross_fields with ``field^boost`` syntax) → their operators
+- ``hybrid`` (the OpenSearch 2.x neural-search compound: >= 2
+  sub-queries, min_max leg normalization + weighted arithmetic-mean
+  combination; weights ride the body) →
+  :func:`...retrieval.normalized_hybrid_fuse`
+- search-request ``rescore`` block (flat term/match base +
+  match_phrase rescore_query) → :func:`...querystring.rescore_search`
+- the ``_explain`` endpoint form →
+  :func:`execute_explain_request` → :func:`...querystring.bm25_explain`
+  (search-body ``"explain": true`` is rejected with a pointer — the
+  per-hit envelope is the endpoint's contract here)
+
+NOT routable from JSON (reasoned errors, by scope): ColBERT late
+interaction (E227 — its query is a token-embedding MATRIX, which no
+OpenSearch JSON body carries; call
+:func:`...retrieval.late_interaction_topk` directly); scored
+re-rankers at percolator registration (percolation emits matches,
+not scores).
 
 Scoring and membership semantics are exactly the per-operator
 contracts (quantized-exact BM25, Lucene phrase weights); the
@@ -915,6 +932,50 @@ def execute_search_dsl(
             tie_breaker=float(body.get("tie_breaker", 0.0)),
             id_col=id_col, top_k=top_k if top_k is not None
             else (1 << 31) - 1,
+        )
+    if kind == "hybrid":
+        # OpenSearch 2.x hybrid query (the neural-search plugin's
+        # compound shape): each sub-query runs independently, scores
+        # min_max-normalize WITHIN each leg, and legs combine as the
+        # weighted arithmetic mean — the search-pipeline
+        # normalization-processor defaults (min_max +
+        # arithmetic_mean). The pipeline config is out-of-band in
+        # OpenSearch; its combination weights ride the body as
+        # "weights" here (the routable form). Rank-based fusion
+        # stays the rrf retriever / knn+rank request shapes.
+        from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+            normalized_hybrid_fuse,
+        )
+
+        subqs = body.get("queries")
+        if not isinstance(subqs, list) or len(subqs) < 2:
+            raise ValueError(
+                "hybrid needs a queries list with >= 2 sub-queries"
+            )
+        weights = body.get("weights")
+        if weights is None:
+            weights = [1.0 / len(subqs)] * len(subqs)
+        if len(weights) != len(subqs):
+            raise ValueError(
+                "hybrid weights must match queries 1:1"
+            )
+        depth = int(body.get(
+            "pagination_depth",
+            max(top_k if top_k is not None else 10, 10),
+        ))
+        legs = []
+        for sub in subqs:
+            res = execute_search_dsl(
+                docs, sub, text_col=text_col, id_col=id_col,
+                top_k=depth, index_tables=index_tables,
+            )
+            score = "cosine" if "cosine" in res.columns else "score"
+            legs.append(
+                res.select(F.col(id_col), F.col(score).alias("score"))
+            )
+        return normalized_hybrid_fuse(
+            legs, [float(w) for w in weights], id_col=id_col,
+            top_k=top_k if top_k is not None else (1 << 31) - 1,
         )
     raise ValueError(f"unsupported query type {kind!r}")
 
@@ -2276,6 +2337,105 @@ def _hybrid_knn_request(
     return page, {}
 
 
+def _rescore_request(
+    docs: DataFrame,
+    body: dict,
+    *,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The search-request ``rescore`` block — OpenSearch two-phase
+    ranking from JSON: the base ``query`` (flat term/match — the
+    loose retriever) ranks everything, then only the top
+    ``window_size`` hits re-rank by ``query_weight · base +
+    rescore_query_weight · phrase_score`` where ``rescore_query`` is
+    a match_phrase (the precise re-ranker). Routes to
+    :func:`...querystring.rescore_search` — bit-identical to the
+    direct call. ES defaults honored: window_size 10, query_weight
+    1.0, rescore_query_weight 1.0."""
+    for bad in ("aggs", "aggregations", "sort"):
+        if bad in body:
+            raise ValueError(
+                f"rescore bodies do not combine with {bad!r} — the "
+                "rescored page is score-sorted"
+            )
+    rs = body["rescore"]
+    if isinstance(rs, list):
+        if len(rs) != 1:
+            raise ValueError(
+                "one rescore stage is routed (ES chains are rare "
+                "and each stage re-cuts the window — compose "
+                "rescore_search calls directly for chains)"
+            )
+        rs = rs[0]
+    size = int(body.get("size", 10))
+    from_ = int(body.get("from", 0))
+    if from_ < 0:
+        raise ValueError("from must be >= 0")
+    rq = rs["query"]
+    resq = rq["rescore_query"]
+    if next(iter(resq)) != "match_phrase":
+        raise ValueError(
+            "rescore_query routes match_phrase bodies (the Lucene "
+            "phrase re-ranker); other shapes compose "
+            "rescore_search directly"
+        )
+    ((_f, spec),) = resq["match_phrase"].items()
+    phrase = spec["query"] if isinstance(spec, dict) else spec
+    base = body.get("query")
+    if base is None or next(iter(base)) not in ("term", "match"):
+        raise ValueError(
+            "the rescore base query routes flat term/match bodies "
+            "(the loose first-phase retriever)"
+        )
+    terms = [c[0] for c in _leaf_clauses(base)]
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        rescore_search,
+    )
+
+    page = rescore_search(
+        docs, terms, str(phrase),
+        window_size=int(rs.get("window_size", 10)),
+        query_weight=float(rq.get("query_weight", 1.0)),
+        rescore_weight=float(rq.get("rescore_query_weight", 1.0)),
+        text_col=text_col, id_col=id_col, top_k=from_ + size,
+    )
+    return page.offset(from_) if from_ else page
+
+
+def execute_explain_request(
+    docs: DataFrame,
+    doc_id,
+    body: dict,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ``_explain`` endpoint — ``GET /<index>/_explain/<id>``
+    with a query body: the per-(query, document) scoring breakdown.
+    Flat term/match bodies route to
+    :func:`...querystring.bm25_explain` (one row per query term:
+    tf, df, idf, saturated tf component, quantized contribution,
+    and the document's total score on every row — the explain
+    envelope). Other query shapes raise a reasoned error."""
+    query = body["query"]
+    kind = next(iter(query))
+    if kind not in ("term", "match"):
+        raise ValueError(
+            "_explain routes flat term/match bodies (the per-term "
+            "BM25 breakdown); compound shapes have no per-term "
+            "envelope here"
+        )
+    terms = [c[0] for c in _leaf_clauses(query)]
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        bm25_explain,
+    )
+
+    return bm25_explain(
+        docs, terms, doc_id, text_col=text_col, id_col=id_col
+    )
+
+
 def execute_search_request(
     docs: DataFrame,
     body: dict,
@@ -2320,6 +2480,16 @@ def execute_search_request(
         return _hybrid_knn_request(
             docs, body, text_col=text_col, id_col=id_col
         )
+    if "rescore" in body:
+        return _rescore_request(
+            docs, body, text_col=text_col, id_col=id_col
+        ), {}
+    if body.get("explain"):
+        raise ValueError(
+            "per-hit explain is not routed from _search — use "
+            "execute_explain_request(docs, doc_id, body), the "
+            "_explain endpoint form"
+        )
     query = body.get("query", {"match_all": {}})
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
@@ -2350,6 +2520,9 @@ def execute_search_request(
             docs, query, text_col=text_col, id_col=id_col,
             top_k=from_ + size, index_tables=index_tables,
         )
+    if "hybrid_score" in hits.columns:
+        # hybrid pages return _score like any other (ES contract)
+        hits = hits.withColumnRenamed("hybrid_score", "score")
     hits = hits.persist() if wants_uncut else hits
 
     agg_out = {}
@@ -2403,6 +2576,7 @@ __all__ = [
     "clause_search",
     "clause_search_oracle_sql",
     "execute_aggs_dsl",
+    "execute_explain_request",
     "execute_search_dsl",
     "execute_search_request",
 ]

@@ -9570,6 +9570,149 @@ def dsl_match_indexed_search_q(spark, sf_dir):
     )
 
 
+def _dsl_rescore_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        rescore_oracle_sql,
+    )
+
+    return rescore_oracle_sql(
+        ["merge", "order", "window"],
+        "stream table",
+        window_size=40,
+        query_weight=1.0,
+        rescore_weight=1.5,
+        top_k=15,
+    )
+
+
+@q(
+    "dsl_rescore_page",
+    _dsl_rescore_oracle(),
+    "rescore through the search-request dispatcher — the OpenSearch "
+    "rescore block as JSON (flat match base query + match_phrase "
+    "rescore_query + window_size/weights) routes to the two-phase "
+    "rescore operator unchanged: one corpus pass carries term tfs "
+    "and the in-row phrase count, the window cut and the combined "
+    "cut both act on (id, long) rows; bit-identical to the direct "
+    "call (tests/test_dsl.py) "
+    "(operators/dsl.py:_rescore_request -> "
+    "operators/querystring.py:rescore_search).",
+)
+def dsl_rescore_page_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_request,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    body = {
+        "query": {"match": {"text": "merge order window"}},
+        "rescore": {"window_size": 40, "query": {
+            "rescore_query": {"match_phrase": {"text": "stream table"}},
+            "query_weight": 1.0,
+            "rescore_query_weight": 1.5,
+        }},
+        "size": 15,
+    }
+    page, _aggs = execute_search_request(docs, body)
+    return page
+
+
+def _dsl_explain_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        bm25_explain_oracle_sql,
+    )
+
+    return bm25_explain_oracle_sql(["stream", "table", "fast"], 17)
+
+
+@q(
+    "dsl_explain_doc",
+    _dsl_explain_oracle(),
+    "_explain through the endpoint dispatcher — GET /_explain/<id> "
+    "with a flat match body routes to the per-term BM25 breakdown "
+    "operator unchanged (tf, corpus df, idf, saturated tf, quantized "
+    "contribution per term, document total on every row); the "
+    "explained doc resolves via one pushed point filter "
+    "(operators/dsl.py:execute_explain_request -> "
+    "operators/querystring.py:bm25_explain).",
+)
+def dsl_explain_doc_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_explain_request,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return execute_explain_request(
+        docs, 17, {"query": {"match": {"text": "stream table fast"}}}
+    )
+
+
+def _hybrid_minmax_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        clause_search_oracle_sql,
+    )
+
+    lega = clause_search_oracle_sql(
+        should=[["table"], ["merge"]], top_k=30
+    )
+    legb = clause_search_oracle_sql(
+        should=[["stream", "table"]], top_k=30
+    )
+
+    def norm(leg_sql: str, w: float) -> str:
+        return f"""
+        SELECT doc_id,
+               CAST(round({w} * (CASE WHEN mx > mn
+                                 THEN (score - mn) / (mx - mn)
+                                 ELSE 1.0 END) * 1000000, 0) AS BIGINT)
+                   AS cq
+        FROM (SELECT doc_id, score,
+                     MIN(score) OVER () AS mn, MAX(score) OVER () AS mx
+              FROM (SELECT doc_id, score FROM ({leg_sql})))
+        """
+
+    return f"""
+    WITH c AS ({norm(lega, 0.6)} UNION ALL {norm(legb, 0.4)})
+    SELECT doc_id,
+           CAST(CAST(SUM(cq) AS DECIMAL(38,0)) / 1000000 AS DOUBLE)
+               AS hybrid_score,
+           CAST(COUNT(*) AS BIGINT) AS n_legs_hit
+    FROM c GROUP BY doc_id
+    ORDER BY hybrid_score DESC, doc_id ASC
+    LIMIT 15
+    """
+
+
+@q(
+    "hybrid_search_minmax",
+    _hybrid_minmax_oracle(),
+    "The OpenSearch 2.x hybrid query from JSON — a {'hybrid': "
+    "{'queries': [...], 'weights': [...]}} body: each sub-query "
+    "runs independently at pagination_depth, scores min_max-"
+    "normalize WITHIN each leg (quantized to 1e-6 longs), and legs "
+    "combine as the weighted arithmetic mean — the search-pipeline "
+    "normalization-processor defaults routed beside the existing "
+    "rrf retriever; bit-identical to normalized_hybrid_fuse "
+    "(tests/test_dsl.py) (operators/dsl.py:execute_search_dsl -> "
+    "operators/retrieval.py:normalized_hybrid_fuse).",
+)
+def hybrid_search_minmax_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    body = {"hybrid": {
+        "queries": [
+            {"match": {"text": "table merge"}},
+            {"match_phrase": {"text": "stream table"}},
+        ],
+        "weights": [0.6, 0.4],
+        "pagination_depth": 30,
+    }}
+    return execute_search_dsl(docs, body, top_k=15)
+
+
 _SQS_STANDING = [
     {"query_id": "sq_or", "type": "simple_query_string",
      "query": '"stream table" fast -slow'},

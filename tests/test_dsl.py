@@ -1386,6 +1386,76 @@ def test_dsl_indexed_flat_route_equals_adhoc(spark, docs):
         assert a == b, body
 
 
+def test_dsl_rescore_explain_hybrid_routes(spark, docs):
+    """r16 routes: the search-request rescore block, the _explain
+    endpoint form, and the OpenSearch 2.x hybrid query — each
+    bit-identical to its dedicated operator."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_explain_request,
+        execute_search_dsl,
+        execute_search_request,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
+        bm25_explain,
+        rescore_search,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        normalized_hybrid_fuse,
+    )
+
+    body = {"query": {"match": {"text": "merge window"}},
+            "rescore": {"window_size": 5, "query": {
+                "rescore_query": {
+                    "match_phrase": {"text": "merge window"}},
+                "query_weight": 1.0, "rescore_query_weight": 2.0}},
+            "size": 4}
+    page, aggs = execute_search_request(docs, body)
+    want = rescore_search(
+        docs, ["merge", "window"], "merge window", window_size=5,
+        query_weight=1.0, rescore_weight=2.0, top_k=4,
+    )
+    assert _rows(page) == _rows(want) and aggs == {}
+    with pytest.raises(ValueError, match="rescore bodies"):
+        execute_search_request(
+            docs,
+            {**body, "aggs": {"x": {"terms": {"field": "text"}}}},
+        )
+
+    got = execute_explain_request(
+        docs, 1, {"query": {"match": {"text": "spark merge"}}}
+    )
+    assert _rows(got) == _rows(bm25_explain(docs, ["spark", "merge"], 1))
+    with pytest.raises(ValueError, match="_explain"):
+        execute_search_request(
+            docs,
+            {"query": {"term": {"text": "spark"}}, "explain": True},
+        )
+
+    hbody = {"hybrid": {"queries": [
+        {"match": {"text": "spark window"}},
+        {"match_phrase": {"text": "merge window"}},
+    ], "weights": [0.6, 0.4], "pagination_depth": 5}}
+    got = execute_search_dsl(docs, hbody, top_k=4)
+    legs = [
+        execute_search_dsl(
+            docs, {"match": {"text": "spark window"}}, top_k=5
+        ).select("doc_id", "score"),
+        execute_search_dsl(
+            docs, {"match_phrase": {"text": "merge window"}}, top_k=5
+        ).select("doc_id", "score"),
+    ]
+    want = normalized_hybrid_fuse(legs, [0.6, 0.4], top_k=4)
+    assert _rows(got) == _rows(want)
+    # through the request layer, hybrid pages return _score
+    page, _ = execute_search_request(docs, {"query": hbody, "size": 4})
+    assert "score" in page.columns
+    assert _rows(page.select("doc_id")) == _rows(want.select("doc_id"))
+    with pytest.raises(ValueError, match="queries list"):
+        execute_search_dsl(
+            docs, {"hybrid": {"queries": [{"match": {"text": "a"}}]}}
+        )
+
+
 def test_dsl_bool_multi_term_match_es_semantics(spark):
     """A multi-term match INSIDE a bool desugars to its ES bool form
     (or -> should/msm=1 as ONE child clause, and -> must) — not one
