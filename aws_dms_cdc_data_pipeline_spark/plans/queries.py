@@ -5994,10 +5994,88 @@ def bpe_merge_candidates_q(spark, sf_dir):
     )
 
 
+def _ref_bpe_merges(n_merges: int):
+    """Pure-Python reference BPE learner (the Sennrich et al. 2016
+    greedy formulation — the same reference tests/test_bpe.py pins
+    the engine against) run over the fixture documents at
+    REGISTRY-BUILD time: an INDEPENDENT implementation on an
+    independent read path (duckdb parquet scan + Python loop), so the
+    pinned merge table is a true cross-implementation oracle, not an
+    echo of the engine. Fully deterministic: integer pair weights,
+    (-weight, (left, right)) lexicographic argmax — no floats
+    anywhere. Returns [] when the fixture is absent (oracle degrades
+    to rows-only)."""
+    import os
+    import re as _re
+
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        "documents.parquet",
+    )
+    if not os.path.exists(path):
+        return []
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT text FROM read_parquet('{path}')"
+    ).fetchall()
+    counts: dict[str, int] = {}
+    for (text,) in rows:
+        # java \s+ split + len >= 2, the word_symbol_table contract
+        for w in _re.split(r"\s+", text or ""):
+            if len(w) >= 2:
+                counts[w] = counts.get(w, 0) + 1
+    vocab = {w: list(w) for w in counts}
+    merges = []
+    for rank in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            wt = counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + wt
+        if not pc:
+            break
+        (a, b), wt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, wt))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_merges_oracle():
+    ms = _ref_bpe_merges(12)
+    if not ms:
+        return None
+    rows = ",\n        ".join(
+        f"({r}, {_sql_str(a)}, {_sql_str(b)}, {_sql_str(m)}, {w})"
+        for r, a, b, m, w in ms
+    )
+    return f"""
+    SELECT CAST(rank AS BIGINT) AS rank, "left", "right", merged,
+           CAST(weight AS BIGINT) AS weight
+    FROM (VALUES {rows})
+        AS t(rank, "left", "right", merged, weight)
+    ORDER BY rank
+    """
+
+
 @q(
     "bpe_learned_merges",
-    None,  # iterative argmax loop — not SQL-expressible; rows-only +
-    # tests/test_bpe.py proves equality with a reference implementation
+    _bpe_merges_oracle(),  # fixture-derived INDEPENDENT reference pin
+    # (pure-Python Sennrich learner at registry-build time) — the
+    # iterative argmax loop itself is not SQL-expressible, but its
+    # output on the gated fixture is bit-deterministic (integer
+    # weights, lexicographic ties), so the oracle pins it
     "Full greedy BPE merge learning (operators/bpe.py:"
     "learn_bpe_merges): 12 iterations of distributed pair-count → "
     "argmax (ONE collected row per iteration) → pure-JVM aggregate "
@@ -8630,12 +8708,57 @@ def ann_pq_topk_q(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _bpe_encoded_oracle():
+    """DuckDB mirror of tokenizer inference: the 24 merges come from
+    the independent reference learner (_ref_bpe_merges); the
+    SEGMENTATION itself is computed IN SQL — each merge is one
+    greedy left-to-right list_reduce rewrite over the distinct-word
+    relation (the same vocabulary-not-corpus shape the engine uses),
+    then word occurrences join back and counts aggregate per doc."""
+    ms = _ref_bpe_merges(24)
+    if not ms:
+        return None
+
+    def rewrite(step: int, a: str, b: str, m: str) -> str:
+        return (
+            f"v{step} AS (SELECT w, list_reduce("
+            f"list_transform(syms, x -> [x]), (acc, x) -> "
+            f"CASE WHEN acc[len(acc)] = {_sql_str(a)} "
+            f"AND x[1] = {_sql_str(b)} "
+            f"THEN list_slice(acc, 1, len(acc) - 1) || [{_sql_str(m)}] "
+            f"ELSE acc || x END) AS syms FROM v{step - 1})"
+        )
+
+    steps = ",\n    ".join(
+        rewrite(i + 1, a, b, m)
+        for i, (_r, a, b, m, _w) in enumerate(ms)
+    )
+    last = len(ms)
+    return f"""
+    WITH w0 AS (
+        SELECT doc_id, u.w AS w
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents) d, UNNEST(d.ws) AS u(w)
+    ),
+    v0 AS (SELECT w, regexp_extract_all(w, '.') AS syms
+           FROM (SELECT DISTINCT w FROM w0)),
+    {steps},
+    tok AS (
+        SELECT w0.doc_id, u.t AS t
+        FROM w0 JOIN v{last} USING (w), UNNEST(v{last}.syms) AS u(t)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT t) AS BIGINT) AS n_unique_tokens
+    FROM tok GROUP BY doc_id
+    """
+
+
 @q(
     "bpe_encoded_docs",
-    None,  # merges are learned iteratively (greedy argmax loop) —
-    # rows-only by design, the bpe_learned_merges precedent; a pure-
-    # Python reference encoder pins token-level equality in
-    # tests/test_bpe_encode.py
+    _bpe_encoded_oracle(),  # merges pinned from the independent
+    # reference learner; segmentation + counts computed in SQL
     "BPE tokenizer INFERENCE — encode the corpus with 24 learned "
     "merges: each DISTINCT word segments once (merge folds run over "
     "the vocabulary relation, never the corpus), then one word-keyed "
@@ -9794,16 +9917,40 @@ def _vector_index_for(spark, sf_dir, *, pq=False):
 
 @q(
     "ann_ivf_indexed_topk",
-    None,  # trained-quantizer cell assignment is engine-internal
+    # FULL-PROBE exact gate (r15 ask #7): with n_probe = n_lists the
+    # served result is provably the exact top-k — the oracle below is
+    # the brute-force cosine ranking, so the gate proves the persisted
+    # cells table holds every vector exactly once and the
+    # gather+score+rank machinery is cross-engine exact. The PRUNED
+    # serving shape (n_probe=4) keeps its bit-parity suite
+    # (tests/test_vector_index.py) and plan-asserted partition pruning.
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                   AS cosine
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
     "IVF top-10 served FROM the persisted vector index "
     "(vecidx_* catalog tables): centroids + cell-assigned corpus "
     "materialize once (ensure_vector_index — the token-index "
     "lifecycle for ANN), then every query statically prunes the "
-    "cell-PARTITIONED table to its n_probe cells — per-query read "
-    "~ N x n_probe / n_lists rows with no training and no corpus "
-    "assignment pass. Bit-identical to the session-memoized "
-    "ivf_topk on the same centroids (tests/test_vector_index.py). "
-    "Rows-only (iterative k-means, the E25 precedent) "
+    "cell-PARTITIONED table to its n_probe cells with no training "
+    "and no corpus assignment pass. Gated at FULL probe (n_probe = "
+    "n_lists), where the served result provably equals the exact "
+    "brute-force ranking — the oracle certifies the index holds "
+    "every vector exactly once and the gather+score+rank path is "
+    "cross-engine exact; the pruned n_probe=4 serving shape is "
+    "bit-parity-tested and plan-asserted in "
+    "tests/test_vector_index.py "
     "(operators/vector_index.py:ivf_topk_indexed).",
 )
 def ann_ivf_indexed_topk_q(spark, sf_dir):
@@ -9817,7 +9964,7 @@ def ann_ivf_indexed_topk_q(spark, sf_dir):
         F.col("embedding").alias("query_vec"),
     )
     tables = _vector_index_for(spark, sf_dir)
-    out = ivf_topk_indexed(spark, tables, queries_df, k=10, n_probe=4)
+    out = ivf_topk_indexed(spark, tables, queries_df, k=10, n_probe=16)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
