@@ -506,6 +506,8 @@ def start_percolator(
     id_col: str = "doc_id",
     available_now: bool = True,
     trigger_seconds: int | None = None,
+    match_budget: int | None = None,
+    overflow_path: str | None = None,
 ):
     """Run the percolator over a streaming document source; matches
     append to ``alerts_path`` as parquet (query_id, id, n_matches),
@@ -514,6 +516,20 @@ def start_percolator(
     writes under ``batch_id=N`` so a replayed epoch overwrites its
     own previous attempt — the same idempotent layout as the CDC
     DLQ/archive sinks (streaming/pipeline.py).
+
+    ``match_budget`` is the alert-volume guard the 100 TB story
+    needs: the matching pass is output-bound (corpus work per batch
+    is fixed — one scan regardless of standing-query count), so ONE
+    pathological standing query matching every document makes the
+    batch wall proportional to batch size x query count. With a
+    budget, each query emits at most ``match_budget`` alerts per
+    batch — the strongest matches first (n_matches DESC, id ASC — a
+    map-side WindowGroupLimit cut, never a full sort) — and the
+    remainder is ACCOUNTED, not silently dropped (the DLQ pattern):
+    per overflowing query, one (query_id, n_matched, n_emitted,
+    n_overflow) row lands under ``overflow_path/batch_id=N`` so an
+    operator can see exactly which standing query flooded and by how
+    much, and replay it ad hoc if the full hit set matters.
     """
 
     def deliver(batch: DataFrame, epoch_id: int) -> None:
@@ -527,9 +543,49 @@ def start_percolator(
         # partition discovery (spark.read.parquet(alerts_path) would
         # see the column twice).
         try:
-            matches.write.mode("overwrite").parquet(
-                os.path.join(alerts_path, f"batch_id={epoch_id}")
-            )
+            if match_budget is not None:
+                if match_budget < 1:
+                    raise ValueError("match_budget must be >= 1")
+                from pyspark.sql import Window
+
+                # two consumers (cut + accounting) — pin the matches
+                matches = matches.persist()
+                w = Window.partitionBy("query_id").orderBy(
+                    F.col("n_matches").desc(), F.col(id_col).asc()
+                )
+                kept = (
+                    matches.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") <= match_budget)
+                    .drop("_rn")
+                )
+                if overflow_path is not None:
+                    acct = (
+                        matches.groupBy("query_id")
+                        .agg(F.count(F.lit(1)).cast("long")
+                             .alias("n_matched"))
+                        .filter(F.col("n_matched") > match_budget)
+                        .select(
+                            "query_id",
+                            "n_matched",
+                            F.lit(match_budget).cast("long")
+                            .alias("n_emitted"),
+                            (F.col("n_matched") - match_budget)
+                            .cast("long").alias("n_overflow"),
+                        )
+                    )
+                    acct.write.mode("overwrite").parquet(
+                        os.path.join(
+                            overflow_path, f"batch_id={epoch_id}"
+                        )
+                    )
+                kept.write.mode("overwrite").parquet(
+                    os.path.join(alerts_path, f"batch_id={epoch_id}")
+                )
+                matches.unpersist()
+            else:
+                matches.write.mode("overwrite").parquet(
+                    os.path.join(alerts_path, f"batch_id={epoch_id}")
+                )
         finally:
             # epoch-local cache hygiene (streaming/pipeline.py batch
             # .unpersist() precedent): each epoch's source is a new

@@ -206,6 +206,70 @@ def test_percolator_stream_equals_batch(spark, tmp_path):
     assert alerts.select("batch_id").distinct().count() >= 2
 
 
+def test_percolator_match_budget_overflow(spark, tmp_path):
+    """A pathological standing query (matches every doc) emits at
+    most match_budget alerts per batch — the strongest matches — and
+    the remainder is accounted under overflow_path, never silently
+    dropped; queries within budget emit fully and never appear in
+    the overflow record."""
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    rows = [(i, "alert alert storm" if i % 2 else "quiet words here")
+            for i in range(10)]
+    with open(src / "a.jsonl", "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    standing = [
+        {"query_id": "flood", "type": "term", "term": "alert"},
+        {"query_id": "calm", "type": "term", "term": "quiet"},
+    ]
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    q = start_percolator(
+        stream, standing,
+        str(tmp_path / "alerts"), str(tmp_path / "ckpt"),
+        match_budget=3, overflow_path=str(tmp_path / "overflow"),
+    )
+    q.awaitTermination()
+
+    alerts = spark.read.parquet(str(tmp_path / "alerts"))
+    by_q = {
+        qid: sorted(
+            (r["doc_id"], r["n_matches"])
+            for r in alerts.filter(F.col("query_id") == qid).collect()
+        )
+        for qid in ("flood", "calm")
+    }
+    # flood matches 5 docs (odd ids, tf 2 each); budget keeps the top
+    # 3 by (n_matches DESC, doc_id ASC)
+    assert by_q["flood"] == [(1, 2), (3, 2), (5, 2)]
+    # calm matches 5 docs at tf 1 — all within budget? no: 5 > 3,
+    # same cut applies
+    assert by_q["calm"] == [(0, 1), (2, 1), (4, 1)]
+    over = {
+        r["query_id"]: (r["n_matched"], r["n_emitted"], r["n_overflow"])
+        for r in spark.read.parquet(str(tmp_path / "overflow")).collect()
+    }
+    assert over == {"flood": (5, 3, 2), "calm": (5, 3, 2)}
+
+    # a budget that covers everything emits fully and records nothing
+    q = start_percolator(
+        stream, standing,
+        str(tmp_path / "alerts2"), str(tmp_path / "ckpt2"),
+        match_budget=100, overflow_path=str(tmp_path / "overflow2"),
+    )
+    q.awaitTermination()
+    alerts2 = spark.read.parquet(str(tmp_path / "alerts2"))
+    assert alerts2.count() == 10
+    import glob
+    over2 = glob.glob(str(tmp_path / "overflow2" / "batch_id=*" / "*.parquet"))
+    assert (not over2
+            or spark.read.parquet(str(tmp_path / "overflow2")).count() == 0)
+
+
 def test_streaming_positional_index_maintainer(spark, tmp_path, sf_dir):
     """With pos_table given, the maintainer keeps the POSITIONAL index
     current too: phrase search over the streamed index ≡ a one-shot
