@@ -319,7 +319,10 @@ def q3_shipping_priority(spark, sf_dir):
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # SHUFFLE_HASH on orders: fact-fact join (neither side
+        # broadcasts at scale) — hash build skips both sort passes
+        li.join(orders.hint("SHUFFLE_HASH"),
+                li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         # per-order totals are entity-bounded → fast single-level
@@ -360,8 +363,15 @@ def regional_revenue(spark, sf_dir):
     # agg-last plan, and the gap grows with scale — the avoided
     # shuffle is O(fact), the kept one O(customers)). The fact scan
     # projects only (orderkey, quantized revenue); dims broadcast.
+    # SHUFFLE_HASH on the orders side: both sides exchange on the
+    # order key either way (fact-fact join — neither broadcasts at
+    # scale), but the hash build skips sorting BOTH sides, measured
+    # 4.4 s vs 5.8 s at sf10. Scale-correct: the per-partition build
+    # is |orders| / shuffle-partitions narrow rows, bounded by the
+    # partition count a real cluster raises with the data (uniform
+    # order keys — no build-side skew).
     j1 = li.select("l_orderkey", _q6(disc).alias("_q")).join(
-        orders.select("o_orderkey", "o_custkey"),
+        orders.select("o_orderkey", "o_custkey").hint("SHUFFLE_HASH"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     per_cust = j1.groupBy("o_custkey").agg(
@@ -629,7 +639,9 @@ def topk_customers_by_revenue(spark, sf_dir):
     per_cust = (
         li.select("l_orderkey", _q6(disc).alias("_q"))
         .join(
-            orders.select("o_orderkey", "o_custkey"),
+            # SHUFFLE_HASH: skip the sort-merge sorts on both
+            # exchanged sides (the regional_revenue measurement)
+            orders.select("o_orderkey", "o_custkey").hint("SHUFFLE_HASH"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_custkey")
@@ -10447,8 +10459,14 @@ _R16_WINDOW = [
     "bpe_learned_merges",
     "bpe_encoded_docs",
     "ann_ivf_indexed_topk",
-    # oldest r11 band, alphabetical — 14 of 44; the remaining 30
-    # r11 rows (funnel_conversion ... wildcard_search_docs) queue
+    # code changed in r16 (SHUFFLE_HASH on the fact-fact star joins
+    # — bit-identical results, re-gated on principle); these three
+    # are also r11-stale, so the slots do double duty
+    "q3_shipping_priority",
+    "regional_revenue",
+    "topk_customers_by_revenue",
+    # oldest r11 band, alphabetical — 11 more of 44; the remaining
+    # 30 r11 rows (funnel_conversion ... wildcard_search_docs) queue
     # for r17; two disciplined rotations clear the band
     "bool_search_docs",
     "cdc_current_state",
@@ -10461,9 +10479,6 @@ _R16_WINDOW = [
     "dormant_high_value_customers",
     "edit_distance_pairs",
     "event_transition_matrix",
-    "events_value_outliers",
-    "ewma_user_value",
-    "exact_dedup_docs",
 ]
 
 assert len(_R16_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R16_WINDOW)}"
