@@ -39,10 +39,16 @@ the dispatcher adds NO new semantics):
 - ``knn`` with optional term ``filter`` (pre-filter semantics) →
   :func:`...similarity.brute_force_topk` / ``filtered_topk`` — pass
   the relation carrying the vector column
-- ``wildcard`` / ``fuzzy`` / ``regexp`` (need ``index_tables=
-  {'tokens': ...}``), ``match_phrase_prefix`` (needs
-  ``{'positions': ...}``), ``multi_match`` (best_fields /
-  cross_fields with ``field^boost`` syntax) → their operators
+- ``wildcard`` / ``fuzzy`` / ``regexp`` / ``prefix`` (need
+  ``index_tables={'tokens': ...}``; prefix is the trailing-star
+  wildcard, the same Lucene term-dictionary walk),
+  ``match_phrase_prefix`` (needs ``{'positions': ...}``),
+  ``multi_match`` (best_fields / cross_fields with ``field^boost``
+  syntax) → their operators
+- ``constant_score`` — the ES filter-context wrapper: the inner
+  filter query (any filterable shape, evaluated uncut through this
+  dispatcher) decides membership; every hit scores exactly
+  ``boost``
 - ``hybrid`` (the OpenSearch 2.x neural-search compound: >= 2
   sub-queries, min_max leg normalization + weighted arithmetic-mean
   combination; weights ride the body) →
@@ -851,7 +857,7 @@ def execute_search_dsl(
             text_col=text_col, id_col=id_col,
         )
         return out if top_k is None else out.limit(top_k)
-    if kind in ("wildcard", "fuzzy", "regexp"):
+    if kind in ("wildcard", "fuzzy", "regexp", "prefix"):
         if not index_tables or "tokens" not in index_tables:
             raise ValueError(
                 f"{kind} routing needs index_tables={{'tokens': ...}} "
@@ -862,13 +868,24 @@ def execute_search_dsl(
         ((_field, spec),) = body.items()
         val = spec["value"] if isinstance(spec, dict) else spec
         kk = top_k if top_k is not None else (1 << 31) - 1
-        if kind == "wildcard":
+        if kind in ("wildcard", "prefix"):
             from aws_dms_cdc_data_pipeline_spark.operators.search import (
                 wildcard_search,
             )
 
+            # prefix IS the trailing-star wildcard (ES PrefixQuery =
+            # Lucene's same term-dictionary walk); reject embedded
+            # wildcard metacharacters in a prefix value
+            pat = str(val)
+            if kind == "prefix":
+                if "*" in pat or "?" in pat:
+                    raise ValueError(
+                        "prefix value must be a literal (use "
+                        "wildcard for patterns)"
+                    )
+                pat = pat + "*"
             return wildcard_search(
-                spark, idx, str(val), id_col=id_col, top_k=kk
+                spark, idx, pat, id_col=id_col, top_k=kk
             )
         if kind == "regexp":
             from aws_dms_cdc_data_pipeline_spark.operators.search import (
@@ -933,6 +950,32 @@ def execute_search_dsl(
             id_col=id_col, top_k=top_k if top_k is not None
             else (1 << 31) - 1,
         )
+    if kind == "constant_score":
+        # constant_score: the inner filter decides MEMBERSHIP only;
+        # every hit scores exactly `boost` (the ES FILTER-CONTEXT
+        # wrapper — BM25 never runs). The inner query executes UNCUT
+        # through this same dispatcher, so any filterable shape
+        # (term/match/bool/range/terms/exists/...) is accepted.
+        inner = body.get("filter")
+        if not isinstance(inner, dict) or len(inner) != 1:
+            raise ValueError(
+                "constant_score needs a single-key filter query"
+            )
+        boost = float(body.get("boost", 1.0))
+        members = execute_search_dsl(
+            docs, inner, text_col=text_col, id_col=id_col,
+            top_k=None, index_tables=index_tables,
+        ).select(id_col)
+        out = members.select(
+            F.col(id_col),
+            F.lit(boost).alias("score"),
+            F.lit(0).cast("long").alias("n_clauses_hit"),
+        )
+        if top_k is None:
+            return out
+        # all scores equal -> deterministic id order (the ES
+        # tie-break this engine ships everywhere)
+        return out.orderBy(F.col(id_col).asc()).limit(top_k)
     if kind == "hybrid":
         # OpenSearch 2.x hybrid query (the neural-search plugin's
         # compound shape): each sub-query runs independently, scores
@@ -1609,7 +1652,9 @@ def execute_aggs_dsl(
     (explicit interval), range, filters (term-filter leaves),
     percentiles (exact nearest-rank via the range-partitioned
     prefix), stats, extended_stats, cardinality (EXACT distinct),
-    value_count, sum, avg, min, max, multi_terms, weighted_avg,
+    value_count, sum, avg, min, max, missing, rare_terms
+    (categorical field of the hit relation — exact where OpenSearch
+    runs CuckooFilters), multi_terms, weighted_avg,
     boxplot, median_absolute_deviation, string_stats,
     percentile_ranks — the sketch-backed OpenSearch metrics all
     compute EXACT here (the repo-wide stance). composite (terms +
@@ -1627,6 +1672,15 @@ def execute_aggs_dsl(
     combined groupBy — nesting adds zero extra shuffles. Bucket
     aggs under buckets (and sub-aggs on range/filters/percentiles)
     raise a reasoned error.
+
+    SCORE-DEPENDENT compositions route to their dedicated operators
+    and need ``rows`` to carry a ``score`` column (pass the body
+    through :func:`execute_search_request`, which joins the query
+    scores into the hit relation): ``top_hits`` as the single
+    sub-agg of a terms bucket → top_hits_per_facet; ``sampler`` /
+    ``diversified_sampler`` with one terms sub-agg → the global
+    top-shard_size (resp. per-dedup-capped) sample feeding
+    sampler_agg's per-facet count + exact mean score.
     """
     if not aggs:
         raise ValueError("aggs body is empty")
@@ -1681,12 +1735,84 @@ def execute_aggs_dsl(
                 f"agg {name!r} must have exactly one agg type"
             )
         kind, body = next(iter(spec.items()))
+        # score-dependent bucket compositions (top_hits under terms,
+        # sampler / diversified_sampler) consume the QUERY SCORES,
+        # which ride `rows` as a `score` column when the caller
+        # passes a scored hit relation — execute_search_request does
+        if kind == "terms" and sub and any(
+            next(iter(s)) == "top_hits" for s in sub.values()
+        ):
+            if len(sub) != 1:
+                raise ValueError(
+                    "top_hits must be the only sub-agg of its terms "
+                    "bucket (mixing it with metric sub-aggs would "
+                    "need two result shapes under one name)"
+                )
+            if "score" not in rows.columns:
+                raise ValueError(
+                    "top_hits needs a scored hit relation — run the "
+                    "body through execute_search_request, which "
+                    "carries the query scores into the aggs"
+                )
+            ((_hname, hspec),) = sub.items()
+            from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (  # noqa: E501
+                top_hits_per_facet,
+            )
+
+            out[name] = top_hits_per_facet(
+                rows.select(id_col, "score"), rows, [body["field"]],
+                id_col=id_col,
+                hits_per_bucket=int(hspec["top_hits"].get("size", 3)),
+            )
+            continue
+        if kind in ("sampler", "diversified_sampler"):
+            if (
+                not sub or len(sub) != 1
+                or next(iter(next(iter(sub.values())))) != "terms"
+            ):
+                raise ValueError(
+                    f"{kind} routes with exactly one terms sub-agg "
+                    "(the facet leg the sample feeds)"
+                )
+            if "score" not in rows.columns:
+                raise ValueError(
+                    f"{kind} needs a scored hit relation — run the "
+                    "body through execute_search_request, which "
+                    "carries the query scores into the aggs"
+                )
+            from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (  # noqa: E501
+                diversified_sampler,
+                sampler_agg,
+            )
+
+            ((_sname, sspec),) = sub.items()
+            facet = sspec["terms"]["field"]
+            shard = int(body.get("shard_size", 100))
+            if kind == "sampler":
+                sample = (
+                    rows.select(id_col, "score")
+                    .orderBy(F.col("score").desc(), F.col(id_col).asc())
+                    .limit(shard)
+                )
+            else:
+                sample = diversified_sampler(
+                    rows.select(id_col, "score"), rows, body["field"],
+                    id_col=id_col, shard_size=shard,
+                    max_docs_per_value=int(
+                        body.get("max_docs_per_value", 1)
+                    ),
+                ).select(id_col, "score")
+            out[name] = sampler_agg(
+                rows, sample, facet_col=facet, id_col=id_col
+            )
+            continue
         if sub is not None and kind not in (
             "terms", "date_histogram", "histogram"
         ):
             raise ValueError(
                 f"sub-aggs are supported under terms/date_histogram/"
-                f"histogram buckets, not {kind!r}"
+                f"histogram buckets (and the sampler family), not "
+                f"{kind!r}"
             )
         subcols = metric_cols(sub) if sub else []
         field = body.get("field")
@@ -1888,6 +2014,37 @@ def execute_aggs_dsl(
                 "max": F.max(v),
             }[kind]
             out[name] = clean.agg(expr.alias("value"))
+        elif kind == "missing":
+            # missing agg: docs where the field is null/absent —
+            # one bucket, one row
+            out[name] = rows.agg(
+                F.sum(F.col(field).isNull().cast("long"))
+                .cast("long").alias("doc_count")
+            )
+        elif kind == "rare_terms":
+            # rare_terms over a CATEGORICAL field of the hit
+            # relation: buckets whose doc count <= max_doc_count —
+            # the long-tail complement of terms, exact where
+            # OpenSearch runs CuckooFilters. The tokenized-text form
+            # (corpus-wide term df) is the dedicated indexed
+            # operator, not a hit-scoped agg — reasoned error.
+            if field not in rows.columns:
+                raise ValueError(
+                    f"rare_terms field {field!r} is not a column of "
+                    "the hit relation; for tokenized-text rare terms "
+                    "call operators/search.py:rare_terms on the "
+                    "token index (corpus-wide df semantics)"
+                )
+            mdc = int(body.get("max_doc_count", 1))
+            if mdc < 1:
+                raise ValueError("max_doc_count must be >= 1")
+            out[name] = (
+                rows.filter(F.col(field).isNotNull())
+                .groupBy(F.col(field).alias("key"))
+                .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+                .filter(F.col("doc_count") <= mdc)
+                .orderBy(F.col("doc_count").asc(), F.col("key").asc())
+            )
         elif kind == "composite":
             from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
                 composite_agg_page,
@@ -2527,7 +2684,11 @@ def execute_search_request(
 
     agg_out = {}
     if aggs:
-        hit_rows = docs.join(hits.select(id_col), id_col, "left_semi")
+        # carry the query scores into the hit relation: the
+        # score-dependent aggs (top_hits / sampler /
+        # diversified_sampler) consume them; field aggs ignore the
+        # extra column
+        hit_rows = docs.join(hits.select(id_col, "score"), id_col)
         agg_out = execute_aggs_dsl(
             hit_rows, aggs, background=docs, id_col=id_col,
             index_tables=index_tables,

@@ -1456,6 +1456,149 @@ def test_dsl_rescore_explain_hybrid_routes(spark, docs):
         )
 
 
+def test_dsl_prefix_constant_score_routes(spark, docs):
+    """prefix = the trailing-star wildcard walk; constant_score =
+    membership of the inner filter with score == boost."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        ensure_token_index,
+        wildcard_search,
+    )
+
+    idx, dl = ensure_token_index(spark, docs, "dsl_prefix")
+    it = {"tokens": idx, "dl": dl}
+    got = _rows(execute_search_dsl(
+        docs, {"prefix": {"text": {"value": "win"}}},
+        index_tables=it, top_k=10,
+    ))
+    want = _rows(wildcard_search(spark, idx, "win*", top_k=10))
+    assert got == want and got
+    with pytest.raises(ValueError, match="literal"):
+        execute_search_dsl(
+            docs, {"prefix": {"text": "wi*"}}, index_tables=it
+        )
+    with pytest.raises(ValueError, match="index_tables"):
+        execute_search_dsl(docs, {"prefix": {"text": "win"}})
+
+    # constant_score over a bool filter: members score boost exactly
+    body = {"constant_score": {
+        "filter": {"bool": {"must": [{"term": {"text": "window"}}],
+                            "must_not": [{"term": {"text": "slow"}}]}},
+        "boost": 2.5,
+    }}
+    rows = execute_search_dsl(docs, body, top_k=10).collect()
+    member_ids = {r.doc_id for r in rows}
+    want_ids = {
+        r.doc_id for r in execute_search_dsl(
+            docs, body["constant_score"]["filter"], top_k=None
+        ).collect()
+    }
+    assert member_ids == want_ids and member_ids
+    assert all(r.score == 2.5 and r.n_clauses_hit == 0 for r in rows)
+    # metadata filter shapes route too (range -> membership)
+    rows = execute_search_dsl(
+        docs,
+        {"constant_score": {"filter": {"range": {"n_chars":
+                                                 {"gte": 200}}}}},
+        top_k=10,
+    ).collect()
+    assert {r.doc_id for r in rows} == {2, 3} and all(
+        r.score == 1.0 for r in rows
+    )
+
+
+def test_aggs_dsl_missing_rare_terms(spark, docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_aggs_dsl,
+    )
+
+    rel = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") == 1, "en")
+        .when(F.col("doc_id") == 2, "en")
+        .when(F.col("doc_id") == 3, "de"),
+    )
+    out = execute_aggs_dsl(
+        rel,
+        {"no_lang": {"missing": {"field": "lang"}},
+         "rare": {"rare_terms": {"field": "lang",
+                                 "max_doc_count": 1}}},
+    )
+    assert out["no_lang"].collect()[0]["doc_count"] == 2
+    rare = [(r.key, r.doc_count) for r in out["rare"].collect()]
+    assert rare == [("de", 1)]
+    with pytest.raises(ValueError, match="not a column"):
+        execute_aggs_dsl(rel, {"r": {"rare_terms": {"field": "text2"}}})
+
+
+def test_search_request_score_dependent_aggs(spark, docs):
+    """top_hits under terms / sampler / diversified_sampler consume
+    the query scores execute_search_request joins into the hit
+    relation — each bit-identical to its dedicated operator."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_aggs_dsl,
+        execute_search_dsl,
+        execute_search_request,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        diversified_sampler,
+        sampler_agg,
+        top_hits_per_facet,
+    )
+
+    rel = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    )
+    query = {"match": {"text": "window merge"}}
+    hits = execute_search_dsl(rel, query, top_k=None).select(
+        "doc_id", "score"
+    )
+
+    _page, aggs = execute_search_request(
+        rel,
+        {"query": query,
+         "aggs": {"per_lang": {"terms": {"field": "lang"},
+                               "aggs": {"best": {"top_hits":
+                                                 {"size": 2}}}}}},
+    )
+    want = top_hits_per_facet(hits, rel, ["lang"], hits_per_bucket=2)
+    assert _rows(aggs["per_lang"]) == _rows(want)
+
+    _page, aggs = execute_search_request(
+        rel,
+        {"query": query,
+         "aggs": {
+             "samp": {"sampler": {"shard_size": 3},
+                      "aggs": {"langs": {"terms": {"field": "lang"}}}},
+             "dsamp": {"diversified_sampler": {
+                 "field": "lang", "shard_size": 3,
+                 "max_docs_per_value": 1},
+                 "aggs": {"langs": {"terms": {"field": "lang"}}}},
+         }},
+    )
+    sample = hits.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(3)
+    assert _rows(aggs["samp"]) == _rows(
+        sampler_agg(rel, sample, facet_col="lang")
+    )
+    dsample = diversified_sampler(
+        hits, rel, "lang", shard_size=3, max_docs_per_value=1
+    ).select("doc_id", "score")
+    assert _rows(aggs["dsamp"]) == _rows(
+        sampler_agg(rel, dsample, facet_col="lang")
+    )
+    # score-dependent aggs without a scored relation: reasoned error
+    with pytest.raises(ValueError, match="scored hit relation"):
+        execute_aggs_dsl(
+            rel,
+            {"t": {"terms": {"field": "lang"},
+                   "aggs": {"h": {"top_hits": {"size": 1}}}}},
+        )
+
+
 def test_dsl_bool_multi_term_match_es_semantics(spark):
     """A multi-term match INSIDE a bool desugars to its ES bool form
     (or -> should/msm=1 as ONE child clause, and -> must) — not one
