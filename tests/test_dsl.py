@@ -1110,6 +1110,16 @@ def test_dsl_span_near_and_decay_routes(spark, docs):
             docs, {"span_near": {"clauses": [
                 {"span_term": {"text": "a"}}]}},
         )
+    # omitted slop/in_order take the ES SpanNearQueryBuilder
+    # defaults (slop=0, in_order=true) — "spark merge" is adjacent
+    # in-order only in doc 1
+    bare = {"span_near": {"clauses": [
+        {"span_term": {"text": "spark"}},
+        {"span_term": {"text": "merge"}}]}}
+    assert _rows(execute_search_dsl(docs, bare, top_k=10)) == _rows(
+        proximity_search(docs, "spark", "merge", slop=0,
+                         in_order=True).limit(10)
+    )
 
     ev = spark.createDataFrame(
         [(i, f"2024-01-{(i % 25) + 1:02d} 00:00:00") for i in range(50)],

@@ -206,6 +206,24 @@ def test_percolator_stream_equals_batch(spark, tmp_path):
     assert alerts.select("batch_id").distinct().count() >= 2
 
 
+def test_dsl_to_standing_span_near_defaults(spark):
+    """Omitted slop/in_order register with the ES
+    SpanNearQueryBuilder defaults: slop=0, in_order=true."""
+    from aws_dms_cdc_data_pipeline_spark.streaming.percolate import (
+        dsl_to_standing,
+    )
+
+    entry = dsl_to_standing(
+        "n0",
+        {"span_near": {"clauses": [
+            {"span_term": {"text": "stream"}},
+            {"span_term": {"text": "hash"}}]}},
+    )
+    assert entry == {"query_id": "n0", "type": "near",
+                     "term_a": "stream", "term_b": "hash",
+                     "slop": 0, "in_order": True}
+
+
 def test_percolator_match_budget_overflow(spark, tmp_path):
     """A pathological standing query (matches every doc) emits at
     most match_budget alerts per batch — the strongest matches — and
