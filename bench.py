@@ -339,13 +339,32 @@ def main() -> None:
             # fail the headline bench over it
             print(f"scale-tier build skipped: {e}", file=sys.stderr)
     if os.path.isdir(scale_dir):
+        # measured per-stage scheduling floor + per-query submitted-
+        # stage counts, so the sf1 tier publishes floor-corrected
+        # ratios beside raw ones exactly like the sf10 probe (the
+        # r15 verdict asked for both tiers)
+        from tools.bench_probe import _max_stage_id, _noop_floor_sec
+
+        floor = _noop_floor_sec(spark)
         spark_t: dict[str, float] = {}
+        stages_n: dict[str, int] = {}
         for name in SCALE_SUBSET:
             spark.catalog.clearCache()
-            spark_t[name] = best_of(
-                lambda: REGISTRY[name].fn(spark, scale_dir)
-                .write.format("noop").mode("overwrite").save()
-            )
+
+            def _run(n=name):
+                REGISTRY[n].fn(spark, scale_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            _run()  # warm
+            s0 = _max_stage_id(spark)
+            t0 = time.time()
+            _run()
+            t1 = time.time() - t0
+            stages_n[name] = _max_stage_id(spark) - s0
+            t0 = time.time()
+            _run()
+            spark_t[name] = round(min(t1, time.time() - t0), 3)
         duck_t = _duckdb_seconds(REGISTRY, SCALE_SUBSET, scale_dir)
         s_tot = round(sum(spark_t.values()), 3)
         d_tot = round(sum(duck_t.values()), 3)
@@ -356,6 +375,11 @@ def main() -> None:
         common = [n for n in spark_t if n in duck_t]
         s_cmp = round(sum(spark_t[n] for n in common), 3)
         d_cmp = round(sum(duck_t[n] for n in common), 3)
+        corrected = {
+            n: round(max(spark_t[n] - floor * stages_n[n], 0.0), 3)
+            for n in spark_t
+        }
+        c_cmp = round(sum(corrected[n] for n in common), 3)
         payload["scale_check"] = {
             "sf": 1.0,
             "dir": scale_dir,
@@ -365,6 +389,16 @@ def main() -> None:
             "duckdb_total": d_tot,
             "spark_comparable_total": s_cmp,
             "ratio_vs_duckdb": round(s_cmp / d_cmp, 2) if d_cmp else None,
+            "noop_stage_floor_sec": round(floor, 4),
+            "stages": stages_n,
+            "spark_floor_corrected_sec": corrected,
+            "floor_corrected_ratio_vs_duckdb": (
+                round(c_cmp / d_cmp, 2) if d_cmp else None
+            ),
+            "per_query_floor_corrected_ratio": {
+                n: round(corrected[n] / duck_t[n], 2)
+                for n in common if duck_t[n]
+            },
         }
 
     # CDC streaming tier: one availableNow drain of a generated

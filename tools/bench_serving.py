@@ -166,6 +166,50 @@ def percolator_scaling(spark, sf_dir: str) -> dict:
     out["termset_scaling_10x_queries"] = round(
         out["termset_wall_sec_100q"] / out["termset_wall_sec_10q"], 2
     )
+
+    # E238 match-budget guard at the 1000q knee: the full delivery
+    # shape start_percolator ships (per-query WindowGroupLimit cut +
+    # overflow-accounting aggregate). The corpus/match work still
+    # runs — the budget bounds the EMITTED volume (the sink I/O and
+    # everything downstream of alerts), recorded as emitted vs
+    # matched so the cap's 10x+ output reduction is visible beside
+    # its small compute cost.
+    from pyspark.sql import Window
+
+    budget = 100
+
+    def _budgeted() -> None:
+        m = percolate(docs, qs).persist()
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("n_matches").desc(), F.col("doc_id").asc()
+        )
+        kept = (
+            m.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= budget).drop("_rn")
+        )
+        kept.write.format("noop").mode("overwrite").save()
+        acct = (
+            m.groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+            .filter(F.col("n_matched") > budget)
+        )
+        acct.write.format("noop").mode("overwrite").save()
+        m.unpersist()
+
+    _budgeted()
+    t0 = time.time()
+    _budgeted()
+    out["budgeted_wall_sec_1000q"] = round(time.time() - t0, 3)
+    out["budget_per_query"] = budget
+    m = percolate(docs, qs).persist()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_matches").desc(), F.col("doc_id").asc()
+    )
+    out["budget_emitted_1000q"] = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= budget).count()
+    )
+    m.unpersist()
     return out
 
 
