@@ -1,0 +1,133 @@
+"""Perceptual image hashing + banding near-dup pairs (E239)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from aws_dms_cdc_data_pipeline_spark.operators.multimodal import encode_bmp
+from aws_dms_cdc_data_pipeline_spark.operators.phash import (
+    phash_bits,
+    phash_images,
+    phash_near_dup_pairs,
+)
+from aws_dms_cdc_data_pipeline_spark.operators.png import encode_png
+
+
+def _img(seed: int, h: int = 48, w: int = 64) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    # smooth-ish structure (random low-res upsampled) so pHash has
+    # real low-frequency content to lock onto, like photographs
+    small = rng.randint(0, 256, size=(6, 8, 3)).astype(np.float64)
+    big = np.repeat(np.repeat(small, h // 6, axis=0), w // 8, axis=1)
+    return np.clip(big[:h, :w, :], 0, 255).astype(np.uint8)
+
+
+def _noisy(px: np.ndarray, seed: int, amp: int = 2) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    noise = rng.randint(-amp, amp + 1, size=px.shape)
+    return np.clip(px.astype(np.int32) + noise, 0, 255).astype(np.uint8)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_bits_properties():
+    base = _img(1)
+    h_base = phash_bits(base)
+    # re-encode-style perturbation: small noise barely moves the hash
+    assert _ham(h_base, phash_bits(_noisy(base, 2))) <= 6
+    # an unrelated image is far away
+    assert _ham(h_base, phash_bits(_img(7))) > 12
+    # deterministic
+    assert h_base == phash_bits(_img(1))
+    # solid image: every AC coefficient quantizes to the median ->
+    # only the DC bit (bit 63) survives
+    solid = np.full((32, 32, 3), 200, dtype=np.uint8)
+    assert phash_bits(solid) == 1 << 63
+    # resize robustness of the low-frequency structure: the same
+    # picture at 2x resolution stays within the near-dup threshold
+    # (block boundaries shift slightly, flipping borderline bits)
+    big = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    assert _ham(h_base, phash_bits(big)) <= 6
+
+
+def test_phash_cross_container_identical(spark):
+    """The same pixels hash IDENTICALLY through BMP and PNG — the
+    hash is a function of the decoded image, not the container."""
+    px = _img(3)
+    rows = [
+        (1, bytearray(encode_bmp(px)), "image/bmp"),
+        (2, bytearray(encode_png(px)), "image/png"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, mime string"
+    )
+    got = {r.media_id: (r.phash, r.width, r.height)
+           for r in phash_images(media).collect()}
+    assert got[1] == got[2]
+    assert got[1][1:] == (64, 48)
+    # and matches the local pipeline bit-for-bit (mod signed pack)
+    want = phash_bits(px)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert got[1][0] == want
+
+
+def test_phash_near_dup_pairs_planted(spark):
+    """Planted re-encodes pair up; unrelated images do not; the
+    banded candidate set loses NOTHING vs brute force."""
+    imgs = {}
+    for i in range(8):
+        imgs[i * 2] = _img(seed=100 + i)
+        imgs[i * 2 + 1] = _noisy(imgs[i * 2], seed=500 + i)  # planted
+    rows = [
+        (mid, bytearray(encode_bmp(px)), "image/bmp")
+        for mid, px in imgs.items()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, mime string"
+    )
+    hashes = phash_images(media).persist()
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_dup_pairs(hashes, max_hamming=6).collect()
+    }
+    planted = {(i * 2, i * 2 + 1) for i in range(8)}
+    assert planted <= set(got)
+
+    # brute-force completeness: banding must find EVERY pair <= k
+    hs = {r.media_id: r.phash & ((1 << 64) - 1)
+          for r in hashes.collect()}
+    brute = {
+        (a, b): _ham(hs[a], hs[b])
+        for a in hs for b in hs
+        if a < b and _ham(hs[a], hs[b]) <= 6
+    }
+    assert got == brute
+    hashes.unpersist()
+
+
+def test_phash_pairs_plan_no_cartesian(spark):
+    rows = [(i, bytearray(encode_bmp(_img(i))), "image/bmp")
+            for i in range(4)]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, mime string"
+    )
+    pairs = phash_near_dup_pairs(phash_images(media), max_hamming=4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    pairs.collect()  # executes clean
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        phash_near_dup_pairs(phash_images(media), max_hamming=64)
+
+
+def test_phash_unsupported_mime():
+    from aws_dms_cdc_data_pipeline_spark.operators.phash import (
+        _decode_rgb,
+    )
+
+    with pytest.raises(NotImplementedError, match="phash decode"):
+        _decode_rgb(b"\x00\x01", "video/h264")
