@@ -47,6 +47,10 @@ from aws_dms_cdc_data_pipeline_spark.operators.phash import (  # noqa: F401
     phash_images,
     phash_near_dup_pairs,
 )
+from aws_dms_cdc_data_pipeline_spark.operators.audiofp import (  # noqa: F401
+    audio_fingerprints,
+    audio_near_dup_pairs,
+)
 from aws_dms_cdc_data_pipeline_spark.operators.bpe import (  # noqa: F401
     learn_bpe_merges,
     segment_words,
