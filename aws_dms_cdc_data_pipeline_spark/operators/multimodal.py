@@ -380,3 +380,63 @@ def resize_images(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+_IMAGE_MIMES = ("image/bmp", "image/png", "image/jpeg", "image/jpg")
+_AUDIO_MIMES = ("audio/wav", "audio/x-wav")
+
+
+def media_near_dup_pairs(
+    media: DataFrame,
+    *,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    mime_col: str = "mime",
+    max_hamming_image: int = 6,
+    max_hamming_audio: int = 6,
+) -> DataFrame:
+    """Unified media near-duplicate pairs over a MIXED-mime corpus —
+    the composition capstone of the perceptual dedup legs: image
+    rows route to DCT pHash (operators/phash.py), audio rows to the
+    sub-band fingerprint (operators/audiofp.py); each modality pairs
+    within itself (the hash spaces are incomparable by construction,
+    so cross-modality pairs are semantically impossible and never
+    computed) and the union carries a ``modality`` column. Rows with
+    other mimes are ignored here — codec-less formats need the
+    deployment decoder the per-leg operators document.
+
+    Returns (modality, id_a, id_b, hamming) ordered
+    (modality, hamming, id_a, id_b). Scale shape: two narrow decode
+    passes over disjoint row sets (the mime filters push to the
+    scan) + the per-leg pigeonhole band joins — nothing quadratic,
+    nothing cross-modality.
+    """
+    from aws_dms_cdc_data_pipeline_spark.operators.audiofp import (
+        audio_fingerprints,
+        audio_near_dup_pairs,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.phash import (
+        phash_images,
+        phash_near_dup_pairs,
+    )
+
+    lower = F.lower(F.col(mime_col))
+    images = media.filter(lower.isin(list(_IMAGE_MIMES)))
+    audio = media.filter(lower.isin(list(_AUDIO_MIMES)))
+    kw = dict(id_col=id_col, content_col=content_col,
+              mime_col=mime_col)
+    img_pairs = phash_near_dup_pairs(
+        phash_images(images, **kw),
+        max_hamming=max_hamming_image, id_col=id_col,
+    ).select(
+        F.lit("image").alias("modality"), "id_a", "id_b", "hamming"
+    )
+    aud_pairs = audio_near_dup_pairs(
+        audio_fingerprints(audio, **kw),
+        max_hamming=max_hamming_audio, id_col=id_col,
+    ).select(
+        F.lit("audio").alias("modality"), "id_a", "id_b", "hamming"
+    )
+    return img_pairs.unionByName(aud_pairs).orderBy(
+        "modality", "hamming", "id_a", "id_b"
+    )

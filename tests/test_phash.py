@@ -131,3 +131,49 @@ def test_phash_unsupported_mime():
 
     with pytest.raises(NotImplementedError, match="phash decode"):
         _decode_rgb(b"\x00\x01", "video/h264")
+
+
+def test_media_near_dup_pairs_mixed(spark):
+    """Mixed-mime corpus: image rows pair through pHash, audio rows
+    through the sub-band fingerprint, never across modalities."""
+    import io
+    import wave
+
+    from aws_dms_cdc_data_pipeline_spark.operators.multimodal import (
+        media_near_dup_pairs,
+    )
+
+    def wav_bytes(x):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes((x * 32767).astype("<i2").tobytes())
+        return buf.getvalue()
+
+    rng = np.random.RandomState(11)
+    t = np.arange(8192) / 8000.0
+    clip = np.sin(2 * np.pi * 440 * t) * 0.5 + np.sin(
+        2 * np.pi * 1200 * t) * 0.3
+    img = _img(21)
+    rows = [
+        (1, bytearray(encode_bmp(img)), "image/bmp"),
+        (2, bytearray(encode_png(_noisy(img, 77))), "image/png"),
+        (3, bytearray(encode_bmp(_img(99))), "image/bmp"),
+        (10, bytearray(wav_bytes(clip)), "audio/wav"),
+        (11, bytearray(wav_bytes(clip * 0.4)), "audio/wav"),
+        (12, bytearray(wav_bytes(
+            rng.uniform(-0.5, 0.5, 8192))), "audio/wav"),
+        (20, bytearray(b"mp3junk"), "audio/mpeg"),  # ignored mime
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, mime string"
+    )
+    got = {(r.modality, r.id_a, r.id_b)
+           for r in media_near_dup_pairs(media).collect()}
+    assert ("image", 1, 2) in got
+    assert ("audio", 10, 11) in got
+    assert all(m != "image" or (a < 10 and b < 10) for m, a, b in got)
+    assert all(m != "audio" or (a >= 10 and b >= 10) for m, a, b in got)
+    assert not any(a == 20 or b == 20 for _m, a, b in got)
