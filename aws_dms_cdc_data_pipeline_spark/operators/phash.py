@@ -153,13 +153,17 @@ def phash_images(
     mime_col: str = "mime",
     hash_size: int = 8,
     highfreq_factor: int = 4,
+    carry: tuple = (),
 ) -> DataFrame:
-    """Hash every image: (id, width, height, phash long). Narrow
-    Arrow-batched map over the scan partitioning — zero shuffles;
-    a 100 TB corpus pays exactly one decode pass."""
+    """Hash every image: (id, carry..., width, height, phash long).
+    Narrow Arrow-batched map over the scan partitioning — zero
+    shuffles; a 100 TB corpus pays exactly one decode pass.
+    ``carry`` columns pass through untouched (a frame index, a
+    source tag) so 1:N callers never re-join the hashes back."""
     if hash_size * hash_size > 64:
         raise ValueError("hash_size**2 must fit in 64 bits")
-    src = media.select(id_col, content_col, mime_col)
+    carry = tuple(carry)
+    src = media.select(id_col, *carry, content_col, mime_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -179,32 +183,27 @@ def phash_images(
                 if h64 >= 1 << 63:
                     h64 -= 1 << 64
                 hashes.append(h64)
-            yield pd.DataFrame(
-                {id_col: ids, "width": ws, "height": hs,
-                 "phash": pd.array(hashes, dtype="int64")}
+            out = {id_col: ids}
+            for c in carry:
+                out[c] = pdf[c]
+            out.update(
+                width=ws, height=hs,
+                phash=pd.array(hashes, dtype="int64"),
             )
+            yield pd.DataFrame(out)
 
-    id_type = src.schema[id_col].dataType.simpleString()
-    return src.mapInPandas(
-        run,
-        schema=(
-            f"{id_col} {id_type}, width int, height int, phash long"
-        ),
-    )
+    fields = [f"{id_col} {src.schema[id_col].dataType.simpleString()}"]
+    fields += [
+        f"{c} {src.schema[c].dataType.simpleString()}" for c in carry
+    ]
+    fields += ["width int", "height int", "phash long"]
+    return src.mapInPandas(run, schema=", ".join(fields))
 
 
-def phash_near_dup_pairs(
-    hashes: DataFrame,
-    *,
-    max_hamming: int = 6,
-    id_col: str = "media_id",
-    hash_col: str = "phash",
-) -> DataFrame:
-    """All pairs within ``max_hamming`` bits: pigeonhole banding over
-    max_hamming + 1 disjoint bit bands (any qualifying pair agrees
-    exactly on ≥ 1 band), equi-join on (band, bits), exact popcount
-    verify. Returns (id_a, id_b, hamming) with id_a < id_b, ordered
-    (hamming ASC, id_a, id_b)."""
+def _band_structs(hash_col: str, max_hamming: int) -> list:
+    """Pigeonhole band keys: max_hamming + 1 disjoint bit slices of
+    the 64-bit hash as (band, bits) structs — any pair within
+    max_hamming agrees exactly on at least one slice."""
     if not 0 <= max_hamming < 64:
         raise ValueError("max_hamming must be in [0, 64)")
     n_bands = max_hamming + 1
@@ -224,6 +223,22 @@ def phash_near_dup_pairs(
             )
         )
         start += width
+    return bands
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    *,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """All pairs within ``max_hamming`` bits: pigeonhole banding over
+    max_hamming + 1 disjoint bit bands (any qualifying pair agrees
+    exactly on ≥ 1 band), equi-join on (band, bits), exact popcount
+    verify. Returns (id_a, id_b, hamming) with id_a < id_b, ordered
+    (hamming ASC, id_a, id_b)."""
+    bands = _band_structs(hash_col, max_hamming)
     keyed = hashes.select(
         F.col(id_col), F.col(hash_col),
         F.explode(F.array(*bands)).alias("_b"),
@@ -259,4 +274,113 @@ def phash_near_dup_pairs(
     )
 
 
-__all__ = ["phash_bits", "phash_images", "phash_near_dup_pairs"]
+def video_near_dup_pairs(
+    frames: DataFrame,
+    *,
+    max_hamming: int = 6,
+    min_containment: float = 0.5,
+    id_col: str = "media_id",
+    frame_col: str = "frame_idx",
+    content_col: str = "content",
+    mime_col: str = "mime",
+) -> DataFrame:
+    """Video near-duplicates via per-KEYFRAME pHash containment —
+    the video leg of the perceptual dedup ladder. Input is a frames
+    relation (video id, frame index, frame image blob, mime): the
+    shape a keyframe extractor produces (multimodal.sample_frames
+    models the 1:N fan-out; real codecs plug in through the same
+    deployment-decoder contract as every media op).
+
+    Two videos are near-duplicates when a large fraction of EITHER
+    one's keyframes has a near-identical frame (pHash Hamming ≤
+    ``max_hamming``) in the other — CONTAINMENT, not symmetric
+    Jaccard, so a trimmed or re-cut copy still pairs with its source
+    (the asymmetric-containment text-dedup precedent,
+    operators/dedup.py). Returns (id_a, id_b, matched_a, matched_b,
+    n_frames_a, n_frames_b, containment) with id_a < id_b and
+    containment = max(matched_a / n_frames_a, matched_b /
+    n_frames_b) ≥ ``min_containment``, ordered
+    (containment DESC, id_a, id_b).
+
+    Scale shape: one decode pass hashes every frame (narrow map,
+    frame indexes carried through — no re-join); candidate frame
+    pairs come from the SAME pigeonhole band join as image pHash
+    (never |frames|²); the per-video-pair aggregate counts DISTINCT
+    matched frame indexes map-side. Nothing is quadratic in videos
+    or frames.
+    """
+    if not 0.0 < min_containment <= 1.0:
+        raise ValueError("min_containment must be in (0, 1]")
+    hashes = phash_images(
+        frames, id_col=id_col, content_col=content_col,
+        mime_col=mime_col, carry=(frame_col,),
+    ).select(
+        F.col(id_col).alias("_vid"),
+        F.col(frame_col).alias("_fidx"),
+        F.col("phash"),
+    ).persist()
+    n_frames = hashes.groupBy("_vid").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    keyed = hashes.select(
+        "_vid", "_fidx", "phash",
+        F.explode(
+            F.array(*_band_structs("phash", max_hamming))
+        ).alias("_b"),
+    ).select(
+        "_vid", "_fidx", "phash",
+        F.col("_b.band").alias("_band"),
+        F.col("_b.bits").alias("_bits"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    ham = F.bit_count(
+        F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+    )
+    matched = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bits") == F.col("b._bits"))
+            & (F.col("a._vid") < F.col("b._vid")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a._vid").alias("id_a"),
+            F.col("b._vid").alias("id_b"),
+            F.col("a._fidx").alias("_fa"),
+            F.col("b._fidx").alias("_fb"),
+        )
+        .distinct()
+    )
+    agg = matched.groupBy("id_a", "id_b").agg(
+        F.count_distinct("_fa").cast("long").alias("matched_a"),
+        F.count_distinct("_fb").cast("long").alias("matched_b"),
+    )
+    na = n_frames.select(
+        F.col("_vid").alias("id_a"), F.col("_n").alias("n_frames_a")
+    )
+    nb = n_frames.select(
+        F.col("_vid").alias("id_b"), F.col("_n").alias("n_frames_b")
+    )
+    out = (
+        agg.join(na, "id_a").join(nb, "id_b")
+        .select(
+            "id_a", "id_b", "matched_a", "matched_b",
+            "n_frames_a", "n_frames_b",
+            F.greatest(
+                F.col("matched_a") / F.col("n_frames_a"),
+                F.col("matched_b") / F.col("n_frames_b"),
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .orderBy(F.col("containment").desc(), "id_a", "id_b")
+    )
+    return out
+
+
+__all__ = [
+    "phash_bits",
+    "phash_images",
+    "phash_near_dup_pairs",
+    "video_near_dup_pairs",
+]

@@ -177,3 +177,45 @@ def test_media_near_dup_pairs_mixed(spark):
     assert all(m != "image" or (a < 10 and b < 10) for m, a, b in got)
     assert all(m != "audio" or (a >= 10 and b >= 10) for m, a, b in got)
     assert not any(a == 20 or b == 20 for _m, a, b in got)
+
+
+def test_video_near_dup_pairs(spark):
+    """Keyframe-containment video dedup: a trimmed copy pairs with
+    its source (containment, not Jaccard); unrelated videos don't;
+    per-frame banding candidates lose nothing."""
+    from aws_dms_cdc_data_pipeline_spark.operators.phash import (
+        video_near_dup_pairs,
+    )
+
+    def frames_of(video_id, imgs):
+        return [
+            (video_id, i, bytearray(encode_bmp(px)), "image/bmp")
+            for i, px in enumerate(imgs)
+        ]
+
+    base = [_img(300 + i) for i in range(6)]
+    rows = []
+    rows += frames_of(1, base)                       # source: 6 frames
+    # trimmed re-encode: 3 of the 6 frames, lightly noised
+    rows += frames_of(2, [_noisy(base[i], 900 + i) for i in (1, 3, 4)])
+    rows += frames_of(3, [_img(700 + i) for i in range(5)])  # unrelated
+    frames = spark.createDataFrame(
+        rows,
+        "media_id long, frame_idx int, content binary, mime string",
+    )
+    got = {
+        (r.id_a, r.id_b): r
+        for r in video_near_dup_pairs(
+            frames, max_hamming=6, min_containment=0.5
+        ).collect()
+    }
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    # all 3 trimmed frames match (containment on the SHORTER side = 1)
+    assert r.matched_b == 3 and r.n_frames_b == 3
+    assert r.containment == 1.0
+    assert r.matched_a == 3 and r.n_frames_a == 6
+    assert not any(3 in pair for pair in got)
+
+    with pytest.raises(ValueError, match="min_containment"):
+        video_near_dup_pairs(frames, min_containment=0.0)
