@@ -1632,6 +1632,19 @@ def _interval_seconds(spec: str) -> int:
     return int(m.group(1)) * mult[m.group(2)]
 
 
+def _hit_score_col(rows) -> "str | None":
+    """Resolve which column carries the QUERY score on a hit
+    relation: execute_search_request joins it in as `_query_score`
+    when the doc relation has its own `score` FIELD (so the two
+    never collide); direct callers pass plain `score`. None → the
+    relation is unscored."""
+    if "_query_score" in rows.columns:
+        return "_query_score"
+    if "score" in rows.columns:
+        return "score"
+    return None
+
+
 def execute_aggs_dsl(
     rows: DataFrame,
     aggs: dict,
@@ -1748,7 +1761,8 @@ def execute_aggs_dsl(
                     "bucket (mixing it with metric sub-aggs would "
                     "need two result shapes under one name)"
                 )
-            if "score" not in rows.columns:
+            score_col = _hit_score_col(rows)
+            if score_col is None:
                 raise ValueError(
                     "top_hits needs a scored hit relation — run the "
                     "body through execute_search_request, which "
@@ -1760,7 +1774,10 @@ def execute_aggs_dsl(
             )
 
             out[name] = top_hits_per_facet(
-                rows.select(id_col, "score"), rows, [body["field"]],
+                rows.select(
+                    id_col, F.col(score_col).alias("score")
+                ),
+                rows, [body["field"]],
                 id_col=id_col,
                 hits_per_bucket=int(hspec["top_hits"].get("size", 3)),
             )
@@ -1774,7 +1791,8 @@ def execute_aggs_dsl(
                     f"{kind} routes with exactly one terms sub-agg "
                     "(the facet leg the sample feeds)"
                 )
-            if "score" not in rows.columns:
+            score_col = _hit_score_col(rows)
+            if score_col is None:
                 raise ValueError(
                     f"{kind} needs a scored hit relation — run the "
                     "body through execute_search_request, which "
@@ -1788,15 +1806,16 @@ def execute_aggs_dsl(
             ((_sname, sspec),) = sub.items()
             facet = sspec["terms"]["field"]
             shard = int(body.get("shard_size", 100))
+            scored = rows.select(id_col, F.col(score_col).alias("score"))
             if kind == "sampler":
                 sample = (
-                    rows.select(id_col, "score")
+                    scored
                     .orderBy(F.col("score").desc(), F.col(id_col).asc())
                     .limit(shard)
                 )
             else:
                 sample = diversified_sampler(
-                    rows.select(id_col, "score"), rows, body["field"],
+                    scored, rows, body["field"],
                     id_col=id_col, shard_size=shard,
                     max_docs_per_value=int(
                         body.get("max_docs_per_value", 1)
@@ -2687,8 +2706,16 @@ def execute_search_request(
         # carry the query scores into the hit relation: the
         # score-dependent aggs (top_hits / sampler /
         # diversified_sampler) consume them; field aggs ignore the
-        # extra column
-        hit_rows = docs.join(hits.select(id_col, "score"), id_col)
+        # extra column. The QUERY score rides the reserved
+        # `_query_score` alias so a pre-existing docs `score` FIELD
+        # never collides (ambiguous-reference, r16 ADVICE); the agg
+        # branches prefer the alias when present.
+        hit_rows = docs.join(
+            hits.select(id_col, F.col("score").alias("_query_score")),
+            id_col,
+        )
+        if "score" not in docs.columns:
+            hit_rows = hit_rows.withColumnRenamed("_query_score", "score")
         agg_out = execute_aggs_dsl(
             hit_rows, aggs, background=docs, id_col=id_col,
             index_tables=index_tables,

@@ -99,7 +99,8 @@ def phash_bits(
     """pHash of an (H, W, 3) uint8 RGB array → int with
     hash_size² bits (64 for the default), packed row-major from the
     top-left low-frequency DCT block, each bit = coefficient >
-    median-of-block-excluding-DC."""
+    median-of-block (DC included in both the sample and the bits —
+    the common imagehash construction)."""
     n = hash_size * highfreq_factor
     small = _area_resize(_gray_f64(px), n)
     c = _dct_matrix(n)
@@ -109,7 +110,11 @@ def phash_bits(
     # ~1e-14 BLAS noise, and raw float compares would turn that
     # noise into hash bits
     flat = np.round(low.flatten(), 6)
-    med = float(np.median(flat[1:]))  # DC excluded from the threshold
+    # median over the WHOLE low-frequency block INCLUDING the DC
+    # term — the common imagehash construction (r16 ADVICE aligned
+    # the threshold with the packed bits: previously the median
+    # excluded DC while the DC bit was kept)
+    med = float(np.median(flat))
     bits = flat > med
     out = 0
     for b in bits:
@@ -318,7 +323,13 @@ def video_near_dup_pairs(
         F.col(id_col).alias("_vid"),
         F.col(frame_col).alias("_fidx"),
         F.col("phash"),
-    ).persist()
+    ).localCheckpoint(eager=True)
+    # eager localCheckpoint instead of persist(): the decode pass
+    # runs ONCE for the two consumers (n_frames + keyed) and the
+    # materialized blocks are reclaimed by the ContextCleaner when
+    # the relation goes out of scope — persist() here leaked cached
+    # partitions for the session (r16 ADVICE; the hash relation is
+    # 3 narrow columns, tiny next to the decoded frames)
     n_frames = hashes.groupBy("_vid").agg(
         F.count(F.lit(1)).cast("long").alias("_n")
     )

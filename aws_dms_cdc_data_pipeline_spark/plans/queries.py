@@ -37,16 +37,31 @@ from aws_dms_cdc_data_pipeline_spark.operators import text as X
 @dataclass
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None → driver runs rows-only check
+    # str → fixed ANSI-SQL oracle; None → driver runs rows-only
+    # check; callable → LAZY oracle, resolved (and cached) on first
+    # ``.oracle`` access so importing the registry never pays a
+    # fixture scan and the oracle binds to the fixture dir in effect
+    # at VERIFY time, not import time (r16 ADVICE).
+    oracle_spec: "str | None | Callable[[], str | None]"
     doc: str = ""
+    _resolved: "str | None" = None
+    _resolved_done: bool = False
+
+    @property
+    def oracle(self) -> "str | None":
+        if not self._resolved_done:
+            spec = self.oracle_spec
+            self._resolved = spec() if callable(spec) else spec
+            self._resolved_done = True
+        return self._resolved
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def q(name: str, oracle: str | None, doc: str = ""):
+def q(name: str, oracle: "str | None | Callable[[], str | None]", doc: str = ""):
     def wrap(fn):
-        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, doc=doc)
+        REGISTRY[name] = QueryDef(fn=fn, oracle_spec=oracle, doc=doc)
         return fn
 
     return wrap
@@ -6006,6 +6021,9 @@ def bpe_merge_candidates_q(spark, sf_dir):
     )
 
 
+_BPE_REF_CACHE: dict = {}
+
+
 def _ref_bpe_merges(n_merges: int):
     """Pure-Python reference BPE learner (the Sennrich et al. 2016
     greedy formulation — the same reference tests/test_bpe.py pins
@@ -6016,7 +6034,11 @@ def _ref_bpe_merges(n_merges: int):
     echo of the engine. Fully deterministic: integer pair weights,
     (-weight, (left, right)) lexicographic argmax — no floats
     anywhere. Returns [] when the fixture is absent (oracle degrades
-    to rows-only)."""
+    to rows-only). Runs LAZILY: the @q sites pass the builder
+    functions themselves (QueryDef.oracle_spec), so the duckdb scan
+    happens on first ``QueryDef.oracle`` access — binding to the
+    SPARK_GRAFT_SF_DIR in effect at VERIFY time, never at import —
+    and results are cached per (path, n_merges) (r16 ADVICE)."""
     import os
     import re as _re
 
@@ -6026,6 +6048,9 @@ def _ref_bpe_merges(n_merges: int):
     )
     if not os.path.exists(path):
         return []
+    cached = _BPE_REF_CACHE.get((path, n_merges))
+    if cached is not None:
+        return cached
     import duckdb
 
     rows = duckdb.sql(
@@ -6057,6 +6082,7 @@ def _ref_bpe_merges(n_merges: int):
                 else:
                     out.append(s)
             vocab[w] = out
+    _BPE_REF_CACHE[(path, n_merges)] = merges
     return merges
 
 
@@ -6083,7 +6109,7 @@ def _bpe_merges_oracle():
 
 @q(
     "bpe_learned_merges",
-    _bpe_merges_oracle(),  # fixture-derived INDEPENDENT reference pin
+    _bpe_merges_oracle,  # LAZY fixture-derived INDEPENDENT reference pin
     # (pure-Python Sennrich learner at registry-build time) — the
     # iterative argmax loop itself is not SQL-expressible, but its
     # output on the gated fixture is bit-deterministic (integer
@@ -8769,7 +8795,7 @@ def _bpe_encoded_oracle():
 
 @q(
     "bpe_encoded_docs",
-    _bpe_encoded_oracle(),  # merges pinned from the independent
+    _bpe_encoded_oracle,  # LAZY; merges pinned from the independent
     # reference learner; segmentation + counts computed in SQL
     "BPE tokenizer INFERENCE — encode the corpus with 24 learned "
     "merges: each DISTINCT word segments once (merge folds run over "

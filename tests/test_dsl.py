@@ -1609,6 +1609,54 @@ def test_search_request_score_dependent_aggs(spark, docs):
         )
 
 
+def test_search_request_aggs_docs_with_own_score_field(spark, docs):
+    """A doc relation that already carries a `score` FIELD must not
+    collide with the QUERY score the request joins into the hit
+    relation (r16 ADVICE: the inner join produced two `score`
+    columns and the top_hits/sampler branches raised an
+    ambiguous-reference AnalysisException). The query score rides
+    `_query_score`; field aggs can still aggregate the doc field."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+        execute_search_request,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        top_hits_per_facet,
+    )
+
+    rel = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    ).withColumn("score", (F.col("doc_id") * 10).cast("double"))
+    query = {"match": {"text": "window merge"}}
+
+    page, aggs = execute_search_request(
+        rel,
+        {"query": query,
+         "aggs": {"per_lang": {"terms": {"field": "lang"},
+                               "aggs": {"best": {"top_hits":
+                                                 {"size": 2}}}},
+                  "avg_field": {"avg": {"field": "score"}}}},
+    )
+    hits = execute_search_dsl(rel, query, top_k=None).select(
+        "doc_id", "score"
+    )
+    want = top_hits_per_facet(hits, rel, ["lang"], hits_per_bucket=2)
+    assert _rows(aggs["per_lang"]) == _rows(want)
+    # the avg agg sees the DOC field, not the query score
+    want_avg = (
+        rel.join(hits.select("doc_id"), "doc_id")
+        .agg(F.avg("score")).collect()[0][0]
+    )
+    got_avg = aggs["avg_field"].collect()[0]
+    assert abs(got_avg["value"] - want_avg) < 1e-9
+    # the page's score column is the QUERY score
+    page_scores = {r.doc_id: r.score for r in page.collect()}
+    hit_scores = {r.doc_id: r.score for r in hits.collect()}
+    assert all(
+        abs(page_scores[d] - hit_scores[d]) < 1e-9 for d in page_scores
+    )
+
+
 def test_dsl_bool_multi_term_match_es_semantics(spark):
     """A multi-term match INSIDE a bool desugars to its ES bool form
     (or -> should/msm=1 as ONE child clause, and -> must) — not one
