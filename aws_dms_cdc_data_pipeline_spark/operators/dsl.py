@@ -605,6 +605,23 @@ def execute_search_dsl(
             default_operator=body.get("default_operator", "or"),
             **common,
         )
+    if kind == "query_string":
+        # the Discover query bar's default language (Lucene
+        # query_string / Kibana DQL) — operators/lucene.py
+        from aws_dms_cdc_data_pipeline_spark.operators.lucene import (
+            query_string_search,
+        )
+
+        qs = body["query"] if isinstance(body, dict) else body
+        kwargs = {}
+        if isinstance(body, dict):
+            if "default_operator" in body:
+                kwargs["default_operator"] = (
+                    body["default_operator"].lower()
+                )
+            if "max_expansions" in body:
+                kwargs["max_expansions"] = int(body["max_expansions"])
+        return query_string_search(docs, qs, **common, **kwargs)
     if kind == "dis_max":
         from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
             dis_max_search,
@@ -1231,9 +1248,20 @@ def _parse_bool_tree(node: dict):
             v = b.get(key, [])
             return v if isinstance(v, list) else [v]
 
-        must = [_parse_bool_tree(n) for n in lst("must")]
-        should = [_parse_bool_tree(n) for n in lst("should")]
-        must_not = [_parse_bool_tree(n) for n in lst("must_not")]
+        def child(n):
+            # metadata leaves (range / terms / exists) are legal in
+            # ANY role, not just filter context: membership follows
+            # the predicate, score contribution is 0 (the engine's
+            # Kibana-filter semantic — metadata never changes BM25
+            # stats or scores; the query_string compiler relies on
+            # this for `lang:en OR merge` shapes)
+            if next(iter(n)) in ("range", "terms", "exists"):
+                return ("metaleaf", n)
+            return _parse_bool_tree(n)
+
+        must = [child(n) for n in lst("must")]
+        should = [child(n) for n in lst("should")]
+        must_not = [child(n) for n in lst("must_not")]
         f_text, f_meta = [], []
         for n in lst("filter"):
             if next(iter(n)) in ("range", "terms", "exists"):
@@ -1260,6 +1288,9 @@ def _tree_leaves(tree, clauses, metas):
     """Collect clause and meta leaves in deterministic walk order."""
     if tree[0] == "clause":
         clauses.append(tree[1])
+        return
+    if tree[0] == "metaleaf":
+        metas.append(tree[1])
         return
     _, must, should, must_not, f_text, f_meta, _msm = tree
     for ch in must + should + must_not + f_text:
@@ -1386,6 +1417,9 @@ def bool_tree_search(
             ).cast("long")
             hit = tf > 0
             return hit, F.when(hit, cq).otherwise(zero)
+        if node[0] == "metaleaf":
+            # metadata leaf in a scoring role: membership only
+            return F.col(f"_m{next(meta_iter)}"), zero
         _, must, should, must_not, f_text, f_meta, msm = node
         if msm is None:
             msm = 0 if (must or f_text or f_meta) else 1
@@ -1535,6 +1569,8 @@ def bool_tree_oracle_sql(
                 f"ELSE CAST(0 AS BIGINT) END"
             )
             return f"(({tf}) > 0)", cq
+        if node[0] == "metaleaf":
+            return f"p._m{next(meta_iter)}", "CAST(0 AS BIGINT)"
         _, must, should, must_not, f_text, f_meta, msm = node
         if msm is None:
             msm = 0 if (must or f_text or f_meta) else 1
@@ -2311,7 +2347,7 @@ def execute_aggs_dsl(
 
 _UNCUT_KINDS = (
     "match_all", "match", "term", "match_phrase", "bool", "ids",
-    "exists", "range", "terms",
+    "exists", "range", "terms", "query_string",
 )
 
 

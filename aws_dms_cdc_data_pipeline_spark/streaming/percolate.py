@@ -786,6 +786,33 @@ def dsl_to_standing(query_id: str, dsl: dict) -> dict:
             "query": body["query"],
             "default_operator": body.get("default_operator", "or"),
         }
+    if kind == "query_string":
+        # the Discover bar grammar registers as a standing query by
+        # compiling to the ES tree (operators/lucene.py) and
+        # re-dispatching: single-leaf bodies land on the dedicated
+        # term/phrase/wildcard/fuzzy types, flat term booleans land
+        # on the bool type; nested bools / metadata fields keep the
+        # reasoned rejections below (percolation emits matches over
+        # the TEXT stream — attrs predicates are the stream filter's
+        # job, CdcStreamConfig.contract_checks)
+        from aws_dms_cdc_data_pipeline_spark.operators.lucene import (
+            compile_query_string,
+        )
+
+        qs = body["query"] if isinstance(body, dict) else body
+        op = (
+            body.get("default_operator", "or")
+            if isinstance(body, dict) else "or"
+        )
+        tree = compile_query_string(qs, default_operator=op.lower())
+        roles = {
+            r: tree["bool"].get(r, [])
+            for r in ("must", "should", "must_not")
+        }
+        children = roles["must"] + roles["should"]
+        if len(children) == 1 and not roles["must_not"]:
+            return dsl_to_standing(query_id, children[0])
+        return dsl_to_standing(query_id, tree)
     raise ValueError(
         f"query type {kind!r} is not percolatable (percolation emits "
         "matches, not scores)"
