@@ -3120,7 +3120,8 @@ def _drop_stale_location(spark, table: str) -> None:
     """Remove a dead session's leftover dir for a derived cache table
     the catalog no longer knows (saveAsTable refuses to reuse the
     location otherwise). Only ever touches OUR tokidx_/toklen_/
-    tokpos_ cache-table paths under the repo-anchored cache db."""
+    tokpos_/tokfwd_/factbkt_ cache-table paths under the
+    repo-anchored cache db."""
     import os
     import shutil
 

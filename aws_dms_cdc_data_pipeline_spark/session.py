@@ -46,6 +46,14 @@ def get_spark(
         # conditional, not forced — SMJ remains the fallback). Skips
         # both sort passes; measured 20-40% on the fact-join bench.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Trust the per-bucket sort order of bucketed+sorted catalog
+        # tables (token index, factbkt star serving): Spark 3+ gates
+        # this behind the legacy flag because multi-file buckets
+        # can't claim ordering — the claim stays guarded by the
+        # one-file-per-bucket check, and ensure_fact_buckets /
+        # ensure_token_index repartition to exactly that layout, so
+        # the bucket-to-bucket merge join drops BOTH sorts.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
