@@ -11,9 +11,14 @@ uses. Reported numbers:
 - ``envelopes_per_sec``: N / drain wall seconds — the headline;
 - ``merge_sec``: seconds inside StateStore.merge (timed via a wrap)
   — the state-store leg of the split;
-- ``archive_sec`` is not separable without patching the sink write
-  itself; ``other_sec`` = wall − merge covers parse + contract +
-  archive + checkpoint commit.
+- ``other_sec`` = wall − merge, now DECOMPOSED per leg (r16 verdict
+  ask #6) by timing each sink write: ``parse_sec`` (the parse-DLQ
+  write — the FIRST action on the persisted batch, so it carries the
+  source read + JSON parse + persist materialization),
+  ``contract_sec`` (quarantine write), ``archive_sec`` (the hourly
+  salted archive write), ``delivery_dlq_sec``, and
+  ``checkpoint_sec`` = the unattributed remainder (source listing +
+  offset/commit log + trigger scheduling).
 
 Generation happens OFF the clock and is reused across runs (the
 backlog dir is keyed by N and kept under ``.benchdata/``).
@@ -101,7 +106,9 @@ def run(n_envelopes: int = 1_000_000, *, spark=None, files: int = 16,
     out.update(best)
     out["runs"] = [
         {k: r[k] for k in ("wall_sec", "envelopes_per_sec",
-                           "merge_sec", "other_sec")}
+                           "merge_sec", "other_sec", "parse_sec",
+                           "contract_sec", "archive_sec",
+                           "delivery_dlq_sec", "checkpoint_sec")}
         for r in drains
     ]
     out["best_envelopes_per_sec"] = rates[-1]
@@ -136,7 +143,33 @@ def _drain_once(n_envelopes: int, spark, files: int,
             merge_time["sec"] += time.monotonic() - t0
             merge_time["calls"] += 1
 
+    # per-leg attribution of other_sec: time every sink json write by
+    # destination. The parse-DLQ write is the FIRST action on the
+    # persisted batch, so its time carries source read + JSON parse +
+    # persist materialization — that IS the parse leg.
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    legs = {"parse": 0.0, "contract": 0.0, "archive": 0.0,
+            "delivery": 0.0}
+    real_json = DataFrameWriter.json
+
+    def timed_json(self, path, *args, **kwargs):
+        t0 = time.monotonic()
+        try:
+            return real_json(self, path, *args, **kwargs)
+        finally:
+            dt = time.monotonic() - t0
+            if "/archive/" in path:
+                legs["archive"] += dt
+            elif path.rstrip("/").endswith("/parse"):
+                legs["parse"] += dt
+            elif path.rstrip("/").endswith("/contract"):
+                legs["contract"] += dt
+            elif path.rstrip("/").endswith("/delivery"):
+                legs["delivery"] += dt
+
     SS.StateStore.merge = timed_merge
+    DataFrameWriter.json = timed_json
     try:
         cfg = CdcStreamConfig(
             source_path=backlog,
@@ -151,6 +184,7 @@ def _drain_once(n_envelopes: int, spark, files: int,
         wall = time.monotonic() - t0
     finally:
         SS.StateStore.merge = real_merge
+        DataFrameWriter.json = real_json
 
     store = SS.StateStore(spark, cfg.state_path)
     out = {
@@ -160,6 +194,13 @@ def _drain_once(n_envelopes: int, spark, files: int,
         "batches": merge_time["calls"],
         "merge_sec": round(merge_time["sec"], 2),
         "other_sec": round(wall - merge_time["sec"], 2),
+        "parse_sec": round(legs["parse"], 2),
+        "contract_sec": round(legs["contract"], 2),
+        "archive_sec": round(legs["archive"], 2),
+        "delivery_dlq_sec": round(legs["delivery"], 2),
+        "checkpoint_sec": round(
+            wall - merge_time["sec"] - sum(legs.values()), 2
+        ),
         "state_rows": store.table().count(),
         "generations": store.version(),
     }
