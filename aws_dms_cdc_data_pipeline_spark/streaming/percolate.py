@@ -606,6 +606,75 @@ def start_percolator(
     return writer.start()
 
 
+def replay_overflow(
+    spark,
+    docs: DataFrame,
+    standing: list,
+    alerts_path: str,
+    overflow_path: str,
+    *,
+    batch_id: int,
+    budget: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Re-emit the alerts a batch's ``match_budget`` cut withheld —
+    the overflow counterpart of maintenance/replay.py:replay_dlq
+    (r16 verdict ask #7: the budget ACCOUNTED overflow but had no
+    disposition path).
+
+    ``docs`` is the batch's document relation (the caller re-reads it
+    from wherever the stream archived it — the CDC archive, the
+    corpus table; the percolator itself stores alerts, not
+    documents). Only the standing queries the accounting names as
+    overflowing re-percolate — |overflowing| × batch work, never the
+    full standing set — and rows already present under
+    ``alerts_path/batch_id=N`` (the original budget-cut emission AND
+    any previous replay) are anti-joined away, so the operation is
+    IDEMPOTENT: re-running appends zero rows. ``budget=None`` emits
+    the full remainder; a later, larger budget re-applies the same
+    strongest-first window cut (n_matches DESC, id ASC) to the
+    remainder. Returns counts: ``queries_replayed``, ``emitted``.
+    """
+    import os as _os
+
+    acct_dir = _os.path.join(overflow_path, f"batch_id={batch_id}")
+    acct = spark.read.parquet(acct_dir)
+    qids = sorted(r["query_id"] for r in acct.collect())
+    if not qids:
+        return {"queries_replayed": 0, "emitted": 0}
+
+    def qid_of(entry) -> str:
+        return (
+            entry["query_id"] if isinstance(entry, dict) else entry[0]
+        )
+
+    sub = [e for e in standing if qid_of(e) in set(qids)]
+    matches = percolate(docs, sub, text_col=text_col, id_col=id_col)
+    alerts_dir = _os.path.join(alerts_path, f"batch_id={batch_id}")
+    existing = spark.read.parquet(alerts_dir).select("query_id", id_col)
+    fresh = matches.join(existing, ["query_id", id_col], "left_anti")
+    if budget is not None:
+        if budget < 1:
+            raise ValueError("budget must be >= 1")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("n_matches").desc(), F.col(id_col).asc()
+        )
+        fresh = (
+            fresh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= budget)
+            .drop("_rn")
+        )
+    fresh = fresh.persist()
+    emitted = fresh.count()
+    if emitted:
+        fresh.write.mode("append").parquet(alerts_dir)
+    fresh.unpersist()
+    return {"queries_replayed": len(qids), "emitted": emitted}
+
+
 def start_index_maintainer(
     docs_stream: DataFrame,
     idx_table: str,
@@ -676,7 +745,12 @@ def start_index_maintainer(
     return writer.start()
 
 
-__all__ = ["percolate", "start_percolator", "start_index_maintainer"]
+__all__ = [
+    "percolate",
+    "replay_overflow",
+    "start_index_maintainer",
+    "start_percolator",
+]
 
 
 def dsl_to_standing(query_id: str, dsl: dict) -> dict:

@@ -1056,3 +1056,76 @@ def test_dsl_to_standing_span_near(spark):
         for r in percolate(docs, [entry]).collect()
     }
     assert got == {("n1", 1)}  # in_order drops doc 2
+
+
+def test_replay_overflow_idempotent(spark, tmp_path):
+    """replay_overflow re-emits exactly the rows the budget cut
+    withheld (only the overflowing queries re-percolate), appends
+    into the same batch_id partition, and is IDEMPOTENT: a second
+    replay emits zero rows. A later larger budget limits the
+    remainder the same strongest-first way."""
+    from aws_dms_cdc_data_pipeline_spark.streaming.percolate import (
+        replay_overflow,
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    rows = [(i, "alert alert storm" if i % 2 else "quiet words here")
+            for i in range(10)]
+    with open(src / "a.jsonl", "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    standing = [
+        {"query_id": "flood", "type": "term", "term": "alert"},
+        {"query_id": "calm", "type": "term", "term": "quiet"},
+    ]
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    q = start_percolator(
+        stream, standing,
+        str(tmp_path / "alerts"), str(tmp_path / "ckpt"),
+        match_budget=3, overflow_path=str(tmp_path / "overflow"),
+    )
+    q.awaitTermination()
+
+    docs = spark.read.schema("doc_id long, text string").json(str(src))
+    out = replay_overflow(
+        spark, docs, standing,
+        str(tmp_path / "alerts"), str(tmp_path / "overflow"),
+        batch_id=0,
+    )
+    assert out == {"queries_replayed": 2, "emitted": 4}
+    alerts = spark.read.parquet(str(tmp_path / "alerts"))
+    # full hit set restored: 5 flood + 5 calm
+    assert alerts.count() == 10
+    flood = sorted(
+        (r["doc_id"], r["n_matches"])
+        for r in alerts.filter(F.col("query_id") == "flood").collect()
+    )
+    assert flood == [(1, 2), (3, 2), (5, 2), (7, 2), (9, 2)]
+    # idempotent: second replay emits nothing and appends nothing
+    again = replay_overflow(
+        spark, docs, standing,
+        str(tmp_path / "alerts"), str(tmp_path / "overflow"),
+        batch_id=0,
+    )
+    assert again == {"queries_replayed": 2, "emitted": 0}
+    assert spark.read.parquet(str(tmp_path / "alerts")).count() == 10
+
+    # later-larger-budget variant: emits only up to the new budget
+    q = start_percolator(
+        stream, standing,
+        str(tmp_path / "alerts3"), str(tmp_path / "ckpt3"),
+        match_budget=3, overflow_path=str(tmp_path / "overflow3"),
+    )
+    q.awaitTermination()
+    out3 = replay_overflow(
+        spark, docs, standing,
+        str(tmp_path / "alerts3"), str(tmp_path / "overflow3"),
+        batch_id=0, budget=1,
+    )
+    assert out3 == {"queries_replayed": 2, "emitted": 2}
+    a3 = spark.read.parquet(str(tmp_path / "alerts3"))
+    assert a3.count() == 8  # 6 budget-kept + 2 replayed
