@@ -289,7 +289,7 @@ FRAME_SCHEMA = T.StructType(
 
 def sample_frames(
     media: DataFrame, *, frame_bytes: int = 64, stride: int = 2, dim: int = 8,
-    fake: bool = False
+    fake: bool = False, extract=None
 ) -> DataFrame:
     """Frame-sample each media blob: every ``stride``-th chunk of
     ``frame_bytes`` becomes one output row with its own feature vector.
@@ -299,6 +299,16 @@ def sample_frames(
     Arrow batch. A real decoder would seek keyframes; the fake path
     slices the byte stream deterministically so the plumbing (schema,
     fan-out ratio, per-frame features) is fully testable here.
+
+    ``extract`` is the deployment KEYFRAME-EXTRACTOR contract (the
+    same swap-in shape as every media op's ``decoder=``): a callable
+    ``(blob: bytes) -> iterable[(frame_idx, frame_blob)]`` that seeks
+    and decodes keyframes from a real container. When given it
+    replaces the byte-slicing path entirely; the emitted frame blobs
+    then feed ``phash.video_near_dup_pairs`` directly (the E242
+    contract, exercised end-to-end in tests/test_phash.py with a
+    length-prefixed multi-frame container and an every-Nth
+    extractor).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -308,9 +318,17 @@ def sample_frames(
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
-                if not fake:  # pragma: no cover
-                    _decode_real(bytes(content), "video/*")
                 blob = bytes(content)
+                if extract is not None:
+                    for idx, frame in extract(blob):
+                        _, _, feats = _decode_fake(frame, dim)
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(int(idx))
+                        out["frame"].append(frame)
+                        out["frame_features"].append(feats)
+                    continue
+                if not fake:  # pragma: no cover
+                    _decode_real(blob, "video/*")
                 n_frames = max(1, len(blob) // frame_bytes)
                 for idx in range(0, n_frames, stride):
                     frame = blob[idx * frame_bytes:(idx + 1) * frame_bytes]

@@ -219,3 +219,84 @@ def test_video_near_dup_pairs(spark):
 
     with pytest.raises(ValueError, match="min_containment"):
         video_near_dup_pairs(frames, min_containment=0.0)
+
+
+def test_video_pipeline_with_keyframe_extractor(spark):
+    """E242 end-to-end through the 1:N contract: a synthetic
+    MULTI-FRAME CONTAINER (length-prefixed BMP sequence) goes through
+    sample_frames with an every-Nth keyframe extractor stand-in, and
+    the extracted frame relation feeds video_near_dup_pairs — the
+    exact seam a real codec's keyframe seek plugs into (r16 verdict
+    ask #8). Proves the fan-out path beyond planted frame fixtures."""
+    import struct
+
+    from aws_dms_cdc_data_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+        sample_frames,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.phash import (
+        video_near_dup_pairs,
+    )
+
+    def container_of(imgs):
+        # [4-byte BE length][bmp bytes] per frame — a stand-in for a
+        # real container's frame index
+        parts = []
+        for px in imgs:
+            b = encode_bmp(px)
+            parts.append(struct.pack(">I", len(b)) + b)
+        return bytearray(b"".join(parts))
+
+    def every_nth_extractor(n):
+        def extract(blob):
+            i, frame_idx, out = 0, 0, []
+            while i + 4 <= len(blob):
+                (ln,) = struct.unpack(">I", blob[i : i + 4])
+                frame = blob[i + 4 : i + 4 + ln]
+                if frame_idx % n == 0:
+                    out.append((frame_idx, bytes(frame)))
+                frame_idx += 1
+                i += 4 + ln
+            return out
+
+        return extract
+
+    base = [_img(400 + i) for i in range(8)]
+    videos = spark.createDataFrame(
+        [
+            (1, container_of(base)),  # source: 8 frames
+            # trimmed noised re-encode of frames 0,2,4 (the ones an
+            # every-2nd keyframe pass will keep)
+            (2, container_of([_noisy(base[i], 50 + i) for i in (0, 2, 4)])),
+            (3, container_of([_img(800 + i) for i in range(6)])),
+        ],
+        "media_id long, content binary",
+    )
+    frames = sample_frames(videos, extract=every_nth_extractor(2)).select(
+        "media_id",
+        "frame_idx",
+        F.col("frame").alias("content"),
+        F.lit("image/bmp").alias("mime"),
+    )
+    # 1:N fan-out is real: 8->4, 3->2, 6->3 frames
+    counts = {
+        r.media_id: r.n
+        for r in frames.groupBy("media_id").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert counts == {1: 4, 2: 2, 3: 3}
+    got = {
+        (r.id_a, r.id_b): r
+        for r in video_near_dup_pairs(
+            frames, max_hamming=6, min_containment=0.5
+        ).collect()
+    }
+    # video 2 keeps container frames 0,2 (its every-2nd sample of a
+    # 3-frame trim of base 0,2,4) = noised base[0], base[4] — both
+    # present among video 1's sampled keyframes (0,2,4,6)
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r.matched_b == 2 and r.n_frames_b == 2
+    assert r.containment == 1.0
+    assert not any(3 in pair for pair in got)
