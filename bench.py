@@ -157,6 +157,15 @@ HEADLINE = (
     "search_request_retriever_rrf",
     "ann_ivf_indexed_topk",
     "ann_pq_indexed_topk",
+    # r17: the Discover query bar (one tokenize pass; the expansions
+    # variant adds the distinct-vocabulary job) and the bucketed-fact
+    # star serving paths (the ad-hoc stars above stay benched so the
+    # zero-Exchange win is measured, the token-index precedent)
+    "query_string_docs",
+    "query_string_expansions",
+    "regional_revenue_bucketed",
+    "topk_customers_by_revenue_bucketed",
+    "q3_shipping_priority_bucketed",
 )
 
 
