@@ -539,6 +539,38 @@ def execute_search_dsl(
             v = body.get(key, [])
             return v if isinstance(v, list) else [v]
 
+        # query_string leaves inside a bool (the Kibana Discover
+        # request shape: DQL bar + filter pills in one body) compile
+        # inline to their ES trees and re-dispatch (operators/
+        # lucene.py:inline_query_strings; multi-term shapes are
+        # reasoned-rejected there — expansion needs the top-level
+        # route)
+        def _has_qs(node):
+            k2, b2 = next(iter(node.items()))
+            if k2 == "query_string":
+                return True
+            if k2 == "bool":
+                return any(
+                    _has_qs(n)
+                    for r in ("must", "should", "must_not", "filter")
+                    for n in (
+                        b2.get(r, []) if isinstance(b2.get(r, []), list)
+                        else [b2[r]]
+                    )
+                )
+            return False
+
+        if _has_qs(dsl):
+            from aws_dms_cdc_data_pipeline_spark.operators.lucene import (
+                inline_query_strings,
+            )
+
+            return execute_search_dsl(
+                docs, inline_query_strings(dsl, text_col=text_col),
+                text_col=text_col, id_col=id_col, top_k=top_k,
+                index_tables=index_tables,
+            )
+
         # nested bool sub-queries AND multi-term match leaves route
         # to the recursive tree executor (any depth, same single-pass
         # machinery). A multi-term match inside a bool is ES-desugared
@@ -615,6 +647,19 @@ def execute_search_dsl(
         qs = body["query"] if isinstance(body, dict) else body
         kwargs = {}
         if isinstance(body, dict):
+            unknown = set(body) - {
+                "query", "default_operator", "max_expansions",
+            }
+            if unknown:
+                # never silently drop a semantic option (the r15
+                # dead-route lesson applied to options): fields /
+                # boost / analyzer etc. would change results
+                raise ValueError(
+                    f"query_string options {sorted(unknown)} are not "
+                    "supported (supported: query, default_operator, "
+                    "max_expansions; fielded search is spelled "
+                    "field:value inside the query itself)"
+                )
             if "default_operator" in body:
                 kwargs["default_operator"] = (
                     body["default_operator"].lower()

@@ -472,6 +472,50 @@ def _has_scoring_leaf(dsl: dict) -> bool:
     return True
 
 
+def inline_query_strings(dsl: dict, *, text_col: str = "text") -> dict:
+    """Rewrite ``query_string`` leaves ANYWHERE inside a bool body
+    into their compiled trees — the Kibana Discover request shape
+    (DQL query bar + filter pills + time range arrive as one bool:
+    ``{"bool": {"must": [{"query_string": ...}], "filter":
+    [{"range": ...}]}}``). Pure compile: multi-term shapes (wildcard
+    / fuzzy) are reasoned-rejected here because vocabulary expansion
+    needs the corpus — use query_string as the TOP-LEVEL query for
+    those (execute_search_dsl routes it through the expanding
+    executor)."""
+    kind, body = next(iter(dsl.items()))
+    if kind == "query_string":
+        qs = body["query"] if isinstance(body, dict) else body
+        op = (
+            body.get("default_operator", "or")
+            if isinstance(body, dict) else "or"
+        ).lower()
+        tree = compile_query_string(
+            qs, default_operator=op, text_col=text_col
+        )
+        if _has_multiterm(tree):
+            raise ValueError(
+                "wildcard/fuzzy inside an embedded query_string leaf "
+                "need vocabulary expansion — put the query_string at "
+                "the TOP LEVEL of the query body (that route expands "
+                "against the corpus vocabulary)"
+            )
+        return tree
+    if kind == "bool":
+        out: dict = {}
+        for role in ("must", "should", "must_not", "filter"):
+            if role in body:
+                items = body[role]
+                items = items if isinstance(items, list) else [items]
+                out[role] = [
+                    inline_query_strings(n, text_col=text_col)
+                    for n in items
+                ]
+        if "minimum_should_match" in body:
+            out["minimum_should_match"] = body["minimum_should_match"]
+        return {"bool": out}
+    return dsl
+
+
 def _wildcard_regex(pattern: str) -> str:
     return "".join(
         ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)

@@ -358,3 +358,48 @@ def test_double_negation_cancels(docs):
     assert _ids(query_string_search(docs, "NOT NOT merge")) == _ids(
         query_string_search(docs, "merge")
     )
+
+
+def test_query_string_inside_bool_kibana_shape(spark, docs):
+    """The Kibana Discover request shape: the DQL bar's query_string
+    rides inside a bool beside filter pills — compiled inline and
+    re-dispatched, identical to compiling by hand; wildcard leaves
+    embedded in a bool are reasoned-rejected (expansion needs the
+    top-level route)."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        bool_tree_search,
+        execute_search_dsl,
+    )
+
+    body = {"bool": {
+        "must": [{"query_string": {"query": "merge AND window"}}],
+        "filter": [{"range": {"n_chars": {"gte": 100}}}],
+    }}
+    got = execute_search_dsl(docs, body)
+    want = bool_tree_search(docs, {"bool": {
+        "must": [compile_query_string("merge AND window")],
+        "filter": [{"range": {"n_chars": {"gte": 100}}}],
+    }})
+    assert _rows(got) == _rows(want)
+    # membership check directly: merge AND window AND n_chars>=100
+    manual = {
+        r.doc_id for r in docs.filter(
+            (F.col("n_chars") >= 100)
+        ).collect()
+        if "merge" in r.text.split() and "window" in r.text.split()
+    }
+    assert _ids(got) == manual
+
+    with pytest.raises(ValueError, match="TOP LEVEL"):
+        execute_search_dsl(docs, {"bool": {
+            "must": [{"query_string": {"query": "wind*"}}]}})
+
+
+def test_query_string_unknown_options_rejected(spark, docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    with pytest.raises(ValueError, match="not.*supported"):
+        execute_search_dsl(docs, {"query_string": {
+            "query": "merge", "fields": ["text^2"]}})
