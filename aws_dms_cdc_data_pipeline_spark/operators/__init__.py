@@ -63,3 +63,8 @@ from aws_dms_cdc_data_pipeline_spark.operators.dedup import (  # noqa: F401
 from aws_dms_cdc_data_pipeline_spark.operators.expectations import (  # noqa: F401
     quarantine_violations,
 )
+from aws_dms_cdc_data_pipeline_spark.operators.lucene import (  # noqa: F401
+    compile_query_string,
+    query_string_oracle_sql,
+    query_string_search,
+)
