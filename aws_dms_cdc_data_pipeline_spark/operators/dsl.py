@@ -578,14 +578,21 @@ def execute_search_dsl(
         # and -> must); flattening it into one flat clause per term
         # turned or-matches into AND and miscounted
         # minimum_should_match (r15 ADVICE).
-        def _needs_tree(n):
+        def _needs_tree(n, role):
             k2 = next(iter(n))
             if k2 == "bool":
+                return True
+            if k2 in ("range", "terms", "exists") and role != "filter":
+                # metadata leaf in a SCORING role (e.g. `lang:en OR
+                # merge` from the query_string compiler, or a direct
+                # ES body): only the tree executor carries
+                # membership-only meta children outside filter
+                # context
                 return True
             return k2 == "match" and len(_leaf_clauses(n)) > 1
 
         if any(
-            _needs_tree(n)
+            _needs_tree(n, role)
             for role in ("must", "should", "must_not", "filter")
             for n in items_of(role)
         ):

@@ -1030,6 +1030,79 @@ def test_search_request_hybrid_knn(spark):
         )
 
 
+def test_dsl_meta_leaf_in_scoring_roles(docs):
+    """Metadata leaves (range/terms/exists) are legal in must/
+    should/must_not of a DIRECT flat bool body, not just filter
+    context or query_string-compiled trees: membership follows the
+    predicate, score contribution is 0 (the Kibana-filter semantic).
+    Regression: the flat executor raised on these; they must route
+    to the tree executor."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    # should: term OR range — the `lang:en OR merge` DQL shape as a
+    # hand-written ES body
+    out = execute_search_dsl(
+        docs,
+        {"bool": {"should": [
+            {"term": {"text": "merge"}},
+            {"range": {"n_chars": {"gte": 300}}},
+        ], "minimum_should_match": 1}},
+        top_k=10,
+    ).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+    # the range leaf never scores: doc score == its bare-term score
+    term_scores = {
+        r.doc_id: r.score for r in execute_search_dsl(
+            docs, {"term": {"text": "merge"}}, top_k=10
+        ).collect()
+    }
+    for r in out:
+        assert r.score == pytest.approx(term_scores[r.doc_id])
+
+    # must: meta predicate in must ≡ the same predicate in filter
+    # for membership and score; only n_clauses_hit differs (a must
+    # child is query context and counts as a hitting child, a
+    # filter never does)
+    must_body = {"bool": {
+        "must": [{"term": {"text": "window"}},
+                 {"range": {"n_chars": {"gte": 95}}}],
+    }}
+    filt_body = {"bool": {
+        "must": [{"term": {"text": "window"}}],
+        "filter": [{"range": {"n_chars": {"gte": 95}}}],
+    }}
+    got_must = execute_search_dsl(docs, must_body, top_k=10).collect()
+    got_filt = execute_search_dsl(docs, filt_body, top_k=10).collect()
+    assert sorted((r.doc_id, r.score) for r in got_must) == \
+        sorted((r.doc_id, r.score) for r in got_filt)
+    assert all(r.n_clauses_hit == 2 for r in got_must)
+    assert all(r.n_clauses_hit == 1 for r in got_filt)
+
+    # must_not: meta exclusion
+    out_mn = execute_search_dsl(
+        docs,
+        {"bool": {
+            "must": [{"term": {"text": "window"}}],
+            "must_not": [{"range": {"n_chars": {"lt": 95}}}],
+        }},
+        top_k=10,
+    ).collect()
+    assert {r.doc_id for r in out_mn} == {1, 2}
+
+    # exists / terms leaves take the same route
+    out_ex = execute_search_dsl(
+        docs,
+        {"bool": {"should": [
+            {"term": {"text": "fast"}},
+            {"terms": {"doc_id": [5]}},
+        ], "minimum_should_match": 1}},
+        top_k=10,
+    ).collect()
+    assert {r.doc_id for r in out_ex} == {1, 5}
+
+
 def test_dsl_nested_bool_tree(spark, docs):
     """Nested bool at depth: membership/scoring recursion matches
     both hand-computed membership and the DuckDB oracle builder."""
