@@ -68,3 +68,8 @@ from aws_dms_cdc_data_pipeline_spark.operators.lucene import (  # noqa: F401
     query_string_oracle_sql,
     query_string_search,
 )
+from aws_dms_cdc_data_pipeline_spark.operators.painless import (  # noqa: F401
+    parse_script,
+    script_score_oracle_sql,
+    script_score_search,
+)

@@ -693,6 +693,38 @@ def execute_search_dsl(
             tie_breaker=float(body.get("tie_breaker", 0.0)),
             **common,
         )
+    if kind == "script_score":
+        # custom-ranking escape hatch: rescore an inner query's
+        # UNCUT hit relation with a restricted Painless arithmetic
+        # script (operators/painless.py for the grammar and the
+        # cross-engine determinism stance). Inner queries follow the
+        # aggs-scope contract — they must support top_k=None.
+        from aws_dms_cdc_data_pipeline_spark.operators.painless import (
+            script_score_search,
+        )
+
+        inner = body["query"]
+        ik = next(iter(inner)) if len(inner) == 1 else None
+        if ik not in _UNCUT_KINDS:
+            raise ValueError(
+                f"script_score needs an uncut inner hit relation; "
+                f"query type {ik!r} is not supported (supported: "
+                f"{_UNCUT_KINDS})"
+            )
+        hits = execute_search_dsl(
+            docs, inner, text_col=text_col, id_col=id_col,
+            top_k=None, index_tables=index_tables,
+        )
+        script = body["script"]
+        return script_score_search(
+            docs,
+            hits,
+            script["source"],
+            params=script.get("params"),
+            min_score=body.get("min_score"),
+            id_col=id_col,
+            top_k=top_k,
+        )
     if kind == "function_score":
         if "functions" in body:
             # decay functions (gauss|exp|linear over a date field):

@@ -10647,6 +10647,57 @@ def q3_shipping_priority_bucketed_q(spark, sf_dir):
     return _assert_bucket_served(out)
 
 
+_SCRIPT_SCORE_SRC = (
+    "saturation(doc['n_chars'].value, params.pivot) * 3 "
+    "+ _score * 0.5 - Math.pow(doc['n_chars'].value / 5000, 2)"
+)
+
+
+def _script_score_oracle():
+    from aws_dms_cdc_data_pipeline_spark.operators.painless import (
+        script_score_oracle_sql,
+    )
+
+    return script_score_oracle_sql(
+        ["merge", "window"], _SCRIPT_SCORE_SRC,
+        params={"pivot": 500}, min_score=0.2, top_k=25,
+    )
+
+
+@q(
+    "script_score_docs",
+    _script_score_oracle,
+    "E245: script_score query — the DSL's custom-ranking escape "
+    "hatch: a restricted-Painless arithmetic script over _score and "
+    "document fields (saturation + weighted BM25 + a squared length "
+    "penalty, params-substituted), rescoring an uncut match query "
+    "with min_score cut AFTER rescoring (the ES contract). ONE "
+    "grammar, TWO backends: the parsed AST compiles to a Spark "
+    "Column (whole-stage-codegen projection over an id-keyed field "
+    "join) AND to the DuckDB oracle expression, so the gate "
+    "verifies the exact arithmetic the engine runs; rational ops "
+    "only here (pow expands to a multiply chain in both backends) — "
+    "transcendentals are flagged and kept out of bit-exact gates "
+    "(operators/painless.py).",
+)
+def script_score_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return execute_search_dsl(
+        docs,
+        {"script_score": {
+            "query": {"match": {"text": "merge window"}},
+            "script": {"source": _SCRIPT_SCORE_SRC,
+                       "params": {"pivot": 500}},
+            "min_score": 0.2,
+        }},
+        top_k=25,
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r17 window (the r16 verdict's ask #2) =
@@ -10661,12 +10712,13 @@ def q3_shipping_priority_bucketed_q(spark, sf_dir):
 # All 50 locally verified green before the round's driver run.
 _R17_WINDOW = [
     # new in r17 (never driver-checked): E243 query_string / DQL,
-    # E244 bucketed-fact star serving
+    # E244 bucketed-fact star serving, E245 script_score
     "query_string_docs",
     "query_string_expansions",
     "regional_revenue_bucketed",
     "topk_customers_by_revenue_bucketed",
     "q3_shipping_priority_bucketed",
+    "script_score_docs",
     # the ENTIRE 30-query r11 stale band (r16 verdict ask #2)
     "events_value_outliers",
     "ewma_user_value",
@@ -10698,7 +10750,7 @@ _R17_WINDOW = [
     "user_last_value_features",
     "whitened_embedding_norms",
     "wildcard_search_docs",
-    # oldest r12 band, alphabetical - 15 of 41; the remaining 26 r12
+    # oldest r12 band, alphabetical - 14 of 41; the remaining 27 r12
     # rows queue for r18
     "agg_cube_status_priority",
     "bm25_keyword_search_indexed",
@@ -10714,7 +10766,6 @@ _R17_WINDOW = [
     "lineitem_quarantine",
     "lineitem_weighted_avg_price",
     "near_dedup_canonical",
-    "near_dup_clusters",
 ]
 
 assert len(_R17_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R17_WINDOW)}"
