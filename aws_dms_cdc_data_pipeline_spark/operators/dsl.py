@@ -81,6 +81,8 @@ single-pass shape.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -164,6 +166,13 @@ def _meta_condition(node: dict):
         return cond
     if kind == "terms":
         ((field, vals),) = body.items()
+        if isinstance(vals, dict):
+            raise ValueError(
+                "terms LOOKUP is supported standalone only — resolve "
+                "the lookup into a literal terms list before placing "
+                "it inside a bool (execute_search_dsl routes the "
+                "standalone {'terms': {field: {index/id/path}}} form)"
+            )
         if not isinstance(vals, list) or not vals:
             raise ValueError("terms filter needs a non-empty value list")
         return F.col(field).isin(vals)
@@ -486,6 +495,66 @@ def execute_search_dsl(
     if kind == "exists":
         # exists query: docs with a non-null field, constant score
         out = docs.filter(F.col(body["field"]).isNotNull()).select(
+            F.col(id_col),
+            F.lit(1.0).alias("score"),
+            F.lit(0).cast("long").alias("n_clauses_hit"),
+        )
+        if top_k is None:
+            return out
+        return out.orderBy(F.col(id_col).asc()).limit(top_k)
+    if kind == "terms" and isinstance(next(iter(body.values())), dict):
+        # terms LOOKUP (ES): the term list lives in another indexed
+        # document — {"terms": {field: {"index": ..., "id": ...,
+        # "path": ...}}}. The lookup relation arrives via
+        # index_tables[index]; the fetch is a 1-row bounded head()
+        # (the same bounded-collect budget as the 1-row corpus
+        # stats). Membership is constant-score like literal terms
+        # (the ES contract); an absent lookup doc or a NULL path
+        # value matches NOTHING (ES: empty terms). On the text
+        # field, membership = the doc's analyzed tokens overlap the
+        # looked-up terms (one scan, arrays_overlap in codegen —
+        # never a corpus join); on a metadata field it is isin().
+        # Supported STANDALONE only: inside a bool, resolve the
+        # lookup client-side into a literal terms list first.
+        ((field, spec),) = body.items()
+        missing = [k for k in ("index", "id", "path") if k not in spec]
+        if missing:
+            raise ValueError(
+                f"terms lookup needs index/id/path keys ({missing} "
+                "missing)"
+            )
+        if not index_tables or spec["index"] not in index_tables:
+            raise ValueError(
+                f"terms lookup index {spec['index']!r}: pass the "
+                "lookup relation via index_tables={name: DataFrame}"
+            )
+        lk = index_tables[spec["index"]]
+        row = (
+            lk.filter(F.col(id_col) == F.lit(spec["id"]))
+            .select(spec["path"])
+            .head()
+        )
+        val = row[0] if row is not None else None
+        if val is None:
+            lookup_terms: list = []
+        elif isinstance(val, (list, tuple)):
+            lookup_terms = [v for v in val if v is not None]
+        elif isinstance(val, str) and field == text_col:
+            lookup_terms = sorted(
+                {t for t in re.split(r"[^a-z0-9]+", val.lower()) if t}
+            )
+        else:
+            lookup_terms = [val]
+        if not lookup_terms:
+            cond = F.lit(False)
+        elif field == text_col:
+            cond = F.arrays_overlap(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                F.array(*[F.lit(t) for t in lookup_terms]),
+            )
+        else:
+            cond = F.col(field).isin(lookup_terms)
+        out = docs.filter(cond).select(
             F.col(id_col),
             F.lit(1.0).alias("score"),
             F.lit(0).cast("long").alias("n_clauses_hit"),

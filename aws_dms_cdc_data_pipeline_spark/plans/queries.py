@@ -10698,6 +10698,59 @@ def script_score_docs_q(spark, sf_dir):
     )
 
 
+_TERMS_LOOKUP_ORACLE = """
+WITH lk AS (
+    SELECT DISTINCT t.term
+    FROM documents,
+         LATERAL (SELECT unnest(string_split_regex(lower(text),
+                                '[^a-z0-9]+')) AS term) t
+    WHERE doc_id = 7 AND t.term <> ''
+),
+dt AS (
+    SELECT doc_id, t.term
+    FROM documents,
+         LATERAL (SELECT unnest(string_split_regex(lower(text),
+                                '[^a-z0-9]+')) AS term) t
+    WHERE t.term <> ''
+)
+SELECT DISTINCT d.doc_id,
+       CAST(1.0 AS DOUBLE) AS score,
+       CAST(0 AS BIGINT) AS n_clauses_hit
+FROM dt d JOIN lk USING (term)
+ORDER BY doc_id ASC
+LIMIT 20
+"""
+
+
+@q(
+    "terms_lookup_docs",
+    _TERMS_LOOKUP_ORACLE,
+    "E246: terms LOOKUP query — the ES shape where the term list "
+    "lives in another indexed document ({'terms': {field: {index/"
+    "id/path}}}): fetch document 7's text from the lookup relation "
+    "(ONE bounded 1-row head(), the corpus-stats budget), analyze "
+    "it, then match any document whose analyzed tokens overlap — "
+    "constant score 1.0 (the ES terms contract), evaluated as ONE "
+    "pushed scan with arrays_overlap in codegen, never a corpus "
+    "join. Absent lookup doc / NULL path matches nothing; inside a "
+    "bool the lookup form is a reasoned rejection "
+    "(operators/dsl.py:execute_search_dsl).",
+)
+def terms_lookup_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return execute_search_dsl(
+        docs,
+        {"terms": {"text": {"index": "documents", "id": 7,
+                            "path": "text"}}},
+        index_tables={"documents": docs},
+        top_k=20,
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r17 window (the r16 verdict's ask #2) =
@@ -10719,6 +10772,7 @@ _R17_WINDOW = [
     "topk_customers_by_revenue_bucketed",
     "q3_shipping_priority_bucketed",
     "script_score_docs",
+    "terms_lookup_docs",
     # the ENTIRE 30-query r11 stale band (r16 verdict ask #2)
     "events_value_outliers",
     "ewma_user_value",
@@ -10750,7 +10804,7 @@ _R17_WINDOW = [
     "user_last_value_features",
     "whitened_embedding_norms",
     "wildcard_search_docs",
-    # oldest r12 band, alphabetical - 14 of 41; the remaining 27 r12
+    # oldest r12 band, alphabetical - 13 of 41; the remaining 28 r12
     # rows queue for r18
     "agg_cube_status_priority",
     "bm25_keyword_search_indexed",
@@ -10765,7 +10819,6 @@ _R17_WINDOW = [
     "lineitem_matrix_stats",
     "lineitem_quarantine",
     "lineitem_weighted_avg_price",
-    "near_dedup_canonical",
 ]
 
 assert len(_R17_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R17_WINDOW)}"

@@ -1103,6 +1103,80 @@ def test_dsl_meta_leaf_in_scoring_roles(docs):
     assert {r.doc_id for r in out_ex} == {1, 5}
 
 
+def test_dsl_terms_lookup(spark, docs):
+    """terms LOOKUP: the term list lives in another indexed document
+    — text-field lookups match on analyzed-token overlap, metadata
+    lookups on equality; absent doc/NULL path match nothing."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    idx = {"documents": docs}
+    # doc 5's text is "the a" -> tokens {the, a}: only doc 5 itself
+    # contains either
+    out = execute_search_dsl(
+        docs,
+        {"terms": {"text": {"index": "documents", "id": 5,
+                            "path": "text"}}},
+        index_tables=idx, top_k=10,
+    ).collect()
+    assert [(r.doc_id, r.score) for r in out] == [(5, 1.0)]
+    # doc 1's tokens hit docs 1/2/3/4 (doc 5 shares none)
+    ids = {r.doc_id for r in execute_search_dsl(
+        docs,
+        {"terms": {"text": {"index": "documents", "id": 1,
+                            "path": "text"}}},
+        index_tables=idx, top_k=10,
+    ).collect()}
+    assert ids == {1, 2, 3, 4}
+    # metadata-field lookup: scalar path value -> isin
+    ids = {r.doc_id for r in execute_search_dsl(
+        docs,
+        {"terms": {"n_chars": {"index": "documents", "id": 2,
+                               "path": "n_chars"}}},
+        index_tables=idx, top_k=10,
+    ).collect()}
+    assert ids == {2}
+    # array-valued path: the canonical ES shape
+    lk = spark.createDataFrame(
+        [(1, ["slow", "fast"])], "doc_id long, toks array<string>"
+    )
+    ids = {r.doc_id for r in execute_search_dsl(
+        docs,
+        {"terms": {"text": {"index": "kw", "id": 1, "path": "toks"}}},
+        index_tables={"kw": lk}, top_k=10,
+    ).collect()}
+    assert ids == {1, 3}  # fast in 1, slow in 3
+    # absent lookup doc -> matches nothing (ES empty-terms contract)
+    assert execute_search_dsl(
+        docs,
+        {"terms": {"text": {"index": "documents", "id": 999,
+                            "path": "text"}}},
+        index_tables=idx, top_k=10,
+    ).count() == 0
+    # reasoned rejections
+    with pytest.raises(ValueError, match="index/id/path"):
+        execute_search_dsl(
+            docs, {"terms": {"text": {"index": "documents"}}},
+            index_tables=idx,
+        )
+    with pytest.raises(ValueError, match="index_tables"):
+        execute_search_dsl(
+            docs,
+            {"terms": {"text": {"index": "missing", "id": 1,
+                                "path": "text"}}},
+        )
+    with pytest.raises(ValueError, match="standalone only"):
+        execute_search_dsl(
+            docs,
+            {"bool": {"filter": [
+                {"terms": {"text": {"index": "documents", "id": 1,
+                                    "path": "text"}}},
+            ], "must": [{"term": {"text": "window"}}]}},
+            index_tables=idx,
+        )
+
+
 def test_dsl_nested_bool_tree(spark, docs):
     """Nested bool at depth: membership/scoring recursion matches
     both hand-computed membership and the DuckDB oracle builder."""
