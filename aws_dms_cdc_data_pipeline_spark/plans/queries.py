@@ -10751,6 +10751,63 @@ def terms_lookup_docs_q(spark, sf_dir):
     )
 
 
+_DISCOVER_QS = '(merge OR "stream table") AND window'
+_DISCOVER_BODY = {
+    "query": {"bool": {
+        "must": [{"query_string": {"query": _DISCOVER_QS}}],
+        "filter": [{"range": {"n_chars": {"gte": 300}}}],
+    }},
+    "sort": [{"n_chars": {"order": "desc"}}],
+    "_source": ["n_chars", "lang"],
+    "size": 15,
+    "aggs": {"by_lang": {"terms": {"field": "lang", "size": 10}}},
+}
+
+
+def _discover_session_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        bool_tree_oracle_sql,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.lucene import (
+        inline_query_strings,
+    )
+
+    tree = inline_query_strings(_DISCOVER_BODY["query"])
+    hits = bool_tree_oracle_sql(tree, top_k=10**9)
+    return f"""
+    WITH hits AS ({hits})
+    SELECT h.doc_id, h.score, d.n_chars, d.lang
+    FROM hits h JOIN documents d USING (doc_id)
+    ORDER BY d.n_chars DESC, h.doc_id ASC
+    LIMIT 15
+    """
+
+
+@q(
+    "discover_session_request",
+    _discover_session_oracle,
+    "E247: a complete Kibana Discover session as ONE search request "
+    "— the DQL bar ('(merge OR \"stream table\") AND window') as a "
+    "query_string leaf inside the bool, a filter-pill range on "
+    "n_chars (membership-only, BM25 stats untouched), field sort "
+    "with _source projection, size paging, and a terms facet agg "
+    "over the FULL uncut hit set — the exact JSON shape Kibana "
+    "sends for the reference's Discover browsing (README.md:"
+    "451-492). The query_string compiles inline to its ES tree "
+    "(operators/lucene.py:inline_query_strings), the whole request "
+    "executes in execute_search_request; the page is the gated "
+    "result, the facet is pytest-gated beside it.",
+)
+def discover_session_request_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_request,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    page, _aggs = execute_search_request(docs, _DISCOVER_BODY)
+    return page
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r17 window (the r16 verdict's ask #2) =
@@ -10773,6 +10830,7 @@ _R17_WINDOW = [
     "q3_shipping_priority_bucketed",
     "script_score_docs",
     "terms_lookup_docs",
+    "discover_session_request",
     # the ENTIRE 30-query r11 stale band (r16 verdict ask #2)
     "events_value_outliers",
     "ewma_user_value",
@@ -10804,7 +10862,7 @@ _R17_WINDOW = [
     "user_last_value_features",
     "whitened_embedding_norms",
     "wildcard_search_docs",
-    # oldest r12 band, alphabetical - 13 of 41; the remaining 28 r12
+    # oldest r12 band, alphabetical - 12 of 41; the remaining 29 r12
     # rows queue for r18
     "agg_cube_status_priority",
     "bm25_keyword_search_indexed",
@@ -10818,7 +10876,6 @@ _R17_WINDOW = [
     "join_semi_high_qty",
     "lineitem_matrix_stats",
     "lineitem_quarantine",
-    "lineitem_weighted_avg_price",
 ]
 
 assert len(_R17_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R17_WINDOW)}"

@@ -403,3 +403,33 @@ def test_query_string_unknown_options_rejected(spark, docs):
     with pytest.raises(ValueError, match="not.*supported"):
         execute_search_dsl(docs, {"query_string": {
             "query": "merge", "fields": ["text^2"]}})
+
+
+def test_discover_session_request_composition(spark, docs):
+    """E247: the full Kibana Discover request — DQL bar inside the
+    bool + filter pill + field sort + _source + facet agg — executes
+    as one body; the facet runs over the FULL uncut hit set, not the
+    page."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_request,
+    )
+
+    body = {
+        "query": {"bool": {
+            "must": [{"query_string": {"query": "merge AND window"}}],
+            "filter": [{"range": {"n_chars": {"gte": 100}}}],
+        }},
+        "sort": [{"n_chars": {"order": "desc"}}],
+        "_source": ["n_chars", "lang"],
+        "size": 2,
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 10}}},
+    }
+    page, aggs = execute_search_request(docs, body)
+    rows = page.collect()
+    # merge AND window AND n_chars>=100: docs 1 (100), 2 (400),
+    # 6 (300); page of 2 sorted by n_chars desc = [2, 6]
+    assert [r.doc_id for r in rows] == [2, 6]
+    assert set(page.columns) == {"doc_id", "score", "n_chars", "lang"}
+    # facet covers ALL 3 hits (docs 1/2/6 are en) though size cut 2
+    facets = {(r[0], r[1]) for r in aggs["by_lang"].collect()}
+    assert facets == {("en", 3)}
