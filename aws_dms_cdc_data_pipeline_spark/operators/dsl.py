@@ -762,6 +762,80 @@ def execute_search_dsl(
             tie_breaker=float(body.get("tie_breaker", 0.0)),
             **common,
         )
+    if kind == "percolate":
+        # the ES percolate QUERY — "which stored queries match this
+        # document", the search-time dual of the streaming
+        # percolator (streaming/percolate.py). The standing-query
+        # list arrives via index_tables[field] (the ES `field` names
+        # where queries are indexed); the document comes inline
+        # (`document` / `documents`, slot = list index — the ES
+        # _percolator_document_slot) or fetched from a relation by
+        # id (`index`/`id`, also via index_tables — the ES stored-
+        # document form). Matching reuses percolate()'s single-pass
+        # batch machinery (one tokenize, corpus work independent of
+        # query count); hits are the stored queries, constant score
+        # 1.0 (documented simplification of ES's per-query
+        # relevance), n_matches as the engine diagnostic.
+        from aws_dms_cdc_data_pipeline_spark.streaming.percolate import (
+            percolate,
+        )
+
+        field = body.get("field", "query")
+        if not index_tables or field not in index_tables:
+            raise ValueError(
+                f"percolate field {field!r}: pass the standing-query "
+                "list via index_tables={field: [standing dicts]} "
+                "(dsl_to_standing converts ES bodies)"
+            )
+        standing = index_tables[field]
+        spark = docs.sparkSession
+        if "index" in body or "id" in body:
+            for k in ("index", "id"):
+                if k not in body:
+                    raise ValueError(
+                        "stored-document percolate needs BOTH index "
+                        "and id"
+                    )
+            if body["index"] not in index_tables:
+                raise ValueError(
+                    f"percolate index {body['index']!r}: pass the "
+                    "document relation via index_tables"
+                )
+            batch = (
+                index_tables[body["index"]]
+                .filter(F.col(id_col) == F.lit(body["id"]))
+                .select(
+                    F.lit(0).cast("long").alias(id_col),
+                    F.col(text_col),
+                )
+            )
+        else:
+            inline = body.get("documents")
+            if inline is None and "document" in body:
+                inline = [body["document"]]
+            if not inline:
+                raise ValueError(
+                    "percolate needs document / documents inline or "
+                    "index+id"
+                )
+            rows = [(i, d.get(text_col)) for i, d in enumerate(inline)]
+            if any(t is None for _, t in rows):
+                raise ValueError(
+                    f"every percolate document needs the {text_col!r} "
+                    "field"
+                )
+            batch = spark.createDataFrame(
+                rows, f"{id_col} long, {text_col} string"
+            )
+        out = percolate(
+            batch, standing, text_col=text_col, id_col=id_col
+        ).select(
+            F.col("query_id"),
+            F.col(id_col).alias("slot"),
+            F.lit(1.0).alias("score"),
+            F.col("n_matches"),
+        ).orderBy(F.col("query_id").asc(), F.col("slot").asc())
+        return out if top_k is None else out.limit(top_k)
     if kind == "script_score":
         # custom-ranking escape hatch: rescore an inner query's
         # UNCUT hit relation with a restricted Painless arithmetic

@@ -10808,6 +10808,79 @@ def discover_session_request_q(spark, sf_dir):
     return page
 
 
+_PERCOLATE_Q_STANDING = [
+    {"query_id": "q_agg", "type": "term", "term": "agg"},
+    {"query_id": "q_merge", "type": "term", "term": "merge"},
+    {"query_id": "q_window", "type": "term", "term": "window"},
+    {"query_id": "q_fast_table", "type": "phrase", "phrase": "fast table"},
+    {"query_id": "q_zzznever", "type": "term", "term": "zzznever"},
+]
+
+_PERCOLATE_Q_ORACLE = """
+WITH d AS (
+    SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+    FROM documents WHERE doc_id = 7
+),
+q(query_id, t1, t2) AS (VALUES
+    ('q_agg', 'agg', NULL),
+    ('q_merge', 'merge', NULL),
+    ('q_window', 'window', NULL),
+    ('q_fast_table', 'fast', 'table'),
+    ('q_zzznever', 'zzznever', NULL)
+),
+m AS (
+    SELECT q.query_id,
+           CAST(0 AS BIGINT) AS slot,
+           CAST(1.0 AS DOUBLE) AS score,
+           CASE WHEN q.t2 IS NULL
+                THEN CAST(len(list_filter(d.toks, x -> x = q.t1))
+                          AS BIGINT)
+                ELSE CAST(len(list_filter(
+                         range(1, len(d.toks)),
+                         i -> d.toks[i] = q.t1
+                              AND d.toks[i + 1] = q.t2)) AS BIGINT)
+           END AS n_matches
+    FROM q, d
+)
+SELECT query_id, slot, score, n_matches
+FROM m WHERE n_matches > 0
+ORDER BY query_id ASC, slot ASC
+"""
+
+
+@q(
+    "percolate_query_docs",
+    _PERCOLATE_Q_ORACLE,
+    "E248: the ES percolate QUERY — the search-time dual of the "
+    "streaming percolator: 'which stored queries match this "
+    "document'. Standing term + phrase queries arrive via "
+    "index_tables; the document is fetched from the documents "
+    "relation by id (the ES stored-document form; inline "
+    "document/documents with _percolator_document_slot also "
+    "routed). Matching reuses percolate()'s single-pass batch "
+    "machinery — one tokenize, shared anchor-vote phrase pass, "
+    "corpus work independent of query count. Oracle: independent "
+    "SQL term-frequency / adjacent-position counting over the same "
+    "tokenization (operators/dsl.py:execute_search_dsl kind="
+    "'percolate').",
+)
+def percolate_query_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return execute_search_dsl(
+        docs,
+        {"percolate": {"field": "query", "index": "documents",
+                       "id": 7}},
+        index_tables={"query": _PERCOLATE_Q_STANDING,
+                      "documents": docs},
+        top_k=20,
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r17 window (the r16 verdict's ask #2) =
@@ -10831,6 +10904,7 @@ _R17_WINDOW = [
     "script_score_docs",
     "terms_lookup_docs",
     "discover_session_request",
+    "percolate_query_docs",
     # the ENTIRE 30-query r11 stale band (r16 verdict ask #2)
     "events_value_outliers",
     "ewma_user_value",
@@ -10862,7 +10936,7 @@ _R17_WINDOW = [
     "user_last_value_features",
     "whitened_embedding_norms",
     "wildcard_search_docs",
-    # oldest r12 band, alphabetical - 12 of 41; the remaining 29 r12
+    # oldest r12 band, alphabetical - 11 of 41; the remaining 30 r12
     # rows queue for r18
     "agg_cube_status_priority",
     "bm25_keyword_search_indexed",
@@ -10875,7 +10949,6 @@ _R17_WINDOW = [
     "join_anti_no_orders",
     "join_semi_high_qty",
     "lineitem_matrix_stats",
-    "lineitem_quarantine",
 ]
 
 assert len(_R17_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R17_WINDOW)}"

@@ -1177,6 +1177,72 @@ def test_dsl_terms_lookup(spark, docs):
         )
 
 
+def test_dsl_percolate_query(spark, docs):
+    """percolate query — the search-time dual of the streaming
+    percolator: inline document(s) with slots, or a stored document
+    fetched by id; hits are the stored queries."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    standing = [
+        {"query_id": "q_merge", "type": "term", "term": "merge"},
+        {"query_id": "q_mw", "type": "phrase", "phrase": "merge window"},
+        {"query_id": "q_zzz", "type": "term", "term": "zzz"},
+    ]
+    idx = {"query": standing}
+    # inline single document
+    out = execute_search_dsl(
+        docs,
+        {"percolate": {"field": "query",
+                       "document": {"text": "merge the window merge window"}}},
+        index_tables=idx, top_k=10,
+    ).collect()
+    got = {(r.query_id, r.slot): r.n_matches for r in out}
+    # merge ×2; "merge window" adjacent once (positions 4-5)
+    assert got == {("q_merge", 0): 2, ("q_mw", 0): 1}
+    # multiple documents -> slot is the list index
+    out = execute_search_dsl(
+        docs,
+        {"percolate": {"field": "query", "documents": [
+            {"text": "nothing here"},
+            {"text": "merge window merge window"},
+        ]}},
+        index_tables=idx, top_k=10,
+    ).collect()
+    got = {(r.query_id, r.slot): r.n_matches for r in out}
+    assert got == {("q_merge", 1): 2, ("q_mw", 1): 2}
+    # stored-document form: doc 2 = "merge merge merge window"
+    out = execute_search_dsl(
+        docs,
+        {"percolate": {"field": "query", "index": "documents", "id": 2}},
+        index_tables={**idx, "documents": docs}, top_k=10,
+    ).collect()
+    got = {(r.query_id, r.slot): r.n_matches for r in out}
+    assert got == {("q_merge", 0): 3, ("q_mw", 0): 1}
+    # rejections
+    with pytest.raises(ValueError, match="index_tables"):
+        execute_search_dsl(
+            docs, {"percolate": {"document": {"text": "x"}}},
+        )
+    with pytest.raises(ValueError, match="BOTH index and id"):
+        execute_search_dsl(
+            docs, {"percolate": {"field": "query", "index": "documents"}},
+            index_tables={**idx, "documents": docs},
+        )
+    with pytest.raises(ValueError, match="document"):
+        execute_search_dsl(
+            docs, {"percolate": {"field": "query"}}, index_tables=idx,
+        )
+    with pytest.raises(ValueError, match="'text'"):
+        execute_search_dsl(
+            docs,
+            {"percolate": {"field": "query",
+                           "documents": [{"title": "no text"}]}},
+            index_tables=idx,
+        )
+
+
 def test_dsl_nested_bool_tree(spark, docs):
     """Nested bool at depth: membership/scoring recursion matches
     both hand-computed membership and the DuckDB oracle builder."""
