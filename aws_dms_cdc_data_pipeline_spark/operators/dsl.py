@@ -2929,6 +2929,46 @@ def execute_search_request(
             "execute_explain_request(docs, doc_id, body), the "
             "_explain endpoint form"
         )
+    rtm = body.get("runtime_mappings") or {}
+    if rtm:
+        # ES runtime fields: script-computed columns defined in the
+        # request and usable everywhere downstream — query metadata
+        # leaves (range/terms/exists), sort, _source, aggs. The
+        # script is the same restricted-Painless grammar as
+        # script_score (operators/painless.py) minus _score (not
+        # defined at mapping time, the ES contract). A runtime field
+        # SHADOWS an index field of the same name (ES semantics —
+        # withColumn replaces). type long floors (documented: Spark
+        # double→long truncation vs DuckDB rounding makes a bare
+        # cast non-portable; ES's long runtime fields floor too).
+        from aws_dms_cdc_data_pipeline_spark.operators.painless import (
+            parse_script,
+            to_column,
+            uses_score,
+        )
+
+        for name, spec in rtm.items():
+            ftype = spec.get("type", "double")
+            if ftype not in ("double", "long"):
+                raise ValueError(
+                    f"runtime field {name!r}: type must be double or "
+                    f"long (got {ftype!r})"
+                )
+            script = spec.get("script")
+            if not script or "source" not in script:
+                raise ValueError(
+                    f"runtime field {name!r} needs a script.source"
+                )
+            ast = parse_script(script["source"], script.get("params"))
+            if uses_score(ast):
+                raise ValueError(
+                    f"runtime field {name!r}: _score is not defined "
+                    "at mapping time (use script_score to rescore)"
+                )
+            col = to_column(ast)
+            if ftype == "long":
+                col = F.floor(col).cast("long")
+            docs = docs.withColumn(name, col)
     query = body.get("query", {"match_all": {}})
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))

@@ -10881,6 +10881,86 @@ def percolate_query_docs_q(spark, sf_dir):
     )
 
 
+_RUNTIME_FIELD_BODY = {
+    "runtime_mappings": {
+        "len_saturation": {
+            "type": "double",
+            "script": {"source":
+                       "saturation(doc['n_chars'].value, params.p)",
+                       "params": {"p": 800}},
+        },
+        "len_bucket": {
+            "type": "long",
+            "script": {"source": "doc['n_chars'].value / 500"},
+        },
+    },
+    "query": {"bool": {
+        "must": [{"term": {"text": "merge"}}],
+        "filter": [{"range": {"len_saturation": {"gte": 0.3}}}],
+    }},
+    "sort": [{"len_bucket": {"order": "desc"}},
+             {"len_saturation": {"order": "asc"}}],
+    "_source": ["len_bucket", "len_saturation", "n_chars"],
+    "size": 18,
+}
+
+
+def _runtime_field_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        clause_search_oracle_sql,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.painless import (
+        parse_script,
+        to_sql,
+    )
+
+    rtm = _RUNTIME_FIELD_BODY["runtime_mappings"]
+    sat = to_sql(
+        parse_script(rtm["len_saturation"]["script"]["source"],
+                     {"p": 800}),
+        field=lambda n: f"CAST(d.{n} AS DOUBLE)",
+    )
+    bkt = "CAST(floor(" + to_sql(
+        parse_script(rtm["len_bucket"]["script"]["source"]),
+        field=lambda n: f"CAST(d.{n} AS DOUBLE)",
+    ) + ") AS BIGINT)"
+    hits = clause_search_oracle_sql(must=[["merge"]], top_k=10**9)
+    return f"""
+    WITH hits AS ({hits})
+    SELECT h.doc_id, h.score, {bkt} AS len_bucket,
+           ({sat}) AS len_saturation, d.n_chars
+    FROM hits h JOIN documents d USING (doc_id)
+    WHERE ({sat}) >= CAST(0.3 AS DOUBLE)
+    ORDER BY len_bucket DESC, len_saturation ASC, h.doc_id ASC
+    LIMIT 18
+    """
+
+
+@q(
+    "runtime_field_request",
+    _runtime_field_oracle,
+    "E249: ES runtime fields (runtime_mappings) — script-computed "
+    "columns defined IN the search request and used everywhere "
+    "downstream in the same body: a params-substituted saturation "
+    "as a filter-pill range (membership-only), a floored long "
+    "bucket as the primary sort key, both projected via _source. "
+    "The script is the same restricted-Painless grammar as "
+    "script_score minus _score (not defined at mapping time); the "
+    "oracle compiles the SAME ASTs through to_sql over the clause "
+    "oracle's hit CTE, so the gate verifies the exact arithmetic "
+    "in every consuming position (operators/dsl.py:"
+    "execute_search_request runtime_mappings).",
+)
+def runtime_field_request_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_request,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    page, _aggs = execute_search_request(docs, _RUNTIME_FIELD_BODY)
+    return page
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r17 window (the r16 verdict's ask #2) =
@@ -10905,6 +10985,7 @@ _R17_WINDOW = [
     "terms_lookup_docs",
     "discover_session_request",
     "percolate_query_docs",
+    "runtime_field_request",
     # the ENTIRE 30-query r11 stale band (r16 verdict ask #2)
     "events_value_outliers",
     "ewma_user_value",
@@ -10936,7 +11017,7 @@ _R17_WINDOW = [
     "user_last_value_features",
     "whitened_embedding_norms",
     "wildcard_search_docs",
-    # oldest r12 band, alphabetical - 11 of 41; the remaining 30 r12
+    # oldest r12 band, alphabetical - 10 of 41; the remaining 31 r12
     # rows queue for r18
     "agg_cube_status_priority",
     "bm25_keyword_search_indexed",
@@ -10948,7 +11029,6 @@ _R17_WINDOW = [
     "events_percentile_ranks",
     "join_anti_no_orders",
     "join_semi_high_qty",
-    "lineitem_matrix_stats",
 ]
 
 assert len(_R17_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R17_WINDOW)}"

@@ -1243,6 +1243,59 @@ def test_dsl_percolate_query(spark, docs):
         )
 
 
+def test_search_request_runtime_mappings(spark, docs):
+    """ES runtime fields: script-computed columns defined in the
+    request, usable in query filters, sort, _source, and aggs; long
+    type floors; _score is rejected at mapping time."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_request,
+    )
+
+    body = {
+        "runtime_mappings": {
+            "half": {"type": "double",
+                     "script": {"source": "doc['n_chars'].value / 2"}},
+            "bucket": {"type": "long",
+                       "script": {"source":
+                                  "doc['n_chars'].value / params.d",
+                                  "params": {"d": 100}}},
+        },
+        "query": {"bool": {
+            "must": [{"term": {"text": "window"}}],
+            "filter": [{"range": {"half": {"gte": 50}}}],
+        }},
+        "sort": [{"bucket": {"order": "desc"}}],
+        "_source": ["half", "bucket", "n_chars"],
+        "size": 10,
+        "aggs": {"b": {"terms": {"field": "bucket"}}},
+    }
+    page, aggs = execute_search_request(docs, body)
+    rows = page.collect()
+    # window docs: 1 (100), 2 (400), 4 (90); half>=50 keeps 1 and 2
+    assert [r.doc_id for r in rows] == [2, 1]
+    by_id = {r.doc_id: (r.half, r.bucket) for r in rows}
+    assert by_id[1] == (50.0, 1) and by_id[2] == (200.0, 4)
+    # the facet sees the runtime field over the uncut hit set
+    assert {(r[0], r[1]) for r in aggs["b"].collect()} == \
+        {(1, 1), (4, 1)}
+
+    with pytest.raises(ValueError, match="double or long"):
+        execute_search_request(docs, {
+            "runtime_mappings": {"x": {"type": "keyword",
+                                       "script": {"source": "1"}}},
+        })
+    with pytest.raises(ValueError, match="script.source"):
+        execute_search_request(docs, {
+            "runtime_mappings": {"x": {"type": "double"}},
+        })
+    with pytest.raises(ValueError, match="_score"):
+        execute_search_request(docs, {
+            "runtime_mappings": {"x": {
+                "type": "double",
+                "script": {"source": "_score * 2"}}},
+        })
+
+
 def test_dsl_nested_bool_tree(spark, docs):
     """Nested bool at depth: membership/scoring recursion matches
     both hand-computed membership and the DuckDB oracle builder."""
