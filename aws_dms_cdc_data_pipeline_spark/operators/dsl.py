@@ -53,6 +53,19 @@ the dispatcher adds NO new semantics):
   sub-queries, min_max leg normalization + weighted arithmetic-mean
   combination; weights ride the body) →
   :func:`...retrieval.normalized_hybrid_fuse`
+- ``script_score`` — restricted-Painless arithmetic rescoring of an
+  uncut inner query (min_score cuts AFTER rescoring) →
+  :func:`...painless.script_score_search`
+- ``terms`` LOOKUP form (``{field: {index/id/path}}``, standalone;
+  lookup relation via ``index_tables``) — constant-score token
+  overlap / isin membership
+- ``percolate`` — the search-time dual of the streaming percolator:
+  inline ``document``/``documents`` (slot = list index) or a stored
+  document by ``index``/``id``; standing queries via
+  ``index_tables[field]`` → :func:`...streaming.percolate.percolate`
+- search-request ``runtime_mappings`` — script-computed columns
+  (same grammar, minus ``_score``) attached before execution, so
+  filters / sort / _source / aggs consume them
 - search-request ``rescore`` block (flat term/match base +
   match_phrase rescore_query) → :func:`...querystring.rescore_search`
 - the ``_explain`` endpoint form →
