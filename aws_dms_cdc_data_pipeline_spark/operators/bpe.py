@@ -238,3 +238,76 @@ def encode_documents(
             F.size("tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+def fertility_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    group_cols: tuple = ("lang", "source"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer FERTILITY / compression statistics per corpus
+    stratum — the numbers a tokenizer owner watches before training
+    on a new mixture: tokens-per-word (fertility; >1 means words
+    fragment) and chars-per-token (compression; higher is better) by
+    language / source.
+
+    Exact-arithmetic contract: the grouped sums (docs, words,
+    whitespace-free chars, BPE tokens) are exact BIGINTs; each ratio
+    is ONE IEEE division of those exact sums — bit-identical
+    cross-engine. Word = non-empty whitespace split (the
+    word_symbol_table contract); chars count the whitespace-free
+    text so the denominator is tokenizer-visible characters.
+    Documents with zero words tokenize to nothing and are excluded
+    from every sum including n_docs (the inner join on the encoded
+    relation — mirrored in the oracle).
+
+    Scale shape: token counts ride :func:`encode_documents` (merge
+    folds over the DISTINCT-WORD relation, one word-keyed join —
+    never per-corpus-row Python); the stats are one groupBy over
+    (id, counts) pairs. A 100 TB corpus pays the encode join plus a
+    |strata|-sized aggregate.
+
+    Returns (group_cols…, n_docs, n_words, n_chars, n_tokens,
+    tokens_per_word, chars_per_token) ordered by the group columns.
+    """
+    enc = encode_documents(
+        docs, merges, text_col=text_col, id_col=id_col
+    ).select(id_col, "n_tokens")
+    base = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in group_cols],
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+            )
+        ).cast("long").alias("n_words"),
+        F.length(
+            F.regexp_replace(F.col(text_col), r"\s+", "")
+        ).cast("long").alias("n_chars"),
+    )
+    gcols = [F.col(c) for c in group_cols]
+    return (
+        base.join(enc, id_col, "inner")
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            *gcols,
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            (F.col("n_tokens").cast("double")
+             / F.col("n_words").cast("double")).alias("tokens_per_word"),
+            (F.col("n_chars").cast("double")
+             / F.col("n_tokens").cast("double")).alias("chars_per_token"),
+        )
+        .orderBy(*[F.col(c).asc_nulls_first() for c in group_cols])
+    )

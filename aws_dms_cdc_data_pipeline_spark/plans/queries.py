@@ -8746,16 +8746,13 @@ def ann_pq_topk_q(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-def _bpe_encoded_oracle():
-    """DuckDB mirror of tokenizer inference: the 24 merges come from
-    the independent reference learner (_ref_bpe_merges); the
-    SEGMENTATION itself is computed IN SQL — each merge is one
-    greedy left-to-right list_reduce rewrite over the distinct-word
-    relation (the same vocabulary-not-corpus shape the engine uses),
-    then word occurrences join back and counts aggregate per doc."""
-    ms = _ref_bpe_merges(24)
-    if not ms:
-        return None
+def _bpe_segment_cte(ms) -> str:
+    """Shared WITH-body computing the per-doc BPE token relation
+    ``tok(doc_id, t)`` in SQL: each merge is one greedy left-to-right
+    list_reduce rewrite over the distinct-word relation (the same
+    vocabulary-not-corpus shape the engine uses), then word
+    occurrences join back. Used by the encode and fertility
+    oracles."""
 
     def rewrite(step: int, a: str, b: str, m: str) -> str:
         return (
@@ -8773,7 +8770,7 @@ def _bpe_encoded_oracle():
     )
     last = len(ms)
     return f"""
-    WITH w0 AS (
+    w0 AS (
         SELECT doc_id, u.w AS w
         FROM (SELECT doc_id,
                      list_filter(string_split_regex(text, '\\s+'),
@@ -8786,7 +8783,19 @@ def _bpe_encoded_oracle():
     tok AS (
         SELECT w0.doc_id, u.t AS t
         FROM w0 JOIN v{last} USING (w), UNNEST(v{last}.syms) AS u(t)
-    )
+    )"""
+
+
+def _bpe_encoded_oracle():
+    """DuckDB mirror of tokenizer inference: the 24 merges come from
+    the independent reference learner (_ref_bpe_merges); the
+    SEGMENTATION itself is computed IN SQL (_bpe_segment_cte), then
+    counts aggregate per doc."""
+    ms = _ref_bpe_merges(24)
+    if not ms:
+        return None
+    return f"""
+    WITH {_bpe_segment_cte(ms)}
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(COUNT(DISTINCT t) AS BIGINT) AS n_unique_tokens
     FROM tok GROUP BY doc_id
@@ -10961,6 +10970,75 @@ def runtime_field_request_q(spark, sf_dir):
     return page
 
 
+def _fertility_oracle():
+    """Fertility stats from the SAME independent components the BPE
+    gates pin: reference-learned merges (_ref_bpe_merges) + SQL
+    segmentation (_bpe_segment_cte); word/char counts and the two
+    single-division ratios compute directly in SQL."""
+    ms = _ref_bpe_merges(24)
+    if not ms:
+        return None
+    return f"""
+    WITH {_bpe_segment_cte(ms)},
+    doc_tok AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY doc_id
+    ),
+    doc_base AS (
+        SELECT doc_id, lang, source,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS BIGINT)
+                   AS n_words,
+               CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                    AS BIGINT) AS n_chars
+        FROM documents
+    )
+    SELECT b.lang, b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(b.n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(t.n_tokens) AS DOUBLE)
+               / CAST(SUM(b.n_words) AS DOUBLE) AS tokens_per_word,
+           CAST(SUM(b.n_chars) AS DOUBLE)
+               / CAST(SUM(t.n_tokens) AS DOUBLE) AS chars_per_token
+    FROM doc_base b JOIN doc_tok t USING (doc_id)
+    GROUP BY b.lang, b.source
+    ORDER BY b.lang ASC, b.source ASC
+    """
+
+
+@q(
+    "tokenizer_fertility_stats",
+    _fertility_oracle,  # LAZY; merges pinned from the independent
+    # reference learner; segmentation + ratios computed in SQL
+    "E250: tokenizer fertility / compression statistics per corpus "
+    "stratum — tokens-per-word and chars-per-token by (lang, "
+    "source) under the 24-merge BPE tokenizer: the numbers a "
+    "tokenizer owner watches before training on a new mixture "
+    "(fertility >1 = words fragment; chars/token = compression). "
+    "Grouped sums are exact BIGINTs; each ratio is ONE IEEE "
+    "division of exact sums — bit-identical cross-engine. Token "
+    "counts ride encode_documents (merge folds over the DISTINCT-"
+    "WORD relation + one word-keyed join — never per-corpus-row "
+    "Python); the stats are one |strata|-sized aggregate "
+    "(operators/bpe.py:fertility_stats).",
+)
+def tokenizer_fertility_stats_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.bpe import (
+        fertility_stats,
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges_df = learn_bpe_merges(docs, 24)
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    return fertility_stats(docs, merges)
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r17 window (the r16 verdict's ask #2) =
@@ -10986,6 +11064,7 @@ _R17_WINDOW = [
     "discover_session_request",
     "percolate_query_docs",
     "runtime_field_request",
+    "tokenizer_fertility_stats",
     # the ENTIRE 30-query r11 stale band (r16 verdict ask #2)
     "events_value_outliers",
     "ewma_user_value",
@@ -11017,7 +11096,7 @@ _R17_WINDOW = [
     "user_last_value_features",
     "whitened_embedding_norms",
     "wildcard_search_docs",
-    # oldest r12 band, alphabetical - 10 of 41; the remaining 31 r12
+    # oldest r12 band, alphabetical - 9 of 41; the remaining 32 r12
     # rows queue for r18
     "agg_cube_status_priority",
     "bm25_keyword_search_indexed",
@@ -11028,7 +11107,6 @@ _R17_WINDOW = [
     "events_extended_stats",
     "events_percentile_ranks",
     "join_anti_no_orders",
-    "join_semi_high_qty",
 ]
 
 assert len(_R17_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R17_WINDOW)}"

@@ -73,3 +73,34 @@ def test_encode_requires_merges(corpus):
 
     with pytest.raises(ValueError, match="non-empty"):
         encode_documents(corpus, [])
+
+
+def test_fertility_stats_hand_computed(spark):
+    """E250: grouped fertility sums and single-division ratios match
+    a hand computation; zero-word docs are excluded from every sum."""
+    from aws_dms_cdc_data_pipeline_spark.operators.bpe import (
+        fertility_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "abab ab", "en", "web"),
+            (2, "ab cd", "en", "web"),
+            (3, "abab abab", "de", "web"),
+            (4, "   ", "en", "web"),  # zero words -> excluded
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = fertility_stats(df, [("a", "b")]).collect()
+    rows = {(r.lang, r.source): r for r in out}
+    assert set(rows) == {("en", "web"), ("de", "web")}
+    en = rows[("en", "web")]
+    # doc1: abab->ab+ab (2 toks), ab->ab (1); doc2: ab(1) + c,d(2)
+    # words: 2+2=4; chars: 6+4=10; tokens: 3+3=6
+    assert (en.n_docs, en.n_words, en.n_chars, en.n_tokens) == \
+        (2, 4, 10, 6)
+    assert en.tokens_per_word == 6.0 / 4.0
+    assert en.chars_per_token == 10.0 / 6.0
+    de = rows[("de", "web")]
+    assert (de.n_docs, de.n_words, de.n_chars, de.n_tokens) == \
+        (1, 2, 8, 4)
