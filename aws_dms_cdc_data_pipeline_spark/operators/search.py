@@ -3264,6 +3264,98 @@ def bm25_oracle_sql(
     """
 
 
+def termvectors(
+    docs: DataFrame,
+    doc_ids: list,
+    *,
+    term_statistics: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ES ``_termvectors`` / ``_mtermvectors`` endpoint — per-
+    document term statistics for the requested ids: term_freq and
+    the 0-based positions array (always), plus the corpus-wide
+    doc_freq / ttf (total term frequency) when
+    ``term_statistics=True`` (the endpoint's opt-in flag, same
+    default as ES).
+
+    Scale shape: the positional tokenize runs over the REQUESTED
+    documents only (id filter pushed into the scan); the optional
+    term statistics aggregate at the distinct-term grain corpus-wide
+    and join back on the vocabulary key — the requested side is tiny,
+    so the join broadcasts. Nothing corpus-sized is ever collected.
+
+    Returns (id, term, term_freq, positions[, doc_freq, ttf])
+    ordered (id, term).
+    """
+    if not doc_ids:
+        raise ValueError("termvectors needs at least one document id")
+    wanted = docs.filter(F.col(id_col).isin(list(doc_ids)))
+    tv = (
+        tokenize_positions(wanted, text_col, id_col)
+        .groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("term_freq"),
+            F.array_sort(
+                F.collect_list(F.col("pos").cast("long"))
+            ).alias("positions"),
+        )
+    )
+    if term_statistics:
+        stats = tokenize(docs, text_col, id_col).groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+            F.sum("tf").cast("long").alias("ttf"),
+        )
+        tv = tv.join(stats, "term").select(
+            id_col, "term", "term_freq", "positions", "doc_freq", "ttf"
+        )
+    return tv.orderBy(F.col(id_col).asc(), F.col("term").asc())
+
+
+def termvectors_oracle_sql(
+    doc_ids: list,
+    *,
+    term_statistics: bool = False,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL for the identical termvectors result (same
+    tokenizer, same 0-based positions)."""
+    ids = ", ".join(str(int(i)) for i in doc_ids)
+    stat_cols = ", s.doc_freq, s.ttf" if term_statistics else ""
+    stat_join = "JOIN stats s USING (term)" if term_statistics else ""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col},
+               list_filter(string_split_regex(lower({text_col}),
+                                              '[^a-z0-9]+'),
+                           x -> x <> '') AS ts
+        FROM {table}
+    ),
+    pos AS (
+        SELECT {id_col}, ts[i] AS term, CAST(i - 1 AS BIGINT) AS pos
+        FROM toks, UNNEST(range(1, len(ts) + 1)) AS u(i)
+    ),
+    tv AS (
+        SELECT {id_col}, term,
+               CAST(COUNT(*) AS BIGINT) AS term_freq,
+               list_sort(list(pos)) AS positions
+        FROM pos WHERE {id_col} IN ({ids})
+        GROUP BY {id_col}, term
+    ),
+    stats AS (
+        SELECT term,
+               CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS doc_freq,
+               CAST(COUNT(*) AS BIGINT) AS ttf
+        FROM pos GROUP BY term
+    )
+    SELECT tv.{id_col}, tv.term, tv.term_freq, tv.positions{stat_cols}
+    FROM tv {stat_join}
+    ORDER BY tv.{id_col} ASC, tv.term ASC
+    """
+
+
 __all__ = [
     "append_to_position_index",
     "append_to_token_index",
@@ -3292,6 +3384,8 @@ __all__ = [
     "tfidf_top_terms_indexed",
     "token_index_stats",
     "token_index_stats_oracle_sql",
+    "termvectors",
+    "termvectors_oracle_sql",
     "tokenize",
     "tokenize_positions",
     "wildcard_oracle_sql",

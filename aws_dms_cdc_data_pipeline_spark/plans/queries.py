@@ -11039,6 +11039,36 @@ def tokenizer_fertility_stats_q(spark, sf_dir):
     return fertility_stats(docs, merges)
 
 
+def _termvectors_oracle() -> str:
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        termvectors_oracle_sql,
+    )
+
+    return termvectors_oracle_sql([3, 7, 11], term_statistics=True)
+
+
+@q(
+    "termvectors_docs",
+    _termvectors_oracle,
+    "E251: the ES _termvectors / _mtermvectors endpoint — per-"
+    "document term statistics for requested ids: term_freq + the "
+    "0-based positions array, plus corpus-wide doc_freq / ttf "
+    "(term_statistics=true). The positional tokenize runs over the "
+    "REQUESTED documents only (id filter pushed into the scan); the "
+    "term statistics aggregate at the distinct-term grain and join "
+    "back on the vocabulary key with the tiny requested side "
+    "broadcast. Exact integers everywhere "
+    "(operators/search.py:termvectors).",
+)
+def termvectors_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        termvectors,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return termvectors(docs, [3, 7, 11], term_statistics=True)
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r17 window (the r16 verdict's ask #2) =
@@ -11065,6 +11095,7 @@ _R17_WINDOW = [
     "percolate_query_docs",
     "runtime_field_request",
     "tokenizer_fertility_stats",
+    "termvectors_docs",
     # the ENTIRE 30-query r11 stale band (r16 verdict ask #2)
     "events_value_outliers",
     "ewma_user_value",
@@ -11096,7 +11127,7 @@ _R17_WINDOW = [
     "user_last_value_features",
     "whitened_embedding_norms",
     "wildcard_search_docs",
-    # oldest r12 band, alphabetical - 9 of 41; the remaining 32 r12
+    # oldest r12 band, alphabetical - 8 of 41; the remaining 33 r12
     # rows queue for r18
     "agg_cube_status_priority",
     "bm25_keyword_search_indexed",
@@ -11106,7 +11137,6 @@ _R17_WINDOW = [
     "docs_multi_terms",
     "events_extended_stats",
     "events_percentile_ranks",
-    "join_anti_no_orders",
 ]
 
 assert len(_R17_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R17_WINDOW)}"

@@ -1364,3 +1364,38 @@ def test_boosting_demotes_without_excluding(spark):
         boosting_search(docs, ["apple"], [])
     with pytest.raises(ValueError, match="negative_boost"):
         boosting_search(docs, ["apple"], ["sour"], negative_boost=1.5)
+
+
+def test_termvectors_endpoint(spark):
+    """E251: per-doc term stats — tf, 0-based positions, corpus
+    doc_freq/ttf under term_statistics=True."""
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        termvectors,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge window merge"),
+            (2, "window scan"),
+            (3, "scan scan scan"),
+        ],
+        "doc_id long, text string",
+    )
+    out = termvectors(docs, [1, 3], term_statistics=True).collect()
+    rows = {(r.doc_id, r.term): r for r in out}
+    assert set(rows) == {(1, "merge"), (1, "window"), (3, "scan")}
+    m = rows[(1, "merge")]
+    assert (m.term_freq, list(m.positions), m.doc_freq, m.ttf) == \
+        (2, [0, 2], 1, 2)
+    w = rows[(1, "window")]
+    assert (w.term_freq, list(w.positions), w.doc_freq, w.ttf) == \
+        (1, [1], 2, 2)
+    s = rows[(3, "scan")]
+    assert (s.term_freq, list(s.positions), s.doc_freq, s.ttf) == \
+        (3, [0, 1, 2], 2, 4)
+    # without term_statistics the stats columns are absent (ES default)
+    cols = termvectors(docs, [1]).columns
+    assert cols == ["doc_id", "term", "term_freq", "positions"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one"):
+        termvectors(docs, [])
