@@ -11072,18 +11072,20 @@ def termvectors_docs_q(spark, sf_dir):
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r17 window (the r16 verdict's ask #2) =
-# the 5 queries NEW in r17 (the Discover query_string / Kibana-DQL
-# grammar E243 and the bucketed-fact star serving E244, each
-# oracle-gated) + the ENTIRE 30-query r11 stale band (clearing the
-# oldest band — the r16 judge re-verified 12 of the 30 full-oracle
-# green at HEAD, so this is bookkeeping, but the driver record is
-# the contract) + the 15 oldest r12 rows in alphabetical order.
-# After this round the oldest gate is r12 (26 rows), then r13 —
-# one more disciplined rotation keeps every band <= 4 rounds old.
-# All 50 locally verified green before the round's driver run.
+# the 12 queries NEW in r17 (E243 query_string / Kibana-DQL, E244
+# bucketed-fact star serving, E245 script_score, E246 terms lookup,
+# E247 Discover session, E248 percolate query, E249 runtime fields,
+# E250 tokenizer fertility, E251 termvectors — each oracle-gated) +
+# the ENTIRE 30-query r11 stale band (clearing the oldest band —
+# the r16 judge re-verified 12 of the 30 full-oracle green at HEAD,
+# so this is bookkeeping, but the driver record is the contract) +
+# the 8 oldest r12 rows in alphabetical order. Never-driver-checked
+# queries outrank stale-but-judge-reverified rows for slots: the
+# displaced r12 tail queues for r18, and the WHOLE registry was
+# locally re-verified green this round (251 oracle PASS + 22
+# rows-only at HEAD, tools/verify_correctness.py full run).
 _R17_WINDOW = [
-    # new in r17 (never driver-checked): E243 query_string / DQL,
-    # E244 bucketed-fact star serving, E245 script_score
+    # new in r17 (never driver-checked): E243-E251
     "query_string_docs",
     "query_string_expansions",
     "regional_revenue_bucketed",
