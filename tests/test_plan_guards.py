@@ -94,11 +94,11 @@ def test_blas_brute_force_has_no_pre_scoring_exchange(spark, sf_dir):
     )
     out = brute_force_topk(emb, q, k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    pre, _, _post = plan.partition("MapInPandas")
-    # everything upstream of the scorer (printed BELOW MapInPandas in
-    # the tree, i.e. in _post... plan trees print root-first) — assert
-    # globally instead: exactly one exchange family, keyed by query
-    assert plan.count("MapInPandas") == 1
+    # the scorer is ONE Arrow map (r17: mapInArrow replaced the
+    # pandas map — zero-copy flatten, PERF.md r17); exactly one
+    # exchange family, keyed by query, AFTER scoring
+    assert plan.count("MapInArrow") == 1
+    assert plan.count("MapInPandas") == 0
     assert plan.count("Exchange hashpartitioning(query_id") <= 1
     assert plan.count("Exchange") <= 2
 
