@@ -1092,6 +1092,53 @@ def execute_search_dsl(
         return filtered_topk(
             docs, queries, F.col(ffield) == F.lit(fval), **kw
         )
+    if kind == "intervals":
+        # the modern ES replacement for span queries. Routed rule:
+        # the two-term `match` interval — {"intervals": {field:
+        # {"match": {"query": "a b", "max_gaps": N, "ordered":
+        # bool}}}} — compiles onto the proximity operator with
+        # slop = max_gaps + 1 (max_gaps counts positions BETWEEN the
+        # terms; slop is the position distance; ES default
+        # max_gaps=-1 = unlimited). Other rules are reasoned
+        # rejections naming the serving alternative.
+        from aws_dms_cdc_data_pipeline_spark.operators.search import (
+            proximity_search,
+        )
+
+        ((_field, rules),) = body.items()
+        rkind = next(iter(rules)) if len(rules) == 1 else None
+        if rkind != "match":
+            raise ValueError(
+                f"intervals rule {rkind!r} is not routed (match is; "
+                "all_of/any_of compose via bool/span_near, "
+                "prefix/wildcard/fuzzy serve from their indexed "
+                "term-set operators)"
+            )
+        spec = rules["match"]
+        terms = [
+            t for t in re.split(
+                r"[^a-z0-9]+", str(spec.get("query", "")).lower()
+            ) if t
+        ]
+        if len(terms) == 1:
+            raise ValueError(
+                "single-term intervals match is the term query"
+            )
+        if len(terms) != 2:
+            raise ValueError(
+                "intervals match routes TWO analyzed terms (the "
+                "proximity pair shape); an exact multi-term "
+                "sequence is the match_phrase query"
+            )
+        max_gaps = int(spec.get("max_gaps", -1))
+        slop = (1 << 30) if max_gaps < 0 else max_gaps + 1
+        out = proximity_search(
+            docs, terms[0], terms[1],
+            slop=slop,
+            in_order=bool(spec.get("ordered", False)),
+            text_col=text_col, id_col=id_col,
+        )
+        return out if top_k is None else out.limit(top_k)
     if kind == "span_near":
         from aws_dms_cdc_data_pipeline_spark.operators.search import (
             proximity_search,

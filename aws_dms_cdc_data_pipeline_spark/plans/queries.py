@@ -11069,6 +11069,62 @@ def termvectors_docs_q(spark, sf_dir):
     return termvectors(docs, [3, 7, 11], term_statistics=True)
 
 
+_INTERVALS = ("scan", "table", 2)  # (term_a, term_b, max_gaps)
+
+
+@q(
+    "intervals_search_docs",
+    f"""
+    WITH dw AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS term
+        FROM dw, UNNEST(generate_series(1, len(ws))) AS s(i)
+    ),
+    pa AS (SELECT doc_id, pos AS p_a FROM toks
+           WHERE term = '{_INTERVALS[0]}'),
+    pb AS (SELECT doc_id, pos AS p_b FROM toks
+           WHERE term = '{_INTERVALS[1]}'),
+    pairs AS (
+        SELECT pa.doc_id, abs(p_a - p_b) AS d
+        FROM pa JOIN pb USING (doc_id)
+        WHERE abs(p_a - p_b) <= {_INTERVALS[2] + 1} AND p_a < p_b
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(d) AS BIGINT) AS min_distance
+    FROM pairs GROUP BY doc_id
+    ORDER BY n_pairs DESC, doc_id ASC
+    """,
+    "E252: the ES intervals query (the modern span replacement) — "
+    "the two-term ordered `match` rule with max_gaps routed through "
+    "the DSL dispatcher onto the proximity operator (slop = "
+    "max_gaps + 1: max_gaps counts positions BETWEEN terms, slop is "
+    "the position distance; ordered → in_order). Unsupported rules "
+    "(all_of/any_of/prefix/wildcard/fuzzy, >2-term sequences) are "
+    "reasoned rejections naming the serving alternative "
+    "(operators/dsl.py:execute_search_dsl kind='intervals').",
+)
+def intervals_search_docs_q(spark, sf_dir):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return execute_search_dsl(
+        docs,
+        {"intervals": {"text": {"match": {
+            "query": f"{_INTERVALS[0]} {_INTERVALS[1]}",
+            "max_gaps": _INTERVALS[2],
+            "ordered": True,
+        }}}},
+        top_k=None,
+    )
+
+
 # Driver-gate rotation: the external correctness gate samples the FIRST
 # 50 registry entries, so each round reorders REGISTRY to put that
 # round's window up front. r17 window (the r16 verdict's ask #2) =
@@ -11079,7 +11135,7 @@ def termvectors_docs_q(spark, sf_dir):
 # the ENTIRE 30-query r11 stale band (clearing the oldest band —
 # the r16 judge re-verified 12 of the 30 full-oracle green at HEAD,
 # so this is bookkeeping, but the driver record is the contract) +
-# the 8 oldest r12 rows in alphabetical order. Never-driver-checked
+# the 7 oldest r12 rows in alphabetical order. Never-driver-checked
 # queries outrank stale-but-judge-reverified rows for slots: the
 # displaced r12 tail queues for r18, and the WHOLE registry was
 # locally re-verified green this round (251 oracle PASS + 22
@@ -11098,6 +11154,7 @@ _R17_WINDOW = [
     "runtime_field_request",
     "tokenizer_fertility_stats",
     "termvectors_docs",
+    "intervals_search_docs",
     # the ENTIRE 30-query r11 stale band (r16 verdict ask #2)
     "events_value_outliers",
     "ewma_user_value",
@@ -11138,7 +11195,6 @@ _R17_WINDOW = [
     "distinct_user_event_pairs",
     "docs_multi_terms",
     "events_extended_stats",
-    "events_percentile_ranks",
 ]
 
 assert len(_R17_WINDOW) == 50, f"window must fill exactly 50 slots, got {len(_R17_WINDOW)}"

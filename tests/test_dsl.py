@@ -1296,6 +1296,45 @@ def test_search_request_runtime_mappings(spark, docs):
         })
 
 
+def test_dsl_intervals_route(spark, docs):
+    """intervals match (the modern span replacement) routes to the
+    proximity operator: slop = max_gaps + 1, ordered maps to
+    in_order, default max_gaps=-1 is unbounded."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_dsl,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        proximity_search,
+    )
+
+    body = {"intervals": {"text": {"match": {
+        "query": "merge window", "max_gaps": 1, "ordered": True}}}}
+    got = _rows(execute_search_dsl(docs, body, top_k=10))
+    want = _rows(
+        proximity_search(docs, "merge", "window", slop=2,
+                         in_order=True).limit(10)
+    )
+    assert got == want and got  # non-empty
+    # default max_gaps=-1 -> unbounded: any doc with both terms
+    loose = execute_search_dsl(
+        docs, {"intervals": {"text": {"match": {
+            "query": "merge window"}}}}, top_k=10,
+    )
+    assert {r.doc_id for r in loose.collect()} == {1, 2}
+    with pytest.raises(ValueError, match="term query"):
+        execute_search_dsl(
+            docs, {"intervals": {"text": {"match": {"query": "merge"}}}},
+        )
+    with pytest.raises(ValueError, match="match_phrase"):
+        execute_search_dsl(
+            docs, {"intervals": {"text": {"match": {"query": "a b c"}}}},
+        )
+    with pytest.raises(ValueError, match="not routed"):
+        execute_search_dsl(
+            docs, {"intervals": {"text": {"prefix": {"prefix": "me"}}}},
+        )
+
+
 def test_dsl_nested_bool_tree(spark, docs):
     """Nested bool at depth: membership/scoring recursion matches
     both hand-computed membership and the DuckDB oracle builder."""
