@@ -3121,13 +3121,87 @@ def execute_search_request(
     return page.select(*dict.fromkeys(keep)), agg_out
 
 
+def execute_count_request(
+    docs: DataFrame,
+    body: dict,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    index_tables: dict | None = None,
+) -> DataFrame:
+    """The ES ``_count`` endpoint — the match count of a query body
+    with no hits materialized: ``{"query": ...}`` → one row
+    ``(count)``. The query must support the uncut contract (the same
+    ``_UNCUT_KINDS`` rule as aggs — a scored-top-k shape has no
+    well-defined total). The count reduces map-side; no text, score,
+    or id column ever reaches the driver beyond the single long."""
+    query = body.get("query", {"match_all": {}})
+    kind = next(iter(query)) if len(query) == 1 else None
+    if kind not in _UNCUT_KINDS:
+        raise ValueError(
+            f"_count needs an uncut hit relation; query type "
+            f"{kind!r} is not supported (supported: {_UNCUT_KINDS})"
+        )
+    hits = execute_search_dsl(
+        docs, query, text_col=text_col, id_col=id_col, top_k=None,
+        index_tables=index_tables,
+    )
+    return hits.agg(F.count(F.lit(1)).cast("long").alias("count"))
+
+
+def field_caps(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """The ES ``_field_caps`` endpoint — field capabilities of the
+    document relation: (field, type, searchable, aggregatable)
+    ordered by field. Types map from the Spark schema to the ES
+    vocabulary (string→text for the analyzed text column / keyword
+    otherwise, integral→long, fractional→double, timestamp→date,
+    array<float>→dense_vector, binary→binary). The analyzed text
+    column is searchable-not-aggregatable; keyword/numeric/date
+    fields are both — the Discover field-picker contract."""
+    spark = docs.sparkSession
+
+    def es_type(name, dt):
+        s = dt.simpleString()
+        if s == "string":
+            return "text" if name == text_col else "keyword"
+        if s in ("int", "bigint", "smallint", "tinyint", "long"):
+            return "long"
+        if s in ("double", "float"):
+            return "double"
+        if s == "timestamp":
+            return "date"
+        if s.startswith("array<float>") or s.startswith("array<double>"):
+            return "dense_vector"
+        if s == "binary":
+            return "binary"
+        if s == "boolean":
+            return "boolean"
+        return s
+    rows = []
+    for f in docs.schema.fields:
+        t = es_type(f.name, f.dataType)
+        rows.append((
+            f.name, t,
+            t != "binary",
+            t not in ("text", "binary"),
+        ))
+    rows.sort()
+    return spark.createDataFrame(
+        rows,
+        "field string, type string, searchable boolean, "
+        "aggregatable boolean",
+    )
+
+
 __all__ = [
     "bool_tree_oracle_sql",
     "bool_tree_search",
     "clause_search",
     "clause_search_oracle_sql",
     "execute_aggs_dsl",
+    "execute_count_request",
     "execute_explain_request",
     "execute_search_dsl",
     "execute_search_request",
+    "field_caps",
 ]

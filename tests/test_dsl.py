@@ -1335,6 +1335,31 @@ def test_dsl_intervals_route(spark, docs):
         )
 
 
+def test_count_and_field_caps_endpoints(spark, docs):
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_count_request,
+        field_caps,
+    )
+
+    out = execute_count_request(docs, {"query": {"bool": {
+        "must": [{"term": {"text": "window"}}],
+        "filter": [{"range": {"n_chars": {"gte": 95}}}],
+    }}}).collect()
+    assert [r["count"] for r in out] == [2]  # docs 1, 2
+    # empty body counts everything (match_all default)
+    assert execute_count_request(docs, {}).collect()[0]["count"] == 5
+    with pytest.raises(ValueError, match="uncut"):
+        execute_count_request(
+            docs, {"query": {"dis_max": {"queries": []}}}
+        )
+
+    caps = {r.field: (r.type, r.searchable, r.aggregatable)
+            for r in field_caps(docs).collect()}
+    assert caps["text"] == ("text", True, False)
+    assert caps["doc_id"] == ("long", True, True)
+    assert caps["n_chars"] == ("long", True, True)
+
+
 def test_dsl_nested_bool_tree(spark, docs):
     """Nested bool at depth: membership/scoring recursion matches
     both hand-computed membership and the DuckDB oracle builder."""
