@@ -3089,6 +3089,48 @@ def execute_search_request(
             ordered.limit(size)
         )
 
+    hl = body.get("highlight")
+
+    def attach_highlight(page):
+        # ES highlight block: the best snippet window per page hit
+        # (the Discover result-list highlighting). Routed onto the
+        # E137 positional highlighter — fragment_size is in TOKEN
+        # positions here (the operator's deterministic window
+        # contract; ES's is a char target, documented divergence).
+        # Highlight terms are the query's text clauses (must/should/
+        # filter roles; must_not terms never highlight). The snippet
+        # relation covers only page-sized output after the join.
+        if not hl:
+            return page
+        hfields = hl.get("fields") or {}
+        if list(hfields) != [text_col]:
+            raise ValueError(
+                f"highlight routes exactly the analyzed {text_col!r} "
+                "field"
+            )
+        spec = hfields[text_col] or {}
+        terms = sorted(_highlight_terms(query))
+        if not terms:
+            raise ValueError(
+                "highlight needs text clauses in the query "
+                "(term/match/match_phrase/bool)"
+            )
+        from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+            search_snippets,
+        )
+
+        snip = search_snippets(
+            docs, terms,
+            width=int(spec.get("fragment_size", 10)),
+            text_col=text_col, id_col=id_col,
+        ).select(
+            F.col(id_col),
+            F.col("start_pos").alias("hl_start"),
+            F.col("end_pos").alias("hl_end"),
+            F.col("n_hits").alias("hl_hits"),
+        )
+        return page.join(snip, id_col, "left")
+
     source = body.get("_source")
     sort = body.get("sort", "_score")
     if sort == "_score" or sort == ["_score"]:
@@ -3098,7 +3140,10 @@ def execute_search_request(
         if source:
             page = page.join(
                 docs.select(id_col, *source), id_col, "left"
-            ).orderBy(F.col("score").desc(), F.col(id_col).asc())
+            )
+        page = attach_highlight(page).orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        )
         return page, agg_out
     # field sorts: resolve fields from the doc relation BEFORE the cut
     order_cols = []
@@ -3118,7 +3163,30 @@ def execute_search_request(
     joined = hits.join(docs.select(id_col, *need), id_col, "left")
     page = slice_page(joined.orderBy(*order_cols))
     keep = [id_col, "score"] + (source or [])
+    if hl:
+        # join before the projection cut (sort fields must survive
+        # for the post-join re-order), then keep the hl columns
+        page = attach_highlight(page).orderBy(*order_cols)
+        keep += ["hl_start", "hl_end", "hl_hits"]
     return page.select(*dict.fromkeys(keep)), agg_out
+
+
+def _highlight_terms(node: dict) -> set:
+    """Terms to highlight for a query body: the text-clause terms of
+    term/match/match_phrase leaves and bool must/should/filter roles
+    (recursively) — never must_not (excluded terms don't appear in
+    hits)."""
+    kind, b = next(iter(node.items()))
+    if kind in ("term", "match", "match_phrase"):
+        return {t for c in _leaf_clauses(node) for t in c}
+    if kind == "bool":
+        out: set = set()
+        for role in ("must", "should", "filter"):
+            v = b.get(role, [])
+            for n in (v if isinstance(v, list) else [v]):
+                out |= _highlight_terms(n)
+        return out
+    return set()
 
 
 def execute_count_request(

@@ -1360,6 +1360,52 @@ def test_count_and_field_caps_endpoints(spark, docs):
     assert caps["n_chars"] == ("long", True, True)
 
 
+def test_search_request_highlight(spark, docs):
+    """ES highlight block: the best snippet window attaches to the
+    page (score sort and field sort); must_not terms never
+    highlight."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_request,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        search_snippets,
+    )
+
+    body = {
+        "query": {"bool": {
+            "must": [{"term": {"text": "merge"}}],
+            "must_not": [{"term": {"text": "slow"}}],
+        }},
+        "size": 5,
+        "highlight": {"fields": {"text": {"fragment_size": 4}}},
+    }
+    page, _ = execute_search_request(docs, body)
+    rows = {r.doc_id: r for r in page.collect()}
+    want = {r.doc_id: r for r in
+            search_snippets(docs, ["merge"], width=4).collect()}
+    assert set(rows) == {1, 2}
+    for d, r in rows.items():
+        assert (r.hl_start, r.hl_end, r.hl_hits) == \
+            (want[d].start_pos, want[d].end_pos, want[d].n_hits)
+    # field sort keeps hl columns and ordering
+    page2, _ = execute_search_request(docs, {
+        **body, "sort": [{"n_chars": {"order": "desc"}}],
+        "_source": ["n_chars"],
+    })
+    got = [(r.doc_id, r.hl_hits) for r in page2.collect()]
+    assert got == [(2, want[2].n_hits), (1, want[1].n_hits)]
+    with pytest.raises(ValueError, match="text clauses"):
+        execute_search_request(docs, {
+            "query": {"range": {"n_chars": {"gte": 90}}},
+            "highlight": {"fields": {"text": {}}},
+        })
+    with pytest.raises(ValueError, match="analyzed"):
+        execute_search_request(docs, {
+            "query": {"term": {"text": "merge"}},
+            "highlight": {"fields": {"n_chars": {}}},
+        })
+
+
 def test_dsl_nested_bool_tree(spark, docs):
     """Nested bool at depth: membership/scoring recursion matches
     both hand-computed membership and the DuckDB oracle builder."""
