@@ -66,6 +66,15 @@ the dispatcher adds NO new semantics):
 - search-request ``runtime_mappings`` — script-computed columns
   (same grammar, minus ``_score``) attached before execution, so
   filters / sort / _source / aggs consume them
+- ``intervals`` two-term ordered ``match`` rule (slop = max_gaps+1)
+  → :func:`...search.proximity_search`; other rules are reasoned
+  rejections naming the serving alternative
+- search-request ``highlight`` block — the best snippet window per
+  page hit (:func:`...retrieval.search_snippets`) left-joined onto
+  the scored page; must_not terms never highlight
+- the ``_count`` endpoint → :func:`execute_count_request` (uncut
+  kinds, map-side-reduced single long); the ``_field_caps`` endpoint
+  → :func:`field_caps` (schema → ES capabilities vocabulary)
 - search-request ``rescore`` block (flat term/match base +
   match_phrase rescore_query) → :func:`...querystring.rescore_search`
 - the ``_explain`` endpoint form →
