@@ -1271,3 +1271,67 @@ def trigram_backoff_oracle_sql(
                            AND m.w3 = t.w3
     GROUP BY t.{id_col}
     """
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy — the
+    compressibility quality signal (gibberish scores high, repeated
+    boilerplate scores low; published pipelines cut both tails, the
+    same role zlib-ratio plays where a codec is available).
+
+    Determinism (the repo's micro-nat contract, see
+    :func:`unigram_logprob`): per-character log-probabilities
+    quantize to integer micro-nats (``floor(ln(k/n)·1e6)``) BEFORE
+    the weighted sum, so the accumulation is pure BIGINT and the
+    final entropy is one integer-ratio division. Whitespace
+    normalizes to single spaces first (both backends see the same
+    alphabet).
+
+    Scale shape: entirely IN-ROW column algebra — no explode, no
+    shuffle, whole-stage codegen end to end; per-row work is
+    O(distinct_chars × len) with distinct_chars bounded by the
+    alphabet. Documents with empty normalized text are excluded.
+
+    Returns (id, n_chars_total, entropy_q, char_entropy) where
+    ``entropy_q`` is the exact BIGINT −Σ k·floor(ln(k/n)·1e6) and
+    ``char_entropy`` = entropy_q / n / 1e6 nats.
+    """
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), r"\s+", " "
+    )
+    chars = F.filter(F.split(norm, ""), lambda x: x != F.lit(""))
+    n = F.size(chars)
+    dc = F.array_distinct(chars)
+    counts = F.transform(
+        dc, lambda c: F.size(F.filter(chars, lambda x: x == c))
+    )
+    lnq = F.transform(
+        counts,
+        lambda k: F.floor(
+            F.log(k.cast("double") / n.cast("double")) * F.lit(1e6)
+        ).cast("long"),
+    )
+    ent_q = -F.aggregate(
+        F.zip_with(counts, lnq, lambda k, lq: k.cast("long") * lq),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            n.cast("long").alias("n_chars_total"),
+            ent_q.alias("entropy_q"),
+        )
+        .filter(F.col("n_chars_total") > 0)
+        .select(
+            id_col,
+            "n_chars_total",
+            "entropy_q",
+            (
+                F.col("entropy_q").cast("double")
+                / F.col("n_chars_total").cast("double") / F.lit(1e6)
+            ).alias("char_entropy"),
+        )
+    )

@@ -783,3 +783,36 @@ def test_trigram_backoff_chain_vs_reference(spark):
                 else "uni"
             )
     assert legs == {"tri", "bi", "uni"}, legs
+
+
+def test_char_entropy_hand_computed(spark):
+    """E256: micro-nat quantized character entropy matches the
+    Python reference; uniform text maxes, single-char text is 0."""
+    import math
+
+    from aws_dms_cdc_data_pipeline_spark.operators.text import (
+        char_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaab"), (2, "aaaa"), (3, "ab cd"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert set(out) == {1, 2, 3}  # doc 4 normalizes to empty... 
+
+    def ref(s):
+        s = " ".join(s.lower().split())
+        n = len(s)
+        counts = {c: s.count(c) for c in set(s)}
+        q = -sum(k * math.floor(math.log(k / n) * 1e6)
+                 for k in counts.values())
+        return n, q
+
+    for d, text in ((1, "aaab"), (2, "aaaa"), (3, "ab cd")):
+        n, q = ref(text)
+        r = out[d]
+        assert (r.n_chars_total, r.entropy_q) == (n, q), d
+        assert r.char_entropy == q / n / 1e6
+    assert out[2].entropy_q == 0          # single-symbol text
+    assert out[3].char_entropy > out[1].char_entropy  # more uniform
