@@ -3093,6 +3093,60 @@ def execute_search_request(
             index_tables=index_tables,
         )
 
+    sugg = body.get("suggest") or {}
+    for sname, sbody in sugg.items():
+        # ES suggest block: named term / phrase suggesters computed
+        # over the corpus vocabulary (ES semantics — suggesters are
+        # independent of the query's hit set). Results ride the
+        # returned dict under the reserved "suggest:<name>" keys so
+        # the (page, aggs) contract stays intact. Both suggesters
+        # serve from the token-index relation (index_tables).
+        if not isinstance(sbody, dict) or "text" not in sbody:
+            raise ValueError(f"suggest {sname!r} needs a text")
+        if not index_tables or "tokens" not in index_tables:
+            raise ValueError(
+                "suggesters need index_tables={'tokens': ...} (the "
+                "materialized token index — ensure_token_index)"
+            )
+        stext = str(sbody["text"])
+        if "term" in sbody:
+            from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+                spell_suggest,
+            )
+
+            spec = sbody["term"] or {}
+            if spec.get("field", text_col) != text_col:
+                raise ValueError(
+                    f"term suggester routes the analyzed {text_col!r} "
+                    "field"
+                )
+            sterms = [
+                t for t in re.split(r"[^a-z0-9]+", stext.lower()) if t
+            ]
+            agg_out[f"suggest:{sname}"] = spell_suggest(
+                docs.sparkSession, index_tables["tokens"], sterms,
+                max_dist=int(spec.get("max_edits", 2)),
+                top_k=int(spec.get("size", 3)),
+            )
+        elif "phrase" in sbody:
+            from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+                phrase_suggest,
+            )
+
+            spec = sbody["phrase"] or {}
+            agg_out[f"suggest:{sname}"] = phrase_suggest(
+                docs.sparkSession, index_tables["tokens"], docs, stext,
+                max_edit=int(spec.get("max_errors", 1)),
+                text_col=text_col, id_col=id_col,
+                top_k=int(spec.get("size", 10)),
+            )
+        else:
+            raise ValueError(
+                f"suggest {sname!r}: term and phrase suggesters are "
+                "routed (the completion suggester is "
+                "autocomplete_prefix)"
+            )
+
     def slice_page(ordered):
         return ordered.offset(from_).limit(size) if from_ else (
             ordered.limit(size)

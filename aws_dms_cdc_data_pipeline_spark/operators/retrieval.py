@@ -48,6 +48,16 @@ _SPLIT_RE = _re.compile(r"[^a-z0-9]+")
 _FP = 1_000_000  # 6-decimal fixed point (shared with operators/search.py)
 
 
+def _idx_relation(spark, idx_table) -> DataFrame:
+    """Resolve a token-index argument: a catalog table NAME (the
+    ensure_token_index serving path) or a DataFrame carrying the
+    same (id, term, tf) shape (the DSL dispatcher's index_tables
+    entries — the suggest-block wiring)."""
+    if isinstance(idx_table, DataFrame):
+        return idx_table
+    return _idx_relation(spark, idx_table)
+
+
 def rrf_fuse(
     legs: list[DataFrame],
     *,
@@ -136,7 +146,7 @@ def more_like_this(
 
     from pyspark.sql import Window
 
-    tf = spark.table(idx_table)
+    tf = _idx_relation(spark, idx_table)
     dl = spark.table(dl_table)
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
@@ -253,7 +263,7 @@ def autocomplete_prefix(
     if not p:
         raise ValueError("autocomplete_prefix needs a non-empty prefix")
     return (
-        spark.table(idx_table)
+        _idx_relation(spark, idx_table)
         .filter(F.col("term").startswith(p))
         .groupBy("term")
         .agg(
@@ -302,7 +312,7 @@ def spell_suggest(
         [(t,) for t in terms], "query_term string"
     )
     vocab = (
-        spark.table(idx_table)
+        _idx_relation(spark, idx_table)
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
@@ -412,7 +422,7 @@ def phrase_suggest(
         list(enumerate(words)), "pos long, query_term string"
     )
     vocab = (
-        spark.table(idx_table)
+        _idx_relation(spark, idx_table)
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
@@ -757,7 +767,7 @@ def significant_terms(
         raise ValueError(
             "significant_terms needs top_k >= 1 and min_doc_count >= 1"
         )
-    idx = spark.table(idx_table)
+    idx = _idx_relation(spark, idx_table)
     hit_ids = hits.select(id_col)
     n_hits_df = hit_ids.agg(F.count(F.lit(1)).cast("long").alias("n_fg"))
     n_docs_df = spark.table(dl_table).agg(

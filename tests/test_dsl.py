@@ -1406,6 +1406,56 @@ def test_search_request_highlight(spark, docs):
         })
 
 
+def test_search_request_suggest_block(spark, docs):
+    """ES suggest block: named term/phrase suggesters ride the
+    returned dict under suggest:<name>, independent of the query's
+    hit set; parity with the direct operators."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dsl import (
+        execute_search_request,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (
+        phrase_suggest,
+        spell_suggest,
+    )
+    from aws_dms_cdc_data_pipeline_spark.operators.search import (
+        tokenize,
+    )
+
+    idx = tokenize(docs, "text", "doc_id")
+    body = {
+        "query": {"term": {"text": "merge"}},
+        "size": 3,
+        "suggest": {
+            "fix-it": {"text": "merg windw",
+                       "term": {"field": "text", "max_edits": 1,
+                                "size": 2}},
+            "say-it": {"text": "slow scan",
+                       "phrase": {"max_errors": 1, "size": 5}},
+        },
+    }
+    page, out = execute_search_request(
+        docs, body, index_tables={"tokens": idx}
+    )
+    assert {r.doc_id for r in page.collect()} == {1, 2}
+    assert set(out) == {"suggest:fix-it", "suggest:say-it"}
+    want_term = spell_suggest(
+        spark, idx, ["merg", "windw"], max_dist=1, top_k=2
+    )
+    assert _rows(out["suggest:fix-it"]) == _rows(want_term)
+    want_phrase = phrase_suggest(
+        spark, idx, docs, "slow scan", max_edit=1, top_k=5
+    )
+    assert _rows(out["suggest:say-it"]) == _rows(want_phrase)
+    with pytest.raises(ValueError, match="index_tables"):
+        execute_search_request(docs, body)
+    with pytest.raises(ValueError, match="term and phrase"):
+        execute_search_request(
+            docs,
+            {"suggest": {"x": {"text": "a", "completion": {}}}},
+            index_tables={"tokens": idx},
+        )
+
+
 def test_dsl_nested_bool_tree(spark, docs):
     """Nested bool at depth: membership/scoring recursion matches
     both hand-computed membership and the DuckDB oracle builder."""
