@@ -55,7 +55,7 @@ def _idx_relation(spark, idx_table) -> DataFrame:
     entries — the suggest-block wiring)."""
     if isinstance(idx_table, DataFrame):
         return idx_table
-    return _idx_relation(spark, idx_table)
+    return spark.table(idx_table)
 
 
 def rrf_fuse(
