@@ -27,6 +27,7 @@ from aws_dms_cdc_data_pipeline_spark.operators.search import (  # noqa: F401
     fuzzy_search,
     match_phrase_prefix,
     rare_terms,
+    termvectors,
     wildcard_search,
 )
 from aws_dms_cdc_data_pipeline_spark.operators.retrieval import (  # noqa: F401
@@ -52,6 +53,7 @@ from aws_dms_cdc_data_pipeline_spark.operators.audiofp import (  # noqa: F401
     audio_near_dup_pairs,
 )
 from aws_dms_cdc_data_pipeline_spark.operators.bpe import (  # noqa: F401
+    fertility_stats,
     learn_bpe_merges,
     segment_words,
 )
