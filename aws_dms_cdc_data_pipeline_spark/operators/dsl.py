@@ -108,6 +108,10 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+    local_relation as _local_relation,
+)
+
 from aws_dms_cdc_data_pipeline_spark.operators.search import (
     _ADHOC_STATS_MEMO,
     _FP,
@@ -846,8 +850,8 @@ def execute_search_dsl(
                     f"every percolate document needs the {text_col!r} "
                     "field"
                 )
-            batch = spark.createDataFrame(
-                rows, f"{id_col} long, {text_col} string"
+            batch = _local_relation(
+                spark, rows, f"{id_col} long, {text_col} string"
             )
         out = percolate(
             batch, standing, text_col=text_col, id_col=id_col
@@ -1079,7 +1083,8 @@ def execute_search_dsl(
                 "relation — pass the table carrying the vectors"
             )
         qvec = [float(x) for x in body["query_vector"]]
-        queries = docs.sparkSession.createDataFrame(
+        queries = _local_relation(
+            docs.sparkSession,
             [(0, qvec)], "query_id long, query_vec array<double>"
         )
         kk = int(body.get("k", 10))

@@ -16,6 +16,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def local_relation(spark, data, schema: str) -> DataFrame:
+    """A driver-built query relation as ONE partition.
+
+    ``spark.createDataFrame(list)`` parallelizes even a handful of
+    rows across ``defaultParallelism`` slices, so every broadcast
+    build or collect over the relation runs a defaultParallelism-task
+    job (measured 0.23–0.3 s per BroadcastExchange at local[32] for a
+    ≤40-row relation; the r17 phrase_suggest/percolate decomposition).
+    One slice makes those builds one ~5 ms task while evaluating the
+    exact same expressions. Use for bounded query-side relations
+    (query terms, standing-query specs, bucket bounds) — never for
+    data-sized inputs.
+    """
+    rows = list(data)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def partition_by_key(
     df: DataFrame,
     key: str = "data.trans_id",

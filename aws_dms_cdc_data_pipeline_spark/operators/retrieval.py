@@ -42,6 +42,10 @@ import re as _re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+    local_relation as _local_relation,
+)
+
 # the engine-wide tokenizer boundary (operators/search.py contract)
 _SPLIT_RE = _re.compile(r"[^a-z0-9]+")
 
@@ -308,8 +312,8 @@ def spell_suggest(
     from pyspark.sql import Window
 
     terms = sorted({t.lower() for t in query_terms})
-    qdf = spark.createDataFrame(
-        [(t,) for t in terms], "query_term string"
+    qdf = _local_relation(
+        spark, [(t,) for t in terms], "query_term string"
     )
     vocab = (
         _idx_relation(spark, idx_table)
@@ -418,8 +422,8 @@ def phrase_suggest(
     out_schema = (
         "suggestion string, total_edits long, score double, rank long"
     )
-    pos_rel = spark.createDataFrame(
-        list(enumerate(words)), "pos long, query_term string"
+    pos_rel = _local_relation(
+        spark, list(enumerate(words)), "pos long, query_term string"
     )
     vocab = (
         _idx_relation(spark, idx_table)
@@ -459,11 +463,11 @@ def phrase_suggest(
         sug_rows.append((sug, sum(d for _, d in combo)))
         for i in range(1, k):
             pair_rows.append((sug, i, combo[i - 1][0], combo[i][0]))
-    sug_df = spark.createDataFrame(
-        sug_rows, "suggestion string, total_edits long"
+    sug_df = _local_relation(
+        spark, sug_rows, "suggestion string, total_edits long"
     )
-    pairs = spark.createDataFrame(
-        pair_rows, "suggestion string, pos long, w1 string, w2 string"
+    pairs = _local_relation(
+        spark, pair_rows, "suggestion string, pos long, w1 string, w2 string"
     )
     prev_set = sorted({p[2] for p in pair_rows})
     cur_set = sorted({p[3] for p in pair_rows})
@@ -1297,7 +1301,8 @@ def range_buckets(
     if len(set(keys)) != len(keys):
         raise ValueError("range keys must be unique")
     spark = hits.sparkSession
-    rdf = spark.createDataFrame(
+    rdf = _local_relation(
+        spark,
         [
             (i, str(k), None if lo is None else float(lo),
              None if hi is None else float(hi))

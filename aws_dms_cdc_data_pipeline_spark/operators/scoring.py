@@ -29,6 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+    local_relation as _local_relation,
+)
+
 from aws_dms_cdc_data_pipeline_spark.operators.search import (
     _bm25_adhoc_proj,
     _bm25_adhoc_scores,
@@ -313,7 +317,8 @@ def pinned_search(
     proj = _bm25_adhoc_proj(docs, terms, text_col=text_col, id_col=id_col)
     organic = _bm25_adhoc_scores(proj, terms, id_col=id_col, k1=k1, b=b)
     spark = docs.sparkSession
-    pins = spark.createDataFrame(
+    pins = _local_relation(
+        spark,
         [(int(i), p) for p, i in enumerate(pinned_ids)],
         f"{id_col} long, pin_pos int",
     )

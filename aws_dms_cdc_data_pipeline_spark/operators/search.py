@@ -44,6 +44,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+    local_relation as _local_relation,
+)
+
 _FP = 1_000_000  # 6-decimal fixed point, matches plans/queries._q6
 
 # (plan semanticHash, terms, mask) -> collected 1-row corpus stats;
@@ -708,7 +712,7 @@ def bm25_search_many(
     qmap = sorted(
         {(qid, t.lower()) for qid, terms in queries.items() for t in terms}
     )
-    qdf = spark.createDataFrame(qmap, "query_id string, term string")
+    qdf = _local_relation(spark, qmap, "query_id string, term string")
     all_terms = sorted({t for _, t in qmap})
 
     hits = spark.table(idx_table).filter(F.col("term").isin(all_terms))
@@ -866,11 +870,12 @@ def bool_search_many(
         frows += [(qid, f, op, v) for f, op, v in filters]
     if frows and attrs is None:
         raise ValueError("bool queries have filter clauses but attrs=None")
-    qdf = spark.createDataFrame(
-        sorted(qrows), "query_id string, term string, kind string, boost double"
+    qdf = _local_relation(
+        spark, sorted(qrows),
+        "query_id string, term string, kind string, boost double",
     )
-    qreq = spark.createDataFrame(
-        reqs, "query_id string, n_must long, min_should long"
+    qreq = _local_relation(
+        spark, reqs, "query_id string, n_must long, min_should long"
     )
     all_terms = sorted({t for _, t, _, _ in qrows})
 
@@ -924,8 +929,8 @@ def bool_search_many(
         )
     )
     if frows:
-        fdf = spark.createDataFrame(
-            sorted(frows),
+        fdf = _local_relation(
+            spark, sorted(frows),
             "query_id string, _field string, _op string, _value string",
         )
         fields = sorted({f for _, f, _, _ in frows})
@@ -2553,8 +2558,8 @@ def _phrase_match_many(
             for i, t in enumerate(terms)
         }
     )
-    qdf = spark.createDataFrame(
-        rows, "query_id string, term string, off long, n_terms long"
+    qdf = _local_relation(
+        spark, rows, "query_id string, term string, off long, n_terms long"
     )
     votes = toks.join(F.broadcast(qdf), "term").groupBy(
         "query_id",
@@ -2586,8 +2591,11 @@ def _bool_match_many(
     rows = sorted(
         {(qid, t, k) for qid, tks, _, _ in queries for t, k in tks}
     )
-    qdf = spark.createDataFrame(rows, "query_id string, term string, kind string")
-    qreq = spark.createDataFrame(
+    qdf = _local_relation(
+        spark, rows, "query_id string, term string, kind string"
+    )
+    qreq = _local_relation(
+        spark,
         [(qid, n_must, min_should) for qid, _, n_must, min_should in queries],
         "query_id string, n_must long, min_should long",
     )
@@ -2768,8 +2776,8 @@ def _proximity_pairs_many(
     against the B-side postings, every query's band predicate in the
     join condition."""
     spark = toks.sparkSession
-    qdf = spark.createDataFrame(
-        sorted(set(queries)),
+    qdf = _local_relation(
+        spark, sorted(set(queries)),
         "query_id string, _ta string, _tb string, _slop long, _ord boolean",
     )
     pa = toks.join(

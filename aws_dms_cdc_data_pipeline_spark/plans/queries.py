@@ -26,6 +26,10 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+    local_relation as _local_rel,
+)
+
 from aws_dms_cdc_data_pipeline_spark.session import load_table
 from aws_dms_cdc_data_pipeline_spark.operators import components as C
 from aws_dms_cdc_data_pipeline_spark.operators import dedup as D
@@ -1860,8 +1864,8 @@ def range_join_promo_events(spark, sf_dir):
         & (F.col("ts") < event_ts_bound(raw0, hi))
     )
     ev = event_ts_to_micros(raw).select("event_id", "ts", "value")
-    promos = spark.createDataFrame(
-        _PROMOS, "promo string, p_start string, p_end string"
+    promos = _local_rel(
+        spark, _PROMOS, "promo string, p_start string, p_end string"
     ).select(
         "promo",
         F.col("p_start").cast("timestamp").alias("p_start"),
@@ -2226,8 +2230,8 @@ def benchmark_contamination_q(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    probes = spark.createDataFrame(
-        _CONTAM_PROBES, "probe_id long, probe_text string"
+    probes = _local_rel(
+        spark, _CONTAM_PROBES, "probe_id long, probe_text string"
     )
     return flag_contaminated(docs, probes, n=8)
 

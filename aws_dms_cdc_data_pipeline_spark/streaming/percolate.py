@@ -79,6 +79,10 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+    local_relation as _local_relation,
+)
+
 from aws_dms_cdc_data_pipeline_spark.operators.search import (
     _bool_match_many,
     _normalize_bool_query,
@@ -332,7 +336,8 @@ def percolate(
         from pyspark.sql import Window
 
         spark = toks.sparkSession
-        pdf = spark.createDataFrame(
+        pdf = _local_relation(
+            spark,
             [(qid, pfx, me) for qid, _, pfx, me in prefix_qs],
             "query_id string, _pfx string, _me long",
         )
@@ -378,8 +383,8 @@ def percolate(
         )
         matched = []
         if wild_qs:
-            wdf = spark.createDataFrame(
-                wild_qs, "query_id string, _like string"
+            wdf = _local_relation(
+                spark, wild_qs, "query_id string, _like string"
             )
             matched.append(
                 vocab.join(
@@ -390,8 +395,8 @@ def percolate(
         if fuzzy_qs:
             from pyspark.sql import Window
 
-            fdf = spark.createDataFrame(
-                fuzzy_qs,
+            fdf = _local_relation(
+                spark, fuzzy_qs,
                 "query_id string, _probe string, _fz long, _pl long, "
                 "_me long",
             )
@@ -421,7 +426,8 @@ def percolate(
                 .select("query_id", "term")
             )
         if regexp_qs:
-            rdf = spark.createDataFrame(
+            rdf = _local_relation(
+                spark,
                 [(qid, f"^(?:{pat})$") for qid, pat in regexp_qs],
                 "query_id string, _pat string",
             )
@@ -456,8 +462,8 @@ def percolate(
         # no negative clause hit; n_matches = positive clauses hit
         # (the batch operator's n_clauses_hit)
         spark = result.sparkSession
-        spec = spark.createDataFrame(
-            sqs_specs, "query_id string, _np long, _op string"
+        spec = _local_relation(
+            spark, sqs_specs, "query_id string, _np long, _op string"
         )
         is_sqs = F.col("query_id").contains("\x1fsqs_")
         passthrough = result.filter(~is_sqs)
