@@ -4389,16 +4389,20 @@ def frequent_item_sets(
     # 8 MB sf0.1 splits ran the 0.9 s expansion on 2 of 32 cores;
     # fan_out_scan's byte bar keeps tiny fixtures exchange-free)
     base = fan_out_scan(tx.select(items.alias("_it"))).persist()
-    n_tx = base.count()
-    if n_tx == 0:
-        spark = tx.sparkSession
-        return spark.createDataFrame(
-            [], "itemset string, size long, support_count long, "
-                "support double"
-        )
+    # the transaction count rides the plan as a broadcast 1-row
+    # aggregate (the bigram |V| pattern): the old ``base.count()``
+    # was a separate driver ACTION per call serialized before the
+    # expansion DAG; in-plan it reads the same persisted relation
+    # concurrently, and the support threshold becomes the oracle's
+    # own in-SQL ``ceil(min_support * n_tx)`` expression verbatim.
+    # An empty input now yields the empty result through the plan
+    # (no groups → no rows), same schema by the string cast below.
+    ntx = base.agg(F.count(F.lit(1)).cast("long").alias("_ntx"))
     legs = [
-        base.select(F.explode("_it").alias("itemset"),
-                    F.lit(1).cast("long").alias("size"))
+        base.select(
+            F.explode(F.col("_it").cast("array<string>")).alias("itemset"),
+            F.lit(1).cast("long").alias("size"),
+        )
     ]
     if max_size >= 2:
         pairs = F.flatten(
@@ -4417,15 +4421,22 @@ def frequent_item_sets(
     unioned = legs[0]
     for leg in legs[1:]:
         unioned = unioned.unionByName(leg)
-    min_count = -(-min_support * n_tx // 1)  # ceil, driver-side
     return (
         unioned.groupBy("itemset", "size")
         .agg(F.count(F.lit(1)).cast("long").alias("support_count"))
-        .filter(F.col("support_count") >= F.lit(int(min_count)))
+        .crossJoin(F.broadcast(ntx))
+        .filter(
+            F.col("support_count")
+            >= F.ceil(
+                F.lit(float(min_support)) * F.col("_ntx").cast("double")
+            )
+        )
         .withColumn(
             "support",
-            F.col("support_count").cast("double") / F.lit(float(n_tx)),
+            F.col("support_count").cast("double")
+            / F.col("_ntx").cast("double"),
         )
+        .drop("_ntx")
         .orderBy(F.col("support_count").desc(), F.col("itemset").asc())
         .limit(top_k)
     )

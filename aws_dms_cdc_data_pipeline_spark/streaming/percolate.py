@@ -460,45 +460,65 @@ def percolate(
         # recombine the internal sqs clause hits per parent query:
         # membership = (or: any | and: all) positive clauses hit AND
         # no negative clause hit; n_matches = positive clauses hit
-        # (the batch operator's n_clauses_hit)
+        # (the batch operator's n_clauses_hit). ONE conditional
+        # aggregation covers sqs and plain rows together — the former
+        # passthrough-∪-combined split scanned the unpersisted match
+        # relation once per union leg, re-running the shared
+        # anchor-vote corpus pass twice (measured 2×0.22 s of a
+        # 0.85 s sqs percolation at sf0.1). Plain query ids never
+        # collide with sqs parents (the seen-set rejects duplicates),
+        # so each plain row aggregates in its own singleton group and
+        # passes through the NULL-spec branch bit-identically.
         spark = result.sparkSession
         spec = _local_relation(
             spark, sqs_specs, "query_id string, _np long, _op string"
         )
         is_sqs = F.col("query_id").contains("\x1fsqs_")
-        passthrough = result.filter(~is_sqs)
         leg = F.substring_index(F.col("query_id"), "\x1f", -1)
-        combined = (
-            result.filter(is_sqs)
-            .select(
+        is_pos = is_sqs & leg.startswith("sqs_p")
+        is_neg = is_sqs & ~leg.startswith("sqs_p")
+        result = (
+            result.select(
                 F.substring_index(F.col("query_id"), "\x1f", 1).alias(
                     "query_id"
                 ),
                 F.col(id_col),
-                leg.startswith("sqs_p").alias("_is_pos"),
-                leg.alias("_leg"),
+                F.when(is_pos, leg).alias("_pos_leg"),
+                is_neg.cast("int").alias("_neg"),
+                F.when(~is_sqs, F.col("n_matches")).alias("_plain"),
             )
             .groupBy("query_id", id_col)
             .agg(
-                F.count_distinct(
-                    F.when(F.col("_is_pos"), F.col("_leg"))
-                ).cast("long").alias("_pos_hits"),
-                F.max((~F.col("_is_pos")).cast("int")).alias("_neg_hit"),
+                # plain count, not count_distinct: every match leg
+                # emits exactly ONE row per (query_id, id) — the
+                # _phrase_match_many output grain — so legs are
+                # unique within a group by construction, and the
+                # distinct-aggregation Expand would re-shuffle the
+                # whole match relation for nothing
+                F.count(F.col("_pos_leg")).cast("long").alias(
+                    "_pos_hits"
+                ),
+                F.max("_neg").alias("_neg_hit"),
+                F.max("_plain").alias("_plain"),
             )
-            .join(F.broadcast(spec), "query_id")
+            .join(F.broadcast(spec), "query_id", "left")
             .filter(
-                (F.col("_neg_hit") == 0)
-                & F.when(
-                    F.col("_op") == "or", F.col("_pos_hits") > 0
-                ).otherwise(F.col("_pos_hits") == F.col("_np"))
+                F.col("_np").isNull()  # plain query: always passes
+                | (
+                    (F.col("_neg_hit") == 0)
+                    & F.when(
+                        F.col("_op") == "or", F.col("_pos_hits") > 0
+                    ).otherwise(F.col("_pos_hits") == F.col("_np"))
+                )
             )
             .select(
                 "query_id",
                 F.col(id_col),
-                F.col("_pos_hits").alias("n_matches"),
+                F.coalesce(F.col("_plain"), F.col("_pos_hits"))
+                .cast("long")
+                .alias("n_matches"),
             )
         )
-        result = passthrough.unionByName(combined)
     return result
 
 
