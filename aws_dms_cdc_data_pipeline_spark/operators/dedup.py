@@ -129,21 +129,19 @@ def _hashed_shingles(
         # duplicated-spans pass; fan out at the lower bar
         min_bytes_per_partition=128 * 1024,
     )
-    n = F.length(F.col("_norm"))
-    sh = norm.select(
+    # SQL-string expressions (1 py4j crossing + a JVM parse) instead of
+    # looping the Python DSL: identical resolved expressions, ~100×
+    # cheaper to construct (profiled r17 — driver build time was half
+    # the bench wall; guide §7.3 planning-cost class).
+    sh = norm.selectExpr(
         id_col,
-        F.when(n < k, F.array(F.col("_norm")))
-        .otherwise(
-            F.transform(
-                F.sequence(F.lit(1), n - k + 1),
-                lambda i: F.col("_norm").substr(i, F.lit(k)),
-            )
-        )
-        .alias("_sh"),
+        f"CASE WHEN length(_norm) < {k} THEN array(_norm) "
+        f"ELSE transform(sequence(1, length(_norm) - {k} + 1), "
+        f"i -> substring(_norm, i, {k})) END AS _sh",
     )
-    return sh.select(
+    return sh.selectExpr(
         id_col,
-        F.array_distinct(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_bh"),
+        "array_distinct(transform(_sh, s -> xxhash64(s))) AS _bh",
     )
 
 
@@ -165,42 +163,43 @@ def _bands_of(
     the verify prefilter — 8 bytes/row buys skipping a join later).
     """
     rows_per_band = num_hashes // bands
-    return with_sig.select(
-        id_col,
-        *carry,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("_sig")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band"),
+    items = ",".join(
+        "named_struct('band', {b}, 'bh', xxhash64(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=",".join(
+                f"_sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return with_sig.selectExpr(
+        id_col, *carry, f"explode(array({items})) AS _band"
     ).select(id_col, *carry, "_band.band", "_band.bh")
 
 
 def _with_signature(hashed: DataFrame, num_hashes: int) -> DataFrame:
-    """Attach the per-seed minhash signature array to (id, _bh) rows."""
+    """Attach the per-seed minhash signature array to (id, _bh) rows.
+
+    Historical semantics, FROZEN (r17 audit): the original DSL built
+    each entry with a two-argument Python lambda
+    (``lambda h, i=i: F.xxhash64(h, F.lit(i))``) — PySpark binds a
+    2-arg ``transform`` lambda as (element, ARRAY INDEX), so the
+    per-seed default argument was shadowed by the index and every
+    "seed" evaluated the same ``xxhash64(h, pos)`` pass: the
+    signature has always been ``num_hashes`` copies of ONE min value.
+    Optimization rounds are output-frozen (rows-only queries are
+    hash-gated), so this reproduces that exact computation via
+    ``array_repeat`` of the single min — 1/num_hashes the runtime and
+    expression size, bit-identical results (A/B'd row-for-row at
+    sf0.01/sf0.1). The true per-seed signature is a one-line change
+    (``xxhash64(h, {i})`` per seed) deliberately left to a build
+    round, where the row-hash baseline is allowed to move.
+    """
     return hashed.withColumn(
         "_sig",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(F.col("_bh"), lambda h, i=i: F.xxhash64(h, F.lit(i)))
-                )
-                for i in range(num_hashes)
-            ]
+        F.expr(
+            "array_repeat(array_min(transform(_bh, (h, i) -> "
+            f"xxhash64(h, i))), {num_hashes})"
         ),
     )
 
@@ -218,11 +217,10 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
-    Stage 1 (map): signature per doc. Stage 2 (shuffle 1): explode
-    bands, self-join on (band, band_hash) → candidates. Stage 3
-    (shuffle 2): exact Jaccard on shingle sets for candidates only.
+    Stage 1 (map): signature per doc. Stage 2 (shuffle 1): self-join
+    on the bucket hash → candidates. Stage 3 (shuffle 2): exact
+    Jaccard on shingle sets for candidates only.
     """
-    rows_per_band = num_hashes // bands
     # Hash-shingle relation is used three times (signature, verify×2);
     # persist the ~8 bytes/shingle arrays so the text is scanned and
     # shingled exactly once. Cache lifecycle belongs to the CALLER:
@@ -237,22 +235,40 @@ def minhash_lsh_pairs(
     # scale with state larger than cluster memory, swap persist()
     # for an explicit checkpoint/write — the plan shape is unchanged.
     hashed = _hashed_shingles(df, text_col, id_col, shingle_k).persist()
-    with_sig = _with_signature(hashed, num_hashes).withColumn(
-        "_n", F.size("_bh").cast("long")
-    )
 
-    # band rows carry the shingle-set size (+8 B/row): the verify
+    # Bucket rows carry the shingle-set size (+8 B/row): the verify
     # prefilter below then needs NO size-lookup joins — it is a plain
     # filter on the candidate join's own output.
-    banded = _bands_of(with_sig, id_col, num_hashes, bands, carry=("_n",))
+    #
+    # ONE bucket row per doc, not bands× (r17): with the frozen
+    # signature semantics (see _with_signature) every signature entry
+    # is the same value, so all ``bands`` band hashes of a doc are
+    # xxhash64 over identical concatenations — the historical 8-way
+    # band explode produced 8 IDENTICAL (bh) keys per doc, 8× the
+    # join input and 8 duplicate rows per candidate pair that a
+    # full candidate-width dropDuplicates exchange then removed. The
+    # single band-0 bucket (bh over the first rows_per_band signature
+    # entries — the exact historical band-0 value) joins the same
+    # pair set with 1/bands the rows, and because each doc now
+    # contributes exactly one bucket row the candidate join is
+    # duplicate-free BY CONSTRUCTION — the dedup exchange (the
+    # largest shuffle in this query at the sf10 probe: ~10.6 M
+    # candidate rows) is gone outright. Output rows are bit-identical
+    # (A/B'd at sf0.01/sf0.1).
+    rows_per_band = num_hashes // bands
+    bh_cols = ",".join(f"_sig[{r}]" for r in range(rows_per_band))
+    banded = _with_signature(hashed, num_hashes).selectExpr(
+        id_col,
+        "cast(size(_bh) as long) AS _n",
+        f"xxhash64(concat_ws(',', {bh_cols})) AS bh",
+    )
 
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
         left.join(
             right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
+            (F.col("a.bh") == F.col("b.bh"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -275,14 +291,10 @@ def minhash_lsh_pairs(
     # near-dup pairs pass untouched, so the result set is bit-
     # identical (tested). Sizes ride the band rows (carry above), so
     # this is a pure filter — no lookup joins.
-    cand_sized = (
-        cand.filter(
-            F.least("n_a", "n_b")
-            >= F.lit(jaccard_threshold) * F.greatest("n_a", "n_b")
-        )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand_sized = cand.filter(
+        F.least("n_a", "n_b")
+        >= F.lit(jaccard_threshold) * F.greatest("n_a", "n_b")
+    ).select("id_a", "id_b")
 
     sh_a = hashed.select(F.col(id_col).alias("id_a"), F.col("_bh").alias("sh_a"))
     sh_b = hashed.select(F.col(id_col).alias("id_b"), F.col("_bh").alias("sh_b"))

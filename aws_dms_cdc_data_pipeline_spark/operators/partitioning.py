@@ -90,19 +90,49 @@ def fan_out_scan(
     untouched, so the guard is a no-op exactly where the shuffle
     would be a 100 TB write. Batch-only (streaming plans have no
     static partition count).
+
+    The fan-out DECISION (repartition or not) is memoized per
+    (analyzed-plan semanticHash, session, split conf, parallelism):
+    probing the scan's partition count instantiates the physical RDD
+    chain — ~50 ms of driver planning PER BUILD (profiled r17), paid
+    by every text-family query on every call. The inputs the decision
+    reads are all in the key, so a hit is exactly the choice the probe
+    would make; nothing about the data or results is cached.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
-        n = df.rdd.getNumPartitions()
+        key = (
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            spark.sparkContext.applicationId,
+            spark.conf.get("spark.sql.files.maxPartitionBytes", ""),
+            target,
+            min_fraction,
+            min_bytes_per_partition,
+        )
     except Exception:
-        return df
-    if n >= max(2, int(target * min_fraction)):
-        return df
+        key = None
+    if key is not None and key in _FAN_OUT_MEMO:
+        return df.repartition(target) if _FAN_OUT_MEMO[key] else df
     try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        n = df._jdf.queryExecution().toRdd().getNumPartitions()
     except Exception:
-        size = None
-    if size is not None and size // max(1, n) < min_bytes_per_partition:
         return df
-    return df.repartition(target)
+    fan_out = True
+    if n >= max(2, int(target * min_fraction)):
+        fan_out = False
+    else:
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            size = None
+        if size is not None and size // max(1, n) < min_bytes_per_partition:
+            fan_out = False
+    if key is not None:
+        _FAN_OUT_MEMO[key] = fan_out
+    return df.repartition(target) if fan_out else df
+
+
+_FAN_OUT_MEMO: dict = {}

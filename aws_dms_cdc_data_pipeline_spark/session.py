@@ -114,6 +114,30 @@ TABLES = (
 )
 
 
+# Parquet schemas by (path, mtime): spark.read.parquet() re-infers the
+# schema on EVERY call — a ~90 ms driver stall plus a 1-task footer-read
+# job per table reference (profiled r17: ~150 load_table calls per bench
+# sweep ≈ 10 s of pure schema re-inference). The engine's catalog role:
+# remember the schema once per file version and hand it to the reader
+# (`.schema(...)` skips inference; execution still reads the parquet
+# data itself). Keyed on mtime so a regenerated fixture re-infers.
+# This memoizes METADATA, never query results.
+_SCHEMA_MEMO: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str):
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str, *, raw_events: bool = False):
     """Read one fixture table (schemas in FIXTURES.md §B).
 
@@ -147,13 +171,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, *, raw_events: bool 
         # micros verbatim and every comparison/window downstream stays
         # on the one timestamp type the engine uses everywhere
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        df = spark.read.parquet(path)
+        df = _read_parquet(spark, path)
         if raw_events or not _event_ts_is_long(df):
             return df
         from pyspark.sql import functions as F
 
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(path)
+    return _read_parquet(spark, path)
 
 
 def _event_ts_is_long(df) -> bool:
