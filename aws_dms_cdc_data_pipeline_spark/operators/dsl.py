@@ -120,6 +120,8 @@ from aws_dms_cdc_data_pipeline_spark.operators.search import (
 from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
     _TOKEN_RE,
     _phrase_count_expr,
+    _phrase_count_sql,
+    _sql_str,
 )
 
 
@@ -1092,6 +1094,10 @@ def execute_search_dsl(
         kw = dict(
             k=kk, id_col=id_col, vec_col=field,
             query_id_col="query_id", query_vec_col="query_vec",
+            # the query vector is ALREADY driver-side (it came in the
+            # JSON body) — hand it through so the blas path skips its
+            # queries.collect() job (guide §5.3)
+            query_rows=[(0, qvec)],
         )
         if flt is None:
             return brute_force_topk(docs, queries, **kw)
@@ -1646,34 +1652,44 @@ def bool_tree_search(
         ).alias("_toks"),
         *mcols,
     )
-    cols = [F.size("_toks").cast("long").alias("dl"), *mcols]
+    # Projection and scoring tree are built as SQL STRINGS: the
+    # per-term/per-clause Python-DSL loops cost ~1 ms of py4j round
+    # trips per expression node, which for expanded trees (wildcard
+    # rewrites, multi_match) dominated the query wall at bench scale
+    # (profiled r17 — driver build was half the total; guide §7.3
+    # planning-cost class). The strings parse to the identical
+    # resolved expressions (verified against every oracle-gated DSL
+    # query).
+    cols = [
+        "cast(size(_toks) as long) AS dl",
+        *[f"_m{j}" for j in range(len(meta_nodes))],
+    ]
     for i, t in enumerate(score_terms):
         cols.append(
-            F.size(F.filter("_toks", _term_eq(t))).cast("long")
-            .alias(f"_tf{i}")
+            f"cast(size(filter(_toks, x -> x = '{_sql_str(t)}')) "
+            f"as long) AS _tf{i}"
         )
     for ci, terms in enumerate(leaf_clauses):
         if len(terms) > 1:
-            cols.append(
-                _phrase_count_expr(F.col("_toks"), terms).alias(f"_pc{ci}")
-            )
-    proj = toks.select(F.col(id_col), *cols).persist()
+            cols.append(f"{_phrase_count_sql('_toks', terms)} AS _pc{ci}")
+    proj = toks.selectExpr(id_col, *cols).persist()
 
-    aggs = [
-        F.sum((F.col("dl") > 0).cast("long")).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_dl"),
-    ]
-    for i in range(len(score_terms)):
-        aggs.append(
-            F.sum((F.col(f"_tf{i}") > 0).cast("long"))
-            .cast("long").alias(f"_df{i}")
-        )
     memo_key = (
         proj._jdf.queryExecution().analyzed().semanticHash(),
         ("dsl_tree",) + tuple(score_terms),
     )
     row = _ADHOC_STATS_MEMO.get(memo_key)
     if row is None:
+        aggs = [
+            F.expr("cast(sum(cast(dl > 0 as long)) as long) AS n_docs"),
+            F.expr("cast(sum(dl) as long) AS total_dl"),
+            *[
+                F.expr(
+                    f"cast(sum(cast(_tf{i} > 0 as long)) as long) AS _df{i}"
+                )
+                for i in range(len(score_terms))
+            ],
+        ]
         row = proj.agg(*aggs).collect()[0]
         if len(_ADHOC_STATS_MEMO) >= 256:
             _ADHOC_STATS_MEMO.pop(next(iter(_ADHOC_STATS_MEMO)))
@@ -1688,62 +1704,66 @@ def bool_tree_search(
         ).filter(F.lit(False))
     avgdl = total_dl / n_docs
     tidx = {t: i for i, t in enumerate(score_terms)}
+    k1f, bf = float(k1), float(b)
 
     def idf_of(t: str) -> float:
         df_ = int(row[f"_df{tidx[t]}"] or 0)
         return (float(n_docs - df_) + 0.5) / (float(df_) + 0.5)
 
-    zero = F.lit(0).cast("long")
+    zero = "0L"
     clause_iter = iter(range(len(leaf_clauses)))
     meta_iter = iter(range(len(meta_nodes)))
 
     def eval_node(node):
-        """→ (member Column, quantized score Column)."""
+        """→ (member SQL, quantized score SQL) — strings, composed
+        with zero py4j traffic; the float literals carry a D suffix
+        so the parsed arithmetic is the same double chain the Column
+        DSL built (repr() round-trips doubles exactly)."""
         if node[0] == "clause":
             ci = next(clause_iter)
             terms = leaf_clauses[ci]
             if len(terms) == 1:
-                tf = F.col(f"_tf{tidx[terms[0]]}")
+                tf = f"_tf{tidx[terms[0]]}"
                 idf = idf_of(terms[0])
             else:
-                tf = F.col(f"_pc{ci}")
+                tf = f"_pc{ci}"
                 idf = sum(idf_of(t) for t in terms)
-            tf_part = (tf * (k1 + 1)) / (
-                tf
-                + F.lit(k1)
-                * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            tf_part = (
+                f"({tf} * {k1f + 1!r}D) / ({tf} + {k1f!r}D * "
+                f"({1 - bf!r}D + {bf!r}D * dl / {avgdl!r}D))"
             )
-            cq = F.round(
-                F.lit(idf) * tf_part * F.lit(float(_FP)), 0
-            ).cast("long")
-            hit = tf > 0
-            return hit, F.when(hit, cq).otherwise(zero)
+            cq = (
+                f"cast(round({idf!r}D * {tf_part} * "
+                f"{float(_FP)!r}D, 0) as long)"
+            )
+            hit = f"({tf} > 0)"
+            return hit, f"(CASE WHEN {hit} THEN {cq} ELSE 0L END)"
         if node[0] == "metaleaf":
             # metadata leaf in a scoring role: membership only
-            return F.col(f"_m{next(meta_iter)}"), zero
+            return f"_m{next(meta_iter)}", zero
         _, must, should, must_not, f_text, f_meta, msm = node
         if msm is None:
             msm = 0 if (must or f_text or f_meta) else 1
-        member = F.lit(True)
+        member = "true"
         scoreq = zero
         should_hits = zero
         for ch in must:
             m, sq = eval_node(ch)
-            member = member & m
-            scoreq = scoreq + F.when(m, sq).otherwise(zero)
+            member = f"({member} AND {m})"
+            scoreq = f"({scoreq} + (CASE WHEN {m} THEN {sq} ELSE 0L END))"
         for ch in should:
             m, sq = eval_node(ch)
-            should_hits = should_hits + m.cast("long")
-            scoreq = scoreq + F.when(m, sq).otherwise(zero)
+            should_hits = f"({should_hits} + cast({m} as long))"
+            scoreq = f"({scoreq} + (CASE WHEN {m} THEN {sq} ELSE 0L END))"
         for ch in must_not:
             m, _sq = eval_node(ch)
-            member = member & ~m
+            member = f"({member} AND (NOT {m}))"
         for ch in f_text:
             m, _sq = eval_node(ch)
-            member = member & m
+            member = f"({member} AND {m})"
         for _ in f_meta:
-            member = member & F.col(f"_m{next(meta_iter)}")
-        member = member & (should_hits >= F.lit(int(msm)))
+            member = f"({member} AND _m{next(meta_iter)})"
+        member = f"({member} AND ({should_hits} >= {int(msm)}))"
         return member, scoreq
 
     # n_clauses_hit: top-level must/should children hit — evaluate
@@ -1751,35 +1771,34 @@ def bool_tree_search(
     _, t_must, t_should, t_must_not, t_ftext, t_fmeta, t_msm = tree
     if t_msm is None:
         t_msm = 0 if (t_must or t_ftext or t_fmeta) else 1
-    member = F.lit(True)
+    member = "true"
     scoreq = zero
     n_hit = zero
     should_hits = zero
     for ch in t_must:
         m, sq = eval_node(ch)
-        member = member & m
-        scoreq = scoreq + F.when(m, sq).otherwise(zero)
-        n_hit = n_hit + m.cast("long")
+        member = f"({member} AND {m})"
+        scoreq = f"({scoreq} + (CASE WHEN {m} THEN {sq} ELSE 0L END))"
+        n_hit = f"({n_hit} + cast({m} as long))"
     for ch in t_should:
         m, sq = eval_node(ch)
-        should_hits = should_hits + m.cast("long")
-        scoreq = scoreq + F.when(m, sq).otherwise(zero)
-        n_hit = n_hit + m.cast("long")
+        should_hits = f"({should_hits} + cast({m} as long))"
+        scoreq = f"({scoreq} + (CASE WHEN {m} THEN {sq} ELSE 0L END))"
+        n_hit = f"({n_hit} + cast({m} as long))"
     for ch in t_must_not:
         m, _sq = eval_node(ch)
-        member = member & ~m
+        member = f"({member} AND (NOT {m}))"
     for ch in t_ftext:
         m, _sq = eval_node(ch)
-        member = member & m
+        member = f"({member} AND {m})"
     for _ in t_fmeta:
-        member = member & F.col(f"_m{next(meta_iter)}")
-    member = member & (should_hits >= F.lit(int(t_msm)))
-    out = proj.filter(member).select(
-        F.col(id_col),
-        (scoreq.cast("decimal(38,0)") / F.lit(_FP))
-        .cast("double")
-        .alias("score"),
-        n_hit.alias("n_clauses_hit"),
+        member = f"({member} AND _m{next(meta_iter)})"
+    member = f"({member} AND ({should_hits} >= {int(t_msm)}))"
+    out = proj.filter(F.expr(member)).selectExpr(
+        id_col,
+        f"cast(cast(({scoreq}) as decimal(38,0)) / {_FP} as double) "
+        "AS score",
+        f"({n_hit}) AS n_clauses_hit",
     )
     if top_k is None:
         return out

@@ -563,29 +563,30 @@ def query_string_search(
             f"document columns: {sorted(docs.columns)}"
         )
 
-    vocab = None
     if _has_multiterm(dsl):
-        vocab = (
-            docs.select(
-                F.explode(
-                    F.filter(
-                        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                        lambda x: x != F.lit(""),
-                    )
-                ).alias("term")
-            )
-            .distinct()
-            .persist()
-        )
+        # Every pattern in the query evaluates against the distinct
+        # vocabulary in ONE job (r17): the per-clause formulation ran
+        # one serialized collect per wildcard/fuzzy leaf over a
+        # persisted vocab (build job + N collect jobs + cache churn);
+        # batching the conditions into one projection keeps the exact
+        # per-clause match sets — each term reports which specs it
+        # satisfies — while scanning the vocabulary once (guide §5.3
+        # driver actions / §2.1 recompute-vs-reuse).
+        gathered: list[tuple] = []
 
-        def expand(kind, _field, value, fuzziness):
+        def _gather(kind, _field, value, fuzziness):
+            gathered.append((kind, value, fuzziness))
+            return []
+
+        expand_multiterm(dsl, _gather)  # traversal-ordered spec list
+        specs = list(dict.fromkeys(gathered))
+        conds = []
+        for idx, (kind, value, fuzziness) in enumerate(specs):
             if kind == "wildcard":
-                hits = vocab.filter(
-                    F.col("term").rlike(f"^{_wildcard_regex(value)}$")
-                )
+                c = F.col("term").rlike(f"^{_wildcard_regex(value)}$")
             else:
                 probe = F.lit(value)
-                hits = vocab.filter(
+                c = (
                     (F.length("term")
                      >= F.length(probe) - F.lit(fuzziness))
                     & (F.length("term")
@@ -593,7 +594,36 @@ def query_string_search(
                     & (F.levenshtein(F.col("term"), probe)
                        <= F.lit(fuzziness))
                 )
-            terms = sorted(r["term"] for r in hits.collect())
+            conds.append(F.when(c, F.lit(idx)))
+        vocab = docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("term")
+        ).distinct()
+        matched = (
+            vocab.select(
+                "term", F.array(*conds).alias("_m")
+            )
+            .select(
+                "term",
+                F.explode(
+                    F.filter(F.col("_m"), lambda x: x.isNotNull())
+                ).alias("_i"),
+            )
+            .collect()
+        )
+        by_spec: dict[int, list] = {}
+        for r in matched:
+            by_spec.setdefault(r["_i"], []).append(r["term"])
+        spec_idx = {s: i for i, s in enumerate(specs)}
+
+        def expand(kind, _field, value, fuzziness):
+            terms = sorted(
+                by_spec.get(spec_idx[(kind, value, fuzziness)], [])
+            )
             if len(terms) > max_expansions:
                 raise ValueError(
                     f"too_many_clauses: {kind} {value!r} expands to "
@@ -602,10 +632,7 @@ def query_string_search(
                 )
             return terms
 
-        try:
-            dsl = expand_multiterm(dsl, expand)
-        finally:
-            vocab.unpersist()
+        dsl = expand_multiterm(dsl, expand)
 
     if not _has_scoring_leaf(dsl):
         # every leaf expanded away: deterministic empty result

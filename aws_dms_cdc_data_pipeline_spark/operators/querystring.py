@@ -73,6 +73,32 @@ def parse_simple_query_string(query: str) -> list[tuple[bool, list[str]]]:
     return clauses
 
 
+def _sql_str(s: str) -> str:
+    """Escape a term for inlining into a SQL string literal (tokens
+    are lowercase alnum by construction — the escapes are defense)."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _phrase_count_sql(toks: str, terms: list[str]) -> str:
+    """SQL-string twin of :func:`_phrase_count_expr` — same guarded
+    anchor-filter expression, built with zero py4j traffic (the
+    Column DSL costs ~1 ms per expression node; profiled r17)."""
+    L = len(terms)
+    conds = " AND ".join(
+        (
+            f"element_at({toks}, i + {j}) = '{_sql_str(t)}'"
+            if j
+            else f"element_at({toks}, i) = '{_sql_str(t)}'"
+        )
+        for j, t in enumerate(terms)
+    )
+    return (
+        f"(CASE WHEN size({toks}) >= {L} THEN "
+        f"cast(size(filter(sequence(1, size({toks}) - {L - 1}), "
+        f"i -> {conds})) as long) ELSE 0L END)"
+    )
+
+
 def _phrase_count_expr(toks, terms: list[str]):
     """Exact in-row phrase frequency: the number of anchor positions
     i where toks[i+j] == terms[j] for all j. One array-filter over

@@ -94,8 +94,16 @@ def brute_force_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     method: str = "blas",
+    query_rows: list | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (cosine).
+
+    ``query_rows`` (optional): the query set as ``[(id, vec), ...]``
+    when the caller already holds it driver-side (the DSL knn route
+    builds ``queries`` FROM such a list) — skips the blas path's
+    ``queries.collect()`` round trip, a full scheduled job per call
+    for data the driver started with (guide §5.3). Must enumerate
+    exactly the rows of ``queries``.
 
     The corpus is never shuffled under either method; only ≤ k rows
     per (query, batch) reach the final tiny per-query ranking.
@@ -128,7 +136,11 @@ def brute_force_topk(
     if method != "blas":
         raise ValueError(f"unknown method {method!r} (blas|fold)")
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = (
+        query_rows
+        if query_rows is not None
+        else queries.select(query_id_col, query_vec_col).collect()
+    )
     if not qrows:  # empty query set: correctly-shaped empty result
         joined = corpus.crossJoin(F.broadcast(queries)).withColumn(
             "cosine", F.lit(None).cast("double")
@@ -540,6 +552,7 @@ def filtered_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     method: str = "blas",
+    query_rows: list | None = None,
 ) -> DataFrame:
     """Filtered vector search — the OpenSearch/ES ``knn`` query's
     ``filter`` clause with PRE-FILTER semantics: the metadata
@@ -567,6 +580,7 @@ def filtered_topk(
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
         method=method,
+        query_rows=query_rows,
     )
 
 
