@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from aws_dms_cdc_data_pipeline_spark.operators.search import (
     _ADHOC_STATS_MEMO,
     _FP,
+    _sql_str,
     _term_eq,
 )
 
@@ -71,12 +72,6 @@ def parse_simple_query_string(query: str) -> list[tuple[bool, list[str]]]:
             for t in _TOKEN_RE.findall(text):
                 clauses.append((neg, [t]))
     return clauses
-
-
-def _sql_str(s: str) -> str:
-    """Escape a term for inlining into a SQL string literal (tokens
-    are lowercase alnum by construction — the escapes are defense)."""
-    return s.replace("\\", "\\\\").replace("'", "\\'")
 
 
 def _phrase_count_sql(toks: str, terms: list[str]) -> str:

@@ -422,8 +422,15 @@ def phrase_suggest(
     out_schema = (
         "suggestion string, total_edits long, score double, rank long"
     )
-    pos_rel = _local_relation(
-        spark, list(enumerate(words)), "pos long, query_term string"
+    from aws_dms_cdc_data_pipeline_spark.operators.search import _sql_str
+
+    # the k query positions ride an INLINE literal explode instead of
+    # a broadcast cross join: same rows, no broadcast-build job, and
+    # the whole candidate projection is one SQL string (r17 — py4j
+    # build cost + one fewer scheduled job per call)
+    pos_lit = ",".join(
+        f"named_struct('pos', {i}L, 'query_term', '{_sql_str(w)}')"
+        for i, w in enumerate(words)
     )
     vocab = (
         _idx_relation(spark, idx_table)
@@ -431,15 +438,17 @@ def phrase_suggest(
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
     cand = (
-        vocab.crossJoin(F.broadcast(pos_rel))
+        vocab.selectExpr(
+            "term", "df", f"inline(array({pos_lit}))"
+        )
         .filter(
-            F.abs(F.length("term") - F.length("query_term")) <= max_edit
+            f"abs(length(term) - length(query_term)) <= {int(max_edit)}"
         )
-        .withColumn(
-            "distance",
-            F.levenshtein(F.col("term"), F.col("query_term")).cast("long"),
+        .selectExpr(
+            "term", "df", "pos", "query_term",
+            "cast(levenshtein(term, query_term) as long) AS distance",
         )
-        .filter(F.col("distance") <= max_edit)
+        .filter(f"distance <= {int(max_edit)}")
     )
     w_pos = Window.partitionBy("pos").orderBy(
         F.col("distance").asc(), F.col("df").desc(), F.col("term").asc()
@@ -476,33 +485,22 @@ def phrase_suggest(
         fan_out_scan,
     )
 
-    arr = F.col("_toks")
-    adj = F.transform(
-        F.sequence(F.lit(1), F.size(arr) - 1),
-        lambda i: F.struct(
-            F.element_at(arr, i).alias("w1"),
-            F.element_at(arr, i + 1).alias("w2"),
-        ),
-    )
+    prev_in = ",".join(f"'{_sql_str(t)}'" for t in prev_set)
+    cur_in = ",".join(f"'{_sql_str(t)}'" for t in cur_set)
     bg = (
         fan_out_scan(docs.select(text_col))
-        .select(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                lambda x: x != F.lit(""),
-            ).alias("_toks")
+        .selectExpr(
+            f"filter(split(lower({text_col}), '[^a-z0-9]+'), "
+            "x -> x != '') AS _toks"
         )
-        .filter(F.size(arr) >= 2)
-        .select(
-            F.explode(
-                F.filter(
-                    adj,
-                    lambda p: p["w1"].isin(prev_set)
-                    & p["w2"].isin(cur_set),
-                )
-            ).alias("p")
+        .filter("size(_toks) >= 2")
+        .selectExpr(
+            "explode(filter(transform(sequence(1, size(_toks) - 1), "
+            "i -> named_struct('w1', element_at(_toks, i), "
+            "'w2', element_at(_toks, i + 1))), "
+            f"p -> p.w1 IN ({prev_in}) AND p.w2 IN ({cur_in}))) AS p"
         )
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .selectExpr("p.w1 AS w1", "p.w2 AS w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )

@@ -114,6 +114,23 @@ def _term_eq(t: str):
     return lambda x: x == F.lit(t)
 
 
+def _sql_str(s: str) -> str:
+    """Escape a term for inlining into a SQL string literal (tokens
+    are lowercase alnum by construction — the escapes are defense)."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _tf_cols_sql(terms: list[str]) -> list[str]:
+    """Per-term tf projections over ``_toks`` as SQL strings — the
+    Column-DSL loop costs ~1 ms of py4j traffic per node (profiled
+    r17); the parsed expressions are identical."""
+    return [
+        f"cast(size(filter(_toks, x -> x = '{_sql_str(t)}')) as long) "
+        f"AS _tf{i}"
+        for i, t in enumerate(terms)
+    ]
+
+
 def _bm25_adhoc_proj(
     docs: DataFrame,
     terms: list[str],
@@ -164,14 +181,9 @@ def _bm25_adhoc_proj(
             lambda x: x != F.lit(""),
         ).alias("_toks"),
     )
-    cols = [F.size("_toks").cast("long").alias("dl")]
-    for i, t in enumerate(terms):
-        cols.append(
-            F.size(F.filter("_toks", _term_eq(t)))
-            .cast("long")
-            .alias(f"_tf{i}")
-        )
-    return toks.select(F.col(id_col), *cols).persist()
+    return toks.selectExpr(
+        id_col, "cast(size(_toks) as long) AS dl", *_tf_cols_sql(terms)
+    ).persist()
 
 
 def _bm25_adhoc_scores(
@@ -252,38 +264,41 @@ def _bm25_adhoc_scores(
     import math
 
     avgdl = total_dl / n_docs
+    k1f, bf = float(k1), float(b)
     contribs = []
     hit_flags = []
+    # scoring expression as ONE SQL string (the _tf_cols_sql
+    # rationale): double literals carry D suffixes, repr() round-trips
+    # doubles exactly, so the parsed arithmetic chain is bit-identical
+    # to the Column-DSL form it replaced
     for i, keep in enumerate(mask):
         if not keep:
             continue
-        tf = F.col(f"_tf{i}")
+        tf = f"_tf{i}"
         df_ = int(row[f"_df{i}"] or 0)
         idf = (float(n_docs - df_) + 0.5) / (float(df_) + 0.5)
         if textbook:
             idf = math.log(1.0 + idf)
-        tf_part = (tf * (k1 + 1)) / (
-            tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        tf_part = (
+            f"({tf} * {k1f + 1!r}D) / ({tf} + {k1f!r}D * "
+            f"({1 - bf!r}D + {bf!r}D * dl / {avgdl!r}D))"
         )
-        cq = F.round(F.lit(idf) * tf_part * F.lit(float(_FP)), 0).cast("long")
-        contribs.append(F.when(tf > 0, cq).otherwise(F.lit(0).cast("long")))
-        hit_flags.append((tf > 0).cast("long"))
-    total = contribs[0]
-    for c in contribs[1:]:
-        total = total + c
-    n_hit = hit_flags[0]
-    for h in hit_flags[1:]:
-        n_hit = n_hit + h
-    return (
-        proj.select(
-            F.col(id_col),
-            (total.cast("decimal(38,0)") / F.lit(_FP))
-            .cast("double")
-            .alias("score"),
-            n_hit.cast("long").alias("n_terms_hit"),
+        cq = (
+            f"cast(round({idf!r}D * {tf_part} * {float(_FP)!r}D, 0) "
+            "as long)"
         )
-        .filter(F.col("n_terms_hit") > 0)
-    )
+        contribs.append(
+            f"(CASE WHEN {tf} > 0 THEN {cq} ELSE 0L END)"
+        )
+        hit_flags.append(f"cast({tf} > 0 as long)")
+    total = " + ".join(contribs)
+    n_hit = " + ".join(hit_flags)
+    return proj.selectExpr(
+        id_col,
+        f"cast(cast(({total}) as decimal(38,0)) / {_FP} as double) "
+        "AS score",
+        f"cast(({n_hit}) as long) AS n_terms_hit",
+    ).filter(F.col("n_terms_hit") > 0)
 
 
 def span_first(
