@@ -266,20 +266,16 @@ def cms_bucket_sketches(
     """
     if width < 8 or depth < 1:
         raise ValueError("need width >= 8 and depth >= 1")
-    k = F.expr(key_expr).cast("string")
-    cells = df.select(
-        F.expr(bucket_expr).alias(bucket_alias),
-        F.explode(
-            F.array(
-                *[
-                    (
-                        F.lit(d * width)
-                        + F.pmod(F.xxhash64(k, F.lit(d)), F.lit(width))
-                    ).cast("int")
-                    for d in range(depth)
-                ]
-            )
-        ).alias("_cell"),
+    # per-depth cell expressions as one SQL string (identical parsed
+    # expressions, no per-node py4j round trips — profiled r17)
+    items = ",".join(
+        f"cast({d * width} + pmod(xxhash64(cast(({key_expr}) as "
+        f"string), {d}), {width}) as int)"
+        for d in range(depth)
+    )
+    cells = df.selectExpr(
+        f"({bucket_expr}) AS {bucket_alias}",
+        f"explode(array({items})) AS _cell",
     )
     counted = cells.groupBy(bucket_alias, "_cell").agg(
         F.count(F.lit(1)).cast("long").alias("_n")
@@ -356,38 +352,25 @@ def cms_estimate(
     if not keys:
         raise ValueError("cms_estimate needs at least one key")
 
-    def est_for(key: str):
+    def _esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    def est_sql(key: str) -> str:
         probes = [
-            F.element_at(
-                "cms",
-                (
-                    F.lit(d * width)
-                    + F.pmod(
-                        F.xxhash64(F.lit(key).cast("string"), F.lit(d)),
-                        F.lit(width),
-                    )
-                ).cast("int")
-                + F.lit(1),
-            )
+            f"element_at(cms, cast({d * width} + pmod(xxhash64("
+            f"cast('{_esc(key)}' as string), {d}), {width}) as int) + 1)"
             for d in range(depth)
         ]
-        return (probes[0] if depth == 1 else F.least(*probes)).cast(
-            "long"
-        )
+        inner = probes[0] if depth == 1 else f"least({','.join(probes)})"
+        return f"cast({inner} as long)"
 
-    pairs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(key).alias("key"), est_for(key).alias("est")
-                )
-                for key in keys
-            ]
-        )
-    ).alias("_e")
+    pairs = ",".join(
+        f"named_struct('key', '{_esc(key)}', 'est', {est_sql(key)})"
+        for key in keys
+    )
     return (
-        sketches.select(F.col(bucket_alias), pairs)
-        .select(bucket_alias, F.col("_e.key").alias("key"),
-                F.col("_e.est").alias("est"))
+        sketches.selectExpr(
+            bucket_alias, f"inline(array({pairs}))"
+        )
         .orderBy(bucket_alias, "key")
     )

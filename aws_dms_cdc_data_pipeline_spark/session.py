@@ -68,12 +68,15 @@ def get_spark(
         # the stock 128 MB split become ONE scan task — a 32-core
         # local session then runs its biggest table scans single-
         # threaded (measured: q1 at sf1 1.19 s → 0.77 s with 8 MB
-        # splits). On a real cluster with 128–256 MB files keep the
+        # splits; r17 re-measured 8 MB → 4 MB at sf0.1, where the
+        # 10.8 MB lineitem still scanned as 2 tasks: q1 0.96 → 0.68 s,
+        # q3 0.56 → 0.43 s across an 11-query A/B, 2 MB within noise
+        # of 4 MB). On a real cluster with 128–256 MB files keep the
         # default — override via extra_conf / runtime conf; parquet
         # stays byte-range splittable either way.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
         )
         # AQE post-shuffle target size, harness-scale default (the
         # maxPartitionBytes precedent): at fixture scale the stock
