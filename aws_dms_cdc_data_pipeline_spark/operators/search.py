@@ -2564,24 +2564,43 @@ def _phrase_match_many(
     identical to :func:`_phrase_match` per query: an anchor ``a``
     collects one vote per satisfied (term, offset) map entry, and
     ``votes == n_terms`` iff every phrase token sits at ``a + off`` —
-    the same consecutive-positions condition the window form checks."""
-    spark = toks.sparkSession
-    rows = sorted(
-        {
-            (qid, t, i, len(terms))
-            for qid, terms in queries
-            for i, t in enumerate(terms)
-        }
+    the same consecutive-positions condition the window form checks.
+
+    The (term → [(query_id, off, n_terms)]) multi-map rides the plan
+    as a CONSTANT-FOLDED map literal probed with ``element_at`` +
+    ``explode`` (NULL for a non-standing term explodes to zero rows —
+    exactly the inner join's semantics): the former broadcast join
+    paid a BroadcastExchange build job per pass for a relation the
+    driver already held as a Python list (r17; guide §2.4 remove
+    exchanges outright). The literal folds once per plan, not per
+    row, and stays bounded by the standing-term count the prune
+    already enumerates."""
+    entries: dict[str, set] = {}
+    for qid, terms in queries:
+        for i, t in enumerate(terms):
+            entries.setdefault(t, set()).add((qid, i, len(terms)))
+    items = []
+    for t in sorted(entries):
+        structs = ",".join(
+            f"named_struct('query_id', '{_sql_str(q)}', "
+            f"'off', {i}L, 'n_terms', {n}L)"
+            for q, i, n in sorted(entries[t])
+        )
+        items.append(f"'{_sql_str(t)}', array({structs})")
+    map_sql = f"map({', '.join(items)})"
+    votes = (
+        toks.selectExpr(
+            id_col, "pos",
+            f"explode(element_at({map_sql}, term)) AS _q",
+        )
+        .groupBy(
+            F.col("_q.query_id").alias("query_id"),
+            F.col(id_col),
+            (F.col("pos") - F.col("_q.off")).alias("_anchor"),
+            F.col("_q.n_terms").alias("n_terms"),
+        )
+        .agg(F.count(F.lit(1)).alias("_votes"))
     )
-    qdf = _local_relation(
-        spark, rows, "query_id string, term string, off long, n_terms long"
-    )
-    votes = toks.join(F.broadcast(qdf), "term").groupBy(
-        "query_id",
-        F.col(id_col),
-        (F.col("pos") - F.col("off")).alias("_anchor"),
-        "n_terms",
-    ).agg(F.count(F.lit(1)).alias("_votes"))
     return (
         votes.filter(F.col("_votes") == F.col("n_terms"))
         .groupBy("query_id", id_col)
@@ -3092,7 +3111,27 @@ def compact_token_index(
     src = spark.table(table)
     files_before = len(src.inputFiles())
     rows = src.count()
-    write_bucketed(src, tmp, bucket_col=bucket_col, num_buckets=num_buckets)
+    # Force the BUCKETED scan for the rewrite: auto-bucketed-scan
+    # planning sees no operator that needs the distribution, reads
+    # the table as plain file splits, and the write then emits one
+    # file per (split, bucket) — output file count tracked the INPUT
+    # split count, so compacting a fragmented index could be a no-op
+    # (r17: surfaced by the 4 MB split default; an explicit
+    # repartition(num_buckets, bucket_col) does not help — the
+    # planner elides it as redundant against the table's bucket spec
+    # and still disables the bucketed scan). Under a forced bucketed
+    # scan each task holds exactly one bucket, so the rewrite lands
+    # at one file per bucket with NO exchange at all.
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev_auto = spark.conf.get(auto_key)
+    spark.conf.set(auto_key, "false")
+    try:
+        write_bucketed(
+            spark.table(table), tmp,
+            bucket_col=bucket_col, num_buckets=num_buckets,
+        )
+    finally:
+        spark.conf.set(auto_key, prev_auto)
     spark.sql(f"ALTER TABLE {table} RENAME TO {bak}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
     spark.sql(f"DROP TABLE {bak}")
