@@ -4384,9 +4384,21 @@ def frequent_item_sets(
     # the pair expansion below is the one quadratic-per-row shape
     # (Σ|items|²/2 rows from each transaction) — a few-file scan
     # must not pin it to the scan's split count (measured: the two
-    # 8 MB sf0.1 splits ran the 0.9 s expansion on 2 of 32 cores;
-    # fan_out_scan's byte bar keeps tiny fixtures exchange-free)
-    base = fan_out_scan(tx.select(items.alias("_it"))).persist()
+    # 8 MB sf0.1 splits ran the 0.9 s expansion on 2 of 32 cores).
+    # The byte bar drops to 128 KB here (the _word_gram_index
+    # precedent): per-partition work is QUADRATIC in row width, so
+    # the default 1 MB bar — calibrated for linear tokenize passes —
+    # under-buys parallelism exactly where it hurts most. The low bar
+    # also makes the fan-out probe's first-call decision the
+    # steady-state one: this is the only call site that persists
+    # fan_out_scan's direct output, and before r17's decision memo
+    # the cached relation's inflated in-memory stats silently flipped
+    # the probe to fan-out on warm calls — the memo froze the cold
+    # (underparallelized) answer and cost 0.93 → 1.39 s at sf0.1.
+    base = fan_out_scan(
+        tx.select(items.alias("_it")),
+        min_bytes_per_partition=128 * 1024,
+    ).persist()
     # the transaction count rides the plan as a broadcast 1-row
     # aggregate (the bigram |V| pattern): the old ``base.count()``
     # was a separate driver ACTION per call serialized before the

@@ -310,6 +310,72 @@ def test_fan_out_scan_conditions(spark, sf_dir, tmp_path):
     assert fan_out_scan(split).rdd.getNumPartitions() == target
 
 
+def test_fan_out_scan_decision_stable_across_persist(spark, tmp_path):
+    """The fan-out decision memo must return the FIRST (cold-stats)
+    answer on every call — persisting the operator's output must not
+    flip it. Pre-memo, a caller that persisted fan_out_scan's direct
+    output (frequent_item_sets) saw the cached relation's inflated
+    in-memory stats flip the probe to fan-out on warm calls; the memo
+    froze the cold answer instead, silently pinning a quadratic
+    expansion to the scan's split count (measured 0.93 → 1.39 s at
+    sf0.1). Call sites with super-linear per-row work lower
+    ``min_bytes_per_partition`` so the COLD stats already say fan
+    out; this test locks both halves of that contract."""
+    from pyspark.sql import functions as F
+
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    # one single-split parquet file whose pruned-size estimate lands
+    # between the 128 KB quadratic-work bar and the 1 MB default bar
+    (
+        spark.range(0, 15_000, 1, 1)
+        .select(
+            "id",
+            # incompressible text so the stats estimate (file bytes ×
+            # pruned-column fraction) clears the 128 KB bar
+            F.sha2(F.col("id").cast("string"), 256).alias("text"),
+        )
+        .coalesce(1)
+        .write.parquet(str(tmp_path / "mid"))
+    )
+    mid = spark.read.parquet(str(tmp_path / "mid")).select("text")
+    assert mid.rdd.getNumPartitions() < max(2, target // 2)
+    est = int(
+        mid._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    n = mid.rdd.getNumPartitions()
+    assert 128 * 1024 <= est // n < 1024 * 1024, est
+
+    # default bar: cold stats say stay put
+    flat = fan_out_scan(mid)
+    assert flat.rdd.getNumPartitions() == n
+    # quadratic-work bar: cold stats say fan out
+    fanned = fan_out_scan(mid, min_bytes_per_partition=128 * 1024)
+    assert fanned.rdd.getNumPartitions() == target
+
+    # persist the un-fanned output (the frequent_item_sets shape) and
+    # materialize it: in-memory stats now dwarf the parquet estimate,
+    # but the memoized decision must not move — same partitioning on
+    # a fresh identical plan, both bars
+    flat.persist()
+    flat.count()
+    try:
+        again = fan_out_scan(
+            spark.read.parquet(str(tmp_path / "mid")).select("text")
+        )
+        assert again.rdd.getNumPartitions() == n
+        fanned2 = fan_out_scan(
+            spark.read.parquet(str(tmp_path / "mid")).select("text"),
+            min_bytes_per_partition=128 * 1024,
+        )
+        assert fanned2.rdd.getNumPartitions() == target
+    finally:
+        flat.unpersist()
+
+
 def test_collocations_planted_pmi(spark):
     """Planted corpus: a pair that always co-occurs adjacently scores
     the maximal PMI; a frequent-but-independent pair scores near 0."""
