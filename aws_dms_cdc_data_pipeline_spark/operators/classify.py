@@ -183,27 +183,67 @@ def nb_classify(
     # the postings join becomes 1:1 instead of 1:|classes-seen|.
     # Unseen (term, class) pairs get delta 0 BY ALGEBRA (their logp
     # IS the floor), so the wide zeros are exact, not a convention.
-    a = F.lit(float(alpha))
-    model_wide = train.groupBy("term").agg(*[
-        F.sum(F.when(F.col("_lbl") == F.lit(c), F.col("tf"))
-              .otherwise(F.lit(0))).cast("long").alias(f"_n{i}")
-        for i, (c, _pq, _fq, _tc) in enumerate(consts)
-    ]).select(
-        "term",
-        *[
-            F.when(
-                F.col(f"_n{i}") > 0,
-                F.round(
-                    F.log(
-                        (F.col(f"_n{i}").cast("double") + a)
-                        / F.lit(float(tot_c)
-                                + float(alpha) * float(vocab_size))
-                    ) * _LQ, 0
-                ).cast("long") - F.lit(fq),
-            ).otherwise(F.lit(0)).alias(f"_d{i}")
-            for i, (_c, _pq, fq, tot_c) in enumerate(consts)
-        ],
-    )
+    # The per-class expression trees below used to be built node by
+    # node with the Column DSL — ~1 ms of py4j round trips per node,
+    # ~0.45 s of driver time per call at |classes|=5 (profiled r17).
+    # Each leg now arrives as a SQL string parsed JVM-side in one
+    # call (the dsl.py / bm25 / CMS precedent); the parsed
+    # expressions evaluate identically (double literals embed via
+    # repr() + D suffix, which round-trips IEEE doubles exactly; all
+    # quantized constants are exact longs). Labels embed as SQL
+    # literals for the common types; anything else falls back to the
+    # equivalent Column-DSL construction below.
+    def _sql_lit(v):
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return None
+
+    cls_lits = [_sql_lit(c) for c, _pq, _fq, _tc in consts]
+    sql_ok = all(s is not None for s in cls_lits)
+    if sql_ok:
+        a_d = repr(float(alpha)) + "D"
+        model_wide = train.groupBy("term").agg(*[
+            F.expr(
+                f"CAST(sum(CASE WHEN _lbl = {cl} THEN tf ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias(f"_n{i}")
+            for i, cl in enumerate(cls_lits)
+        ]).selectExpr(
+            "term",
+            *[
+                f"CASE WHEN _n{i} > 0 THEN CAST(round(ln("
+                f"(CAST(_n{i} AS DOUBLE) + {a_d}) / "
+                f"{float(tot_c) + float(alpha) * float(vocab_size)!r}D"
+                f") * {_LQ}, 0) AS BIGINT) - ({fq}) ELSE 0 END AS _d{i}"
+                for i, (_c, _pq, fq, tot_c) in enumerate(consts)
+            ],
+        )
+    else:
+        a = F.lit(float(alpha))
+        model_wide = train.groupBy("term").agg(*[
+            F.sum(F.when(F.col("_lbl") == F.lit(c), F.col("tf"))
+                  .otherwise(F.lit(0))).cast("long").alias(f"_n{i}")
+            for i, (c, _pq, _fq, _tc) in enumerate(consts)
+        ]).select(
+            "term",
+            *[
+                F.when(
+                    F.col(f"_n{i}") > 0,
+                    F.round(
+                        F.log(
+                            (F.col(f"_n{i}").cast("double") + a)
+                            / F.lit(float(tot_c)
+                                    + float(alpha) * float(vocab_size))
+                        ) * _LQ, 0
+                    ).cast("long") - F.lit(fq),
+                ).otherwise(F.lit(0)).alias(f"_d{i}")
+                for i, (_c, _pq, fq, tot_c) in enumerate(consts)
+            ],
+        )
 
     # ONE per-doc aggregation carries the doc length AND every
     # class's hit sum (the left join keeps out-of-vocabulary terms
@@ -214,18 +254,49 @@ def nb_classify(
         .agg(
             F.sum("tf").cast("long").alias("dl"),
             *[
-                F.sum(F.col("tf") * F.coalesce(F.col(f"_d{i}"), F.lit(0)))
-                .cast("long").alias(f"_h{i}")
+                F.expr(f"CAST(sum(tf * coalesce(_d{i}, 0)) AS BIGINT)")
+                .alias(f"_h{i}")
                 for i in range(len(consts))
             ],
         )
     )
     labels = docs.select(id_col, lbl.alias("label"))
     out = labels.join(scored, id_col, "left")
+    # argmax: classes iterate ASC and only a STRICTLY greater score
+    # displaces the champion, so the winner is the FIRST class (ASC)
+    # attaining the maximum — expressed as greatest() + a first-match
+    # CASE over per-class score columns (identical over exact longs;
+    # the old nested-when champion chain built the same scores with
+    # ~10 py4j calls per class). tok stays persisted (plan-keyed):
+    # the scored leg reads it at evaluation time — an unpersist here
+    # forces a re-tokenize.
+    if sql_ok:
+        k = len(consts)
+        proj = out.selectExpr(
+            id_col,
+            "label",
+            *[
+                f"(CAST({pq} AS BIGINT) + coalesce(dl, 0) *"
+                f" CAST({fq} AS BIGINT) + coalesce(_h{i}, 0)) AS _s{i}"
+                for i, (_c, pq, fq, _tc) in enumerate(consts)
+            ],
+        )
+        names = ", ".join(f"_s{i}" for i in range(k))
+        mx = f"greatest({names})" if k > 1 else "_s0"
+        pred = "CASE " + " ".join(
+            f"WHEN _s{i} = _mx THEN {cl}"
+            for i, cl in enumerate(cls_lits)
+        ) + " END"
+        return proj.selectExpr(
+            id_col, "label", f"{mx} AS _mx",
+            *[f"_s{i}" for i in range(k)],
+        ).selectExpr(
+            id_col,
+            "label",
+            f"{pred} AS predicted",
+            f"(CAST(_mx AS DOUBLE) / {_LQ}) AS score",
+        )
     dl0 = F.coalesce(F.col("dl"), F.lit(0))
-    # argmax as a literal-class expression chain (the with_lang_id
-    # pattern): classes iterate ASC and only a STRICTLY greater score
-    # displaces the champion, so ties keep the smaller class name
     best_s = best_c = None
     for i, (c, pq, _fq, _tc) in enumerate(consts):
         s = (
@@ -239,8 +310,6 @@ def nb_classify(
             cond = s > best_s
             best_c = F.when(cond, F.lit(c)).otherwise(best_c)
             best_s = F.when(cond, s).otherwise(best_s)
-    # tok stays persisted (plan-keyed): the scored leg reads it at
-    # evaluation time — an unpersist here forces a re-tokenize
     return out.select(
         F.col(id_col),
         "label",
