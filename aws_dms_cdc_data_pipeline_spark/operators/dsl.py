@@ -115,11 +115,9 @@ from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
 from aws_dms_cdc_data_pipeline_spark.operators.search import (
     _ADHOC_STATS_MEMO,
     _FP,
-    _term_eq,
 )
 from aws_dms_cdc_data_pipeline_spark.operators.querystring import (
     _TOKEN_RE,
-    _phrase_count_expr,
     _phrase_count_sql,
     _sql_str,
 )
@@ -284,40 +282,51 @@ def clause_search(
         ).alias("_toks"),
         *meta,
     )
-    cols = [F.size("_toks").cast("long").alias("dl"), *meta]
+    # Projection, stats aggregate and the whole scoring chain below
+    # are built as SQL STRINGS parsed JVM-side (the bool_tree_search
+    # rewrite, applied to the flat executor): the Column-DSL loops
+    # cost ~1 ms of py4j round trips per expression node and
+    # dominated the driver side of every flat-clause consumer
+    # (retriever/hybrid request legs, the flat DSL routes). The
+    # strings parse to the identical resolved expressions (double
+    # literals via repr() + D suffix round-trip IEEE exactly; all
+    # score arithmetic stays quantized longs).
+    cols = [
+        "cast(size(_toks) as long) AS dl",
+        *(["_meta_ok"] if extra_filter is not None else []),
+    ]
     for i, t in enumerate(score_terms):
         cols.append(
-            F.size(F.filter("_toks", _term_eq(t))).cast("long")
-            .alias(f"_tf{i}")
+            f"cast(size(filter(_toks, x -> x = '{_sql_str(t)}')) "
+            f"as long) AS _tf{i}"
         )
     for j, t in enumerate(neg_only):
         cols.append(
-            F.size(F.filter("_toks", _term_eq(t))).cast("long")
-            .alias(f"_ntf{j}")
+            f"cast(size(filter(_toks, x -> x = '{_sql_str(t)}')) "
+            f"as long) AS _ntf{j}"
         )
     all_clauses = must + should + must_not + filters
     for ci, terms in enumerate(all_clauses):
         if len(terms) > 1:
-            cols.append(
-                _phrase_count_expr(F.col("_toks"), terms).alias(f"_pc{ci}")
-            )
-    proj = toks.select(F.col(id_col), *cols).persist()
+            cols.append(f"{_phrase_count_sql('_toks', terms)} AS _pc{ci}")
+    proj = toks.selectExpr(id_col, *cols).persist()
 
-    aggs = [
-        F.sum((F.col("dl") > 0).cast("long")).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_dl"),
-    ]
-    for i in range(len(score_terms)):
-        aggs.append(
-            F.sum((F.col(f"_tf{i}") > 0).cast("long"))
-            .cast("long").alias(f"_df{i}")
-        )
     memo_key = (
         proj._jdf.queryExecution().analyzed().semanticHash(),
         ("dsl",) + tuple(score_terms),
     )
     row = _ADHOC_STATS_MEMO.get(memo_key)
     if row is None:
+        aggs = [
+            F.expr("cast(sum(cast(dl > 0 as long)) as long) AS n_docs"),
+            F.expr("cast(sum(dl) as long) AS total_dl"),
+            *[
+                F.expr(
+                    f"cast(sum(cast(_tf{i} > 0 as long)) as long) AS _df{i}"
+                )
+                for i in range(len(score_terms))
+            ],
+        ]
         row = proj.agg(*aggs).collect()[0]
         if len(_ADHOC_STATS_MEMO) >= 256:
             _ADHOC_STATS_MEMO.pop(next(iter(_ADHOC_STATS_MEMO)))
@@ -340,66 +349,64 @@ def clause_search(
 
     def clause_tf_idf(ci: int, terms: list[str]):
         if len(terms) == 1:
-            return F.col(f"_tf{tidx[terms[0]]}"), idf_of(terms[0])
-        return F.col(f"_pc{ci}"), sum(idf_of(t) for t in terms)
+            return f"_tf{tidx[terms[0]]}", idf_of(terms[0])
+        return f"_pc{ci}", sum(idf_of(t) for t in terms)
 
-    zero = F.lit(0).cast("long")
-    total = zero
-    must_member = F.lit(True)
-    n_hit = zero
-    should_hits = zero
+    k1f, bf = float(k1), float(b)
+    total = "0L"
+    must_member = "true"
+    n_hit = "0L"
+    should_hits = "0L"
     for ci, terms in enumerate(all_clauses[: len(must) + len(should)]):
         tf, idf = clause_tf_idf(ci, terms)
-        tf_part = (tf * (k1 + 1)) / (
-            tf
-            + F.lit(k1)
-            * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        tf_part = (
+            f"({tf} * {k1f + 1!r}D) / ({tf} + {k1f!r}D * "
+            f"({1 - bf!r}D + {bf!r}D * dl / {avgdl!r}D))"
         )
-        cq = F.round(F.lit(idf) * tf_part * F.lit(float(_FP)), 0).cast(
-            "long"
+        cq = (
+            f"cast(round({idf!r}D * {tf_part} * "
+            f"{float(_FP)!r}D, 0) as long)"
         )
-        hit = tf > 0
-        total = total + F.when(hit, cq).otherwise(zero)
-        n_hit = n_hit + hit.cast("long")
+        hit = f"({tf} > 0)"
+        total = f"({total} + (CASE WHEN {hit} THEN {cq} ELSE 0L END))"
+        n_hit = f"({n_hit} + cast({hit} as long))"
         if ci < len(must):
-            must_member = must_member & hit
+            must_member = f"({must_member} AND {hit})"
         else:
-            should_hits = should_hits + hit.cast("long")
-    member = must_member & (
-        should_hits >= F.lit(int(minimum_should_match))
+            should_hits = f"({should_hits} + cast({hit} as long))"
+    member = (
+        f"({must_member} AND "
+        f"({should_hits} >= {int(minimum_should_match)}))"
     )
-    excl = F.lit(False)
+    excl = "false"
     for off, terms in enumerate(must_not):
         ci = len(must) + len(should) + off
         if len(terms) == 1:
             t = terms[0]
             col = (
-                F.col(f"_tf{tidx[t]}") if t in tidx
-                else F.col(f"_ntf{nidx[t]}")
+                f"_tf{tidx[t]}" if t in tidx else f"_ntf{nidx[t]}"
             )
-            excl = excl | (col > 0)
+            excl = f"({excl} OR ({col} > 0))"
         else:
-            excl = excl | (F.col(f"_pc{ci}") > 0)
+            excl = f"({excl} OR (_pc{ci} > 0))"
     # filter context: required presence, zero score contribution
     for off, terms in enumerate(filters):
         ci = len(must) + len(should) + len(must_not) + off
         if len(terms) == 1:
             t = terms[0]
             col = (
-                F.col(f"_tf{tidx[t]}") if t in tidx
-                else F.col(f"_ntf{nidx[t]}")
+                f"_tf{tidx[t]}" if t in tidx else f"_ntf{nidx[t]}"
             )
-            member = member & (col > 0)
+            member = f"({member} AND ({col} > 0))"
         else:
-            member = member & (F.col(f"_pc{ci}") > 0)
+            member = f"({member} AND (_pc{ci} > 0))"
     if extra_filter is not None:
-        member = member & F.col("_meta_ok")
-    out = proj.filter(member & ~excl).select(
-        F.col(id_col),
-        (total.cast("decimal(38,0)") / F.lit(_FP))
-        .cast("double")
-        .alias("score"),
-        n_hit.alias("n_clauses_hit"),
+        member = f"({member} AND _meta_ok)"
+    out = proj.filter(F.expr(f"({member}) AND (NOT ({excl}))")).selectExpr(
+        id_col,
+        f"cast(cast(({total}) as decimal(38,0)) / {_FP} as double) "
+        "AS score",
+        f"({n_hit}) AS n_clauses_hit",
     )
     if top_k is None:  # UNCUT hit relation (the aggs-scope contract)
         return out
