@@ -52,6 +52,15 @@ def occurrences(col: Column, term: str) -> Column:
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish token count per document."""
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    # fan-out-guarded pure map (the gopher_quality_flags precedent):
+    # a few-file corpus otherwise pins the whole per-row projection to
+    # the scan's split count (profiled r17: every one of these ran as
+    # ONE task at sf0.1); the 128 KB bar is the heavy-per-row tier.
+    df = fan_out_scan(df, min_bytes_per_partition=128 * 1024)
     c = F.col(text_col)
     ws = F.size(F.split(F.trim(c), r"\s+"))
     return df.withColumn(
@@ -67,6 +76,15 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     combined score is a clipped linear blend — a placeholder a user
     tunes, but shuffle-free and fully vectorized.
     """
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    # fan-out-guarded pure map (the gopher_quality_flags precedent):
+    # a few-file corpus otherwise pins the whole per-row projection to
+    # the scan's split count (profiled r17: every one of these ran as
+    # ONE task at sf0.1); the 128 KB bar is the heavy-per-row tier.
+    df = fan_out_scan(df, min_bytes_per_partition=128 * 1024)
     c = F.col(text_col)
     n_chars = F.length(c)
     words = F.split(F.trim(c), r"\s+")
@@ -123,6 +141,15 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     from 15 markers to a trained classifier. The model file is not in
     this container, so the heuristic is the tested default.
     """
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    # fan-out-guarded pure map (the gopher_quality_flags precedent):
+    # a few-file corpus otherwise pins the whole per-row projection to
+    # the scan's split count (profiled r17: every one of these ran as
+    # ONE task at sf0.1); the 128 KB bar is the heavy-per-row tier.
+    df = fan_out_scan(df, min_bytes_per_partition=128 * 1024)
     padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
     scores = {
         lang: sum(occurrences(padded, f" {m} ") for m in markers)
@@ -165,6 +192,15 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     packs, but the plumbing (ordering, counting, placeholder scheme)
     is the real contract.
     """
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    # fan-out-guarded pure map (the gopher_quality_flags precedent):
+    # a few-file corpus otherwise pins the whole per-row projection to
+    # the scan's split count (profiled r17: every one of these ran as
+    # ONE task at sf0.1); the 128 KB bar is the heavy-per-row tier.
+    df = fan_out_scan(df, min_bytes_per_partition=128 * 1024)
     out = df
     cleaned = F.col(text_col)
     for name, pat, repl in PII_PATTERNS:
@@ -367,6 +403,15 @@ def with_repetition_scores(
     computed once (inlining them into downstream expressions would
     re-evaluate the transform per reference).
     """
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    # fan-out-guarded pure map (the gopher_quality_flags precedent):
+    # a few-file corpus otherwise pins the whole per-row projection to
+    # the scan's split count (profiled r17: every one of these ran as
+    # ONE task at sf0.1); the 128 KB bar is the heavy-per-row tier.
+    df = fan_out_scan(df, min_bytes_per_partition=128 * 1024)
     out = df.withColumn("_w", F.split(F.col(text_col), " "))
     temps = ["_w"]
     for n in ns:
@@ -705,8 +750,20 @@ def gopher_quality_flags(
     engine — no float thresholds. Words are whitespace tokens of the
     trimmed text (punctuation attached, per the paper's tokenizer-
     free counting); lines split on newlines. One narrow projection,
-    no shuffle, no UDF — a pure map at any scale.
+    no UDF — a pure map at any scale, fan-out-guarded so a few-file
+    corpus doesn't pin the per-word rule evaluation to the scan's
+    split count (profiled r17: the whole query ran as ONE 0.4 s task
+    at sf0.1; the 128 KB bar is the quadratic/heavy-work tier — this
+    map runs several array lambdas plus a per-word rlike).
     """
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        fan_out_scan,
+    )
+
+    df = fan_out_scan(
+        df.select(id_col, text_col),
+        min_bytes_per_partition=128 * 1024,
+    )
     c = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(
         F.split(F.regexp_replace(F.trim(c), r"\s+", " "), " "),
