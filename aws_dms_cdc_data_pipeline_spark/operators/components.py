@@ -42,6 +42,9 @@ from pyspark.sql import functions as F
 # scale path beyond it.
 _SINGLE_TASK_EDGE_LIMIT = 1_000_000
 
+# (edges-plan semanticHash, appId, limit) -> bool; see connected_components
+_SMALL_GRAPH_MEMO: dict = {}
+
 
 def _components_single_task(und: DataFrame, limit: int) -> DataFrame:
     """All edges → one group → union-find in one Arrow batch.
@@ -120,7 +123,30 @@ def connected_components(
     # policy; eviction only costs a recompute from lineage.
     und = und.persist()
 
-    if und.count() <= _SINGLE_TASK_EDGE_LIMIT:
+    # The single-task-vs-iterative choice needs |edges| — an ACTION
+    # (profiled r17: 0.3-0.4 s per call, serialized inside query
+    # construction). The DECISION memoizes per (analyzed-plan
+    # semanticHash, limit) — the fan_out_scan decision-memo pattern:
+    # identical edge plans make identical choices, nothing about data
+    # or results is cached, and a stale hit on a changed-underneath
+    # input is caught loudly by _components_single_task's runtime
+    # row-count guard (the iterative path is correct at any size).
+    try:
+        key = (
+            und._jdf.queryExecution().analyzed().semanticHash(),
+            und.sparkSession.sparkContext.applicationId,
+            _SINGLE_TASK_EDGE_LIMIT,
+        )
+    except Exception:
+        key = None
+    small = _SMALL_GRAPH_MEMO.get(key) if key is not None else None
+    if small is None:
+        small = und.count() <= _SINGLE_TASK_EDGE_LIMIT
+        if key is not None:
+            if len(_SMALL_GRAPH_MEMO) >= 256:
+                _SMALL_GRAPH_MEMO.pop(next(iter(_SMALL_GRAPH_MEMO)))
+            _SMALL_GRAPH_MEMO[key] = small
+    if small:
         return _components_single_task(und, _SINGLE_TASK_EDGE_LIMIT)
 
     labels = (
