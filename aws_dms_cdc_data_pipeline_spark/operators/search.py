@@ -733,11 +733,11 @@ def bm25_search_many(
     hits = spark.table(idx_table).filter(F.col("term").isin(all_terms))
     dl = spark.table(dl_table)
     stats = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_dl"),
+        F.expr("cast(count(1) as long) AS n_docs"),
+        F.expr("cast(sum(dl) as long) AS total_dl"),
     )
     df_per_term = hits.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
+        F.expr("cast(count(1) as long) AS df")
     )
     scored = (
         hits.join(F.broadcast(qdf), "term")
@@ -745,19 +745,26 @@ def bm25_search_many(
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
     )
-    avgdl = F.col("total_dl") / F.col("n_docs")
-    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    # scoring as one JVM-parsed SQL string (the bool_search_many /
+    # clause_search precedent): D-suffixed double literals — a bare
+    # SQL `0.5` parses as DECIMAL — and repr() round-trips exactly
+    k1f, bf = float(k1), float(b)
+    idf_s = "((n_docs - df + 0.5D) / (df + 0.5D))"
     if textbook:
-        idf = F.log(F.lit(1.0) + idf)
-    tf_part = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl)
+        idf_s = f"ln(1.0D + {idf_s})"
+    tf_part_s = (
+        f"((tf * {k1f + 1!r}D) / (tf + {k1f!r}D * "
+        f"({1 - bf!r}D + {bf!r}D * dl / (total_dl / n_docs))))"
     )
-    contrib_q = F.round(idf * tf_part * F.lit(float(_FP)), 0).cast("long")
+    contrib_s = (
+        f"cast(round({idf_s} * {tf_part_s} * {float(_FP)!r}D, 0) as long)"
+    )
     per_doc = scored.groupBy("query_id", id_col).agg(
-        (F.sum(contrib_q).cast("decimal(38,0)") / F.lit(_FP))
-        .cast("double")
-        .alias("score"),
-        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.expr(
+            f"cast(cast(sum({contrib_s}) as decimal(38,0)) / {_FP} "
+            "as double)"
+        ).alias("score"),
+        F.expr("cast(count(1) as long)").alias("n_terms_hit"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -897,11 +904,11 @@ def bool_search_many(
     hits = spark.table(idx_table).filter(F.col("term").isin(all_terms))
     dl = spark.table(dl_table)
     stats = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_dl"),
+        F.expr("cast(count(1) as long) AS n_docs"),
+        F.expr("cast(sum(dl) as long) AS total_dl"),
     )
     df_per_term = hits.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
+        F.expr("cast(count(1) as long) AS df")
     )
     scored = (
         hits.join(F.broadcast(qdf), "term")
@@ -909,37 +916,46 @@ def bool_search_many(
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
     )
-    avgdl = F.col("total_dl") / F.col("n_docs")
-    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    # scoring + membership expressions as JVM-parsed SQL strings (the
+    # clause_search/bool_tree precedent): double literals carry the D
+    # suffix (a bare SQL `0.5` parses as DECIMAL and would change the
+    # arithmetic type chain), repr() round-trips IEEE doubles exactly
+    k1f, bf = float(k1), float(b)
+    idf_s = "((n_docs - df + 0.5D) / (df + 0.5D))"
     if textbook:
-        idf = F.log(F.lit(1.0) + idf)
-    tf_part = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl)
+        idf_s = f"ln(1.0D + {idf_s})"
+    tf_part_s = (
+        f"((tf * {k1f + 1!r}D) / (tf + {k1f!r}D * "
+        f"({1 - bf!r}D + {bf!r}D * dl / (total_dl / n_docs))))"
     )
-    contrib_q = F.round(
-        idf * tf_part * F.col("boost") * F.lit(float(_FP)), 0
-    ).cast("long")
-    scoring = F.col("kind") != "must_not"
+    contrib_s = (
+        f"cast(round({idf_s} * {tf_part_s} * boost * "
+        f"{float(_FP)!r}D, 0) as long)"
+    )
     per_doc = scored.groupBy("query_id", id_col).agg(
-        F.sum(F.when(scoring, contrib_q)).alias("_sq"),
-        F.count(F.when(F.col("kind") == "must", 1)).alias("_n_must_hit"),
-        F.count(F.when(F.col("kind") == "should", 1)).alias("_n_should_hit"),
-        F.count(F.when(scoring, 1)).cast("long").alias("n_terms_hit"),
-        F.max(F.when(F.col("kind") == "must_not", 1)).alias("_ex"),
+        F.expr(
+            f"sum(CASE WHEN kind != 'must_not' THEN {contrib_s} END)"
+        ).alias("_sq"),
+        F.expr("count(CASE WHEN kind = 'must' THEN 1 END)")
+        .alias("_n_must_hit"),
+        F.expr("count(CASE WHEN kind = 'should' THEN 1 END)")
+        .alias("_n_should_hit"),
+        F.expr(
+            "cast(count(CASE WHEN kind != 'must_not' THEN 1 END) as long)"
+        ).alias("n_terms_hit"),
+        F.expr("max(CASE WHEN kind = 'must_not' THEN 1 END)")
+        .alias("_ex"),
     )
     cand = (
         per_doc.join(F.broadcast(qreq), "query_id")
-        .filter(
-            F.col("_ex").isNull()
-            & (F.col("_n_must_hit") == F.col("n_must"))
-            & (F.col("_n_should_hit") >= F.col("min_should"))
-        )
-        .select(
+        .filter(F.expr(
+            "_ex IS NULL AND _n_must_hit = n_must "
+            "AND _n_should_hit >= min_should"
+        ))
+        .selectExpr(
             "query_id",
             id_col,
-            (F.col("_sq").cast("decimal(38,0)") / F.lit(_FP))
-            .cast("double")
-            .alias("score"),
+            f"cast(cast(_sq as decimal(38,0)) / {_FP} as double) AS score",
             "n_terms_hit",
         )
     )
@@ -949,22 +965,19 @@ def bool_search_many(
             "query_id string, _field string, _op string, _value string",
         )
         fields = sorted({f for _, f, _, _ in frows})
-        attr_map = F.create_map(
-            *[x for f in fields for x in (F.lit(f), F.col(f).cast("string"))]
+        attr_map = F.expr(
+            "map("
+            + ", ".join(f"'{f}', cast({f} as string)" for f in fields)
+            + ")"
         )
-        av = F.element_at(F.col("_attrs"), F.col("_field"))
-        ok = F.coalesce(
-            F.when(F.col("_field").isNull(), F.lit(True))
-            .when(F.col("_op") == "eq", av == F.col("_value"))
-            .when(
-                F.col("_op") == "gte",
-                av.cast("double") >= F.col("_value").cast("double"),
-            )
-            .when(
-                F.col("_op") == "lte",
-                av.cast("double") <= F.col("_value").cast("double"),
-            ),
-            F.lit(False),
+        av = "element_at(_attrs, _field)"
+        ok = F.expr(
+            "coalesce(CASE WHEN _field IS NULL THEN true "
+            f"WHEN _op = 'eq' THEN {av} = _value "
+            f"WHEN _op = 'gte' THEN cast({av} as double) "
+            ">= cast(_value as double) "
+            f"WHEN _op = 'lte' THEN cast({av} as double) "
+            "<= cast(_value as double) END, false)"
         )
         # LEFT join: attrs is a filter-predicate relation, not a
         # membership gate.  A doc missing from attrs must fail only
