@@ -3394,12 +3394,25 @@ def termvectors_oracle_sql(
     table: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
+    positions_csv: bool = False,
 ) -> str:
     """DuckDB SQL for the identical termvectors result (same
-    tokenizer, same 0-based positions)."""
+    tokenizer, same 0-based positions).
+
+    ``positions_csv=True`` serializes the positions array as a
+    comma-joined string — the registry's verify projection (the
+    driver's pandas canonicalizer cannot sort ``array<long>``
+    columns; the r17 verdict's ask #1). Same computation, sortable
+    shape; pair it with ``array_join(positions, ',')`` on the Spark
+    side."""
     ids = ", ".join(str(int(i)) for i in doc_ids)
     stat_cols = ", s.doc_freq, s.ttf" if term_statistics else ""
     stat_join = "JOIN stats s USING (term)" if term_statistics else ""
+    pos_col = (
+        "array_to_string(tv.positions, ',') AS positions"
+        if positions_csv
+        else "tv.positions"
+    )
     return f"""
     WITH toks AS (
         SELECT {id_col},
@@ -3425,7 +3438,7 @@ def termvectors_oracle_sql(
                CAST(COUNT(*) AS BIGINT) AS ttf
         FROM pos GROUP BY term
     )
-    SELECT tv.{id_col}, tv.term, tv.term_freq, tv.positions{stat_cols}
+    SELECT tv.{id_col}, tv.term, tv.term_freq, {pos_col}{stat_cols}
     FROM tv {stat_join}
     ORDER BY tv.{id_col} ASC, tv.term ASC
     """

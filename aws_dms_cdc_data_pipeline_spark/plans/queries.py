@@ -11048,7 +11048,14 @@ def _termvectors_oracle() -> str:
         termvectors_oracle_sql,
     )
 
-    return termvectors_oracle_sql([3, 7, 11], term_statistics=True)
+    # positions_csv: the driver's pandas canonicalizer cannot sort an
+    # array<long> column (r17 verdict ask #1 — the query could never
+    # pass verify as shaped), so the COMPARED projection serializes
+    # the positions array canonically on both engines. Same
+    # computation; the operator's full array output is unchanged.
+    return termvectors_oracle_sql(
+        [3, 7, 11], term_statistics=True, positions_csv=True
+    )
 
 
 @q(
@@ -11061,7 +11068,10 @@ def _termvectors_oracle() -> str:
     "REQUESTED documents only (id filter pushed into the scan); the "
     "term statistics aggregate at the distinct-term grain and join "
     "back on the vocabulary key with the tiny requested side "
-    "broadcast. Exact integers everywhere "
+    "broadcast. Exact integers everywhere; the positions array is "
+    "serialized as a comma-joined string in the compared projection "
+    "(both engines) because the driver's canonicalizer cannot sort "
+    "list columns — r17 verdict ask #1 "
     "(operators/search.py:termvectors).",
 )
 def termvectors_docs_q(spark, sf_dir):
@@ -11070,7 +11080,8 @@ def termvectors_docs_q(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return termvectors(docs, [3, 7, 11], term_statistics=True)
+    tv = termvectors(docs, [3, 7, 11], term_statistics=True)
+    return tv.withColumn("positions", F.array_join("positions", ","))
 
 
 _INTERVALS = ("scan", "table", 2)  # (term_a, term_b, max_gaps)
