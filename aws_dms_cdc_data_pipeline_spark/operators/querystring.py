@@ -43,6 +43,9 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+    stats_memo_key,
+)
 from aws_dms_cdc_data_pipeline_spark.operators.search import (
     _ADHOC_STATS_MEMO,
     _FP,
@@ -195,8 +198,8 @@ def simple_query_string(
             F.sum((F.col(f"_tf{i}") > 0).cast("long"))
             .cast("long").alias(f"_df{i}")
         )
-    memo_key = (
-        proj._jdf.queryExecution().analyzed().semanticHash(),
+    memo_key = stats_memo_key(
+        proj,
         ("sqs",) + tuple(score_terms),
     )
     row = _ADHOC_STATS_MEMO.get(memo_key)
@@ -503,8 +506,8 @@ def dis_max_search(
             F.sum((F.col(f"_tf{i}") > 0).cast("long"))
             .cast("long").alias(f"_df{i}")
         )
-    memo_key = (
-        proj._jdf.queryExecution().analyzed().semanticHash(),
+    memo_key = stats_memo_key(
+        proj,
         ("dis_max",) + tuple(score_terms),
     )
     row = _ADHOC_STATS_MEMO.get(memo_key)
@@ -906,8 +909,8 @@ def rescore_search(
             F.sum((F.col(f"_tf{i}") > 0).cast("long"))
             .cast("long").alias(f"_df{i}")
         )
-    memo_key = (
-        proj._jdf.queryExecution().analyzed().semanticHash(),
+    memo_key = stats_memo_key(
+        proj,
         ("rescore",) + tuple(all_terms),
     )
     row = _ADHOC_STATS_MEMO.get(memo_key)
@@ -1140,8 +1143,8 @@ def bm25_explain(
             F.sum((F.col(f"_tf{i}") > 0).cast("long"))
             .cast("long").alias(f"_df{i}")
         )
-    memo_key = (
-        proj._jdf.queryExecution().analyzed().semanticHash(),
+    memo_key = stats_memo_key(
+        proj,
         ("explain",) + tuple(terms),
     )
     row = _ADHOC_STATS_MEMO.get(memo_key)

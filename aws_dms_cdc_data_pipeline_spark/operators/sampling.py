@@ -534,11 +534,11 @@ def dsir_log_weights(
     # an artifact); the per-document scoring below still computes
     # from the postings every call. Saves the model + smoothing-total
     # aggregate jobs on every repeat call.
-    memo_key = (
-        cnts._jdf.queryExecution().analyzed().semanticHash(),
-        int(buckets),
-        float(alpha),
+    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
+        stats_memo_key,
     )
+
+    memo_key = stats_memo_key(cnts, int(buckets), float(alpha))
     model_rows = _DSIR_MODEL_MEMO.get(memo_key)
     if model_rows is None:
         model = cnts.groupBy("_b").agg(

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
     local_relation as _local_relation,
+    stats_memo_key,
 )
 
 _FP = 1_000_000  # 6-decimal fixed point, matches plans/queries._q6
@@ -232,15 +233,17 @@ def _bm25_adhoc_scores(
                 .cast("long")
                 .alias(f"_df{i}")
             )
-    # Memoize the collected stats by the projection's SEMANTIC plan
-    # hash + mask: repeated identical queries (the serving pattern)
-    # skip the stats job entirely, reading df/N the way OpenSearch
-    # reads them — as precomputed index statistics. Staleness is
-    # EXACTLY the plan-keyed persist's: both live for the session and
-    # neither sees in-place file mutation; a different source path,
-    # term set, or mask is a different key. FIFO-bounded.
-    memo_key = (
-        proj._jdf.queryExecution().analyzed().semanticHash(),
+    # Memoize the collected stats by (appId, projection plan hash,
+    # INPUT FILE SET, terms, mask): repeated identical queries (the
+    # serving pattern) skip the stats job entirely, reading df/N the
+    # way OpenSearch reads them — as precomputed index statistics.
+    # The file set keys staleness (r18): an in-place overwrite of the
+    # source table writes new part files and re-collects — the
+    # _ARTIFACT_MEMO key shape, closing the r17 verdict's stale-stats
+    # hole. A different source path, term set, or mask is a
+    # different key. FIFO-bounded.
+    memo_key = stats_memo_key(
+        proj,
         tuple(terms),
         tuple(mask),
     )
@@ -1509,8 +1512,8 @@ def _multi_match_wide(
                 F.sum((F.col(f"_tf{i}_{j}") > 0).cast("long"))
                 .cast("long").alias(f"_df{i}_{j}")
             )
-    memo_key = (
-        proj._jdf.queryExecution().analyzed().semanticHash(),
+    memo_key = stats_memo_key(
+        proj,
         ("multi_match",) + tuple(fnames),
         tuple(terms),
     )

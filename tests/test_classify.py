@@ -90,3 +90,51 @@ def test_nb_confusion_shape_and_diagonal(spark):
     empty = df.withColumn("lang", df.lang.cast("string")).filter("1=0")
     with pytest.raises(ValueError, match="labeled"):
         nb_classify(empty, label_col="lang")
+
+
+def test_stats_memo_refreshes_after_in_place_overwrite(spark, tmp_path):
+    """The r17 verdict's stale-stats hole (ask #5): the BM25/NB/DSIR
+    stats memos keyed only on the plan's semanticHash served STALE
+    model statistics after an in-place overwrite of the source table
+    at the same path within one session. The r18 key adds the input
+    file set (the _ARTIFACT_MEMO shape): an overwrite writes new part
+    files, so the memo re-collects. Exercised end-to-end through
+    nb_classify — training stats must reflect the rewritten corpus."""
+    p = str(tmp_path / "corpus")
+    rows_v1 = [
+        (1, "alpha alpha beta", "a"), (2, "alpha beta beta", "a"),
+        (3, "gamma delta gamma", "b"), (4, "delta delta gamma", "b"),
+        (5, "alpha beta gamma", None),
+    ]
+    schema = "doc_id long, text string, lang string"
+    spark.createDataFrame(rows_v1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    first = {
+        r["doc_id"]: (r["predicted"], r["score"])
+        for r in nb_classify(
+            spark.read.parquet(p), label_col="lang"
+        ).collect()
+    }
+    assert first[5][0] == "a"
+    # overwrite IN PLACE: same path, flipped vocabulary — the
+    # unlabeled doc now matches class b's training text
+    rows_v2 = [
+        (1, "gamma delta gamma", "a"), (2, "delta delta gamma", "a"),
+        (3, "alpha alpha beta", "b"), (4, "alpha beta beta", "b"),
+        (5, "alpha beta gamma", None),
+    ]
+    spark.createDataFrame(rows_v2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    second = {
+        r["doc_id"]: (r["predicted"], r["score"])
+        for r in nb_classify(
+            spark.read.parquet(p), label_col="lang"
+        ).collect()
+    }
+    # fresh stats: the unlabeled doc flips to class b; a stale memo
+    # would have reproduced the v1 prediction
+    assert second[5][0] == "b", (
+        "stale training stats served after in-place overwrite"
+    )
