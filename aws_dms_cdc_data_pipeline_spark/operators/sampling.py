@@ -475,11 +475,20 @@ def dsir_log_weights(
     per-document sum (the E49/E189 pattern), so the score is an exact
     BIGINT sum: bit-identical across engines and partitionings.
 
-    Scale shape: one tokenize pass (fan_out_scan-guarded) →
-    per-(doc, bucket) counts (map-side combined); the model is ≤
-    ``buckets`` rows — CONSTANT size by construction, broadcast back
-    to the postings regardless of corpus size; smoothing totals ride
-    as a broadcast 1-row aggregate. Nothing driver-side, no UDF.
+    Scale shape (r18 — the sf10 spill fix): the MODEL aggregates the
+    exploded features directly at the ≤ ``buckets`` grain (map-side
+    hash agg over ≤2·buckets groups per task — constant memory, tiny
+    exchange), never through a per-(doc, bucket) grain; the r17 shape
+    built and persisted a per-(doc, _tgt, bucket) counts relation
+    whose hash aggregate spilled 3.7-5.9 GB at the sf10 probe (guide
+    §5). SCORING is a pure map: the collected ≤ ``buckets``-row model
+    rides the plan as a constant-folded array literal indexed by the
+    feature's bucket, and each document folds its own feature array
+    with ``aggregate`` — zero exchanges, zero joins, zero spill at
+    any scale. Per-occurrence integer sums are exactly the old
+    per-bucket ``Σ n·dq`` (same longs, same order-free addition), so
+    the output is bit-identical (oracle-gated). Nothing driver-side
+    beyond the bounded model collect (memoized per file set), no UDF.
     Output: (id, n_features, log_weight_q, log_weight) for every doc
     with ≥1 token.
     """
@@ -492,60 +501,65 @@ def dsir_log_weights(
     )
 
     base = fan_out_scan(
-        df.select(F.col(id_col), target.alias("_tgt"), F.col(text_col))
+        df.select(F.col(id_col), target.alias("_tgt"), F.col(text_col)),
+        # per-row work is tokenize + one md5 per feature — the
+        # heavy-map weight class (the text-family 128 KB bar)
+        min_bytes_per_partition=128 * 1024,
     ).withColumn(
         "_toks",
         F.filter(
             F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
             lambda x: x != F.lit(""),
         ),
-    )
-    feats = base.select(
-        id_col,
-        "_tgt",
-        F.explode(
-            F.concat(
-                F.col("_toks"),
-                F.expr(
-                    "CASE WHEN size(_toks) < 2 THEN array() ELSE "
-                    "transform(slice(_toks, 1, size(_toks) - 1), "
-                    "(x, i) -> concat(x, ' ', _toks[i + 1])) END"
-                ),
-            )
-        ).alias("_feat"),
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("_feat")), 1, 8), 16, 10)
-        .cast("long") % buckets
-    )
-    # per-(doc, bucket) counts: the only data-sized exchange; target
-    # membership rides the row (constant per doc)
-    cnts = (
-        feats.select(id_col, "_tgt", bucket.alias("_b"))
-        .groupBy(id_col, "_tgt", "_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
-        .persist()
+    ).withColumn(
+        "_feats",
+        F.concat(
+            F.col("_toks"),
+            F.expr(
+                "CASE WHEN size(_toks) < 2 THEN array() ELSE "
+                "transform(slice(_toks, 1, size(_toks) - 1), "
+                "(x, i) -> concat(x, ' ', _toks[i + 1])) END"
+            ),
+        ),
     )
     # The hashed model is ≤ ``buckets`` rows of longs BY CONSTRUCTION
-    # — index-statistics-sized, not data-sized. Collect it once per
-    # (counts plan, buckets, alpha) and serve later calls from the
-    # memo as a one-slice local relation (the BM25/NB stats-memo
+    # — index-statistics-sized, not data-sized. It aggregates the
+    # exploded features DIRECTLY at the bucket grain (≤2·buckets
+    # map-side hash groups per task: constant memory, no spill, a
+    # ≤ buckets·tasks-row exchange) and is collected once per
+    # (plan, file set, buckets, alpha) — the BM25/NB stats-memo
     # precedent: a served DSIR deployment holds the trained model as
-    # an artifact); the per-document scoring below still computes
-    # from the postings every call. Saves the model + smoothing-total
-    # aggregate jobs on every repeat call.
+    # an artifact. The per-document scoring below computes from the
+    # documents every call.
     from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
         stats_memo_key,
     )
 
-    memo_key = stats_memo_key(cnts, int(buckets), float(alpha))
+    # Per-doc BUCKET ARRAYS are the only thing worth keeping around:
+    # ~8 B per feature occurrence (vs the corpus text, or the r17
+    # per-(doc, bucket) counts grain whose hash aggregate spilled
+    # GBs), and both the model aggregation and the scoring fold read
+    # them. Persist is caller-owned plan-keyed (the minhash-shingle
+    # policy): repeat calls fold cached long arrays — no tokenize, no
+    # md5 — and at cluster scale eviction degrades to recompute, the
+    # plan shape unchanged.
+    hashed = base.select(
+        F.col(id_col),
+        F.col("_tgt"),
+        F.expr(
+            "transform(_feats, f -> cast(conv(substring(md5(f), 1, 8), "
+            f"16, 10) as bigint) % {buckets})"
+        ).alias("_bs"),
+    ).persist()
+    occ = hashed.select(F.explode("_bs").alias("_b"), "_tgt")
+    model = occ.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias("_ct"),
+        F.count(F.lit(1)).cast("long").alias("_cs"),
+    )
+    memo_key = stats_memo_key(model, int(buckets), float(alpha))
     model_rows = _DSIR_MODEL_MEMO.get(memo_key)
     if model_rows is None:
-        model = cnts.groupBy("_b").agg(
-            F.sum(F.when(F.col("_tgt"), F.col("_n")).otherwise(F.lit(0)))
-            .cast("long").alias("_ct"),
-            F.sum("_n").cast("long").alias("_cs"),
-        )
         totals = model.agg(
             F.sum("_ct").cast("long").alias("_tt"),
             F.sum("_cs").cast("long").alias("_ts"),
@@ -566,24 +580,30 @@ def dsir_log_weights(
         if len(_DSIR_MODEL_MEMO) >= 64:
             _DSIR_MODEL_MEMO.pop(next(iter(_DSIR_MODEL_MEMO)))
         _DSIR_MODEL_MEMO[memo_key] = model_rows
-    from aws_dms_cdc_data_pipeline_spark.operators.partitioning import (
-        local_relation,
+    # Scoring is a PURE MAP over the bucket arrays: the model becomes
+    # a buckets-long array literal (constant-folded once by Catalyst
+    # — never built per row) indexed by each feature's bucket, and
+    # the per-document score folds the array with ``aggregate``.
+    # Summing dq per feature OCCURRENCE is exactly the old per-bucket
+    # Σ n·dq — same longs, addition is order-free — so rows are
+    # bit-identical (oracle-gated at sf0.01/sf0.1). Buckets absent
+    # from the model cannot be probed (the scored corpus IS the model
+    # corpus — the file-set memo key pins that), so their fill value
+    # (0) is unreachable.
+    dq = dict(model_rows)
+    arr_sql = "array(" + ",".join(
+        f"{dq.get(b, 0)}L" for b in range(buckets)
+    ) + ")"
+    score_sql = (
+        f"aggregate(_bs, cast(0 as bigint), (acc, b) -> acc + "
+        f"element_at({arr_sql}, cast(b as int) + 1))"
     )
-
-    scored = local_relation(
-        df.sparkSession, model_rows, "_b long, _dq long"
-    )
-    return (
-        cnts.join(F.broadcast(scored), "_b")
-        .groupBy(id_col)
-        .agg(
-            F.sum("_n").cast("long").alias("n_features"),
-            F.sum(F.col("_n") * F.col("_dq")).cast("long")
-            .alias("log_weight_q"),
-        )
-        .withColumn(
-            "log_weight", F.col("log_weight_q").cast("double") / 1e6
-        )
+    return hashed.filter(F.size("_bs") > 0).selectExpr(
+        id_col,
+        "cast(size(_bs) as long) AS n_features",
+        f"{score_sql} AS log_weight_q",
+    ).withColumn(
+        "log_weight", F.col("log_weight_q").cast("double") / 1e6
     )
 
 

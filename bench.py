@@ -263,19 +263,26 @@ def main() -> None:
     except Exception as e:  # hygiene is best-effort — never fail
         print(f"token-index prewarm skipped: {e}", file=sys.stderr)
 
-    def best_of(fn, runs: int = 2) -> float:
+    def timed_runs(fn, runs: int = 2) -> list[float]:
         """One warm (codegen/cache) pass + ``runs`` timed passes;
-        record the BEST. One draw per query let boot weather into
-        the official record two rounds running (r14/r15)."""
+        returns every timed pass. The headline records the BEST (one
+        draw per query let boot weather into the official record two
+        rounds running, r14/r15); the full payload keeps all draws so
+        the driver can separate noise from regression mechanically
+        (r17 verdict ask #8) — same methodology, additions-only."""
         fn()  # warm: whole-stage-codegen compile + operator caches
-        best = float("inf")
+        out = []
         for _ in range(runs):
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        return round(best, 3)
+            out.append(round(time.time() - t0, 3))
+        return out
+
+    def best_of(fn, runs: int = 2) -> float:
+        return min(timed_runs(fn, runs))
 
     timings: dict[str, float] = {}
+    query_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in REGISTRY:
             continue
@@ -286,10 +293,11 @@ def main() -> None:
         # cache — that reuse is the steady-state shape — while stale
         # entries from other families don't accumulate over the sweep.
         spark.catalog.clearCache()
-        timings[name] = best_of(
+        query_runs[name] = timed_runs(
             lambda: REGISTRY[name].fn(spark, sf_dir)
             .write.format("noop").mode("overwrite").save()
         )
+        timings[name] = min(query_runs[name])
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -297,6 +305,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-row weather band (r17 verdict ask #8): every timed draw
+        # plus its spread, so a regressed best can be told apart from
+        # a noisy boot without reading prose. Additions-only — the
+        # "queries" map above and the slim stdout line are unchanged.
+        "query_runs": query_runs,
+        "query_spread": {
+            n: round(max(rs) - min(rs), 3) for n, rs in query_runs.items()
+        },
         "sf": sf,
     }
 
