@@ -537,9 +537,39 @@ def _gram_pair_intersections(df, text_col, id_col, n, max_df):
       when a gram's posting list is unbounded.
     """
     grams = _word_gram_index(df, text_col, id_col, n)
+    # Wide-exchange width, shared by every near-unique-key aggregate
+    # in this pipeline (the r12 pair-agg sizing — see the `inter`
+    # comment below): the gram-keyed grains (posting lists, df
+    # counts) have ~one group per distinct gram, so a default-width
+    # final aggregate holds millions of groups per task and falls
+    # back to sort-based aggregation — the sf10 probe's 5.4 GB
+    # posting-aggregate spill (r18 profile). 8× width keeps per-task
+    # hash state bounded; shuffle bytes are unchanged.
+    try:
+        width = int(
+            grams.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        ) * 8
+    except (TypeError, ValueError):
+        # conf can hold a non-integer sentinel (e.g. "auto") on some
+        # platforms — fall back to Spark's default parallelism target.
+        width = 200 * 8
     gdf = grams.groupBy("g").agg(F.count("*").alias("_df"))
     if max_df is not None:
-        gdf = gdf.filter(F.col("_df") <= max_df)
+        # Apply the df cap as a broadcast ANTI-join against the
+        # OVER-cap gram set, not an inner join with the (index-sized)
+        # under-cap set: the stop-shingle set is tiny by construction
+        # (≤ total gram occurrences / max_df — each member needs
+        # > max_df postings), while the inner-join shape sort-merge-
+        # joined the FULL gram index against the full distinct-gram
+        # relation — the sf10 probe's near_dedup spill (2.8 GB mem +
+        # 1.5 GB disk per SMJ side, r18 profile). The anti-join
+        # leaves the index unshuffled and unsorted (guide §2.5 — hot
+        # keys are the special case, so move the small set, not the
+        # data). At corpora where the over-cap set itself outgrows a
+        # broadcast, max_df is being held far below the corpus scale
+        # — raise the cap with the corpus (it is a df bound, not a
+        # similarity parameter).
+        #
         # ok (df-capped index) has two consumers (sizes + posting) and
         # sizes has two (the sa/sb lookups in every caller) — without
         # a persist each consuming plan branch re-runs the gram join /
@@ -547,11 +577,24 @@ def _gram_pair_intersections(df, text_col, id_col, n, max_df):
         # plan-keyed policy as the gram index itself). Both relations
         # are index-sized (≤ one row per distinct (doc, gram) / per
         # doc), far below the corpus.
-        ok = grams.join(gdf.select("g"), "g").persist()
+        over = gdf.filter(F.col("_df") > max_df)
+        ok = grams.join(
+            F.broadcast(over.select("g")), "g", "left_anti"
+        ).persist()
         sizes = (
             ok.groupBy(id_col).agg(F.count("*").alias("sz")).persist()
         )
-        posting = ok.groupBy("g").agg(F.collect_list(id_col).alias("_ids"))
+        # pre-partition the posting build at pair-agg width: one
+        # group per distinct gram means the default-width aggregate
+        # held ~3M list-building groups per task (ObjectHashAggregate
+        # sort fallback → the 5.4 GB sf10 spill); at 8× width the
+        # per-task state is a bounded hash map and the groupBy reuses
+        # the exchange (pass-through partial).
+        posting = (
+            ok.repartition(width, "g")
+            .groupBy("g")
+            .agg(F.collect_list(id_col).alias("_ids"))
+        )
         pairs = (
             posting.filter(F.size("_ids") > 1)
             .select(F.explode("_ids").alias("id_a"), "_ids")
@@ -584,15 +627,7 @@ def _gram_pair_intersections(df, text_col, id_col, n, max_df):
     # ~1/8 the default partition's — sized so Σ(pairs)/width fits the
     # per-task memory share at the documented Σdf²/2 worst case.
     # Shuffle BYTES are unchanged (unique keys meant the partial agg
-    # saved none). PERF.md r12 A/B.
-    try:
-        width = int(
-            pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        ) * 8
-    except (TypeError, ValueError):
-        # conf can hold a non-integer sentinel (e.g. "auto") on some
-        # platforms — fall back to Spark's default parallelism target.
-        width = 200 * 8
+    # saved none). PERF.md r12 A/B. ``width`` computed above.
     inter = (
         pairs.repartition(width, "id_a", "id_b")
         .groupBy("id_a", "id_b")
