@@ -180,26 +180,27 @@ def _bands_of(
 def _with_signature(hashed: DataFrame, num_hashes: int) -> DataFrame:
     """Attach the per-seed minhash signature array to (id, _bh) rows.
 
-    Historical semantics, FROZEN (r17 audit): the original DSL built
-    each entry with a two-argument Python lambda
-    (``lambda h, i=i: F.xxhash64(h, F.lit(i))``) — PySpark binds a
-    2-arg ``transform`` lambda as (element, ARRAY INDEX), so the
-    per-seed default argument was shadowed by the index and every
-    "seed" evaluated the same ``xxhash64(h, pos)`` pass: the
-    signature has always been ``num_hashes`` copies of ONE min value.
-    Optimization rounds are output-frozen (rows-only queries are
-    hash-gated), so this reproduces that exact computation via
-    ``array_repeat`` of the single min — 1/num_hashes the runtime and
-    expression size, bit-identical results (A/B'd row-for-row at
-    sf0.01/sf0.1). The true per-seed signature is a one-line change
-    (``xxhash64(h, {i})`` per seed) deliberately left to a build
-    round, where the row-hash baseline is allowed to move.
+    TRUE per-seed MinHash (r18 — the r17 verdict's mandatory fix #2):
+    entry ``s`` is ``min over shingle hashes h of xxhash64(h, s)`` —
+    ``num_hashes`` independent permutation proxies, so banded LSH
+    candidate recall follows the published ``1-(1-j^r)^b`` curve.
+    History: the original DSL built each entry with a two-argument
+    Python lambda (``lambda h, i=i: F.xxhash64(h, F.lit(i))``) —
+    PySpark binds a 2-arg ``transform`` lambda as (element, ARRAY
+    INDEX), shadowing the per-seed argument, so every entry evaluated
+    the same min and the operator was de-facto single-hash LSH
+    (silently under-recalling near-dups at the threshold boundary at
+    scale). r17 froze that bug bit-exactly per the optimization-round
+    contract and the verdict ordered the real fix this round, with
+    the rows-only baselines re-based (recall pinned on planted pairs
+    in tests/test_llm_ops.py; per-seed distinctness pinned in
+    tests/test_plan_guards.py).
     """
     return hashed.withColumn(
         "_sig",
         F.expr(
-            "array_repeat(array_min(transform(_bh, (h, i) -> "
-            f"xxhash64(h, i))), {num_hashes})"
+            f"transform(sequence(0, {num_hashes - 1}), s -> "
+            "array_min(transform(_bh, h -> xxhash64(h, s))))"
         ),
     )
 
@@ -240,35 +241,33 @@ def minhash_lsh_pairs(
     # prefilter below then needs NO size-lookup joins — it is a plain
     # filter on the candidate join's own output.
     #
-    # ONE bucket row per doc, not bands× (r17): with the frozen
-    # signature semantics (see _with_signature) every signature entry
-    # is the same value, so all ``bands`` band hashes of a doc are
-    # xxhash64 over identical concatenations — the historical 8-way
-    # band explode produced 8 IDENTICAL (bh) keys per doc, 8× the
-    # join input and 8 duplicate rows per candidate pair that a
-    # full candidate-width dropDuplicates exchange then removed. The
-    # single band-0 bucket (bh over the first rows_per_band signature
-    # entries — the exact historical band-0 value) joins the same
-    # pair set with 1/bands the rows, and because each doc now
-    # contributes exactly one bucket row the candidate join is
-    # duplicate-free BY CONSTRUCTION — the dedup exchange (the
-    # largest shuffle in this query at the sf10 probe: ~10.6 M
-    # candidate rows) is gone outright. Output rows are bit-identical
-    # (A/B'd at sf0.01/sf0.1).
-    rows_per_band = num_hashes // bands
-    bh_cols = ",".join(f"_sig[{r}]" for r in range(rows_per_band))
-    banded = _with_signature(hashed, num_hashes).selectExpr(
-        id_col,
-        "cast(size(_bh) as long) AS _n",
-        f"xxhash64(concat_ws(',', {bh_cols})) AS bh",
-    )
+    # REAL banded LSH (r18, with the per-seed signature fix): every
+    # doc contributes ``bands`` (band, band-hash) bucket rows and a
+    # candidate pair is any pair agreeing on ≥1 band — the published
+    # 1-(1-j^r)^b recall curve. (r17's one-bucket-per-doc join was
+    # correct ONLY for the frozen single-hash signatures, where all
+    # bands collapsed to identical keys; with distinct per-seed
+    # entries it would silently serve band-0-only recall.) Band rows
+    # stay ~32 B regardless of document size — shingle arrays never
+    # enter the candidate join.
+    # banded is ~32 B × bands per doc and feeds BOTH self-join sides:
+    # persisting it evaluates the 32-seed signature map ONCE instead
+    # of once per side (plus once more on the probe stream) — same
+    # caller-owned plan-keyed cache policy as the shingle relation.
+    banded = _bands_of(
+        _with_signature(hashed, num_hashes).withColumn(
+            "_n", F.size("_bh").cast("long")
+        ),
+        id_col, num_hashes, bands, carry=("_n",),
+    ).persist()
 
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
         left.join(
             right,
-            (F.col("a.bh") == F.col("b.bh"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -290,11 +289,25 @@ def minhash_lsh_pairs(
     # have uncorrelated sizes and die here for free, and genuinely-
     # near-dup pairs pass untouched, so the result set is bit-
     # identical (tested). Sizes ride the band rows (carry above), so
-    # this is a pure filter — no lookup joins.
-    cand_sized = cand.filter(
-        F.least("n_a", "n_b")
-        >= F.lit(jaccard_threshold) * F.greatest("n_a", "n_b")
-    ).select("id_a", "id_b")
+    # this is a pure filter — no lookup joins. The multi-band dedup
+    # exchange runs AFTER it, over bare (id_a, id_b) longs only — as
+    # an EXPLICIT pair-keyed repartition, because AQE coalesces the
+    # exchange by BYTES (16 B/candidate → one post-shuffle task) while
+    # the downstream verify cost is per-row array intersections — the
+    # whole verify serialized through a single task (measured 1.9 s of
+    # a 2.3 s pass). The dedup aggregate reuses the partitioning.
+    cand_sized = (
+        cand.filter(
+            F.least("n_a", "n_b")
+            >= F.lit(jaccard_threshold) * F.greatest("n_a", "n_b")
+        )
+        .select("id_a", "id_b")
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            "id_a", "id_b",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
     sh_a = hashed.select(F.col(id_col).alias("id_a"), F.col("_bh").alias("sh_a"))
     sh_b = hashed.select(F.col(id_col).alias("id_b"), F.col("_bh").alias("sh_b"))

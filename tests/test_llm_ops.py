@@ -816,3 +816,40 @@ def test_char_entropy_hand_computed(spark):
         assert r.char_entropy == q / n / 1e6
     assert out[2].entropy_q == 0          # single-symbol text
     assert out[3].char_entropy > out[1].char_entropy  # more uniform
+
+
+def test_minhash_signature_is_per_seed_distinct(spark):
+    """The r17 verdict's mandatory fix #2: the signature must carry
+    num_hashes INDEPENDENT per-seed minima (min over shingle hashes of
+    xxhash64(h, seed)), not num_hashes copies of one value (the
+    historical 2-arg-transform lambda bug froze the operator as
+    de-facto single-hash LSH). With distinct entries, banded LSH
+    recall follows 1-(1-j^r)^b."""
+    from aws_dms_cdc_data_pipeline_spark.operators.dedup import (
+        _hashed_shingles,
+        _with_signature,
+    )
+
+    df = _docs(spark, [(1, NEAR_A), (2, NEAR_B)])
+    hashed = _hashed_shingles(df, "text", "doc_id", 5)
+    rows = _with_signature(hashed, 32).select("doc_id", "_sig", "_bh").collect()
+    for r in rows:
+        assert len(r["_sig"]) == 32
+        # a 140-char doc has dozens of shingles; 32 independent mins
+        # over them collide only with negligible probability
+        assert len(set(r["_sig"])) > 16, "signature entries not per-seed"
+        # every entry IS the min of xxhash64(h, seed) over the doc's
+        # shingle hashes — recompute seed 0 and 31 in-plan
+        import pyspark.sql.functions as SF
+
+        mins = (
+            df.sparkSession.createDataFrame(
+                [(list(r["_bh"]),)], "hs array<long>"
+            )
+            .select(
+                SF.expr("array_min(transform(hs, h -> xxhash64(h, 0)))").alias("m0"),
+                SF.expr("array_min(transform(hs, h -> xxhash64(h, 31)))").alias("m31"),
+            )
+            .first()
+        )
+        assert r["_sig"][0] == mins["m0"] and r["_sig"][31] == mins["m31"]
